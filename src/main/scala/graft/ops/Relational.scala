@@ -1,0 +1,470 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator surface: scans, filters, projections, aggregations,
+  * joins, window functions, top-k, set ops.
+  *
+  * The reference engine (liquidation-labs/liq-stream) has filters/projections
+  * only (SURVEY.md §2.2); everything else here is the analytical closure the
+  * driver mandates (SURVEY.md §2.6). All ops are declarative DataFrame plans —
+  * Catalyst handles pushdown, pruning, join strategy selection, and AQE
+  * re-planning; nothing here hand-schedules execution.
+  */
+object Relational {
+
+  // ── scans ────────────────────────────────────────────────────────────────
+
+  /** Projection + filter pushed down to the parquet scan. At 100 TB the scan
+    * reads only 4 of 11 columns and skips row groups via min/max stats on
+    * l_quantity (explain shows PushedFilters + pruned ReadSchema). */
+  def scanLineitem(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_quantity") >= 45)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Analog of the reference's file-tail scan over event rows
+    * (liq-stream `hyperliquid_adapter.py:259-274`), batch form. */
+  def scanEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_type") === "purchase")
+      .orderBy("event_id")
+
+  // ── filters / projections (reference §2.2 shapes on driver tables) ──────
+
+  /** Fixed-schema projection with null-fill for a missing column — the
+    * reference projects every row to exactly its 10 known columns and blanks
+    * the rest (liq-stream `writer_csv.py:36`, `writer_pg.py:145`). */
+  def projectSchema(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        lit(null).cast(StringType).as("missing_col"))
+      .orderBy("event_id")
+
+  /** Suffix filter — the reference keeps OKX instruments by instId suffix
+    * (liq-stream `okx_adapter.py:15-21,70-73`). */
+  def filterSuffix(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .filter(col("c_name").endsWith("7"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Prefix filter — Bybit routes frames by topic prefix
+    * (liq-stream `bybit_adapter.py:145-170`). */
+  def filterPrefix(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .filter(col("p_brand").startsWith("Brand#1"))
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+
+  /** Substring prefilter — the reference skips lines without "liquidation"
+    * before paying for the JSON parse (liq-stream
+    * `hyperliquid_adapter.py:266-267`). Cheap predicate ordered before
+    * expensive work; here it prunes the parquet scan itself. */
+  def filterContains(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("text").contains("spark vector"))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  /** Threshold filter on absolute size (liq-stream
+    * `hyperliquid_adapter.py:190-192`). */
+  def filterThreshold(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(abs(col("value")) >= 15)
+      .select("event_id", "value")
+      .orderBy("event_id")
+
+  /** Column-equality filter (liq-stream `hyperliquid_adapter.py:185-188`:
+    * keep fill only when taker == liquidatedUser). */
+  def filterEqCols(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_quantity") === (col("l_linenumber") * 7).cast(DoubleType))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** CASE-based enum decode — the reference maps exchange side codes to
+    * long/short (liq-stream `binance_adapter.py:16-23`, `bybit_adapter.py:
+    * 188-192`, `hyperliquid_adapter.py:50-60`). */
+  def caseSideDecode(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("event_type").isin("purchase", "signup"), "long")
+          .when(col("event_type").isin("click", "view"), "short")
+          .otherwise(lit(null).cast(StringType)).as("side"))
+      .orderBy("event_id")
+
+  /** Derived column with null-guard — notional = price*qty when both truthy
+    * (liq-stream `binance_adapter.py:78`). */
+  def deriveNotional(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_extendedprice") > 0 && col("l_quantity") > 0,
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .otherwise(lit(null).cast(DoubleType)).as("notional"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ── aggregations ─────────────────────────────────────────────────────────
+
+  /** Hash aggregate by key — "counts by exchange" dashboards
+    * (liq-stream `CHANGELOG.md:13`). Map-side partial agg + single shuffle on
+    * the group keys; sums go through DECIMAL so they are exact regardless of
+    * partition order (safe under AQE re-plans at scale). */
+  def aggByKey(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ROLLUP over the exchange×market-style hierarchy. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sumMoney(col("l_quantity")).as("sum_qty"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  /** Approximate distinct (HLL++) — symbol-cardinality at 100 TB where exact
+    * distinct would shuffle every key. Per-group cardinality here is tiny, so
+    * HLL++'s sparse (exact) mode kicks in and matches the exact oracle. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(approx_count_distinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+
+  // ── joins ────────────────────────────────────────────────────────────────
+
+  /** Equi hash join fact⋈dim, aggregated. Catalyst broadcasts the dim side
+    * when it fits (autoBroadcastJoinThreshold); at 100 TB with a large dim it
+    * degrades gracefully to shuffled hash join on the key. */
+  def joinHash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+
+  /** Explicit broadcast join through the nation→region snowflake — small dims
+    * are shipped to every executor; zero shuffle of the big side. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r_name", "n_name")
+
+  /** Left outer join preserving customers with zero orders. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sumMoney(col("o_totalprice")), lit(0.0)).as("sum_price"))
+      .orderBy("c_custkey")
+
+  /** Left-semi join (EXISTS): customers having at least one order. Semi joins
+    * ship only the join key of the right side — at scale this is the cheap
+    * form of the EXISTS predicate. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join (NOT EXISTS): customers with no orders — orphan
+    * detection. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Range join: equi key + time-band predicate. The equi component keeps the
+    * shuffle keyed (no cartesian); the band is evaluated post-match. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    l.join(o,
+        l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** As-of join: each event matched to the most recent order of the same
+    * user at or before the event time. Composed as equi-join + ranked pick
+    * (SURVEY.md §2.6 join_range/as-of): the join shuffles on the equi key
+    * only, then a per-key window picks the latest — the scalable pattern when
+    * the right side fits the key partition. Ties on (date) break by orderkey
+    * so the result is total-order deterministic. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    val o = table(spark, dir, "orders")
+    val joined = e.join(o,
+      e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("o_orderkey"),
+        tsStr(col("o_orderdate")).as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  // ── window functions ─────────────────────────────────────────────────────
+
+  /** Ranking window: top-3 line items per return flag by price. */
+  def winfnRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        row_number().over(w).cast(LongType).as("rn"),
+        rank().over(w).cast(LongType).as("rnk"))
+      .filter(col("rn") <= 3)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  /** Analytic window: per-user previous value (lag) + running sum — deltas
+    * between consecutive liquidations (SURVEY.md §2.6). */
+  def winfnLagRunsum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("run_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k with deterministic tiebreak — "largest liquidations". TakeOrdered
+    * physical op: per-partition top-k then merge, never a full global sort at
+    * scale. */
+  def topk(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Set ops over the customer/supplier nation universes: intersect, except
+    * (both directions), tagged into one result. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val s = table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(s).withColumn("tag", lit("both"))
+      .unionByName(c.except(s).withColumn("tag", lit("cust_only")))
+      .unionByName(s.except(c).withColumn("tag", lit("supp_only")))
+      .select("tag", "nationkey")
+      .orderBy("tag", "nationkey")
+  }
+
+  /** Multi-stream union into one sink — the reference fans 9 concurrent
+    * streams into one shared writer (liq-stream `stream.py:169-188`). Batch
+    * analog: N filtered branches unioned by name, aggregated downstream. */
+  def unionAllStreams(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val branches = Seq("click", "view", "purchase")
+      .map(t => ev.filter(col("event_type") === t))
+    branches.reduce(_ unionByName _)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // ── oracle SQL (DuckDB twins, same column names) ─────────────────────────
+
+  val oracles: Map[String, String] = Map(
+    "scan_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "scan_events" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+    "project_schema" ->
+      """SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) AS missing_col
+         FROM events ORDER BY event_id""",
+    "filter_suffix" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_name LIKE '%7' ORDER BY c_custkey""",
+    "filter_prefix" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE p_brand LIKE 'Brand#1%' ORDER BY p_partkey""",
+    "filter_contains" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE text LIKE '%spark vector%' ORDER BY doc_id""",
+    "filter_threshold" ->
+      """SELECT event_id, value FROM events
+         WHERE abs(value) >= 15 ORDER BY event_id""",
+    "filter_eq_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity = l_linenumber * 7 ORDER BY l_orderkey, l_linenumber""",
+    "case_side_decode" ->
+      """SELECT event_id,
+                CASE WHEN event_type IN ('purchase','signup') THEN 'long'
+                     WHEN event_type IN ('click','view') THEN 'short'
+                     ELSE NULL END AS side
+         FROM events ORDER BY event_id""",
+    "derive_notional" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_extendedprice > 0 AND l_quantity > 0
+                     THEN round(l_extendedprice * (1.0 - l_discount), 4)
+                     ELSE NULL END AS notional
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "agg_by_key" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_rollup" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                count(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_approx_distinct" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "join_hash" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_price
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "join_range" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_asof" ->
+      """SELECT event_id, user_id, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS asof_orderdate
+         FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "winfn_rank" ->
+      """SELECT * FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  row_number() OVER w AS rn, rank() OVER w AS rnk
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "winfn_lag_runsum" ->
+      """SELECT event_id, user_id,
+                lag(value, 1) OVER w AS prev_value,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS run_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+              s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+         UNION ALL
+         SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+         UNION ALL
+         SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+         ORDER BY tag, nationkey""",
+    "union_all_streams" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type IN ('click','view','purchase')
+         GROUP BY event_type ORDER BY event_type""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_lineitem" -> scanLineitem _,
+    "scan_events" -> scanEvents _,
+    "project_schema" -> projectSchema _,
+    "filter_suffix" -> filterSuffix _,
+    "filter_prefix" -> filterPrefix _,
+    "filter_contains" -> filterContains _,
+    "filter_threshold" -> filterThreshold _,
+    "filter_eq_cols" -> filterEqCols _,
+    "case_side_decode" -> caseSideDecode _,
+    "derive_notional" -> deriveNotional _,
+    "agg_by_key" -> aggByKey _,
+    "agg_rollup" -> aggRollup _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
+    "join_hash" -> joinHash _,
+    "join_broadcast" -> joinBroadcast _,
+    "join_left" -> joinLeft _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "join_range" -> joinRange _,
+    "join_asof" -> joinAsof _,
+    "winfn_rank" -> winfnRank _,
+    "winfn_lag_runsum" -> winfnLagRunsum _,
+    "topk" -> topk _,
+    "set_ops" -> setOps _,
+    "union_all_streams" -> unionAllStreams _,
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the operator library.
+  *
+  * Conventions shared by every driver-checked query (see SURVEY.md §5):
+  *   - deterministic output: explicit ORDER BY over a unique key set;
+  *   - double aggregation goes through DECIMAL(18,2) so the sum is exact and
+  *     order-independent across partitions (then cast back to DOUBLE so the
+  *     output schema matches DuckDB's);
+  *   - timestamps are emitted as formatted UTC strings (micros precision) to
+  *     sidestep parquet TIMESTAMP/NTZ physical-type mismatches between engines.
+  */
+package object ops {
+
+  /** Parquet table loader. Filters/projections composed on top of this reach
+    * the scan via Catalyst pushdown (verified with explain: PushedFilters /
+    * ReadSchema) — at 100 TB this is what keeps IO proportional to the query,
+    * not to the table.
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark reads
+    * only as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench/test sessions); it is normalized here to a microsecond
+    * timestamp — the same truncation DuckDB applies reading the file. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // integer `div`, not `/`: ns values exceed 2^53, double division would
+      // lose the low microseconds.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact, partition-order-independent sum of a 2-dp double column.
+    * Equivalent DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  def sumMoney(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Timestamp → 'yyyy-MM-dd HH:mm:ss.SSSSSS' UTC string.
+    * Equivalent DuckDB: strftime(ts, '%Y-%m-%d %H:%M:%S.%f'). */
+  def tsStr(c: Column): Column =
+    date_format(c.cast(TimestampType), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Timestamp → epoch milliseconds. Equivalent DuckDB: epoch_ms(ts). */
+  def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
+
+  /** Timestamp → epoch seconds (floor). Equivalent DuckDB: epoch_ms(ts)//1000. */
+  def epochSec(c: Column): Column = unix_seconds(c.cast(TimestampType))
+}
