@@ -64,29 +64,32 @@ object Schemas {
     ))),
   ))
 
-  /** Bybit v5 envelope: `{"topic":"allLiquidation.SYM","ts":ms,"data":[...]}`
-    * (liq-stream `bybit_adapter.py:151-156,174-182`). `data` rows carry the
-    * new schema `{T,s,S,v,p}` and/or the legacy one
-    * `{updatedTimeE6,symbol,side,size,qty,price}`; one struct covers both.
-    */
+  /** Bybit v5 envelope: `{"topic":"allLiquidation.SYM","ts":ms,"data":...}`
+    * (liq-stream `bybit_adapter.py:151-156,174-182`). `data` is a list on the
+    * new topic but may be a bare dict on the legacy one (`:160-169`), so it
+    * is captured as raw JSON text and array-wrapped by the normalizer. */
   val bybitEnvelope: StructType = StructType(Seq(
     StructField("topic", StringType),
     StructField("ts", LongType),
-    StructField("data", ArrayType(StructType(Seq(
-      // new allLiquidation schema
-      StructField("T", LongType),
-      StructField("s", StringType),
-      StructField("S", StringType),
-      StructField("v", StringType),
-      StructField("p", StringType),
-      // legacy liquidation schema
-      StructField("updatedTimeE6", StringType),
-      StructField("symbol", StringType),
-      StructField("side", StringType),
-      StructField("size", StringType),
-      StructField("qty", StringType),
-      StructField("price", StringType),
-    )))),
+    StructField("data", StringType),
+  ))
+
+  /** One Bybit liquidation row — covers the new `{T,s,S,v,p}` and legacy
+    * `{updatedTimeE6,symbol,side,size,qty,price}` schemas in one struct. */
+  val bybitRow: StructType = StructType(Seq(
+    // new allLiquidation schema
+    StructField("T", LongType),
+    StructField("s", StringType),
+    StructField("S", StringType),
+    StructField("v", StringType),
+    StructField("p", StringType),
+    // legacy liquidation schema
+    StructField("updatedTimeE6", StringType),
+    StructField("symbol", StringType),
+    StructField("side", StringType),
+    StructField("size", StringType),
+    StructField("qty", StringType),
+    StructField("price", StringType),
   ))
 
   /** OKX `liquidation-orders` message: two-level nesting `data[] → details[]`
