@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeWindows.queries ++ JsonOps.queries ++
-      graft.normalize.NormalizeOps.queries
+      TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
+      Multimodal.queries ++ graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TimeWindows.oracles ++ JsonOps.oracles ++
-      graft.normalize.NormalizeOps.oracles
+      TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
+      Multimodal.oracles ++ graft.normalize.NormalizeOps.oracles
 }

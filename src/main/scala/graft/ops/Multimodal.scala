@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column support: media payloads ride as opaque `binary` columns
+  * with a typed metadata struct, and decode/feature-extract runs as a
+  * batched partition-local stage.
+  *
+  * The Spark-side plumbing is real — schema, batch iteration, partition
+  * locality, output contract; the actual codec is a deterministic STUB
+  * (`StubDecoder`): media libraries are not available in this environment,
+  * and at scale the stub swaps for a real decoder without touching the
+  * pipeline shape. Batched `mapPartitions` over a typed Dataset is the Scala
+  * analog of `mapInPandas` (arrow-batch UDFs): one decoder instance per
+  * partition, amortized over a batch, no per-row setup cost.
+  */
+object Multimodal {
+
+  /** A media asset: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,             // image | audio | video
+      payload: Array[Byte],
+      source: String)
+
+  /** Decoded features for one asset. */
+  final case class DecodedRow(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** STUB decoder — deterministic fake standing in for an image/audio codec.
+    * Real implementation would parse the container header and decode frames;
+    * the interface (bytes in, dimensions/frames out) is what the pipeline
+    * depends on. */
+  object StubDecoder {
+    def decode(r: MediaRow): DecodedRow = {
+      // ??? real codec goes here; deterministic fake derived from payload
+      val n = r.payload.length.toLong
+      val sum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      DecodedRow(r.media_id, r.kind, n,
+        width = (sum % 640).toInt + 1,
+        height = (sum % 480).toInt + 1,
+        n_frames = if (r.kind == "video") (sum % 120).toInt + 1 else 1,
+        checksum = sum)
+    }
+  }
+
+  /** Partition-local batched decode: the mapInPandas-shaped stage. Batching
+    * (here 64 rows) is where a real codec amortizes model/codec setup. */
+  def decodeAll(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one decoder context per batch in a real codec
+        batch.iterator.map(StubDecoder.decode)
+      }
+    }
+  }
+
+  /** The documents table viewed as a media corpus: utf-8 payload bytes with
+    * typed metadata. Demonstrates binary-column plumbing end-to-end. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "utf-8").as("payload"),
+        col("source"))
+      .as[MediaRow]
+  }
+
+  /** Driver-checked query: binary metadata extraction — payload size and
+    * content digest straight off the binary column (pure Catalyst, pushdown-
+    * friendly). The decode stage itself is covered by MultimodalSpec. */
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "utf-8")).cast(LongType).as("n_bytes"),
+        sha2(col("text"), 256).as("sha"))
+      .orderBy("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                sha256(text) AS sha
+         FROM documents ORDER BY doc_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> mmBinaryMeta _,
+  )
+}

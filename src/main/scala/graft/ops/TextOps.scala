@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language ID, quality scoring, token counting, document
+  * fingerprinting). All pure Catalyst expressions (split/transform/aggregate/
+  * regexp), no UDFs, so they stay inside whole-stage codegen and scale
+  * per-partition with zero shuffle until the final aggregate.
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), " "), t => t =!= "")
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Token frequency: explode → count — the classic map-side-combine
+    * aggregation; top-20 with deterministic tiebreak. */
+  def textTokenizeCount(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** Quality signals per document: token counts, distinct ratio, stopword
+    * ratio, mean token length — the length/punct/stopword heuristics used to
+    * filter web scrape before training. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val charSum = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x)
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTok.cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        roundD(stopHits.cast(DoubleType) / nTok, 4).as("stopword_ratio"),
+        roundD(charSum.cast(DoubleType) / nTok, 2).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: stopword-hit scoring per candidate language —
+    * the n-gram/stopword trick used when no classifier is available. The
+    * synthetic corpus is English-shaped, so the score is what's exercised. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val enHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val score = roundD(enHits.cast(DoubleType) / size(toks), 4)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"), score.as("en_score"),
+        when(score >= 0.05, "en").otherwise("und").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace split vs a BPE-ish regex over
+    * word/number/punctuation pieces — the cheap token estimator for budget
+    * accounting. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive document signature for exact-content dedup across
+    * formatting variants. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokenize_count" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "text_quality" -> s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_distinct,
+             floor(len(list_filter(toks, x -> x IN $stopList))::DOUBLE / len(toks) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+             floor(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) * 1e2 + 0.5) / 1e2 AS mean_token_len
+      FROM t ORDER BY doc_id""",
+    "text_langid" -> s"""
+      WITH t AS (SELECT doc_id, lang,
+                        list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, lang AS labeled_lang,
+                   floor(len(list_filter(toks, x -> x IN $stopList))::DOUBLE / len(toks) * 1e4 + 0.5) / 1e4 AS en_score
+            FROM t)
+      SELECT doc_id, labeled_lang, en_score,
+             CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END AS predicted
+      FROM s ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(lower(text),' '), t -> t <> ''))::BIGINT AS ws_tokens,
+                len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                      list_filter(string_split(lower(text),' '), t -> t <> ''))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize_count" -> textTokenizeCount _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> textLangid _,
+    "text_token_count" -> textTokenCount _,
+    "text_fingerprint" -> textFingerprint _,
+  )
+}

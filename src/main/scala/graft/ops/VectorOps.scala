@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector-similarity operators over the `embeddings` table (64-dim unit
+  * float vectors): brute-force cosine top-k (the correctness baseline),
+  * label-blocked pair search (the IVF-style scale path: a coarse partitioner
+  * bounds the candidate set), and random-hyperplane LSH bucketing (the other
+  * scale path: sign-bit signatures turn ANN into an equality join).
+  *
+  * Dot products are sequential left-to-right folds in double precision so
+  * the DuckDB oracle (list_reduce) reproduces them bit-for-bit; vectors are
+  * unit-norm so cosine == dot.
+  */
+object VectorOps {
+
+  /** dot(a, b) as an ordered fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val duckDot = // same ordered fold, DuckDB lambdas
+    """list_reduce(list_concat([0.0], list_transform(range(1, 65),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"""
+
+  /** Brute-force cosine top-10 per query vector (queries = vec_id < 5,
+    * broadcast to every partition): the exact baseline every ANN variant is
+    * judged against. Scales as one pass over the corpus per query batch. */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        roundD(dot(col("qv"), col("embedding")), 5).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 10)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Label-blocked near-dup pairs: cosine ≥ 0.3 within the same label — the
+    * IVF pattern (coarse quantizer → search only the bucket). The join is
+    * keyed on label, so candidates shuffle once by block. */
+  def simPairsCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    emb.as("x").join(emb.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.label").as("label"),
+        roundD(dot(col("x.embedding"), col("y.embedding")), 5).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy("a", "b")
+  }
+
+  /** Deterministic pseudo-random hyperplane weights: w(i,j) for dim i,
+    * plane j — an LCG step, same constants in the oracle. */
+  private def weight(i: Int, j: Int): Long =
+    ((1103515245L * (i * 8 + j) + 12345L) % 2001L) - 1000L
+
+  /** Random-hyperplane LSH: 8 sign bits → bucket id; histogram of bucket
+    * occupancy. Buckets turn ANN candidate generation into a groupBy/join on
+    * an 8-bit key — the shuffle is on bucket ids, never vectors×vectors. */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val bits = (0 until 8).map { j =>
+      val w = array((0 until 64).map(i => lit(weight(i, j).toDouble)): _*)
+      when(dot(col("embedding"), w) > 0, 1L << j).otherwise(0L)
+    }
+    emb.select(bits.reduce(_ + _).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  val oracles: Map[String, String] = {
+    val annBits = (0 until 8).map { j =>
+      val ws = (0 until 64).map(i => s"${weight(i, j)}.0").mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_concat([0.0], list_transform(range(1, 65),
+          i -> embedding[i]::DOUBLE * ($ws)[i])), (acc, x) -> acc + x) > 0
+          THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+    Map(
+      "sim_topk" -> s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT a.query_id, b.vec_id,
+                          floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
+                   FROM q a JOIN embeddings b ON b.vec_id <> a.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+        SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rk""",
+      "sim_pairs_cosine" -> s"""
+        SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
+               floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor($duckDot * 1e5 + 0.5) / 1e5 >= 0.3
+        ORDER BY a, b""",
+      "sim_ann_lsh" -> s"""
+        SELECT ($annBits)::BIGINT AS bucket, count(*) AS cnt
+        FROM embeddings GROUP BY 1 ORDER BY bucket""",
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> simTopk _,
+    "sim_pairs_cosine" -> simPairsCosine _,
+    "sim_ann_lsh" -> simAnnLsh _,
+  )
+}

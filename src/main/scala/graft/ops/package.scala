@@ -49,4 +49,15 @@ package object ops {
 
   /** Timestamp → epoch seconds (floor). Equivalent DuckDB: epoch_ms(ts)//1000. */
   def epochSec(c: Column): Column = unix_seconds(c.cast(TimestampType))
+
+  /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
+    * Spark's round() goes through the decimal STRING representation
+    * (BigDecimal.valueOf HALF_UP) while DuckDB rounds the BINARY double —
+    * they disagree at boundaries like 4.725. Both engines computing this
+    * expression on identical input bits yields identical output bits.
+    * Equivalent DuckDB: floor(x * 1e<n> + 0.5) / 1e<n>. */
+  def roundD(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
 }

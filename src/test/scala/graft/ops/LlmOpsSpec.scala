@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Specs for the LLM-data-pipeline operators: multimodal decode plumbing and
+  * cross-method dedup consistency on the sf0.001 corpus. */
+class LlmOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multimodal: binary payload plumbing + batched partition-local decode") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val decoded = Multimodal.decodeAll(media, batchSize = 7).collect()
+    assert(decoded.length == media.count())
+    // deterministic: same payload -> same features
+    val again = Multimodal.decodeAll(Multimodal.mediaFromDocuments(spark, dir)).collect()
+    assert(decoded.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+    // features derive from payload bytes, dims in range
+    assert(decoded.forall(d => d.width >= 1 && d.width <= 640))
+    assert(decoded.forall(d => d.n_bytes > 0))
+    // video kind gets frames, others exactly 1
+    assert(decoded.filter(_.kind != "video").forall(_.n_frames == 1))
+  }
+
+  test("dedup methods agree on high-similarity pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacDf = DedupOps.dedupNgramJaccard(spark, dir)
+    val jacHigh = pairs(jacDf.filter(org.apache.spark.sql.functions.col("jaccard") >= 0.9))
+    val mh = pairs(DedupOps.dedupMinhash(spark, dir))
+    val sh = pairs(DedupOps.dedupSimhash(spark, dir))
+    assert(jacHigh.nonEmpty)           // the corpus has planted near-dups
+    // MinHash 4x2 bands: per-pair hit rate 1-(1-J^2)^4 ≈ 99.98% at J=0.9.
+    assert(jacHigh.subsetOf(mh))
+    // SimHash is noisier on short docs (few shingles -> high-variance bits):
+    // observed hamming 0-5 on J~0.97 pairs, so hamming<=3 recovers most but
+    // not all — assert majority recall, which is the method's contract.
+    val recall = jacHigh.count(sh.contains).toDouble / jacHigh.size
+    assert(recall >= 0.6, s"simhash recall $recall")
+  }
+
+  test("vector ops: top-k is self-consistent and bounded") {
+    val topk = VectorOps.simTopk(spark, dir).collect()
+    assert(topk.nonEmpty)
+    val byQuery = topk.groupBy(_.getLong(0))
+    assert(byQuery.forall(_._2.length <= 10))
+    byQuery.values.foreach { rows =>
+      val scores = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)  // descending by rank
+    }
+  }
+}
