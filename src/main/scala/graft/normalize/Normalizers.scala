@@ -204,33 +204,17 @@ object Normalizers {
     */
   def hyperliquid(rawDf: DataFrame, market: String = "usdc",
       minAbsSz: Double = 0.0, ingestMs: Column = defaultIngest): DataFrame = {
-    val lines = rawDf
-      .filter(col("raw").contains("liquidation")) // cheap prefilter before parse
-      .select(from_json(col("raw"), Schemas.hyperliquidLine).as("line"))
-      .filter(col("line").isNotNull && col("line.events").isNotNull)
-    val pairs = lines.select(
-      col("line.local_time").as("local_time"),
-      col("line.block_time").as("block_time"),
-      explode(col("line.events")).as("pair"))
-      .filter(size(col("pair")) >= 2)
-      .select(
-        col("local_time"), col("block_time"),
-        lower(col("pair").getItem(0)).as("taker"),
-        col("pair").getItem(1).as("fill_raw"))
-      .withColumn("fill", from_json(col("fill_raw"), Schemas.hyperliquidFill))
-      .filter(col("fill").isNotNull && col("fill.liquidation").isNotNull)
-      .filter(lower(col("fill.liquidation.liquidatedUser")) === col("taker"))
-      .filter(abs(col("fill.sz").try_cast(DoubleType)) >= minAbsSz)
-      // Exact dedup on the reference's ring key tid|liquidatedUser|coin
-      // (hyperliquid_adapter.py:153-154). The ring keeps the FIRST occurrence
-      // (the file is processed in time order), so the earliest event time
-      // survives — a deterministic keyed window, not dropDuplicates (which
-      // keeps an arbitrary row and would flap across partition layouts).
-      .withColumn("ts_ms",
-        coalesce(toMs(col("block_time")), toMs(col("local_time"))))
+    // Exact dedup on the reference's ring key tid|liquidatedUser|coin
+    // (hyperliquid_adapter.py:153-154). The ring keeps the FIRST occurrence
+    // (the file is processed in time order), so the earliest event time
+    // survives — a deterministic keyed window, not dropDuplicates (which
+    // keeps an arbitrary row and would flap across partition layouts).
+    // Batch-only (window fn); the streaming path uses
+    // dropDuplicatesWithinWatermark instead (graft.streaming).
+    val pairs = hyperliquidPairs(rawDf, minAbsSz)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fill.tid"), col("taker"), col("fill.coin"))
+          .partitionBy(col("tid"), col("taker"), col("coin"))
           .orderBy(col("ts_ms"))))
       .filter(col("rn") === 1)
     val dirLower = lower(col("fill.dir"))
@@ -252,6 +236,35 @@ object Normalizers {
         col("fill_raw").as("raw"))
       .withColumn("notional",
         when(col("price") =!= 0 && col("qty") =!= 0, col("price") * col("qty"))))
+  }
+
+  /** Shared Hyperliquid pair-extraction stage: prefilter → parse → explode →
+    * self-liquidation filter → size threshold, with the dedup key columns
+    * (tid, taker, coin) and event-time ts_ms exposed. Used by the batch
+    * normalizer (window dedup on top) and the streaming assembly
+    * (dropDuplicatesWithinWatermark on top). */
+  def hyperliquidPairs(rawDf: DataFrame, minAbsSz: Double = 0.0): DataFrame = {
+    val lines = rawDf
+      .filter(col("raw").contains("liquidation")) // cheap prefilter before parse
+      .select(from_json(col("raw"), Schemas.hyperliquidLine).as("line"))
+      .filter(col("line").isNotNull && col("line.events").isNotNull)
+    lines.select(
+      col("line.local_time").as("local_time"),
+      col("line.block_time").as("block_time"),
+      explode(col("line.events")).as("pair"))
+      .filter(size(col("pair")) >= 2)
+      .select(
+        col("local_time"), col("block_time"),
+        lower(col("pair").getItem(0)).as("taker"),
+        col("pair").getItem(1).as("fill_raw"))
+      .withColumn("fill", from_json(col("fill_raw"), Schemas.hyperliquidFill))
+      .filter(col("fill").isNotNull && col("fill.liquidation").isNotNull)
+      .filter(lower(col("fill.liquidation.liquidatedUser")) === col("taker"))
+      .filter(abs(col("fill.sz").try_cast(DoubleType)) >= minAbsSz)
+      .withColumn("ts_ms",
+        coalesce(toMs(col("block_time")), toMs(col("local_time"))))
+      .withColumn("tid", col("fill.tid"))
+      .withColumn("coin", col("fill.coin"))
   }
 
   /** Union of heterogeneous normalized streams into one — the reference fans
