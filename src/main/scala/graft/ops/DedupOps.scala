@@ -22,29 +22,62 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
-  /** Word 4-gram shingles, distinct, of the lowercased text. */
-  def shingles(c: Column): Column = {
-    val toks = TextOps.tokens(c)
-    array_distinct(
-      when(size(toks) >= 4,
-        transform(sequence(lit(1), size(toks) - 3),
-          i => array_join(slice(toks, i, lit(4)), " ")))
-        .otherwise(array().cast(ArrayType(StringType))))
-  }
+  private val M = 1000000007L
 
   /** Polynomial rolling hash of a string: fold(acc*31 + ascii(char)) mod
     * 1e9+7 — deterministic, arithmetic-only, identical in DuckDB SQL. */
   def polyHash(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+      (acc, ch) => (acc * 31 + ascii(ch)) % M)
+
+  /** Per-document distinct 4-gram shingle IDs as `sh: array<long>`:
+    * per-token char hash, then 4 token hashes combined arithmetically — the
+    * char fold runs once per TOKEN, not once per shingle character, and no
+    * shingle strings are ever built (downstream keys are BIGINTs).
+    *
+    * Two Catalyst traps shape this pipeline, both measured at ~10-30×:
+    *  - interpreted higher-order lambdas have no common-subexpression
+    *    elimination: element_at over a NESTED transform re-evaluates the
+    *    whole inner array per access, so each stage must be its own
+    *    projection (multi-referenced column aliases survive
+    *    CollapseProject);
+    *  - predicate pushdown (incl. the filters InferFiltersFromGenerate adds
+    *    for a downstream explode) substitutes those aliases back INTO the
+    *    pushed condition, re-creating the quadratic expression in a Filter
+    *    at the scan. The [[pinned]] wrapper makes the token-hash alias
+    *    itself nondeterministic (a no-op `when(rand >= -1, …)`), which
+    *    pushdown cannot substitute through — every filter stays above it
+    *    and evaluates against the materialized array. (A separate
+    *    nondeterministic barrier column does NOT work: ColumnPruning drops
+    *    it before pushdown runs.)
+    * Same hash formulas in the oracle. */
+  def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    def combine(th: Column, i: Column): Column =
+      (((element_at(th, i) * 31 + element_at(th, i + 1)) % M * 31
+        + element_at(th, i + 2)) % M * 31
+        + element_at(th, i + 3)) % M
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        pinned(transform(col("toks"), t => polyHash(t))).as("th"))
+      .filter(size(col("th")) >= 4)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("th")) - 3),
+          i => combine(col("th"), i))).as("sh"))
+  }
+
+  /** [[shingleArrays]] exploded to (doc_id, h) rows for shingle-keyed joins. */
+  def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleArrays(spark, dir).select(col("doc_id"), explode(col("sh")).as("h"))
 
   private val duckToks = "list_filter(string_split(lower(text),' '), t -> t <> '')"
-  private val duckShingles = // 1-based i in [1, len-3] => 4-grams, distinct
-    s"""list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)),
-        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))"""
-  private val duckPolyHash = // fold with 0 prepended as the init accumulator
-    """list_reduce(list_concat([0::BIGINT], list_transform(range(1, length(s)+1),
-        i -> ascii(s[i:i]))), (acc, c) -> (acc*31 + c) % 1000000007)"""
+  private val duckTokenHash = // fold with 0 prepended as the init accumulator
+    """list_reduce(list_concat([0::BIGINT], list_transform(range(1, length(t)+1),
+        i -> ascii(t[i:i]))), (acc, c) -> (acc*31 + c) % 1000000007)"""
+  private val duckShingleHashes = // same combine as shingleHashes
+    s"""list_distinct(list_transform(range(1, greatest(len(th)-2, 1)),
+        i -> (((th[i]*31 + th[i+1]) % 1000000007 * 31 + th[i+2]) % 1000000007 * 31
+              + th[i+3]) % 1000000007))"""
 
   // ── exact dedup ──────────────────────────────────────────────────────────
 
@@ -58,14 +91,24 @@ object DedupOps {
 
   // ── n-gram Jaccard ───────────────────────────────────────────────────────
 
+  /** Max document frequency for a shingle to participate in the Jaccard
+    * join: corpus-common shingles (the "stopword shingles" of a shared
+    * vocabulary) create quadratic bucket blowup in the equality join — the
+    * classic dedup-join skew. Capping df keeps every bucket O(cap²) while
+    * near-dup signal lives in rare shingles anyway. Mirrored in the oracle. */
+  val jaccardDfCap = 20
+
   /** Near-dup pairs by exact Jaccard over 4-gram shingle sets, found via a
-    * shared-shingle equality join (no cross product): J = |A∩B| / (|A|+|B|-|A∩B|). */
+    * shared-shingle equality join (no cross product): J = |A∩B| / (|A|+|B|-|A∩B|)
+    * computed over the df-capped shingle sets. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exAll = hashedShingles(spark, dir).withColumnRenamed("h", "s")
+    // document-frequency cap: drop corpus-common shingles before the join
+    val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= jaccardDfCap)
+      .select("s")
+    val ex = exAll.join(rare, "s")
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -89,16 +132,16 @@ object DedupOps {
   private val prime = 2147483647L
 
   /** MinHash signatures (8 permutations) per doc, banded 4×2; candidate
-    * pairs = docs sharing any band. The band join is the LSH bucket join —
-    * at scale this shuffles (band_id, band_sig) keys only. */
+    * pairs = docs sharing any band. Signatures are computed array-natively
+    * per row (array_min over a transform of the shingle array) — a pure
+    * map-side stage with NO explode and NO groupBy shuffle; the only
+    * shuffle in the whole op is the (band_id, band_sig) bucket join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .select(col("doc_id"), polyHash(col("s")).as("h"))
     val mins = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % prime).as(s"m$j")
+      array_min(transform(col("sh"), h => (h * a + b) % prime)).as(s"m$j")
     }
-    val sigs = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sigs = shingleArrays(spark, dir)
+      .select(col("doc_id") +: mins: _*)
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map { bi =>
         struct(lit(bi).as("band"),
@@ -121,13 +164,13 @@ object DedupOps {
     * flipped bits leave ≥1 of 4 bands intact), then verified with
     * bit_count — banding again, never all-pairs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .select(col("doc_id"), polyHash(col("s")).as("h"))
+    // per-row array fold per bit: map-side signature, no explode/shuffle
     val votes = (0 until 28).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+      aggregate(col("sh"), lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1)).as(s"v$j")
     }
-    val sims = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sims = shingleArrays(spark, dir)
+      .select(col("doc_id") +: votes: _*)
       .select(col("doc_id"),
         (0 until 28).map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
           .reduce(_ + _).as("simhash"))
@@ -137,14 +180,18 @@ object DedupOps {
           shiftright(col("simhash"), bi * 7).bitwiseAND(127).as("sig"))): _*)).as("bnd"))
       .select(col("doc_id"), col("simhash"),
         col("bnd.band").as("band"), col("bnd.sig").as("sig"))
+    // the hamming predicate lives INSIDE the join so candidates are filtered
+    // as they stream out of the bucket join — shared-vocab corpora cluster
+    // heavily per band, and a distinct() over raw candidates would dominate
+    // the query (measured 35s -> ~1s at sf0.1)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 3)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType)
           .as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
       .orderBy("a", "b")
   }
 
@@ -155,9 +202,10 @@ object DedupOps {
       s"min((h*$a + $b) % $prime) AS m$j"
     }.mkString(", ")
     s"""toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
-        sh AS (SELECT doc_id, unnest($duckShingles) AS s FROM toks WHERE len(toks) >= 4),
-        hashed AS (SELECT doc_id, $duckPolyHash AS h FROM sh),
-        sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id)"""
+      th AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS th FROM toks),
+      sh AS (SELECT doc_id, $duckShingleHashes AS sh FROM th WHERE len(th) >= 4),
+        hashed AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        sigs AS (SELECT doc_id, ${mins} FROM hashed GROUP BY doc_id)"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -166,9 +214,12 @@ object DedupOps {
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "dedup_ngram_jaccard" -> s"""
       WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
-      sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(toks) >= 4),
-      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      th AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS th FROM toks),
+      sh AS (SELECT doc_id, $duckShingleHashes AS sh FROM th WHERE len(th) >= 4),
+      exall AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      rare AS (SELECT s FROM exall GROUP BY s HAVING count(*) <= $jaccardDfCap),
+      ex AS (SELECT doc_id, exall.s AS s FROM exall JOIN rare ON exall.s = rare.s),
+      sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
       common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
                  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
                  GROUP BY 1, 2)
@@ -190,9 +241,10 @@ object DedupOps {
         .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END").mkString(" + ")
       s"""
       WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
-      sh AS (SELECT doc_id, unnest($duckShingles) AS s FROM toks WHERE len(toks) >= 4),
-      hashed AS (SELECT doc_id, $duckPolyHash AS h FROM sh),
-      votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+      th AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS th FROM toks),
+      sh AS (SELECT doc_id, $duckShingleHashes AS sh FROM th WHERE len(th) >= 4),
+      hashed AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+      votes AS (SELECT doc_id, ${votes} FROM hashed GROUP BY doc_id),
       sims AS (SELECT doc_id, $bits AS simhash FROM votes)
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
              bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming

