@@ -24,11 +24,13 @@ object DedupOps {
 
   private val M = 1000000007L
 
-  /** Polynomial rolling hash of a string: fold(acc*31 + ascii(char)) mod
-    * 1e9+7 — deterministic, arithmetic-only, identical in DuckDB SQL. */
-  def polyHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % M)
+  /** Polynomial rolling hash of a string: fold(acc*31 + byte) mod 1e9+7 —
+    * deterministic, arithmetic-only, identical in DuckDB SQL (which folds
+    * ascii(char); same values for the ASCII corpus). Backed by the native
+    * codegen'd [[graft.functions.PolyHash]] expression; the equivalent
+    * built-in composition `aggregate(split(s,""), …)` is interpreted
+    * per-character and allocates a UTF8String per step. */
+  def polyHash(c: Column): Column = graft.functions.PolyHash(c)
 
   /** Per-document distinct 4-gram shingle IDs as `sh: array<long>`:
     * per-token char hash, then 4 token hashes combined arithmetically — the

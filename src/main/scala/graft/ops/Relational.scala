@@ -112,6 +112,30 @@ object Relational {
           .otherwise(lit(null).cast(DoubleType)).as("notional"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Keyed dedup keeping the earliest row — the reference's bounded dedup
+    * ring made exact and deterministic (liq-stream
+    * `hyperliquid_adapter.py:148-164`): first occurrence per key survives,
+    * picked by a per-key window instead of dropDuplicates (which keeps an
+    * arbitrary row). */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsStr(col("ts")).as("ts"))
+      .orderBy("event_id")
+  }
+
+  /** Symbol synthesis — HL builds `upper(coin) + "USDC"` (liq-stream
+    * `hyperliquid_adapter.py:222-224`). */
+  def stringConcatUpper(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(upper(col("lang")), lit("-"), col("source")).as("tag"))
+      .orderBy("doc_id")
+
   // ── aggregations ─────────────────────────────────────────────────────────
 
   /** Hash aggregate by key — "counts by exchange" dashboards
@@ -333,6 +357,15 @@ object Relational {
     "filter_eq_cols" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity = l_linenumber * 7 ORDER BY l_orderkey, l_linenumber""",
+    "dedup_keys" ->
+      """SELECT event_id, user_id, event_type,
+                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS rn FROM events)
+         WHERE rn = 1 ORDER BY event_id""",
+    "string_concat_upper" ->
+      """SELECT doc_id, upper(lang) || '-' || source AS tag
+         FROM documents ORDER BY doc_id""",
     "case_side_decode" ->
       """SELECT event_id,
                 CASE WHEN event_type IN ('purchase','signup') THEN 'long'
@@ -449,6 +482,8 @@ object Relational {
     "filter_contains" -> filterContains _,
     "filter_threshold" -> filterThreshold _,
     "filter_eq_cols" -> filterEqCols _,
+    "dedup_keys" -> dedupKeys _,
+    "string_concat_upper" -> stringConcatUpper _,
     "case_side_decode" -> caseSideDecode _,
     "derive_notional" -> deriveNotional _,
     "agg_by_key" -> aggByKey _,
