@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the scale contract, enforced as tests.
+  * These lock in what `.explain("formatted")` review established: filters
+  * and projections reach the parquet scan, small dims broadcast, top-k
+  * never globally sorts the input, and signature stages stay shuffle-free.
+  * A regression here is a 100TB regression even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_lineitem: filter and projection are pushed to the parquet scan") {
+    val p = plan(Relational.scanLineitem(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"))
+  }
+
+  test("join_broadcast: dims are broadcast, fact side never shuffles for the join") {
+    val p = plan(Relational.joinBroadcast(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_by_key: partial aggregation before the exchange (map-side combine)") {
+    val p = plan(Relational.aggByKey(spark, dir))
+    val partial = p.indexOf("partial_sum")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0 && exchange >= 0)
+    // toString prints top-down: the final agg and exchange appear before
+    // (above) the partial agg, i.e. partial runs below the shuffle
+    assert(exchange < partial)
+  }
+
+  test("minhash signatures: no exchange before the band join (map-side sigs)") {
+    // the signature pipeline (scan -> tokens -> hashes -> sigs -> bands)
+    // must contain no shuffle; the first Exchange belongs to the band join
+    val p = plan(DedupOps.dedupMinhash(spark, dir))
+    val generate = p.indexOf("Generate explode")   // band explode, map-side
+    val firstExchange = p.indexOf("Exchange")
+    assert(generate >= 0)
+    assert(firstExchange < generate,
+      "band explode should sit above the only exchange (the join shuffle)")
+  }
+
+  test("sim_topk: query side is broadcast") {
+    val p = plan(VectorOps.simTopk(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
