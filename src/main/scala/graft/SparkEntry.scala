@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeWindows.queries ++ JsonOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
-      Multimodal.queries ++ graft.normalize.NormalizeOps.queries
+      Multimodal.queries ++ Extended.queries ++
+      graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TimeWindows.oracles ++ JsonOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
-      Multimodal.oracles ++ graft.normalize.NormalizeOps.oracles
+      Multimodal.oracles ++ Extended.oracles ++
+      graft.normalize.NormalizeOps.oracles
 }

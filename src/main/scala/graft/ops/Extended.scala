@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-ring relational surface: pivot/unpivot reshaping, exact
+  * percentiles, histogram binning, distribution window functions, and the
+  * candidate-verification stage of the dedup pipeline. Same contract as
+  * every other op: one driver query + DuckDB oracle each, deterministic
+  * ordering, double-arithmetic rounding.
+  */
+object Extended {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event counts spread across one column per event type —
+    * groupBy + pivot is a single shuffle on the group key; the pivot column
+    * list is explicit so the plan is static (no discovery pass). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = table(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .count()
+    pivoted.select(
+      col("user_id") +:
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Unpivot (melt): wide lineitem metrics to long (key, metric, val) rows —
+    * map-side reshape, no shuffle. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      // total order: (l_orderkey, l_linenumber) has dup pairs in the corpus
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`). At 100 TB swap for approx_percentile — the
+    * exact form sorts each group's values. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        roundD(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        roundD(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        roundD(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Histogram binning via floor arithmetic (width 2, 10 bins, clamped) —
+    * the binning is map-side; only (bucket, count) shuffles. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(least(floor(col("value") / 2.0), lit(9.0)).cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Distribution window functions: quartile (ntile), percent_rank,
+    * cume_dist per return flag. */
+  def winfnNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        roundD(percent_rank().over(w), 6).as("pct_rank"),
+        roundD(cume_dist().over(w), 6).as("cume"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "pct_rank")
+  }
+
+  /** Candidate verification — the stage after LSH candidate generation in a
+    * real dedup pipeline: MinHash band candidates are confirmed by edit
+    * distance on a text prefix. Only candidate pairs (not all pairs) ever
+    * touch the text. */
+  def dedupVerifyEditdist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+    DedupOps.dedupMinhash(spark, dir)
+      .join(docs.as("da"), col("a") === col("da.doc_id"))
+      .join(docs.as("db"), col("b") === col("db.doc_id"))
+      .select(col("a"), col("b"),
+        levenshtein(col("da.prefix"), col("db.prefix")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 20)
+      .orderBy("a", "b")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "agg_pivot" -> {
+      val cols = eventTypes
+        .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
+    },
+    "agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         WHERE l_orderkey < 200
+         ORDER BY l_orderkey, l_linenumber, metric, val""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+                floor(quantile_cont(l_extendedprice, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+                floor(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+                floor(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_histogram" ->
+      """SELECT CAST(least(floor(value / 2.0), 9.0) AS BIGINT) AS bucket, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "winfn_ntile" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+                ntile(4) OVER w AS quartile,
+                floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+                floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+         FROM lineitem WHERE l_orderkey < 500
+         WINDOW w AS (PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber, pct_rank""",
+    "dedup_verify_editdist" -> s"""
+      WITH cand AS (${DedupOps.oracles("dedup_minhash")}),
+      docs AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
+      SELECT cand.a AS a, cand.b AS b,
+             levenshtein(da.prefix, db.prefix)::BIGINT AS dist
+      FROM cand JOIN docs da ON cand.a = da.doc_id
+                JOIN docs db ON cand.b = db.doc_id
+      WHERE levenshtein(da.prefix, db.prefix) <= 20
+      ORDER BY a, b""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> aggPivot _,
+    "agg_unpivot" -> aggUnpivot _,
+    "agg_percentile" -> aggPercentile _,
+    "agg_histogram" -> aggHistogram _,
+    "winfn_ntile" -> winfnNtile _,
+    "dedup_verify_editdist" -> dedupVerifyEditdist _,
+  )
+}

@@ -25,7 +25,9 @@ object Relational {
     table(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .filter(col("l_quantity") >= 45)
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the corpus (~20% dup
+      // pairs with differing values) — every ORDER BY must be total
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   /** Analog of the reference's file-tail scan over event rows
     * (liq-stream `hyperliquid_adapter.py:259-274`), batch form. */
@@ -110,7 +112,7 @@ object Relational {
         when(col("l_extendedprice") > 0 && col("l_quantity") > 0,
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
           .otherwise(lit(null).cast(DoubleType)).as("notional"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "notional")
 
   /** Keyed dedup keeping the earliest row — the reference's bounded dedup
     * ring made exact and deterministic (liq-stream
@@ -335,7 +337,7 @@ object Relational {
     "scan_lineitem" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity >= 45
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
     "scan_events" ->
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
@@ -377,7 +379,7 @@ object Relational {
                 CASE WHEN l_extendedprice > 0 AND l_quantity > 0
                      THEN round(l_extendedprice * (1.0 - l_discount), 4)
                      ELSE NULL END AS notional
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, notional""",
     "agg_by_key" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
