@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.normalize.Normalizers
 
@@ -89,6 +89,82 @@ object StreamAssembly {
         ()
       }
       .start()
+
+  /** Stream-stream interval join: each liquidation matched to liquidations
+    * of the OTHER side for the same symbol within the following minute —
+    * long-liquidation → short-liquidation flip detection. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * each side's buffered state is droppable once the watermark passes
+    * (bounded state, the stream-stream join requirement). */
+  def flipJoin(unified: DataFrame, watermark: String = "2 minutes"): DataFrame = {
+    val longs = unified.filter(col("side") === "long")
+      .select(col("symbol").as("l_symbol"), col("notional").as("l_notional"),
+        timestamp_millis(col("ts_exch_ms")).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val shorts = unified.filter(col("side") === "short")
+      .select(col("symbol").as("s_symbol"), col("notional").as("s_notional"),
+        timestamp_millis(col("ts_exch_ms")).as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    longs.join(shorts,
+      col("l_symbol") === col("s_symbol") &&
+        col("s_ts") >= col("l_ts") &&
+        col("s_ts") <= col("l_ts") + expr("INTERVAL 1 MINUTE"))
+  }
+
+  /** One tracked symbol's cascade state. */
+  final case class CascadeState(count: Long, sumNotional: Double, firstTsMs: Long)
+
+  /** A detected liquidation cascade on one symbol. */
+  final case class CascadeAlert(symbol: String, count: Long,
+      sumNotional: Double, firstTsMs: Long, lastTsMs: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-symbol liquidation
+    * cascade detector — emit an alert once a symbol accumulates
+    * `threshold` liquidations, then reset its counter. This is the state
+    * shape windowed aggregation can't express (emit-once-mid-window +
+    * reset). State lives per-key in the state store and expires via an
+    * EVENT-time timeout against the watermark, so it stays bounded and the
+    * query doesn't spin empty wall-clock micro-batches (ProcessingTime
+    * timeouts keep the engine re-triggering; event-time expiry only fires
+    * as the watermark advances with data). */
+  def cascadeAlerts(unified: DataFrame, threshold: Int = 3,
+      watermark: String = "10 minutes"): Dataset[CascadeAlert] = {
+    import unified.sparkSession.implicits._
+    // the watermarked TimestampType column must survive into the grouped
+    // input — event-time timeout is rejected otherwise
+    val events = unified
+      .select(col("symbol"), col("notional"),
+        timestamp_millis(col("ts_exch_ms")).as("ts_event"))
+      .withWatermark("ts_event", watermark)
+      .as[(String, Option[Double], java.sql.Timestamp)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[CascadeState, CascadeAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (symbol, rows, state: GroupState[CascadeState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(CascadeState(0L, 0.0, Long.MaxValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[CascadeAlert]
+            var lastTs = 0L
+            rows.foreach { case (_, notional, tsEvent) =>
+              val ts = tsEvent.getTime
+              lastTs = math.max(lastTs, ts)
+              s = CascadeState(s.count + 1, s.sumNotional + notional.getOrElse(0.0),
+                math.min(s.firstTsMs, ts))
+              if (s.count >= threshold) {
+                out += CascadeAlert(symbol, s.count, s.sumNotional, s.firstTsMs, ts)
+                s = CascadeState(0L, 0.0, Long.MaxValue)
+              }
+            }
+            state.update(s)
+            // expire this key's state once the watermark passes its horizon
+            state.setTimeoutTimestamp(lastTs, "30 minutes")
+            out.iterator
+          }
+      }
+  }
 
   /** Project the pair-stage columns to the unified schema (streaming twin of
     * the batch normalizer's finish). */

@@ -69,6 +69,57 @@ class StreamingSpec extends SparkSpec {
     assert(csv.columns.contains("day"))   // partition column = daily rotation
   }
 
+  test("stream-stream interval join: long->short flips within a minute per symbol") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val unified = Normalizers.binance(mem.toDF().withColumnRenamed("value", "raw"), "usdt")
+    val joined = StreamAssembly.flipJoin(unified)
+    val q = joined.writeStream.format("memory").queryName("flips")
+      .outputMode("append").start()
+    try {
+      // BTCUSDT: long at t0, short 30s later (match), short 2min later (no match)
+      def ev(sym: String, side: String, ts: Long) = {
+        val s = if (side == "long") "SELL" else "BUY"
+        s"""{"e":"forceOrder","E":$ts,"o":{"s":"$sym","S":"$s","q":"1","p":"100","l":"1","T":$ts}}"""
+      }
+      mem.addData(
+        ev("BTCUSDT", "long", 1710000000000L),
+        ev("BTCUSDT", "short", 1710000030000L),
+        ev("BTCUSDT", "short", 1710000180000L),
+        ev("ETHUSDT", "short", 1710000030000L)) // different symbol: no match
+      q.processAllAvailable()
+      // advance both watermarks past everything to flush join state
+      mem.addData(ev("ZZZUSDT", "long", 1710009999000L),
+        ev("ZZZUSDT", "short", 1710009999000L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_symbol, s_ts FROM flips").collect()
+      val btc = rows.filter(_.getString(0) == "BTCUSDT")
+      assert(btc.length == 1)  // only the 30s-later short joins the long
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: cascade detector fires at threshold then resets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val unified = Normalizers.binance(mem.toDF().withColumnRenamed("value", "raw"), "usdt")
+    val alerts = StreamAssembly.cascadeAlerts(unified, threshold = 3)
+    val q = alerts.toDF().writeStream.format("memory").queryName("cascades")
+      .outputMode("append").start()
+    try {
+      def ev(sym: String, i: Int) =
+        s"""{"e":"forceOrder","E":${1710000000000L + i * 1000},"o":{"s":"$sym","S":"SELL","q":"1","p":"100","l":"1","T":${1710000000000L + i * 1000}}}"""
+      // 7 BTC events -> alerts at the 3rd and 6th; 2 ETH events -> none
+      mem.addData((1 to 7).map(i => ev("BTCUSDT", i)) ++ Seq(ev("ETHUSDT", 1), ev("ETHUSDT", 2)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT symbol, count FROM cascades").collect()
+      assert(rows.count(_.getString(0) == "BTCUSDT") == 2)
+      assert(rows.forall(_.getLong(1) == 3))
+      assert(!rows.exists(_.getString(0) == "ETHUSDT"))
+    } finally q.stop()
+  }
+
   test("streaming dashboard: windowed notional aggregate emits after watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
