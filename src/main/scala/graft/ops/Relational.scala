@@ -166,6 +166,20 @@ object Relational {
         col("cnt"), col("sum_qty"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** CUBE over both grouping dimensions — all 4 grouping sets in one pass
+    * (expand + single keyed shuffle). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sumMoney(col("l_quantity")).as("sum_qty"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Approximate distinct (HLL++) — symbol-cardinality at 100 TB where exact
     * distinct would shuffle every key. Per-group cardinality here is tiny, so
     * HLL++'s sparse (exact) mode kicks in and matches the exact oracle. */
@@ -395,6 +409,14 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_cube" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                count(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
     "agg_approx_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id""",
@@ -490,6 +512,7 @@ object Relational {
     "derive_notional" -> deriveNotional _,
     "agg_by_key" -> aggByKey _,
     "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,

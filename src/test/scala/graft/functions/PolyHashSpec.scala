@@ -40,6 +40,13 @@ class PolyHashSpec extends SparkSpec {
     assert(r == ref)
   }
 
+  test("GraftExtensions injects poly_hash into a SparkSessionExtensions") {
+    // full end-to-end needs a fresh SparkContext (builder extensions are
+    // ignored when a session exists); this exercises the injection path
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
   test("participates in whole-stage codegen") {
     // parquet-backed: a local Seq would be constant-folded at optimization
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
