@@ -105,11 +105,14 @@ object DedupOps {
     * computed over the df-capped shingle sets. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val exAll = hashedShingles(spark, dir).withColumnRenamed("h", "s")
-    // document-frequency cap: drop corpus-common shingles before the join
-    val rare = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+    // document-frequency cap: drop corpus-common shingles before the join.
+    // count-over-window instead of aggregate+semi-join: one shuffle on s,
+    // whose hash partitioning the self-join below then reuses directly
+    val ex = exAll
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("df") <= jaccardDfCap)
-      .select("s")
-    val ex = exAll.join(rare, "s")
+      .select("doc_id", "s")
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
