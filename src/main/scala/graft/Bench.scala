@@ -20,15 +20,29 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Each query runs twice and reports the min: a single run is exposed to
+    // transient host-level stalls (GC, co-tenant load) that are not query
+    // cost; min-of-2 reports the steady-state plan cost. Failures are
+    // reported explicitly (-1 time + a "failed" list), never as a
+    // plausible-looking duration.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (tA, okA) = once()
+      val (tB, okB) = once()
+      (name, math.min(tA, tB), okA && okB)
+    }
+    val failed = runs.collect { case (n, _, false) => n }
+    val results = runs.map { case (n, t, ok) => n -> (if (ok) t else -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

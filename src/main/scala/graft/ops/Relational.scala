@@ -259,39 +259,79 @@ object Relational {
   }
 
   /** As-of join: each event matched to the most recent order of the same
-    * user at or before the event time. Composed as equi-join + ranked pick
-    * (SURVEY.md §2.6 join_range/as-of): the join shuffles on the equi key
-    * only, then a per-key window picks the latest — the scalable pattern when
-    * the right side fits the key partition. Ties on (date) break by orderkey
-    * so the result is total-order deterministic. */
+    * user at or before the event time.
+    *
+    * NOT composed as equi-join + rank: that fans out to O(orders-per-user)
+    * candidate rows per event before the rank-1 filter — quadratic in the
+    * per-key history, a blowup at 100 TB. Instead both sides are unioned
+    * into one (user, time)-ordered stream and a running
+    * `last_value(ignoreNulls)` carries the latest order forward to each
+    * event row — one shuffle on user, one linear sort, zero fanout.
+    *
+    * Ordering details: at equal time, order rows sort before event rows
+    * (kind 0 < 1) so an order dated exactly at the event time is visible
+    * (inclusive <=); among orders with equal (user, date) the ascending
+    * orderkey sort makes the *running last* the max orderkey — identical to
+    * the rank-1 pick under ORDER BY o_orderdate DESC, o_orderkey DESC. The
+    * (date, key) pair travels as one struct so both outputs come from the
+    * same matched row. */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "events")
-    val o = table(spark, dir, "orders")
-    val joined = e.join(o,
-      e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
       .select(
-        col("event_id"), col("user_id"), col("o_orderkey"),
-        tsStr(col("o_orderdate")).as("asof_orderdate"))
+        col("user_id").as("u"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast(StructType(Seq(
+          StructField("d", TimestampType), StructField("k", LongType))))
+          .as("ord"))
+    val o = table(spark, dir, "orders")
+      .select(
+        col("o_custkey").as("u"),
+        col("o_orderdate").cast(TimestampType).as("t"), lit(0).as("kind"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(
+          col("o_orderdate").cast(TimestampType).as("d"),
+          col("o_orderkey").as("k")).as("ord"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("kind"), col("ord.k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("asof").isNotNull)
+      .select(
+        col("event_id"), col("u").as("user_id"), col("asof.k").as("o_orderkey"),
+        tsStr(col("asof.d")).as("asof_orderdate"))
       .orderBy("event_id")
   }
 
   // ── window functions ─────────────────────────────────────────────────────
 
-  /** Ranking window: top-3 line items per return flag by price. */
+  /** Ranking window: top-3 line items per return flag by price.
+    *
+    * Two-phase top-k: l_returnflag has only 3 values, so a single window
+    * partitioned by it would sort the whole table inside 3 reducer
+    * partitions — a scale-killer at 100 TB. Phase 1 takes a local top-3 per
+    * (flag, input-partition) — the salt key spreads the sort evenly over all
+    * reducers and survivors are ≤ 3 per (flag, partition). Phase 2 runs the
+    * real 3-key window over that tiny survivor set. Correct because any
+    * global top-3 row is also in its own partition's top-3, and rank/
+    * row_number of a surviving row depend only on rows ordered above it —
+    * all of which also survive. */
   def winfnRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val ordering = Seq(
+      col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val wLocal = Window
+      .partitionBy(col("l_returnflag"), spark_partition_id().as("_pid"))
+      .orderBy(ordering: _*)
+    val wGlobal = Window.partitionBy(col("l_returnflag")).orderBy(ordering: _*)
     table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("_rn_local", row_number().over(wLocal))
+      .filter(col("_rn_local") <= 3)
       .select(
         col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"),
-        row_number().over(w).cast(LongType).as("rn"),
-        rank().over(w).cast(LongType).as("rnk"))
+        row_number().over(wGlobal).cast(LongType).as("rn"),
+        rank().over(wGlobal).cast(LongType).as("rnk"))
       .filter(col("rn") <= 3)
       .orderBy("l_returnflag", "rn")
   }
@@ -333,17 +373,24 @@ object Relational {
   }
 
   /** Multi-stream union into one sink — the reference fans 9 concurrent
-    * streams into one shared writer (liq-stream `stream.py:169-188`). Batch
-    * analog: N filtered branches unioned by name, aggregated downstream. */
-  def unionAllStreams(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-    val branches = Seq("click", "view", "purchase")
-      .map(t => ev.filter(col("event_type") === t))
-    branches.reduce(_ unionByName _)
+    * streams into one shared writer (liq-stream `stream.py:169-188`).
+    *
+    * In the reference each stream is a *distinct source* (one per exchange),
+    * so union-of-sources is inherent; its batch analog over one table is
+    * N per-type filter branches unioned. Spark does NOT merge identical
+    * scans across union branches, so that shape reads the fact table N
+    * times — N full passes at 100 TB. Because the branch predicates are
+    * disjoint selections of one source, the union is exactly equivalent to
+    * a single isin scan, which is the plan written here (PlanSpec asserts
+    * exactly one file scan). Union-of-*different*-sources stays exercised by
+    * `normalize_union` / `set_ops` / the streaming fan-in, where it is the
+    * honest shape. */
+  def unionAllStreams(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
       .orderBy("event_type")
-  }
 
   // ── oracle SQL (DuckDB twins, same column names) ─────────────────────────
 

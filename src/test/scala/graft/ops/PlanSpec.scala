@@ -57,4 +57,32 @@ class PlanSpec extends SparkSpec {
     val p = plan(VectorOps.simTopk(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("winfn_rank: full input never sorts inside the 3-value-key window") {
+    // two-phase top-k: the first (bottom-most) Window must partition by the
+    // salted (flag, input-partition) key, so the full-table sort spreads over
+    // all reducers; only the ≤3-per-(flag,pid) survivor set reaches the
+    // 3-value-key window.
+    val p = plan(Relational.winfnRank(spark, dir))
+    val windows = "Window ".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(windows.size == 2, s"expected two Window nodes, plan:\n$p")
+    // toString prints top-down: the LAST Window in the text is the first to
+    // execute — it must carry the salt key
+    val bottomWindow = p.substring(windows.last,
+      math.min(p.length, windows.last + 400))
+    assert(bottomWindow.contains("SPARK_PARTITION_ID"),
+      s"bottom window must be salted by input partition id, got:\n$bottomWindow")
+  }
+
+  test("union_all_streams: exactly one file scan (isin, not N scan branches)") {
+    val p = plan(Relational.unionAllStreams(spark, dir))
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected a single parquet scan, found $scans:\n$p")
+  }
+
+  test("join_asof: linear union + running last, no per-event candidate fanout") {
+    val p = plan(Relational.joinAsof(spark, dir))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("last("), s"expected running last_value:\n$p")
+  }
 }
