@@ -42,6 +42,22 @@ object StreamAssembly {
       .text(root)
       .withColumnRenamed("value", "raw")
 
+  /** A WebSocket-shaped frame stream replayed through the custom
+    * MicroBatchStream source ([[graft.sources.WsReplayProvider]]): recorded
+    * frames → paced micro-batches with offset/checkpoint semantics,
+    * ping/pong dropped at the source. Feed the result to any exchange
+    * normalizer — e.g. `Normalizers.binance(wsReplayStream(spark, f), "usdt")`
+    * is the full Binance adapter path (liq-stream
+    * `binance_adapter.py:96-129`) on Spark's source contract. */
+  def wsReplayStream(spark: SparkSession, framesFile: String,
+      framesPerBatch: Int = 1000): DataFrame =
+    spark.readStream
+      .format("graft.sources.WsReplayProvider")
+      .option("path", framesFile)
+      .option("framesPerBatch", framesPerBatch)
+      .load()
+      .select(col("raw"))
+
   /** Streaming Hyperliquid normalization with watermark-bounded dedup: the
     * exact semantics of the reference's ring (first occurrence wins, state
     * bounded), with the bound expressed in event time instead of key count. */
