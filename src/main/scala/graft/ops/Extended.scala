@@ -93,6 +93,60 @@ object Extended {
       .orderBy("a", "b")
   }
 
+  /** Duplicate-cluster resolution — the step a real training-data dedup
+    * pipeline ends with: verified near-dup *pairs* resolved into components
+    * and a canonical keep-list. Connected components by iterative min-label
+    * propagation: label(x) starts as x, each round takes the min label over
+    * the neighborhood, converging in O(component diameter) rounds.
+    *
+    * Scale shape: the loop runs over the candidate-pair set only — tiny
+    * relative to the corpus (pairs survive LSH banding + edit-distance
+    * verification) — so each round is a keyed shuffle of the pair set,
+    * never the corpus. The corpus is touched exactly once, by the final
+    * left join that labels every document (singletons keep themselves).
+    * Near-dup components are short chains in practice, so rounds ≈ 2-4;
+    * the 50-round cap guards against a pathological chain. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val verified = dedupVerifyEditdist(spark, dir).select("a", "b")
+    val edges = verified.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(verified.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(prop, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist()
+      changed = next.withColumnRenamed("lab", "nl")
+        .join(labels.withColumnRenamed("lab", "ol"), "id")
+        .filter(col("nl") < col("ol")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val verifyEditdistSql: String = s"""
+      WITH cand AS (${DedupOps.oracles("dedup_minhash")}),
+      docs AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
+      SELECT cand.a AS a, cand.b AS b,
+             levenshtein(da.prefix, db.prefix)::BIGINT AS dist
+      FROM cand JOIN docs da ON cand.a = da.doc_id
+                JOIN docs db ON cand.b = db.doc_id
+      WHERE levenshtein(da.prefix, db.prefix) <= 20
+      ORDER BY a, b"""
+
   val oracles: Map[String, String] = Map(
     "agg_pivot" -> {
       val cols = eventTypes
@@ -127,15 +181,21 @@ object Extended {
          WINDOW w AS (PARTITION BY l_returnflag
            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
          ORDER BY l_returnflag, l_orderkey, l_linenumber, pct_rank""",
-    "dedup_verify_editdist" -> s"""
-      WITH cand AS (${DedupOps.oracles("dedup_minhash")}),
-      docs AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
-      SELECT cand.a AS a, cand.b AS b,
-             levenshtein(da.prefix, db.prefix)::BIGINT AS dist
-      FROM cand JOIN docs da ON cand.a = da.doc_id
-                JOIN docs db ON cand.b = db.doc_id
-      WHERE levenshtein(da.prefix, db.prefix) <= 20
-      ORDER BY a, b""",
+    "dedup_verify_editdist" -> verifyEditdistSql,
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE
+      verified AS ($verifyEditdistSql),
+      edges AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+      SELECT d.doc_id AS doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             (d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS keep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,5 +205,6 @@ object Extended {
     "agg_histogram" -> aggHistogram _,
     "winfn_ntile" -> winfnNtile _,
     "dedup_verify_editdist" -> dedupVerifyEditdist _,
+    "dedup_clusters" -> dedupClusters _,
   )
 }

@@ -90,14 +90,51 @@ object Multimodal {
         sha2(col("text"), 256).as("sha"))
       .orderBy("doc_id")
 
+  /** Driver-checked decode: the full binary pipeline — documents → media
+    * rows (binary payload + typed metadata) → batched partition-local
+    * decode — with the stub codec's deterministic output twinned in the
+    * oracle (the checksum is the same byte fold as
+    * [[graft.functions.PolyHash]], so DuckDB re-derives width/height/
+    * frames from it). When a real codec replaces the stub this query keeps
+    * exercising the plumbing; only the oracle twin becomes impossible. */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaFromDocuments(spark, dir)).toDF().orderBy("media_id")
+
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 sha256(text) AS sha
          FROM documents ORDER BY doc_id""",
+    // byte fold = ascii-char fold on the ASCII corpus (asserted in
+    // LlmOpsSpec); width/height/frames derive from the checksum exactly as
+    // StubDecoder does
+    "mm_decode" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS kind,
+                  text,
+                  octet_length(encode(text))::BIGINT AS n_bytes
+           FROM documents),
+         c AS (
+           SELECT media_id, kind, n_bytes,
+                  list_reduce(list_concat([0::BIGINT],
+                    list_transform(range(1, length(text) + 1),
+                      i -> ascii(text[i:i]))),
+                    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS checksum
+           FROM m)
+         SELECT media_id, kind, n_bytes,
+                (checksum % 640 + 1)::INT AS width,
+                (checksum % 480 + 1)::INT AS height,
+                (CASE WHEN kind = 'video' THEN checksum % 120 + 1
+                      ELSE 1 END)::INT AS n_frames,
+                checksum
+         FROM c ORDER BY media_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> mmBinaryMeta _,
+    "mm_decode" -> mmDecode _,
   )
 }

@@ -72,19 +72,60 @@ object VectorOps {
   private def weight(i: Int, j: Int): Long =
     ((1103515245L * (i * 8 + j) + 12345L) % 2001L) - 1000L
 
+  /** 8-bit random-hyperplane signature of the embedding column. */
+  private def bucketCol: Column =
+    (0 until 8).map { j =>
+      val w = array((0 until 64).map(i => lit(weight(i, j).toDouble)): _*)
+      when(dot(col("embedding"), w) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
   /** Random-hyperplane LSH: 8 sign bits → bucket id; histogram of bucket
     * occupancy. Buckets turn ANN candidate generation into a groupBy/join on
     * an 8-bit key — the shuffle is on bucket ids, never vectors×vectors. */
-  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
-    val bits = (0 until 8).map { j =>
-      val w = array((0 until 64).map(i => lit(weight(i, j).toDouble)): _*)
-      when(dot(col("embedding"), w) > 0, 1L << j).otherwise(0L)
-    }
-    emb.select(bits.reduce(_ + _).as("bucket"))
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(bucketCol.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
+
+  /** End-to-end ANN retrieval: hyperplane-LSH candidate generation →
+    * within-candidate cosine verify → top-10 per query. The 8 sign bits are
+    * banded 4×2 (minhash-style): a corpus vector is a candidate when ANY
+    * band of its signature matches the query's — each band is an equality
+    * join key, so candidate generation is a keyed join against the
+    * broadcast query side, never all-pairs. Multi-band hits are deduped
+    * AFTER scoring with a (query, vec) max-aggregate: re-computing a ≤4×
+    * redundant dot is cheaper at scale than shuffling embeddings through a
+    * distinct. Recall vs the exact `sim_topk` is asserted ≥ 0.9 in
+    * LlmOpsSpec — the planted near-neighbors agree on most sign bits, so
+    * they practically always share a band. */
+  def simAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val sig = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), pinned(bucketCol).as("bucket"))
+    def banded(df: DataFrame, b: String, s: String): DataFrame =
+      df.select(col("*"), explode(array((0 until 4).map(bi =>
+        struct(lit(bi).as(b),
+          shiftright(col("bucket"), bi * 2).bitwiseAND(3).as(s))): _*)).as("bnd"))
+        .select(df.columns.map(col) :+ col(s"bnd.$b").as(b) :+ col(s"bnd.$s").as(s): _*)
+    val corpus = banded(sig, "band", "sig")
+    val queries = banded(
+      sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket")),
+      "qband", "qsig")
+    corpus.join(broadcast(queries),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        roundD(dot(col("qv"), col("embedding")), 5).as("cosine"))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))).cast(LongType))
+      .filter(col("rk") <= 10)
+      .orderBy("query_id", "rk")
   }
 
   val oracles: Map[String, String] = {
@@ -114,6 +155,24 @@ object VectorOps {
       "sim_ann_lsh" -> s"""
         SELECT ($annBits)::BIGINT AS bucket, count(*) AS cnt
         FROM embeddings GROUP BY 1 ORDER BY bucket""",
+      // OR-of-bands join ≡ Spark's banded-equality join + max-dedupe: a pair
+      // appears iff any 2-bit band of the 8-bit signature matches
+      "sim_ann_topk" -> s"""
+        WITH sig AS (SELECT vec_id, embedding, ($annBits)::BIGINT AS bucket
+                     FROM embeddings),
+        scored AS (SELECT a.query_id, b.vec_id,
+                          floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
+                   FROM (SELECT vec_id AS query_id, embedding, bucket
+                         FROM sig WHERE vec_id < 5) a
+                   JOIN sig b ON b.vec_id <> a.query_id AND (
+                     ((a.bucket >> 0) & 3) = ((b.bucket >> 0) & 3) OR
+                     ((a.bucket >> 2) & 3) = ((b.bucket >> 2) & 3) OR
+                     ((a.bucket >> 4) & 3) = ((b.bucket >> 4) & 3) OR
+                     ((a.bucket >> 6) & 3) = ((b.bucket >> 6) & 3))),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+        SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rk""",
     )
   }
 
@@ -121,5 +180,6 @@ object VectorOps {
     "sim_topk" -> simTopk _,
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
+    "sim_ann_topk" -> simAnnTopk _,
   )
 }

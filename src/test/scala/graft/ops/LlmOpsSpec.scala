@@ -49,4 +49,51 @@ class LlmOpsSpec extends SparkSpec {
       assert(scores == scores.sorted.reverse)  // descending by rank
     }
   }
+
+  test("sim_ann_topk: LSH-banded ANN recalls >= 0.9 of the exact top-10") {
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(VectorOps.simTopk(spark, dir))
+    val ann = hits(VectorOps.simAnnTopk(spark, dir))
+    assert(exact.nonEmpty)
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall vs exact top-10")
+  }
+
+  test("dedup_clusters: components are consistent with the verified pairs") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Extended.dedupVerifyEditdist(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Extended.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every verified pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the member minimum; exactly that member is kept
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.collect { case (id, (_, true)) => id }.toSeq == Seq(cid))
+    }
+    // docs in no pair keep themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(c => paired(c._1)).foreach { case (id, (cid, keep)) =>
+      assert(cid == id && keep)
+    }
+  }
+
+  test("documents corpus is ASCII — the polyhash byte/char fold equivalence holds") {
+    // PolyHash folds UTF-8 bytes; the DuckDB oracles fold per-character
+    // codepoints. They agree exactly when every document is ASCII, which
+    // every dedup_* and mm_decode oracle depends on. Checked at all three
+    // scale factors the driver uses.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { d =>
+        val nonAscii = table(spark, d, "documents")
+          .filter(octet_length(col("text")) =!= length(col("text"))).count()
+        assert(nonAscii == 0, s"non-ASCII documents in $d would desync the oracles")
+      }
+  }
 }
