@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.sql.DriverManager
+import java.sql.{DriverManager, SQLException}
 
 import org.apache.spark.sql.DataFrame
 
@@ -8,44 +8,98 @@ import org.apache.spark.sql.DataFrame
   * bootstrap and batched append (liq-stream `writer_pg.py:23-57,95-137`)
   * re-expressed on Spark's JDBC writer.
   *
-  * Not exercised in this environment (no database, zero egress); the code
-  * path is the standard `df.write.jdbc` append, which on a cluster inherits
-  * connection pooling and per-partition batched inserts
-  * (`batchsize` option ≈ the reference's --pg-batch=500). Streaming callers
-  * wrap [[appendBatch]] in foreachBatch (see
-  * [[StreamAssembly.fanOutSinks]] for the tested parquet analog).
+  * The DDL is dialect-parameterized: [[Postgres]] reproduces the reference's
+  * exact types (`writer_pg.py:23-36` — no PG in this environment, so that
+  * path stays string-identical but unexecuted); [[Derby]] targets the
+  * embedded engine that ships with Spark, which is how JdbcSinkSpec
+  * exercises `ensureSchema` + `appendBatch` + read-back for real. Derby has
+  * no `IF NOT EXISTS`, so idempotence is restored by tolerating the
+  * already-exists SQLStates — same observable behavior as the reference's
+  * `CREATE TABLE IF NOT EXISTS` bootstrap (`writer_pg.py:123-137`).
+  *
+  * Streaming callers wrap [[appendBatch]] in foreachBatch (see
+  * [[StreamAssembly.fanOutSinks]] for the parquet analog); on a cluster the
+  * append inherits per-partition batched inserts (`batchsize` ≈ the
+  * reference's --pg-batch=500) and the connection cap via coalesce.
   */
 object JdbcSink {
 
+  /** SQL dialect knobs the unified-schema DDL needs. */
+  sealed trait SqlDialect {
+    /** Type for unbounded text columns. */
+    def textType: String
+    /** `IF NOT EXISTS ` when the dialect supports it, else "". */
+    def ifNotExists: String
+    /** SQLStates meaning "object already exists", tolerated during
+      * bootstrap when the dialect lacks IF NOT EXISTS. */
+    def alreadyExistsStates: Set[String]
+    /** Identifier quote for column names — "" keeps the reference's
+      * unquoted PG DDL byte-identical; Derby needs quoting so the stored
+      * column names stay lowercase and match Spark's quoted INSERTs under
+      * a case-sensitive session. */
+    def quote: String
+    final def col(name: String): String = quote + name + quote
+  }
+
+  /** The reference's dialect (`writer_pg.py:23-36`). */
+  case object Postgres extends SqlDialect {
+    val textType = "TEXT"
+    val ifNotExists = "IF NOT EXISTS "
+    val alreadyExistsStates = Set.empty[String]
+    val quote = ""
+  }
+
+  /** Embedded Derby (ships with Spark): no TEXT, no IF NOT EXISTS;
+    * X0Y32 = object exists, X0Y68 = schema/object exists. */
+  case object Derby extends SqlDialect {
+    val textType = "VARCHAR(4096)"
+    val ifNotExists = ""
+    val alreadyExistsStates = Set("X0Y32", "X0Y68")
+    val quote = "\""
+  }
+
   /** Unified-schema DDL — port of `writer_pg.py:23-36` (types) and `:38-57`
     * (the two serving indexes: time scan + composite lookup). */
-  def ddl(table: String): Seq[String] = Seq(
-    s"""CREATE TABLE IF NOT EXISTS $table (
-       |  exchange TEXT NOT NULL,
-       |  market TEXT NOT NULL,
-       |  symbol TEXT NOT NULL,
-       |  side TEXT,
-       |  qty DOUBLE PRECISION,
-       |  price DOUBLE PRECISION,
-       |  notional DOUBLE PRECISION,
-       |  ts_exch_ms BIGINT,
-       |  ts_ingest_ms BIGINT,
-       |  raw TEXT
-       |)""".stripMargin,
-    s"CREATE INDEX IF NOT EXISTS ${idxName(table, "ts")} ON $table (ts_exch_ms)",
-    s"CREATE INDEX IF NOT EXISTS ${idxName(table, "emst")} ON $table (exchange, market, symbol, ts_exch_ms)",
-  )
+  def ddl(table: String, dialect: SqlDialect = Postgres): Seq[String] = {
+    val t = dialect.textType
+    val ine = dialect.ifNotExists
+    def c(n: String) = dialect.col(n)
+    Seq(
+      s"""CREATE TABLE $ine$table (
+         |  ${c("exchange")} $t NOT NULL,
+         |  ${c("market")} $t NOT NULL,
+         |  ${c("symbol")} $t NOT NULL,
+         |  ${c("side")} $t,
+         |  ${c("qty")} DOUBLE PRECISION,
+         |  ${c("price")} DOUBLE PRECISION,
+         |  ${c("notional")} DOUBLE PRECISION,
+         |  ${c("ts_exch_ms")} BIGINT,
+         |  ${c("ts_ingest_ms")} BIGINT,
+         |  ${c("raw")} $t
+         |)""".stripMargin,
+      s"CREATE INDEX $ine${idxName(table, "ts")} ON $table (${c("ts_exch_ms")})",
+      s"CREATE INDEX $ine${idxName(table, "emst")} ON $table (${c("exchange")}, ${c("market")}, ${c("symbol")}, ${c("ts_exch_ms")})",
+    )
+  }
 
   private def idxName(table: String, suffix: String): String =
     table.replaceAll("[^A-Za-z0-9_]", "_") + "_" + suffix + "_idx"
 
   /** One-time DDL bootstrap over a plain JDBC connection
-    * (`writer_pg.py:123-137`). */
-  def ensureSchema(url: String, table: String, props: java.util.Properties): Unit = {
+    * (`writer_pg.py:123-137`). Idempotent: IF NOT EXISTS where the dialect
+    * has it, tolerated already-exists SQLStates where it doesn't. */
+  def ensureSchema(url: String, table: String, props: java.util.Properties,
+      dialect: SqlDialect = Postgres): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try ddl(table).foreach(st.execute)
+      try ddl(table, dialect).foreach { sql =>
+        try st.execute(sql)
+        catch {
+          case e: SQLException
+              if dialect.alreadyExistsStates.contains(e.getSQLState) => ()
+        }
+      }
       finally st.close()
     } finally conn.close()
   }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.normalize.{Fixtures, Normalizers}
+
+/** Exercises the JDBC sink for real against embedded Derby (ships with
+  * Spark): DDL bootstrap idempotence, batched append through Spark's JDBC
+  * writer, and read-back — the executable twin of the Postgres path
+  * (liq-stream `writer_pg.py:95-137`), which stays string-identical but
+  * has no database to run against in this environment. */
+class JdbcSinkSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val props = new Properties()
+
+  test("PG dialect DDL is unchanged from the reference's writer_pg.py") {
+    val stmts = JdbcSink.ddl("liquidations")
+    assert(stmts.head.startsWith("CREATE TABLE IF NOT EXISTS liquidations"))
+    // the reference's exact column types (writer_pg.py:23-36)
+    assert(stmts.head.contains("exchange TEXT NOT NULL"))
+    assert(stmts.head.contains("qty DOUBLE PRECISION"))
+    assert(stmts.head.contains("ts_exch_ms BIGINT"))
+    assert(stmts.head.contains("raw TEXT"))
+    // the two serving indexes (writer_pg.py:38-57)
+    assert(stmts(1).contains("ON liquidations (ts_exch_ms)"))
+    assert(stmts(2).contains("ON liquidations (exchange, market, symbol, ts_exch_ms)"))
+  }
+
+  test("derby: ensureSchema bootstraps idempotently, appendBatch round-trips") {
+    val tbl = "liq_events"
+    JdbcSink.ensureSchema(url, tbl, props, JdbcSink.Derby)
+    // second bootstrap must be a no-op (IF NOT EXISTS semantics via
+    // tolerated already-exists SQLStates)
+    JdbcSink.ensureSchema(url, tbl, props, JdbcSink.Derby)
+
+    import spark.implicits._
+    val unified = Normalizers.binance(
+      Fixtures.binance.toDF("raw"), "usdt",
+      ingestMs = org.apache.spark.sql.functions.lit(0L))
+    val expected = unified.count()
+    assert(expected > 0)
+
+    JdbcSink.appendBatch(unified, url, tbl, props, batchSize = 2)
+    // second batch: append mode must not truncate
+    JdbcSink.appendBatch(unified, url, tbl, props, batchSize = 2)
+
+    val back = spark.read.jdbc(url, tbl, props)
+    assert(back.count() == expected * 2)
+    assert(back.columns.toSeq == Seq("exchange", "market", "symbol", "side",
+      "qty", "price", "notional", "ts_exch_ms", "ts_ingest_ms", "raw"))
+    assert(back.filter(col("exchange") === "binance").count() == expected * 2)
+    // null pattern survives the round-trip (fixtures include a zero-qty
+    // event whose notional is null by design)
+    val nullsIn = unified.filter(col("notional").isNull).count()
+    assert(back.filter(col("notional").isNull).count() == nullsIn * 2)
+  }
+}
