@@ -181,8 +181,15 @@ object Relational {
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
   /** Approximate distinct (HLL++) — symbol-cardinality at 100 TB where exact
-    * distinct would shuffle every key. Per-group cardinality here is tiny, so
-    * HLL++'s sparse (exact) mode kicks in and matches the exact oracle. */
+    * distinct would shuffle every key. The oracle is DuckDB's EXACT
+    * count(DISTINCT); the match holds because per-group cardinality is ≤5
+    * (event types) and those few values happen to land in distinct HLL
+    * registers, so linear counting returns the exact count. This is a
+    * property of this corpus, not of the algorithm — Spark's HLL++ has no
+    * sparse/exact mode, and a register collision (possible as soon as new
+    * event_type values appear) would break the equivalence. The spec below
+    * (LlmOpsSpec "approx_distinct stays in its exact regime") guards the
+    * assumption explicitly rather than letting the oracle drift silently. */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy("user_id")

@@ -40,6 +40,14 @@ class PolyHashSpec extends SparkSpec {
     assert(r == ref)
   }
 
+  test("wrong arity is an analysis error, not a plan-time crash") {
+    PolyHash.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT poly_hash()").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT poly_hash('a', 'b')").collect())
+  }
+
   test("GraftExtensions injects poly_hash into a SparkSessionExtensions") {
     // full end-to-end needs a fresh SparkContext (builder extensions are
     // ignored when a session exists); this exercises the injection path

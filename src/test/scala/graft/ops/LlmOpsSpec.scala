@@ -83,6 +83,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_distinct stays in its exact regime (no HLL register collisions)") {
+    // agg_approx_distinct's oracle is an EXACT count(DISTINCT): valid only
+    // while every per-group cardinality is small enough that HLL++ linear
+    // counting is collision-free. Assert approx == exact on the corpus the
+    // driver checks, so a corpus change surfaces here, not as a silent
+    // oracle mismatch.
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count_distinct}
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val bad = table(spark, d, "events")
+        .groupBy("user_id")
+        .agg(approx_count_distinct(col("event_type")).as("a"),
+          count_distinct(col("event_type")).as("e"))
+        .filter(col("a") =!= col("e")).count()
+      assert(bad == 0, s"HLL register collision in $d breaks the exact oracle")
+    }
+  }
+
   test("documents corpus is ASCII — the polyhash byte/char fold equivalence holds") {
     // PolyHash folds UTF-8 bytes; the DuckDB oracles fold per-character
     // codepoints. They agree exactly when every document is ASCII, which
