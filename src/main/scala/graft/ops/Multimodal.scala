@@ -100,7 +100,69 @@ object Multimodal {
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF().orderBy("media_id")
 
+  /** Frame sampling — every k-th frame index of each video asset (the
+    * mapInPandas-shaped stage a video pipeline runs before per-frame
+    * featurization). Pure Catalyst on top of the decode output: an explode
+    * of `sequence(0, n_frames-1, k)` — the generate stays map-side, no
+    * shuffle until a downstream agg. */
+  def mmFrameSample(spark: SparkSession, dir: String, every: Int = 10): DataFrame =
+    decodeAll(mediaFromDocuments(spark, dir)).toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"))
+      .orderBy("media_id", "frame_idx")
+
+  /** Resize planning — fit each decoded asset into a 224×224 box preserving
+    * aspect ratio (the preprocessing step in front of any vision encoder).
+    * Double arithmetic only, so DuckDB reproduces it bit-for-bit. */
+  def mmResize(spark: SparkSession, dir: String, box: Int = 224): DataFrame =
+    decodeAll(mediaFromDocuments(spark, dir)).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        least(lit(box.toDouble) / col("width"),
+          lit(box.toDouble) / col("height")).as("scale"))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(floor(col("width") * col("scale")), lit(1.0))
+          .cast(LongType).as("out_w"),
+        greatest(floor(col("height") * col("scale")), lit(1.0))
+          .cast(LongType).as("out_h"))
+      .orderBy("media_id")
+
+  private val decodeCte: String =
+    """m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               text
+        FROM documents),
+      c AS (
+        SELECT media_id, kind,
+               list_reduce(list_concat([0::BIGINT],
+                 list_transform(range(1, length(text) + 1),
+                   i -> ascii(text[i:i]))),
+                 (acc, ch) -> (acc * 31 + ch) % 1000000007) AS checksum
+        FROM m),
+      dims AS (
+        SELECT media_id, kind,
+               (checksum % 640 + 1) AS width,
+               (checksum % 480 + 1) AS height,
+               CASE WHEN kind = 'video' THEN checksum % 120 + 1
+                    ELSE 1 END AS n_frames
+        FROM c)"""
+
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample" -> s"""
+      WITH $decodeCte
+      SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_idx
+      FROM dims WHERE kind = 'video'
+      ORDER BY media_id, frame_idx""",
+    "mm_resize" -> s"""
+      WITH $decodeCte
+      SELECT media_id, width::INT AS width, height::INT AS height,
+             greatest(floor(width * least(224.0 / width, 224.0 / height)), 1)::BIGINT AS out_w,
+             greatest(floor(height * least(224.0 / width, 224.0 / height)), 1)::BIGINT AS out_h
+      FROM dims ORDER BY media_id""",
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 sha256(text) AS sha
@@ -136,5 +198,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> mmBinaryMeta _,
     "mm_decode" -> mmDecode _,
+    "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
+    "mm_resize" -> ((s, d) => mmResize(s, d)),
   )
 }
