@@ -80,6 +80,14 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected a single parquet scan, found $scans:\n$p")
   }
 
+  test("sim_ann_topk: query side broadcast, no cartesian candidate generation") {
+    val p = plan(VectorOps.simAnnTopk(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"banded candidates must come from an equality join vs broadcast queries:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN candidate generation must never be all-pairs:\n$p")
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
