@@ -1,0 +1,39 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Bucketed co-located join: pay the shuffle at write time, then joins on
+  * the bucket key plan with zero Exchange — the storage-level scale lever
+  * for repeatedly-joined fact tables. */
+class BucketingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("same-bucketed tables join with no shuffle and correct results") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '$wh'")
+    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = table(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "bucketdb.l_b", buckets = 8, key = "l_orderkey")
+    Bucketing.writeBucketed(ord, "bucketdb.o_b", buckets = 8, key = "o_orderkey")
+
+    // force the merge path: broadcast would hide the co-location story on
+    // this tiny corpus
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.coLocatedJoin(spark, "bucketdb.l_b", "bucketdb.o_b",
+        "l_orderkey", "o_orderkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+
+      // same answer as the plain (shuffling) join
+      val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      assert(j.count() == expected && expected > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
