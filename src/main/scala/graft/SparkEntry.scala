@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeWindows.queries ++ JsonOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
-      Multimodal.queries ++ Extended.queries ++
+      Multimodal.queries ++ Extended.queries ++ Curation.queries ++
       graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -30,6 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TimeWindows.oracles ++ JsonOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
-      Multimodal.oracles ++ Extended.oracles ++
+      Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
       graft.normalize.NormalizeOps.oracles
 }
