@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** SparkSessionExtensions installer for the engine's native functions —
-  * the deployment-grade registration path (vs. the per-session
-  * [[PolyHash.register]]): ships in the session from construction via
+/** SparkSessionExtensions installer for the engine's native functions and
+  * optimizer rules — the deployment-grade registration path (vs. the
+  * per-session [[PolyHash.register]]): ships in the session from
+  * construction via
   *
   * {{{
   * SparkSession.builder()
@@ -14,9 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   * }}}
   *
-  * so SQL text, views, and thrift-served queries all resolve `poly_hash`
-  * without driver-side setup code — on a 1000-executor cluster the config
-  * string is the only wiring needed.
+  * so SQL text, views, and thrift-served queries all resolve `poly_hash`,
+  * and every query benefits from
+  * [[graft.plans.MergeDisjointFilterUnions]] — on a 1000-executor cluster
+  * the config string is the only wiring needed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash.fromArgs(exprs)))
+    ext.injectOptimizerRule(_ => graft.plans.MergeDisjointFilterUnions)
   }
 }
