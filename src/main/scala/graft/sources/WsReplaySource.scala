@@ -76,10 +76,16 @@ object WsReplay {
 
   /** Frame count = line count; read lazily so only the driver pays it once
     * per trigger (fixture-scale files; a production capture would keep a
-    * side index). */
+    * side index). Long arithmetic throughout — offsets must survive
+    * multi-billion-frame captures. */
   def countFrames(path: String): Long = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try src.getLines().size.toLong finally src.close()
+    try {
+      var n = 0L
+      val it = src.getLines()
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    } finally src.close()
   }
 }
 
@@ -170,15 +176,20 @@ class WsReplayReaderFactory extends PartitionReaderFactory {
 class WsReplayReader(path: String, start: Long, end: Long)
     extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path, "UTF-8")
-  private val lines = src.getLines().zipWithIndex
-    .slice(start.toInt, end.toInt)
+  // Long frame indexes end to end: zipWithIndex/slice are Int-bounded and
+  // would truncate past 2^31 frames
+  private val lines = src.getLines()
+    .scanLeft((null: String, -1L)) { case ((_, i), line) => (line, i + 1) }
+    .drop(1)
+    .dropWhile(_._2 < start)
+    .takeWhile(_._2 < end)
     .filterNot { case (line, _) => WsReplay.isControlFrame(line) }
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (lines.hasNext) {
       val (line, idx) = lines.next()
-      current = InternalRow(idx.toLong, UTF8String.fromString(line))
+      current = InternalRow(idx, UTF8String.fromString(line))
       true
     } else false
 

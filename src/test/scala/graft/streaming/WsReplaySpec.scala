@@ -75,4 +75,34 @@ class WsReplaySpec extends SparkSpec {
     assert(out.select("symbol").distinct().count() == 40)
     assert(out.select("qty").collect().forall(_.getDouble(0) == 2.0))
   }
+
+  test("frames appended to the capture file flow into later micro-batches") {
+    import java.nio.file.StandardOpenOption.APPEND
+    val framesFile = s"${tmp("ws_live")}/frames.jsonl"
+    Files.write(Paths.get(framesFile),
+      (1 to 4).map(i => frame(s"AAA${i}USDT", 1710000000000L + i))
+        .mkString("\n").getBytes)
+    val outDir = tmp("ws_live_out"); val ckpt = tmp("ws_live_ckpt")
+    val raw = spark.readStream
+      .format("graft.sources.WsReplayProvider")
+      .option("path", framesFile)
+      .option("framesPerBatch", 10)
+      .load()
+    val q = Normalizers.binance(raw.select(col("raw")), "usdt")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 4)
+      // a live capture process appends more frames — the next trigger's
+      // recount must pick them up
+      Files.write(Paths.get(framesFile),
+        ("\n" + (5 to 7).map(i => frame(s"AAA${i}USDT", 1710000000000L + i))
+          .mkString("\n")).getBytes, APPEND)
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 7)
+    } finally q.stop()
+  }
 }
