@@ -88,6 +88,22 @@ class PlanSpec extends SparkSpec {
       s"ANN candidate generation must never be all-pairs:\n$p")
   }
 
+  test("sample_stratified: map-side only — no hash shuffle before the output sort") {
+    val p = plan(Curation.sampleStratified(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash-mod sampling must not shuffle:\n$p")
+  }
+
+  test("mm_frame_sample: the frame explode runs map-side (no exchange below it)") {
+    val p = plan(graft.ops.Multimodal.mmFrameSample(spark, dir))
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange")
+    assert(generate >= 0)
+    // toString is top-down: an exchange below the generate would print after
+    assert(exchange < 0 || exchange < generate,
+      s"explode must not sit above a shuffle:\n$p")
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
