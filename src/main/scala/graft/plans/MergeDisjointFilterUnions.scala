@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, In, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: a UNION ALL whose branches are the same plan except for
@@ -42,15 +42,30 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object MergeDisjointFilterUnions extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The single eq-literal conjunct of a branch: (filter node, attribute,
-    * literal). None when absent or ambiguous. */
+    * literal). None when absent or ambiguous.
+    *
+    * The walk descends ONLY through row-preserving operators (Filter /
+    * Project / SubqueryAlias). A filter sitting below a non-row-preserving
+    * node — Aggregate, Limit, Window, Deduplicate, … — must not be merged:
+    * `Union(Agg(F[c='a']), Agg(F[c='b']))` evaluates the aggregate twice
+    * (two output rows), while the merged `Agg(F[c IN ('a','b')])` evaluates
+    * it once. Anything BELOW the matched filter is fine (the branches are
+    * canonically identical there, and with disjoint predicates the bag union
+    * of the filtered copies equals the IN-filter of one copy), but the path
+    * from the branch root down TO the filter must preserve rows one-for-one. */
   private def findEq(branch: LogicalPlan)
       : Option[(Filter, AttributeReference, Literal)] = {
-    val hits = branch.collect { case f: Filter =>
-      splitConjunctivePredicates(f.condition).collect {
-        case EqualTo(a: AttributeReference, l: Literal) if l.value != null => (f, a, l)
-        case EqualTo(l: Literal, a: AttributeReference) if l.value != null => (f, a, l)
-      }
-    }.flatten
+    def walk(p: LogicalPlan): Seq[(Filter, AttributeReference, Literal)] = p match {
+      case f: Filter =>
+        splitConjunctivePredicates(f.condition).collect {
+          case EqualTo(a: AttributeReference, l: Literal) if l.value != null => (f, a, l)
+          case EqualTo(l: Literal, a: AttributeReference) if l.value != null => (f, a, l)
+        } ++ walk(f.child)
+      case pr: Project       => walk(pr.child)
+      case s: SubqueryAlias  => walk(s.child)
+      case _                 => Seq.empty // stop: not row-preserving
+    }
+    val hits = walk(branch)
     if (hits.size == 1) Some(hits.head) else None
   }
 

@@ -68,6 +68,42 @@ class MergeUnionSpec extends SparkSpec {
     }.nonEmpty)
   }
 
+  test("soundness: filters below non-row-preserving operators never merge") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Union => LUnion}
+    val ev = table(spark, dir, "events")
+    def hasUnion(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case _: LUnion => () }.nonEmpty
+    // Aggregate above the filter: Union(Agg(F[c='a']), Agg(F[c='b'])) is two
+    // rows; the merged Agg(F[c IN]) would be one. Must stay a Union.
+    def agg(v: String) = ev.filter(col("event_type") === v)
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      .queryExecution.analyzed
+    val aggU = LUnion(Seq(agg("click"), agg("view")))
+    assert(hasUnion(MergeDisjointFilterUnions(aggU)), "merged through Aggregate")
+    assert(Bridge.ofRows(spark, MergeDisjointFilterUnions(aggU)).count() == 2)
+    // Limit above the filter: per-branch limits are not one shared limit.
+    def lim(v: String) = ev.filter(col("event_type") === v).limit(5)
+      .queryExecution.analyzed
+    val limU = LUnion(Seq(lim("click"), lim("view")))
+    assert(hasUnion(MergeDisjointFilterUnions(limU)), "merged through Limit")
+    assert(Bridge.ofRows(spark, MergeDisjointFilterUnions(limU)).count() == 10)
+    // Deduplicate above the filter: distinct-per-branch != distinct-of-merge
+    // row counts in general. Must stay a Union.
+    def dd(v: String) = ev.filter(col("event_type") === v)
+      .select("event_type").distinct().queryExecution.analyzed
+    val ddU = LUnion(Seq(dd("click"), dd("view")))
+    assert(hasUnion(MergeDisjointFilterUnions(ddU)), "merged through Deduplicate")
+    // but a filter above an Aggregate (row-preserving path from the root)
+    // still merges: Union(F[s='click'](Agg), F[s='view'](Agg)) is sound.
+    def fAboveAgg(v: String) = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      .filter(col("event_type") === v).queryExecution.analyzed
+    val okU = LUnion(Seq(fAboveAgg("click"), fAboveAgg("view")))
+    assert(!hasUnion(MergeDisjointFilterUnions(okU)),
+      "filter-above-agg should merge")
+    assert(Bridge.ofRows(spark, MergeDisjointFilterUnions(okU)).count() == 2)
+  }
+
   test("extension-installed rule collapses a 3-branch union to one file scan") {
     // builder extensions are ignored when a default session exists, so
     // temporarily clear it and build a fresh session on the shared context
