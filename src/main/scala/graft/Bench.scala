@@ -20,21 +20,28 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // Each query runs twice and reports the min: a single run is exposed to
-    // transient host-level stalls (GC, co-tenant load) that are not query
-    // cost; min-of-2 reports the steady-state plan cost. Failures are
-    // reported explicitly (-1 time + a "failed" list), never as a
-    // plausible-looking duration.
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
+    // Timing is min-across-INTERLEAVED-passes: the whole query set runs as
+    // three complete passes, and each query reports its min across passes.
+    // Back-to-back min-of-N (round 2) does not defeat host-level stalls — a
+    // single multi-second co-tenant stall covers both adjacent runs of the
+    // same query and survives the min (driver BENCH_r02: 32.6s reported for
+    // a query that costs 2.3s). Interleaved, the same stall lands on
+    // *different* queries in each pass, so the per-query min across passes
+    // recovers the steady-state plan cost. Failures are reported explicitly
+    // (-1 time + a "failed" list), never as a plausible-looking duration.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = 3
+    val timed: Seq[Seq[(Double, Boolean)]] = (1 to passes).map { _ =>
+      names.map { case (_, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (tA, okA) = once()
-      val (tB, okB) = once()
-      (name, math.min(tA, tB), okA && okB)
+    }
+    val runs = names.zipWithIndex.map { case ((name, _), i) =>
+      val perPass = timed.map(_(i))
+      (name, perPass.map(_._1).min, perPass.forall(_._2))
     }
     val failed = runs.collect { case (n, _, false) => n }
     val results = runs.map { case (n, t, ok) => n -> (if (ok) t else -1.0) }
@@ -42,7 +49,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
