@@ -1,20 +1,30 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column support: media payloads ride as opaque `binary` columns
   * with a typed metadata struct, and decode/feature-extract runs as a
-  * batched partition-local stage.
+  * batched partition-local stage — the Scala analog of `mapInPandas`
+  * (arrow-batch UDFs): one decoder context per partition, amortized over a
+  * batch, no per-row setup cost.
   *
-  * The Spark-side plumbing is real — schema, batch iteration, partition
-  * locality, output contract; the actual codec is a deterministic STUB
-  * (`StubDecoder`): media libraries are not available in this environment,
-  * and at scale the stub swaps for a real decoder without touching the
-  * pipeline shape. Batched `mapPartitions` over a typed Dataset is the Scala
-  * analog of `mapInPandas` (arrow-batch UDFs): one decoder instance per
-  * partition, amortized over a batch, no per-row setup cost.
+  * The codec is REAL: payloads are genuine uncompressed containers —
+  * binary P6 PPM for images, canonical 44-byte PCM WAV for audio,
+  * YUV4MPEG2 (C444) for video — synthesized deterministically from the
+  * `documents` corpus, and the decoder recovers dimensions / sample counts /
+  * frame counts by parsing container bytes (magic sniffing, ASCII header
+  * scan, RIFF chunk walk, FRAME-marker iteration), never by trusting the
+  * row's `kind` tag. The DuckDB oracle re-derives the same values
+  * arithmetically (header lengths, content sizes, the rolling checksum over
+  * content bytes), so a mis-parsed header or a wrong content offset is a
+  * hash mismatch, not a silent pass. No media libraries exist in this
+  * environment; uncompressed containers are exactly the formats a pure-JVM
+  * decoder can handle for real, and a libjpeg-style codec would swap in
+  * behind the same `Codec.decode` seam without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -25,7 +35,9 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Decoded features for one asset. */
+  /** Decoded features for one asset. Image: width/height, n_frames=1.
+    * Audio: sample_rate/n_samples. Video: width/height/n_frames. Unused
+    * fields are 0. */
   final case class DecodedRow(
       media_id: Long,
       kind: String,
@@ -33,55 +45,227 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
+      sample_rate: Int,
+      n_samples: Long,
       checksum: Long)
 
-  /** STUB decoder — deterministic fake standing in for an image/audio codec.
-    * Real implementation would parse the container header and decode frames;
-    * the interface (bytes in, dimensions/frames out) is what the pipeline
-    * depends on. */
-  object StubDecoder {
+  /** Pure-JVM codec for uncompressed containers: binary P6 PPM, PCM WAV,
+    * YUV4MPEG2. Encoders build real container bytes; decoders parse them
+    * back with byte arithmetic only. The checksum is the poly-31 fold
+    * (same modulus as [[graft.functions.PolyHash]]) over the CONTENT
+    * region — pixels / samples / frame planes — headers excluded, so the
+    * oracle can re-derive it from the source text without modeling binary
+    * header bytes. */
+  object Codec {
+    private val M = 1000000007L
+    private val Ascii = StandardCharsets.US_ASCII
+
+    private def fold(b: Array[Byte], from: Int, until: Int): Long = {
+      var acc = 0L
+      var i = from
+      while (i < until) { acc = (acc * 31 + (b(i) & 0xff)) % M; i += 1 }
+      acc
+    }
+
+    /** Content bytes: the source text repeated cyclically to length n. */
+    private def cyclic(src: Array[Byte], n: Int): Array[Byte] = {
+      val s = if (src.isEmpty) Array[Byte]('x') else src
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = s(i % s.length); i += 1 }
+      out
+    }
+
+    // ---- encoders ----------------------------------------------------
+
+    /** Binary P6 PPM: `P6\n{w} {h}\n255\n` + w*h*3 raw RGB bytes. */
+    def encodePpm(w: Int, h: Int, content: Array[Byte]): Array[Byte] = {
+      require(content.length == w * h * 3, "PPM content must be w*h*3 bytes")
+      s"P6\n$w $h\n255\n".getBytes(Ascii) ++ content
+    }
+
+    /** Canonical 44-byte RIFF/WAVE header (PCM, 16-bit mono) + samples. */
+    def encodeWav(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + data.length)
+      def tag(o: Int, s: String): Unit = System.arraycopy(s.getBytes(Ascii), 0, out, o, 4)
+      def le32(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      tag(0, "RIFF"); le32(4, 36 + data.length); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+      le32(24, sampleRate); le32(28, sampleRate * 2 /* byte rate */)
+      le16(32, 2 /* block align */); le16(34, 16 /* bits */)
+      tag(36, "data"); le32(40, data.length)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+
+    /** YUV4MPEG2, C444: stream header + per-frame `FRAME\n` + w*h*3 plane
+      * bytes. */
+    def encodeY4m(w: Int, h: Int, frames: Int, content: Array[Byte]): Array[Byte] = {
+      require(content.length == frames * w * h * 3, "Y4M content must be frames*w*h*3")
+      val head = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes(Ascii)
+      val marker = "FRAME\n".getBytes(Ascii)
+      val fsz = w * h * 3
+      val out = new Array[Byte](head.length + frames * (marker.length + fsz))
+      System.arraycopy(head, 0, out, 0, head.length)
+      var o = head.length
+      var f = 0
+      while (f < frames) {
+        System.arraycopy(marker, 0, out, o, marker.length); o += marker.length
+        System.arraycopy(content, f * fsz, out, o, fsz); o += fsz
+        f += 1
+      }
+      out
+    }
+
+    /** Deterministic synthesis from a document: dims/rates derive from the
+      * text length and doc id (the DuckDB oracle repeats this arithmetic),
+      * content is the text bytes cycled to the container's content size. */
+    def encode(kind: String, id: Long, text: String): Array[Byte] = {
+      val bytes = text.getBytes(Ascii)
+      val len = bytes.length
+      kind match {
+        case "image" =>
+          val w = (len % 16) + 4
+          val h = (id % 12).toInt + 3
+          encodePpm(w, h, cyclic(bytes, w * h * 3))
+        case "audio" =>
+          val nSamples = (len % 500) + 50
+          encodeWav(8000, cyclic(bytes, 2 * nSamples))
+        case _ =>
+          val w = (len % 8) + 4
+          val h = (id % 6).toInt + 3
+          val frames = (id % 8).toInt + 2
+          encodeY4m(w, h, frames, cyclic(bytes, frames * w * h * 3))
+      }
+    }
+
+    // ---- decoders ----------------------------------------------------
+
+    private def decodePpm(b: Array[Byte], id: Long): DecodedRow = {
+      var i = 2
+      def skipWs(): Unit =
+        while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+      def int(): Int = {
+        skipWs()
+        var v = 0
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+        v
+      }
+      val w = int(); val h = int(); val maxv = int()
+      require(maxv == 255, s"unsupported PPM maxval $maxv")
+      i += 1 // exactly one whitespace byte separates the header from pixels
+      require(b.length - i == w * h * 3, "truncated PPM pixel data")
+      DecodedRow(id, "image", b.length.toLong, w, h, 1, 0, 0L, fold(b, i, b.length))
+    }
+
+    private def decodeWav(b: Array[Byte], id: Long): DecodedRow = {
+      def le32(o: Int): Int =
+        (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+      def le16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+      def tag(o: Int): String = new String(b, o, 4, Ascii)
+      require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
+      var o = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (o + 8 <= b.length) { // RIFF chunk walk (word-aligned)
+        val id4 = tag(o); val sz = le32(o + 4)
+        id4 match {
+          case "fmt " =>
+            require(le16(o + 8) == 1, "not PCM")
+            channels = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22)
+          case "data" => dataOff = o + 8; dataLen = sz
+          case _      => ()
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      require(dataOff >= 0 && channels > 0 && bits > 0, "missing fmt/data chunk")
+      val nSamples = dataLen / (channels * (bits / 8))
+      DecodedRow(id, "audio", b.length.toLong, 0, 0, 0, rate, nSamples.toLong,
+        fold(b, dataOff, dataOff + dataLen))
+    }
+
+    private def decodeY4m(b: Array[Byte], id: Long): DecodedRow = {
+      var eol = 0
+      while (b(eol) != '\n') eol += 1
+      val params = new String(b, 0, eol, Ascii).split(' ')
+      require(params(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      var w = 0; var h = 0; var c444 = false
+      params.tail.foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => c444 = p == "C444"
+          case _   => ()
+        }
+      }
+      require(w > 0 && h > 0 && c444, "unsupported Y4M parameters")
+      val fsz = w * h * 3
+      val marker = "FRAME\n".getBytes(Ascii)
+      var o = eol + 1
+      var frames = 0
+      var acc = 0L
+      while (o < b.length) {
+        require((0 until marker.length).forall(k => b(o + k) == marker(k)), "bad FRAME marker")
+        o += marker.length
+        var i = o
+        while (i < o + fsz) { acc = (acc * 31 + (b(i) & 0xff)) % M; i += 1 }
+        o += fsz
+        frames += 1
+      }
+      DecodedRow(id, "video", b.length.toLong, w, h, frames, 0, 0L, acc)
+    }
+
+    /** Container-sniffing decode: the format comes from the magic bytes,
+      * not from the row's kind tag. */
     def decode(r: MediaRow): DecodedRow = {
-      // ??? real codec goes here; deterministic fake derived from payload
-      val n = r.payload.length.toLong
-      val sum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-      DecodedRow(r.media_id, r.kind, n,
-        width = (sum % 640).toInt + 1,
-        height = (sum % 480).toInt + 1,
-        n_frames = if (r.kind == "video") (sum % 120).toInt + 1 else 1,
-        checksum = sum)
+      val b = r.payload
+      if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b, r.media_id)
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+        decodeWav(b, r.media_id)
+      else decodeY4m(b, r.media_id)
     }
   }
 
   /** Partition-local batched decode: the mapInPandas-shaped stage. Batching
-    * (here 64 rows) is where a real codec amortizes model/codec setup. */
+    * (here 64 rows) is where a heavier codec amortizes context setup. */
   def decodeAll(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one decoder context per batch in a real codec
-        batch.iterator.map(StubDecoder.decode)
+        // one decoder context per batch in a heavier codec
+        batch.iterator.map(Codec.decode)
       }
     }
   }
 
-  /** The documents table viewed as a media corpus: utf-8 payload bytes with
-    * typed metadata. Demonstrates binary-column plumbing end-to-end. */
+  /** The documents table as a media corpus: each doc becomes a real
+    * container payload (PPM / WAV / Y4M by doc_id mod 3) with typed
+    * metadata. Synthesis is a partition-local typed map — binary-column
+    * plumbing end-to-end. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     table(spark, dir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        encode(col("text"), "utf-8").as("payload"),
-        col("source"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRow(id, kind, Codec.encode(kind, id, text), source)
+      }
   }
 
   /** Driver-checked query: binary metadata extraction — payload size and
     * content digest straight off the binary column (pure Catalyst, pushdown-
-    * friendly). The decode stage itself is covered by MultimodalSpec. */
+    * friendly). The decode stage itself is covered by LlmOpsSpec. */
   def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(
@@ -90,13 +274,11 @@ object Multimodal {
         sha2(col("text"), 256).as("sha"))
       .orderBy("doc_id")
 
-  /** Driver-checked decode: the full binary pipeline — documents → media
-    * rows (binary payload + typed metadata) → batched partition-local
-    * decode — with the stub codec's deterministic output twinned in the
-    * oracle (the checksum is the same byte fold as
-    * [[graft.functions.PolyHash]], so DuckDB re-derives width/height/
-    * frames from it). When a real codec replaces the stub this query keeps
-    * exercising the plumbing; only the oracle twin becomes impossible. */
+  /** Driver-checked decode: documents → real container payloads → batched
+    * partition-local decode. The oracle re-derives every output column
+    * arithmetically from the source text (header lengths included), so the
+    * decoder's header parse and content offsets are what is being
+    * hash-checked. */
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF().orderBy("media_id")
 
@@ -105,7 +287,7 @@ object Multimodal {
     * featurization). Pure Catalyst on top of the decode output: an explode
     * of `sequence(0, n_frames-1, k)` — the generate stays map-side, no
     * shuffle until a downstream agg. */
-  def mmFrameSample(spark: SparkSession, dir: String, every: Int = 10): DataFrame =
+  def mmFrameSample(spark: SparkSession, dir: String, every: Int = 2): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF()
       .filter(col("kind") === "video")
       .select(col("media_id"),
@@ -113,11 +295,13 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"))
       .orderBy("media_id", "frame_idx")
 
-  /** Resize planning — fit each decoded asset into a 224×224 box preserving
-    * aspect ratio (the preprocessing step in front of any vision encoder).
-    * Double arithmetic only, so DuckDB reproduces it bit-for-bit. */
+  /** Resize planning — fit each visual asset (image or video frame) into a
+    * 224×224 box preserving aspect ratio (the preprocessing step in front
+    * of any vision encoder). Double arithmetic only, so DuckDB reproduces
+    * it bit-for-bit. Audio has no spatial dims and is excluded. */
   def mmResize(spark: SparkSession, dir: String, box: Int = 224): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF()
+      .filter(col("kind") =!= "audio")
       .select(col("media_id"), col("width"), col("height"),
         least(lit(box.toDouble) / col("width"),
           lit(box.toDouble) / col("height")).as("scale"))
@@ -128,33 +312,56 @@ object Multimodal {
           .cast(LongType).as("out_h"))
       .orderBy("media_id")
 
+  /** The oracle's arithmetic twin of Codec.encode + Codec.decode: dims and
+    * sample counts from the same length/id formulas, container byte counts
+    * from the header layouts (PPM `P6\n{w} {h}\n255\n` = 9 + digits; WAV
+    * canonical header = 44; Y4M header = 33 + digits, frame marker = 6),
+    * checksum = poly-31 fold over the text bytes cycled to the content
+    * size. ASCII corpus (LlmOpsSpec) makes the char fold equal the byte
+    * fold. */
   private val decodeCte: String =
     """m AS (
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS kind,
-               text
+               text, length(text) AS len
         FROM documents),
-      c AS (
-        SELECT media_id, kind,
-               list_reduce(list_concat([0::BIGINT],
-                 list_transform(range(1, length(text) + 1),
-                   i -> ascii(text[i:i]))),
-                 (acc, ch) -> (acc * 31 + ch) % 1000000007) AS checksum
+      d AS (
+        SELECT media_id, kind, text, len,
+               CASE WHEN kind = 'image' THEN (len % 16) + 4
+                    WHEN kind = 'video' THEN (len % 8) + 4
+                    ELSE 0 END AS width,
+               CASE WHEN kind = 'image' THEN (media_id % 12) + 3
+                    WHEN kind = 'video' THEN (media_id % 6) + 3
+                    ELSE 0 END AS height,
+               CASE WHEN kind = 'image' THEN 1
+                    WHEN kind = 'video' THEN (media_id % 8) + 2
+                    ELSE 0 END AS n_frames,
+               CASE WHEN kind = 'audio' THEN 8000 ELSE 0 END AS sample_rate,
+               CASE WHEN kind = 'audio' THEN (len % 500) + 50 ELSE 0 END AS n_samples
         FROM m),
+      s AS (
+        SELECT *, CASE WHEN kind = 'audio' THEN 2 * n_samples
+                       ELSE n_frames * width * height * 3 END AS cs
+        FROM d),
       dims AS (
-        SELECT media_id, kind,
-               (checksum % 640 + 1) AS width,
-               (checksum % 480 + 1) AS height,
-               CASE WHEN kind = 'video' THEN checksum % 120 + 1
-                    ELSE 1 END AS n_frames
-        FROM c)"""
+        SELECT media_id, kind, width, height, n_frames, sample_rate, n_samples,
+               CASE WHEN kind = 'image'
+                      THEN 9 + length(width::VARCHAR) + length(height::VARCHAR) + cs
+                    WHEN kind = 'audio' THEN 44 + cs
+                    ELSE 33 + length(width::VARCHAR) + length(height::VARCHAR)
+                         + n_frames * 6 + cs END AS n_bytes,
+               list_reduce(list_concat([0::BIGINT],
+                 list_transform(range(0, cs),
+                   i -> ascii(text[((i % len) + 1):((i % len) + 1)]))),
+                 (acc, ch) -> (acc * 31 + ch) % 1000000007) AS checksum
+        FROM s)"""
 
   val oracles: Map[String, String] = Map(
     "mm_frame_sample" -> s"""
       WITH $decodeCte
-      SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_idx
+      SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx
       FROM dims WHERE kind = 'video'
       ORDER BY media_id, frame_idx""",
     "mm_resize" -> s"""
@@ -162,37 +369,18 @@ object Multimodal {
       SELECT media_id, width::INT AS width, height::INT AS height,
              greatest(floor(width * least(224.0 / width, 224.0 / height)), 1)::BIGINT AS out_w,
              greatest(floor(height * least(224.0 / width, 224.0 / height)), 1)::BIGINT AS out_h
-      FROM dims ORDER BY media_id""",
+      FROM dims WHERE kind <> 'audio' ORDER BY media_id""",
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 sha256(text) AS sha
          FROM documents ORDER BY doc_id""",
-    // byte fold = ascii-char fold on the ASCII corpus (asserted in
-    // LlmOpsSpec); width/height/frames derive from the checksum exactly as
-    // StubDecoder does
-    "mm_decode" ->
-      """WITH m AS (
-           SELECT doc_id AS media_id,
-                  CASE WHEN doc_id % 3 = 0 THEN 'image'
-                       WHEN doc_id % 3 = 1 THEN 'audio'
-                       ELSE 'video' END AS kind,
-                  text,
-                  octet_length(encode(text))::BIGINT AS n_bytes
-           FROM documents),
-         c AS (
-           SELECT media_id, kind, n_bytes,
-                  list_reduce(list_concat([0::BIGINT],
-                    list_transform(range(1, length(text) + 1),
-                      i -> ascii(text[i:i]))),
-                    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS checksum
-           FROM m)
-         SELECT media_id, kind, n_bytes,
-                (checksum % 640 + 1)::INT AS width,
-                (checksum % 480 + 1)::INT AS height,
-                (CASE WHEN kind = 'video' THEN checksum % 120 + 1
-                      ELSE 1 END)::INT AS n_frames,
-                checksum
-         FROM c ORDER BY media_id""",
+    "mm_decode" -> s"""
+      WITH $decodeCte
+      SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
+             width::INT AS width, height::INT AS height,
+             n_frames::INT AS n_frames, sample_rate::INT AS sample_rate,
+             n_samples::BIGINT AS n_samples, checksum
+      FROM dims ORDER BY media_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -15,11 +15,54 @@ class LlmOpsSpec extends SparkSpec {
     // deterministic: same payload -> same features
     val again = Multimodal.decodeAll(Multimodal.mediaFromDocuments(spark, dir)).collect()
     assert(decoded.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
-    // features derive from payload bytes, dims in range
-    assert(decoded.forall(d => d.width >= 1 && d.width <= 640))
-    assert(decoded.forall(d => d.n_bytes > 0))
-    // video kind gets frames, others exactly 1
-    assert(decoded.filter(_.kind != "video").forall(_.n_frames == 1))
+    assert(decoded.forall(_.n_bytes > 0))
+    // the decoder sniffs the container, never the kind tag: every kind is
+    // recovered from magic bytes and agrees with the id-mod-3 assignment
+    assert(decoded.forall(d => d.kind == ((d.media_id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video" })))
+    // images: parsed PPM header dims within the synthesis ranges, 1 frame
+    val imgs = decoded.filter(_.kind == "image")
+    assert(imgs.nonEmpty && imgs.forall(d =>
+      d.width >= 4 && d.width <= 19 && d.height >= 3 && d.height <= 14 &&
+        d.n_frames == 1 && d.sample_rate == 0 && d.n_samples == 0))
+    // audio: RIFF chunk walk recovers rate and sample count
+    val auds = decoded.filter(_.kind == "audio")
+    assert(auds.nonEmpty && auds.forall(d =>
+      d.sample_rate == 8000 && d.n_samples >= 50 && d.n_samples <= 549 &&
+        d.width == 0 && d.height == 0))
+    // video: frame markers counted, dims from the stream header
+    val vids = decoded.filter(_.kind == "video")
+    assert(vids.nonEmpty && vids.forall(d =>
+      d.n_frames >= 2 && d.n_frames <= 9 && d.width >= 4 && d.width <= 11))
+    // container sizes are exactly header + content (no trailing slack)
+    assert(imgs.forall(d =>
+      d.n_bytes == 9 + d.width.toString.length + d.height.toString.length
+        + 3L * d.width * d.height))
+    assert(auds.forall(d => d.n_bytes == 44 + 2L * d.n_samples))
+    assert(vids.forall(d =>
+      d.n_bytes == 33 + d.width.toString.length + d.height.toString.length
+        + d.n_frames * (6L + 3L * d.width * d.height)))
+  }
+
+  test("multimodal codec: encode/decode round-trips hand-built containers") {
+    import Multimodal.{Codec, MediaRow}
+    // PPM: exact header parse incl. multi-digit dims
+    val px = Array.tabulate[Byte](12 * 5 * 3)(i => (i % 251).toByte)
+    val ppm = Codec.decode(MediaRow(1L, "image", Codec.encodePpm(12, 5, px), "t"))
+    assert(ppm.width == 12 && ppm.height == 5 && ppm.n_frames == 1)
+    // WAV: canonical header, data size recovers the sample count
+    val pcm = Array.tabulate[Byte](2 * 123)(i => (i * 7 % 256).toByte)
+    val wav = Codec.decode(MediaRow(2L, "audio", Codec.encodeWav(44100, pcm), "t"))
+    assert(wav.sample_rate == 44100 && wav.n_samples == 123)
+    // Y4M: frame markers counted, not derived from metadata
+    val frames = Array.tabulate[Byte](3 * 4 * 2 * 3)(i => (i % 17).toByte)
+    val y4m = Codec.decode(MediaRow(3L, "video", Codec.encodeY4m(4, 2, 3, frames), "t"))
+    assert(y4m.width == 4 && y4m.height == 2 && y4m.n_frames == 3)
+    // corrupting the WAV data-chunk length surfaces as a different decode
+    val wavBytes = Codec.encodeWav(8000, pcm)
+    wavBytes(40) = (wavBytes(40) - 2).toByte // shrink data size by 2
+    val short = Codec.decode(MediaRow(4L, "audio", wavBytes, "t"))
+    assert(short.n_samples == 122)
   }
 
   test("dedup methods agree on high-similarity pairs") {
