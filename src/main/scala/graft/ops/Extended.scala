@@ -93,35 +93,42 @@ object Extended {
       .orderBy("a", "b")
   }
 
-  /** Duplicate-cluster resolution — the step a real training-data dedup
-    * pipeline ends with: verified near-dup *pairs* resolved into components
-    * and a canonical keep-list. Connected components by iterative min-label
-    * propagation: label(x) starts as x, each round takes the min label over
-    * the neighborhood, converging in O(component diameter) rounds.
+  /** Connected components over a symmetric (src, dst) edge set by min-label
+    * propagation with pointer doubling: each round a node's label becomes
+    * the min of its own label, its neighbors' labels, and its label's label
+    * (`lab(lab)` — the doubling step that makes convergence O(log diameter)
+    * instead of O(diameter); a 1M-node chain converges in ~20 rounds, not
+    * 1M).
     *
-    * Scale shape: the loop runs over the candidate-pair set only — tiny
-    * relative to the corpus (pairs survive LSH banding + edit-distance
-    * verification) — so each round is a keyed shuffle of the pair set,
-    * never the corpus. The corpus is touched exactly once, by the final
-    * left join that labels every document (singletons keep themselves).
-    * Near-dup components are short chains in practice, so rounds ≈ 2-4;
-    * the 50-round cap guards against a pathological chain. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val verified = dedupVerifyEditdist(spark, dir).select("a", "b")
-    val edges = verified.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(verified.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
+    * Each round's label set is `localCheckpoint`ed: the convergence count
+    * materializes it anyway, and checkpointing truncates lineage, so round
+    * k's plan references round k-1's materialized blocks — never the chain
+    * of every earlier round back to whatever produced the edges. Under
+    * executor memory pressure at 100 TB an evicted block recomputes one
+    * round, not the whole upstream pipeline. On a multi-executor cluster,
+    * swap `localCheckpoint` for `checkpoint()` on reliable storage —
+    * localCheckpoint blocks die with their executor.
+    *
+    * Throws when labels are still changing after `maxRounds` rounds —
+    * silently mis-clustered components are worse than a loud failure. With
+    * doubling, the default 50 rounds covers diameters around 2^49. */
+  def clusterLabels(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).persist()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(prop, col("id") === col("src"), "left")
+      val hop = labels.select(col("id").as("hid"), col("lab").as("hlab"))
+      val next = labels
+        .join(prop, col("id") === col("src"), "left")
+        .join(hop, col("lab") === col("hid"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist()
+          least(col("lab"),
+            coalesce(col("nlab"), col("lab")),
+            coalesce(col("hlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
       changed = next.withColumnRenamed("lab", "nl")
         .join(labels.withColumnRenamed("lab", "ol"), "id")
         .filter(col("nl") < col("ol")).count()
@@ -129,6 +136,29 @@ object Extended {
       labels = next
       rounds += 1
     }
+    require(changed == 0,
+      s"clusterLabels: min-label propagation still changing after $maxRounds " +
+        "rounds - labels would be wrong, refusing to return them")
+    labels
+  }
+
+  /** Duplicate-cluster resolution — the step a real training-data dedup
+    * pipeline ends with: verified near-dup *pairs* resolved into components
+    * and a canonical keep-list.
+    *
+    * Scale shape: the label loop runs over the candidate-pair set only —
+    * tiny relative to the corpus (pairs survive LSH banding + edit-distance
+    * verification) — so each round is a keyed shuffle of the pair set,
+    * never the corpus. The LSH+verify chain is materialized exactly once
+    * (the edge `localCheckpoint` below); the corpus is touched exactly
+    * once, by the final left join that labels every document (singletons
+    * keep themselves). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val verified = dedupVerifyEditdist(spark, dir).select("a", "b")
+    val edges = verified.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(verified.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val labels = clusterLabels(edges)
     val docs = table(spark, dir, "documents").select(col("doc_id"))
     docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),

@@ -126,6 +126,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterLabels: pointer doubling converges in O(log diameter) rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 128-node path graph has diameter 127: linear propagation would need
+    // ~127 rounds; doubling must land it well inside 15
+    val n = 128L
+    val fwd = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Extended.clusterLabels(edges, maxRounds = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
+    // refusing to return half-propagated labels: 1 round cannot finish the
+    // chain, and the loop must throw rather than exit silently
+    intercept[IllegalArgumentException] {
+      Extended.clusterLabels(edges, maxRounds = 1)
+    }
+  }
+
+  test("dedup_clusters: label lineage is truncated from the LSH+verify chain") {
+    // the final plan must touch parquet exactly once (the documents labeling
+    // join); the label side must be materialized blocks (localCheckpoint),
+    // not a lazy plan chaining through every propagation round back to the
+    // minhash/levenshtein pipeline
+    val plan = Extended.dedupClusters(spark, dir).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllMatchIn(plan).size == 1, s"expected 1 scan:\n$plan")
+    assert(!plan.toLowerCase.contains("levenshtein"), "verify stage leaked into the label plan")
+    assert(plan.contains("Scan ExistingRDD"), "labels are not checkpoint-backed")
+  }
+
   test("approx_distinct stays in its exact regime (no HLL register collisions)") {
     // agg_approx_distinct's oracle is an EXACT count(DISTINCT): valid only
     // while every per-group cardinality is small enough that HLL++ linear
