@@ -23,6 +23,22 @@ object Fixtures {
     """{"e":"forceOrder","E":17100""",
   )
 
+  /** Aster `!forceOrder@arr` frames — Binance-shaped by contract (liq-stream
+    * `aster_adapter.py:36-57` documents the identical event shape), so the
+    * fixtures mirror the Binance edge cases over Aster-listed symbols. */
+  val aster: Seq[String] = Seq(
+    // single event: SELL→long, ap over p, l over z/q, E over o.T
+    """{"e":"forceOrder","E":1720000000000,"o":{"s":"ASTERUSDT","S":"SELL","o":"LIMIT","f":"IOC","q":"250","p":"1.91","ap":"1.9050","X":"FILLED","l":"250","z":"250","T":1720000000111}}""",
+    // array payload: BUY→short; second event missing ap → p, missing l → z
+    """[{"e":"forceOrder","E":1720000001000,"o":{"s":"BNBUSDT","S":"BUY","q":"3.2","p":"580.10","ap":"580.55","l":"3.2","z":"3.2","T":1720000001001}},{"e":"forceOrder","E":1720000002000,"o":{"s":"SUIUSDT","S":"SELL","q":"40","p":"0.985","z":"38","T":1720000002002}}]""",
+    // missing E → o.T fallback; zero price → notional null
+    """{"e":"forceOrder","o":{"s":"PEPEUSDT","S":"BUY","q":"9000000","p":"0","l":"9000000","T":1720000003003}}""",
+    // event without o → dropped (aster_adapter.py:59-61)
+    """{"e":"forceOrder","E":1720000004000}""",
+    // malformed JSON → dropped (dead-letter tolerance)
+    """{"e":"forceOrder","E":17200""",
+  )
+
   val bybit: Seq[String] = Seq(
     // new allLiquidation schema: Sell→long
     """{"topic":"allLiquidation.ROSEUSDT","ts":1739502302930,"data":[{"T":1739502302929,"s":"ROSEUSDT","S":"Sell","v":"20000","p":"0.04499"},{"T":1739502302931,"s":"ROSEUSDT","S":"Buy","v":"500","p":"0.04501"}]}""",

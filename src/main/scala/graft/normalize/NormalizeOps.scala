@@ -26,6 +26,9 @@ object NormalizeOps {
   def normalizeBinance(spark: SparkSession, dir: String): DataFrame =
     out(Normalizers.binance(fixtureDf(spark, Fixtures.binance), "usdt", lit(0L)))
 
+  def normalizeAster(spark: SparkSession, dir: String): DataFrame =
+    out(Normalizers.aster(fixtureDf(spark, Fixtures.aster), "usdt", lit(0L)))
+
   def normalizeBybit(spark: SparkSession, dir: String): DataFrame =
     out(Normalizers.bybit(fixtureDf(spark, Fixtures.bybit), "linear", lit(0L)))
 
@@ -42,7 +45,7 @@ object NormalizeOps {
   def normalizeUnion(spark: SparkSession, dir: String): DataFrame =
     Normalizers.unionAll(Seq(
         Normalizers.binance(fixtureDf(spark, Fixtures.binance), "usdt", lit(0L)),
-        Normalizers.aster(fixtureDf(spark, Fixtures.binance), "usdt", lit(0L)),
+        Normalizers.aster(fixtureDf(spark, Fixtures.aster), "usdt", lit(0L)),
         Normalizers.bybit(fixtureDf(spark, Fixtures.bybit), "linear", lit(0L)),
         Normalizers.okx(fixtureDf(spark, Fixtures.okx), "usdt", lit(0L)),
         Normalizers.hyperliquid(fixtureDf(spark, Fixtures.hyperliquid), ingestMs = lit(0L))))
@@ -56,8 +59,9 @@ object NormalizeOps {
 
   // ── DuckDB oracles ───────────────────────────────────────────────────────
 
-  private def binanceSelect(exchange: String): String = s"""
-    WITH raw0(raw) AS (VALUES ${Fixtures.sqlValues(Fixtures.binance)}),
+  private def binanceSelect(exchange: String,
+      fixtures: Seq[String] = Fixtures.binance): String = s"""
+    WITH raw0(raw) AS (VALUES ${Fixtures.sqlValues(fixtures)}),
     valid AS (SELECT raw FROM raw0 WHERE json_valid(raw)),
     arr AS (SELECT CASE WHEN substr(ltrim(raw),1,1)='[' THEN raw
                         ELSE '['||raw||']' END AS a FROM valid),
@@ -194,13 +198,14 @@ object NormalizeOps {
 
   val oracles: Map[String, String] = Map(
     "normalize_binance" -> ordered(binanceSelect("binance")),
+    "normalize_aster" -> ordered(binanceSelect("aster", Fixtures.aster)),
     "normalize_bybit" -> ordered(bybitSelect),
     "normalize_okx" -> ordered(okxSelect),
     "normalize_hyperliquid" -> ordered(hyperliquidSelect),
     "normalize_union" -> s"""
       SELECT exchange, market, count(*) AS cnt,
              CAST(SUM(CAST(notional AS DECIMAL(18,2))) AS DOUBLE) AS sum_notional
-      FROM ((${binanceSelect("binance")}) UNION ALL (${binanceSelect("aster")})
+      FROM ((${binanceSelect("binance")}) UNION ALL (${binanceSelect("aster", Fixtures.aster)})
             UNION ALL ($bybitSelect) UNION ALL ($okxSelect)
             UNION ALL ($hyperliquidSelect))
       GROUP BY exchange, market ORDER BY exchange, market""",
@@ -208,6 +213,7 @@ object NormalizeOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "normalize_binance" -> normalizeBinance _,
+    "normalize_aster" -> normalizeAster _,
     "normalize_bybit" -> normalizeBybit _,
     "normalize_okx" -> normalizeOkx _,
     "normalize_hyperliquid" -> normalizeHyperliquid _,
