@@ -26,12 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     docstring fixtures or captured traffic), consumed through monotonic
   *     per-frame offsets. New frames appended to the file are picked up on
   *     the next trigger, so a live capture process can feed a running query.
+  *     A per-file [[FrameIndex]] maps frame index → byte offset: the driver
+  *     scans only appended bytes per trigger (O(appended), not O(file)) and
+  *     readers seek straight to their slice instead of rescanning from
+  *     line 0.
   *   - **ping/pong** — dropped inside the source, exactly where the
-  *     reference handles them (`okx_adapter.py:119-124` string "ping" and
-  *     JSON `{"event":"pong"}`; `bybit_adapter.py:84-90` `{"op":"ping"}`
-  *     heartbeat): control frames advance the offset but emit no rows.
+  *     reference handles them (`okx_adapter.py:119-124` whole-string "ping"
+  *     and parsed `event == "pong"`): a frame is control only when the whole
+  *     trimmed frame is ping/pong or a parsed JSON object's top-level
+  *     `op`/`event` field equals ping/pong — a subscribe ack mentioning a
+  *     topic literally named "ping" is data. Control frames advance the
+  *     offset but emit no rows.
   *   - **reconnect ≈ task retry** — the partition reader is a pure function
-  *     of its `[start, end)` offset slice, so a failed read (the analog of a
+  *     of its `[start, end)` slice, so a failed read (the analog of a
   *     dropped connection) is simply re-executed by Spark's task retry; the
   *     checkpointed offset log gives restart-without-replay across query
   *     restarts, which is *stronger* than the reference's reconnect (the
@@ -40,13 +47,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Offsets are frame indexes; admission control paces `framesPerBatch`
   * frames per micro-batch (the analog of the reference's batched flush —
-  * `writer_pg.py:187-215` flushes on size∨time). Usage:
+  * `writer_pg.py:187-215` flushes on size∨time), and each batch splits into
+  * `framesPerPartition`-sized input partitions so wide batches scan in
+  * parallel. Usage:
   *
   * {{{
   * spark.readStream
   *   .format("graft.sources.WsReplayProvider")
   *   .option("path", framesFile)
   *   .option("framesPerBatch", 100)
+  *   .option("framesPerPartition", 25)
   *   .load()                       // schema: frame_id LONG, raw STRING
   * }}}
   */
@@ -58,35 +68,112 @@ class WsReplayProvider extends TableProvider {
     new WsReplayTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** Byte-offset side index of a line-framed capture file: `starts(i)` is the
+  * first byte of frame i. `refresh()` scans only `[scanned, len)` for
+  * newlines, so a steady trigger loop over a growing capture costs
+  * O(appended bytes) per trigger instead of O(file) — the previous
+  * implementation re-counted every line each trigger, O(n²) over a long
+  * replay. A trailing unterminated line counts as a frame (a capture
+  * process writes the newline last; if it appends mid-line between
+  * triggers the continuation bytes extend that frame, never create a new
+  * one).
+  *
+  * Memory: 8 bytes per frame on the driver (an Int-indexed in-memory
+  * array); a multi-billion-frame production capture would page the index
+  * to disk — offsets and frame ids stay Long end to end so only this
+  * array, not the protocol, bounds capture size.
+  */
+final class FrameIndex(path: String) {
+  private val starts = new scala.collection.mutable.ArrayBuffer[Long]()
+  private var scanned = 0L      // bytes consumed by the scanner so far
+  private var lineOpen = false  // byte at `scanned` continues an indexed line
+  private var scannedTotal = 0L // lifetime bytes scanned (spec: no re-reads)
+
+  /** Index any appended bytes; returns the frame count. O(appended). */
+  def refresh(): Long = synchronized {
+    val len = new java.io.File(path).length()
+    if (len > scanned) {
+      val in = new java.io.FileInputStream(path)
+      try {
+        val ch = in.getChannel
+        ch.position(scanned)
+        val buf = java.nio.ByteBuffer.allocate(1 << 16)
+        var pos = scanned
+        var n = ch.read(buf)
+        while (n > 0 && pos < len) {
+          buf.flip()
+          while (buf.hasRemaining && pos < len) {
+            val b = buf.get()
+            if (!lineOpen) { starts += pos; lineOpen = true }
+            if (b == '\n') lineOpen = false
+            pos += 1
+          }
+          buf.clear()
+          n = if (pos < len) ch.read(buf) else 0
+        }
+        scannedTotal += pos - scanned
+        scanned = pos
+      } finally in.close()
+    }
+    starts.size.toLong
+  }
+
+  def frames: Long = synchronized(starts.size.toLong)
+
+  /** Start byte of frame i; the scanned end for i == frames (so a frame
+    * range `[s, e)` spans bytes `[byteOf(s), byteOf(e))`). */
+  def byteOf(i: Long): Long = synchronized {
+    if (i >= starts.size) scanned else starts(i.toInt)
+  }
+
+  /** Lifetime bytes scanned — equals the file length when no byte was ever
+    * read twice (asserted in WsReplaySpec). */
+  def bytesScanned: Long = synchronized(scannedTotal)
+}
+
 object WsReplay {
   val schema: StructType = StructType(Seq(
     StructField("frame_id", LongType, nullable = false),
     StructField("raw", StringType, nullable = true)))
 
-  /** App-layer control frame? String "ping"/"pong" (OKX,
-    * `okx_adapter.py:119-121`) or a JSON heartbeat `{"op":"ping"|"pong"}` /
-    * `{"event":"ping"|"pong"}` (Bybit `bybit_adapter.py:84-90`, OKX JSON
-    * pong `okx_adapter.py:122-124`). */
+  /** One index per capture path, shared across stream instances on the
+    * driver (a restarted query re-scans once, then stays incremental). */
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, FrameIndex]()
+  def indexFor(path: String): FrameIndex =
+    indexes.computeIfAbsent(path, p => new FrameIndex(p))
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  /** App-layer control frame, matched against the exact shapes the reference
+    * handles: the whole trimmed frame is "ping"/"pong" (OKX,
+    * `okx_adapter.py:119-121`), or the frame parses as a JSON object whose
+    * top-level `op` or `event` field equals ping/pong (Bybit heartbeat,
+    * OKX JSON pong `okx_adapter.py:122-124`). Substring heuristics are
+    * explicitly NOT used — a subscribe ack whose args mention a topic
+    * literally named "ping" is a data frame. The JSON parse only runs on
+    * frames that pass a cheap `"op"`/`"event"` substring prescreen, so the
+    * hot data path never pays it. */
   def isControlFrame(line: String): Boolean = {
-    val t = line.trim.toLowerCase
-    t == "ping" || t == "pong" ||
-      ((t.contains("\"op\"") || t.contains("\"event\"")) &&
-        (t.contains("\"ping\"") || t.contains("\"pong\"")) && t.length < 120)
+    val t = line.trim
+    if (t.equalsIgnoreCase("ping") || t.equalsIgnoreCase("pong")) true
+    else if (t.startsWith("{") &&
+        (t.contains("\"op\"") || t.contains("\"event\""))) {
+      try {
+        val node = mapper.readTree(t)
+        Seq("op", "event").exists { k =>
+          val v = node.get(k)
+          v != null && v.isTextual && {
+            val s = v.asText().toLowerCase
+            s == "ping" || s == "pong"
+          }
+        }
+      } catch { case _: Exception => false }
+    } else false
   }
 
-  /** Frame count = line count; read lazily so only the driver pays it once
-    * per trigger (fixture-scale files; a production capture would keep a
-    * side index). Long arithmetic throughout — offsets must survive
-    * multi-billion-frame captures. */
-  def countFrames(path: String): Long = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try {
-      var n = 0L
-      val it = src.getLines()
-      while (it.hasNext) { it.next(); n += 1 }
-      n
-    } finally src.close()
-  }
+  /** Frame count via the side index — O(appended) after the first call. */
+  def countFrames(path: String): Long = indexFor(path).refresh()
 }
 
 class WsReplayTable(options: CaseInsensitiveStringMap)
@@ -94,6 +181,7 @@ class WsReplayTable(options: CaseInsensitiveStringMap)
   private val path = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("ws-replay source requires option 'path'"))
   private val framesPerBatch = options.getInt("framesPerBatch", 1000)
+  private val framesPerPartition = options.getInt("framesPerPartition", 1000)
 
   override def name(): String = s"ws-replay($path)"
   override def schema(): StructType = WsReplay.schema
@@ -105,7 +193,7 @@ class WsReplayTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WsReplay.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new WsReplayMicroBatchStream(path, framesPerBatch)
+          new WsReplayMicroBatchStream(path, framesPerBatch, framesPerPartition)
       }
     }
 }
@@ -116,8 +204,11 @@ case class WsOffset(frame: Long) extends Offset {
   override def json: String = frame.toString
 }
 
-class WsReplayMicroBatchStream(path: String, framesPerBatch: Int)
+class WsReplayMicroBatchStream(path: String, framesPerBatch: Int,
+    framesPerPartition: Int = 1000)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val index = WsReplay.indexFor(path)
 
   override def initialOffset(): Offset = WsOffset(0L)
 
@@ -126,12 +217,11 @@ class WsReplayMicroBatchStream(path: String, framesPerBatch: Int)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(framesPerBatch)
 
   /** Admission-controlled pacing: at most `framesPerBatch` new frames per
-    * micro-batch (Trigger.Once's ReadAllAvailable takes everything),
-    * re-counting the file each trigger so appended frames flow into later
-    * batches. */
+    * micro-batch (Trigger.Once's ReadAllAvailable takes everything). The
+    * index refresh scans only bytes appended since the last trigger. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[WsOffset].frame
-    val total = WsReplay.countFrames(path)
+    val total = index.refresh()
     val cap = limit match {
       case rows: ReadMaxRows => from + rows.maxRows()
       case _: ReadAllAvailable => total
@@ -140,17 +230,31 @@ class WsReplayMicroBatchStream(path: String, framesPerBatch: Int)
     WsOffset(math.max(from, math.min(cap, total)))
   }
 
-  override def reportLatestOffset(): Offset = WsOffset(WsReplay.countFrames(path))
+  override def reportLatestOffset(): Offset = WsOffset(index.refresh())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
+  /** Range-split partitions: the batch's frame slice divides into
+    * `framesPerPartition`-sized ranges, each carrying its byte extent from
+    * the index, so wide batches (Trigger.Once over a long capture) scan in
+    * parallel and every reader seeks instead of rescanning from line 0. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WsOffset].frame
     val e = end.asInstanceOf[WsOffset].frame
     if (e <= s) Array.empty
-    else Array(WsReplayPartition(path, s, e))
+    else {
+      index.refresh() // restart case: a fresh index scans the file once here
+      val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      var f = s
+      while (f < e) {
+        val g = math.min(f + framesPerPartition, e)
+        parts += WsReplayPartition(path, f, g, index.byteOf(f), index.byteOf(g))
+        f = g
+      }
+      parts.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -160,39 +264,64 @@ class WsReplayMicroBatchStream(path: String, framesPerBatch: Int)
   override def stop(): Unit = ()
 }
 
-case class WsReplayPartition(path: String, start: Long, end: Long)
-    extends InputPartition
+case class WsReplayPartition(path: String, start: Long, end: Long,
+    startByte: Long, endByte: Long) extends InputPartition
 
 class WsReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WsReplayPartition]
-    new WsReplayReader(p.path, p.start, p.end)
+    new WsReplayReader(p.path, p.start, p.end, p.startByte, p.endByte)
   }
 }
 
 /** Deterministic replay of the frame slice `[start, end)` — idempotent under
-  * task retry (the reconnect analog). Control frames consume an offset but
-  * emit no row. */
-class WsReplayReader(path: String, start: Long, end: Long)
+  * task retry (the reconnect analog). The reader seeks to its byte extent
+  * and reads only `[startByte, endByte)`; it never touches bytes outside
+  * its slice. Control frames consume an offset but emit no row. Long frame
+  * indexes end to end — offsets must survive multi-billion-frame captures. */
+class WsReplayReader(path: String, start: Long, end: Long,
+    startByte: Long, endByte: Long)
     extends PartitionReader[InternalRow] {
-  private val src = scala.io.Source.fromFile(path, "UTF-8")
-  // Long frame indexes end to end: zipWithIndex/slice are Int-bounded and
-  // would truncate past 2^31 frames
-  private val lines = src.getLines()
-    .scanLeft((null: String, -1L)) { case ((_, i), line) => (line, i + 1) }
-    .drop(1)
-    .dropWhile(_._2 < start)
-    .takeWhile(_._2 < end)
-    .filterNot { case (line, _) => WsReplay.isControlFrame(line) }
+
+  /** InputStream view of the byte slice — readLine() cannot run past the
+    * partition boundary (frame `end`'s bytes belong to the next reader). */
+  private final class SliceStream(in: java.io.InputStream, private var remaining: Long)
+      extends java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (remaining <= 0) -1
+      else {
+        val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+        if (n > 0) remaining -= n
+        n
+      }
+    override def close(): Unit = in.close()
+  }
+
+  private val fin = new java.io.FileInputStream(path)
+  fin.getChannel.position(startByte)
+  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+    new SliceStream(fin, endByte - startByte), java.nio.charset.StandardCharsets.UTF_8))
+
+  private var idx = start
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (lines.hasNext) {
-      val (line, idx) = lines.next()
-      current = InternalRow(idx, UTF8String.fromString(line))
-      true
-    } else false
+  override def next(): Boolean = {
+    while (idx < end) {
+      val line = reader.readLine()
+      if (line == null) return false // capture truncated under our feet
+      val i = idx
+      idx += 1
+      if (!WsReplay.isControlFrame(line)) {
+        current = InternalRow(i, UTF8String.fromString(line))
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = reader.close()
 }

@@ -26,8 +26,61 @@ class WsReplaySpec extends SparkSpec {
     assert(WsReplay.isControlFrame(" pong \n"))
     assert(WsReplay.isControlFrame("""{"op":"ping"}"""))         // bybit heartbeat
     assert(WsReplay.isControlFrame("""{"event":"pong"}"""))      // okx json pong
+    assert(WsReplay.isControlFrame("""{"op":"pong","success":true,"ret_msg":"pong"}"""))
     assert(!WsReplay.isControlFrame(frame("BTCUSDT", 1L)))       // data frame
     assert(!WsReplay.isControlFrame("""{"op":"subscribe","args":["ping-topic"]}"""))
+    // exact shapes only: a subscribe ack with a topic literally named
+    // "ping", or ping/pong below the top level, is DATA, not a heartbeat
+    assert(!WsReplay.isControlFrame("""{"op":"subscribe","args":["ping"]}"""))
+    assert(!WsReplay.isControlFrame("""{"data":{"event":"ping"}}"""))
+    assert(!WsReplay.isControlFrame("""{"event":"subscribe","arg":{"channel":"ping"}}"""))
+    assert(!WsReplay.isControlFrame("""not json with "op" and "ping" words"""))
+  }
+
+  test("frame index: appended bytes are scanned once, old bytes never re-read") {
+    import java.nio.file.StandardOpenOption.APPEND
+    val file = s"${tmp("ws_idx")}/frames.jsonl"
+    val first = (1 to 4).map(i => frame(s"IDX${i}USDT", i.toLong)).mkString("\n")
+    Files.write(Paths.get(file), first.getBytes)
+    val fi = new graft.sources.FrameIndex(file)
+    assert(fi.refresh() == 4)
+    val len1 = Paths.get(file).toFile.length
+    assert(fi.bytesScanned == len1, "first refresh scans the whole file once")
+    assert(fi.refresh() == 4 && fi.bytesScanned == len1, "idle refresh reads nothing")
+    assert(fi.byteOf(0) == 0 && fi.byteOf(4) == len1)
+    val more = "\n" + (5 to 7).map(i => frame(s"IDX${i}USDT", i.toLong)).mkString("\n")
+    Files.write(Paths.get(file), more.getBytes, APPEND)
+    val len2 = Paths.get(file).toFile.length
+    assert(fi.refresh() == 7)
+    assert(fi.bytesScanned == len2,
+      s"append must cost only the appended bytes: scanned ${fi.bytesScanned}, file $len2")
+  }
+
+  test("a batch splits into seekable range partitions covering the slice exactly") {
+    import graft.sources.{WsOffset, WsReplayMicroBatchStream, WsReplayPartition, WsReplayReaderFactory}
+    val file = s"${tmp("ws_parts")}/frames.jsonl"
+    val lines = (1 to 10).map(i => frame(f"PRT$i%02dUSDT", i.toLong))
+    Files.write(Paths.get(file), lines.mkString("\n").getBytes)
+    val stream = new WsReplayMicroBatchStream(file, 100, framesPerPartition = 3)
+    val parts = stream.planInputPartitions(WsOffset(0L), WsOffset(10L))
+      .map(_.asInstanceOf[WsReplayPartition])
+    assert(parts.map(p => p.end - p.start).toSeq == Seq(3L, 3L, 3L, 1L))
+    assert(parts.head.startByte == 0L)
+    assert(parts.last.endByte == Paths.get(file).toFile.length)
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.endByte == b.startByte, "byte extents must tile the slice")
+    }
+    // each reader yields exactly its slice, ids contiguous across readers
+    val factory = new WsReplayReaderFactory
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      while (r.next()) out += ((r.get().getLong(0), r.get().getUTF8String(1).toString))
+      r.close()
+      out
+    }
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    assert(rows.map(_._2).toSeq == lines)
   }
 
   test("ws-replay: paced batches, ping/pong dropped, exactly-once across restart") {
@@ -46,6 +99,7 @@ class WsReplaySpec extends SparkSpec {
         .format("graft.sources.WsReplayProvider")
         .option("path", framesFile)
         .option("framesPerBatch", 2)
+        .option("framesPerPartition", 1) // exercise multi-partition batches
         .load()
       Normalizers.binance(raw.select(col("raw")), "usdt")
         .writeStream
