@@ -46,8 +46,12 @@ object Curation {
       .select("doc_id", "n_tokens")
     val exactKeep = DedupOps.dedupExact(spark, dir)
       .select(col("keep_doc_id").as("doc_id"))
+    // materialize the cluster keep-list (doc_ids only) before the semi-joins:
+    // the LSH+verify+label pipeline behind it runs exactly once, and the main
+    // query plans a broadcast semi-join against a checkpointed list instead
+    // of re-planning the dedup subtree inline
     val clusterKeep = Extended.dedupClusters(spark, dir)
-      .filter(col("keep")).select("doc_id")
+      .filter(col("keep")).select("doc_id").localCheckpoint()
     table(spark, dir, "documents")
       .select("doc_id", "lang")
       .join(quality, "doc_id")

@@ -72,9 +72,9 @@ object VectorOps {
   private def weight(i: Int, j: Int): Long =
     ((1103515245L * (i * 8 + j) + 12345L) % 2001L) - 1000L
 
-  /** 8-bit random-hyperplane signature of the embedding column. */
-  private def bucketCol: Column =
-    (0 until 8).map { j =>
+  /** nBits-wide random-hyperplane signature of the embedding column. */
+  private def bucketCol(nBits: Int = 8): Column =
+    (0 until nBits).map { j =>
       val w = array((0 until 64).map(i => lit(weight(i, j).toDouble)): _*)
       when(dot(col("embedding"), w) > 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
@@ -84,29 +84,40 @@ object VectorOps {
     * an 8-bit key — the shuffle is on bucket ids, never vectors×vectors. */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
-      .select(bucketCol.as("bucket"))
+      .select(bucketCol().as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
   /** End-to-end ANN retrieval: hyperplane-LSH candidate generation →
-    * within-candidate cosine verify → top-10 per query. The 8 sign bits are
-    * banded 4×2 (minhash-style): a corpus vector is a candidate when ANY
-    * band of its signature matches the query's — each band is an equality
-    * join key, so candidate generation is a keyed join against the
-    * broadcast query side, never all-pairs. Multi-band hits are deduped
-    * AFTER scoring with a (query, vec) max-aggregate: re-computing a ≤4×
-    * redundant dot is cheaper at scale than shuffling embeddings through a
-    * distinct. Recall vs the exact `sim_topk` is asserted ≥ 0.9 in
-    * LlmOpsSpec — the planted near-neighbors agree on most sign bits, so
-    * they practically always share a band. */
-  def simAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    * within-candidate cosine verify → top-10 per query. The sign bits are
+    * banded `bands`×`bitsPerBand` (minhash-style): a corpus vector is a
+    * candidate when ANY band of its signature matches the query's — each
+    * band is an equality join key, so candidate generation is a keyed join
+    * against the broadcast query side, never all-pairs. Multi-band hits are
+    * deduped AFTER scoring with a (query, vec) max-aggregate: re-computing
+    * a ≤bands× redundant dot is cheaper at scale than shuffling embeddings
+    * through a distinct.
+    *
+    * `(bands, bitsPerBand)` is the probe-depth knob a 100 TB deployment
+    * tunes: more/narrower bands → a candidate needs to agree on fewer bits
+    * to be probed (higher recall, more candidates verified); fewer/wider
+    * bands → tighter buckets (cheaper, lower recall). Probe probability for
+    * a pair agreeing on each bit w.p. p is 1-(1-p^bitsPerBand)^bands. The
+    * default 4×2 holds recall ≥ 0.9 vs the exact `sim_topk` at both
+    * sf0.001 and sf0.1 (asserted in LlmOpsSpec, with the monotone
+    * recall-vs-depth ordering). */
+  def simAnnTopk(spark: SparkSession, dir: String,
+      bands: Int = 4, bitsPerBand: Int = 2): DataFrame = {
+    val nBits = bands * bitsPerBand
+    require(nBits > 0 && nBits < 63, s"need 0 < bands*bitsPerBand < 63, got $nBits")
+    val mask = (1L << bitsPerBand) - 1L
     val sig = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), pinned(bucketCol).as("bucket"))
+      .select(col("vec_id"), col("embedding"), pinned(bucketCol(nBits)).as("bucket"))
     def banded(df: DataFrame, b: String, s: String): DataFrame =
-      df.select(col("*"), explode(array((0 until 4).map(bi =>
+      df.select(col("*"), explode(array((0 until bands).map(bi =>
         struct(lit(bi).as(b),
-          shiftright(col("bucket"), bi * 2).bitwiseAND(3).as(s))): _*)).as("bnd"))
+          shiftright(col("bucket"), bi * bitsPerBand).bitwiseAND(mask).as(s))): _*)).as("bnd"))
         .select(df.columns.map(col) :+ col(s"bnd.$b").as(b) :+ col(s"bnd.$s").as(s): _*)
     val corpus = banded(sig, "band", "sig")
     val queries = banded(
@@ -180,6 +191,6 @@ object VectorOps {
     "sim_topk" -> simTopk _,
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
-    "sim_ann_topk" -> simAnnTopk _,
+    "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
   )
 }

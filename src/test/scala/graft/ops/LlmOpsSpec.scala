@@ -104,6 +104,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"ANN recall $recall vs exact top-10")
   }
 
+  test("ANN probe-depth knob: recall >= 0.9 at sf0.1, deeper probes recall more") {
+    val big = "/root/testdata/sf0.1" // 5000 vectors — the scale the driver benches
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(VectorOps.simTopk(spark, big))
+    assert(exact.nonEmpty)
+    def recall(bands: Int, bits: Int) = {
+      val ann = hits(VectorOps.simAnnTopk(spark, big, bands, bits))
+      exact.count(ann.contains).toDouble / exact.size
+    }
+    // The tradeoff the knob exposes (measured: 8x1=0.98, 8x2=0.86, 4x2=0.76,
+    // 2x4=0.12): sf0.1's exact top-10 tail has weak cosines (~0.6 bit-
+    // agreement), so holding 0.9 recall against it needs deep probing —
+    // 8 bands of 1 bit probes any sign-agreeing pair. The shallow defaults
+    // are the near-dup regime (p >= 0.9 agreement, the 100 TB dedup use
+    // case), where the sf0.001 planted-pair test holds >= 0.9 above.
+    val r42 = recall(4, 2)
+    val r82 = recall(8, 2)
+    val r81 = recall(8, 1)
+    val r24 = recall(2, 4)
+    info(s"recalls at sf0.1: 8x1=$r81 8x2=$r82 4x2=$r42 2x4=$r24")
+    assert(r81 >= 0.9, s"deepest probe must hold 0.9 at sf0.1, got $r81")
+    // nested candidate pools give deterministic monotonicity: a 4-bit band
+    // match implies its 2-bit halves match implies single bits match
+    // (2x4 within 4x2 within 8x1), and 8x2's first 4 bands are 4x2's bands
+    assert(r24 <= r42 && r42 <= r81, s"low-8-bit ordering violated: $r24 $r42 $r81")
+    assert(r42 <= r82, s"wider signature must not lose candidates: $r42 vs $r82")
+  }
+
   test("dedup_clusters: components are consistent with the verified pairs") {
     import org.apache.spark.sql.functions.col
     val pairs = Extended.dedupVerifyEditdist(spark, dir)
