@@ -17,8 +17,8 @@ import graft.streaming.StreamAssembly
   * custom MicroBatchStream source ([[graft.sources.WsReplayProvider]],
   * `<framesRoot>/<exchange>.jsonl`); Hyperliquid tails its hour-file
   * directory (`<framesRoot>/hyperliquid/`) exactly like the reference's
-  * file adapter. The reference's 9 asyncio tasks sharing one PG writer
-  * become one streaming query over a 9-way union — one checkpoint, one
+  * file adapter. The reference's 8 asyncio tasks sharing one PG writer
+  * become one streaming query over an 8-way union — one checkpoint, one
   * sink transaction per micro-batch.
   */
 object StreamCli {
@@ -73,16 +73,23 @@ object StreamCli {
 
   /** `_resolve_streams` (`stream.py:90-122`): --all roster, or the
     * comma-separated `ex:mk` list, or the single --exchange/--market pair —
-    * each path applying the market rewrites. */
+    * each path applying the market rewrites. Malformed `--streams` items and
+    * a missing mode fail here with a usable message instead of a MatchError
+    * / a late "unknown exchange: ''" deep in stream construction. */
   def resolveStreams(args: CliArgs): Seq[(String, String)] =
     if (args.all) allPairs
     else if (args.streams.nonEmpty)
       args.streams.split(",").toSeq.map { item =>
-        val Array(ex, mk) = item.trim.split(":")
-        rewrite(ex.toLowerCase, mk.toLowerCase)
+        item.trim.split(":") match {
+          case Array(ex, mk) if ex.nonEmpty && mk.nonEmpty =>
+            rewrite(ex.toLowerCase, mk.toLowerCase)
+          case _ => throw new IllegalArgumentException(
+            s"bad --streams item '${item.trim}': expected exchange:market")
+        }
       }
     else {
-      val ex = args.exchange.getOrElse("").toLowerCase
+      val ex = args.exchange.getOrElse(throw new IllegalArgumentException(
+        "one of --all, --streams, or --exchange is required")).toLowerCase
       val mk = args.market.getOrElse("").toLowerCase
       Seq(rewrite(ex, mk))
     }

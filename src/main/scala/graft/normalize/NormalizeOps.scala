@@ -40,7 +40,7 @@ object NormalizeOps {
       ingestMs = lit(0L)))
 
   /** All five normalized fixture streams unioned into one frame — the
-    * reference's fan-in of 9 concurrent streams to a shared sink
+    * reference's fan-in of 8 concurrent streams to a shared sink
     * (liq-stream `stream.py:169-188`), counted per exchange. */
   def normalizeUnion(spark: SparkSession, dir: String): DataFrame =
     Normalizers.unionAll(Seq(

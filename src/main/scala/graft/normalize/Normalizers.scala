@@ -268,7 +268,7 @@ object Normalizers {
   }
 
   /** Union of heterogeneous normalized streams into one — the reference fans
-    * 9 streams into one shared sink (liq-stream `stream.py:169-188`). */
+    * 8 streams into one shared sink (liq-stream `stream.py:169-188`). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 

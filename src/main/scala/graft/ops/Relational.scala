@@ -379,7 +379,7 @@ object Relational {
       .orderBy("tag", "nationkey")
   }
 
-  /** Multi-stream union into one sink — the reference fans 9 concurrent
+  /** Multi-stream union into one sink — the reference fans 8 concurrent
     * streams into one shared writer (liq-stream `stream.py:169-188`).
     *
     * In the reference each stream is a *distinct source* (one per exchange),

@@ -26,8 +26,12 @@ object JdbcSink {
 
   /** SQL dialect knobs the unified-schema DDL needs. */
   sealed trait SqlDialect {
-    /** Type for unbounded text columns. */
+    /** Type for short text columns (keys: exchange/market/symbol/side) —
+      * must be indexable in the dialect. */
     def textType: String
+    /** Type for unbounded payload text (`raw` carries whole WS frames —
+      * a 4 KB bound would reject real captures at insert time). */
+    def longTextType: String
     /** `IF NOT EXISTS ` when the dialect supports it, else "". */
     def ifNotExists: String
     /** SQLStates meaning "object already exists", tolerated during
@@ -44,15 +48,20 @@ object JdbcSink {
   /** The reference's dialect (`writer_pg.py:23-36`). */
   case object Postgres extends SqlDialect {
     val textType = "TEXT"
+    val longTextType = "TEXT"
     val ifNotExists = "IF NOT EXISTS "
     val alreadyExistsStates = Set.empty[String]
     val quote = ""
   }
 
   /** Embedded Derby (ships with Spark): no TEXT, no IF NOT EXISTS;
-    * X0Y32 = object exists, X0Y68 = schema/object exists. */
+    * X0Y32 = object exists, X0Y68 = schema/object exists. Key columns are
+    * VARCHAR (LONG VARCHAR is not indexable in Derby); the `raw` payload is
+    * LONG VARCHAR (32,700 chars) so whole WS frames longer than 4 KB don't
+    * fail the insert. */
   case object Derby extends SqlDialect {
     val textType = "VARCHAR(4096)"
+    val longTextType = "LONG VARCHAR"
     val ifNotExists = ""
     val alreadyExistsStates = Set("X0Y32", "X0Y68")
     val quote = "\""
@@ -75,7 +84,7 @@ object JdbcSink {
          |  ${c("notional")} DOUBLE PRECISION,
          |  ${c("ts_exch_ms")} BIGINT,
          |  ${c("ts_ingest_ms")} BIGINT,
-         |  ${c("raw")} $t
+         |  ${c("raw")} ${dialect.longTextType}
          |)""".stripMargin,
       s"CREATE INDEX $ine${idxName(table, "ts")} ON $table (${c("ts_exch_ms")})",
       s"CREATE INDEX $ine${idxName(table, "emst")} ON $table (${c("exchange")}, ${c("market")}, ${c("symbol")}, ${c("ts_exch_ms")})",

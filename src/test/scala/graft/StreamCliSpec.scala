@@ -27,6 +27,21 @@ class StreamCliSpec extends SparkSpec {
       Seq("binance" -> "coin"))
   }
 
+  test("resolveStreams: malformed items and missing mode fail with usable errors") {
+    import StreamCli._
+    // an item without a colon used to throw scala.MatchError from Array
+    // destructuring; now it names the bad item
+    val e1 = intercept[IllegalArgumentException](
+      resolveStreams(CliArgs(streams = "binance:usdt,binance")))
+    assert(e1.getMessage.contains("'binance'"))
+    val e2 = intercept[IllegalArgumentException](
+      resolveStreams(CliArgs(streams = "okx:")))
+    assert(e2.getMessage.contains("expected exchange:market"))
+    // no --all/--streams/--exchange used to fail late as "unknown exchange: ''"
+    val e3 = intercept[IllegalArgumentException](resolveStreams(CliArgs()))
+    assert(e3.getMessage.contains("--all"))
+  }
+
   test("parse: flags map to CliArgs") {
     val a = StreamCli.parse(Array("--streams", "binance:usdt", "--frames-root",
       "/x", "--outdir-root", "/y", "--trigger-ms", "250", "--dry-run"))

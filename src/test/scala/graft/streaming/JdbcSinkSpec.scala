@@ -58,4 +58,21 @@ class JdbcSinkSpec extends SparkSpec {
     val nullsIn = unified.filter(col("notional").isNull).count()
     assert(back.filter(col("notional").isNull).count() == nullsIn * 2)
   }
+
+  test("derby: raw frames longer than 4 KB insert (LONG VARCHAR payload column)") {
+    // real WS frames (a full !forceOrder@arr array) routinely exceed 4 KB —
+    // the payload column must not carry a VARCHAR(4096) bound
+    val tbl = "liq_longraw"
+    JdbcSink.ensureSchema(url, tbl, props, JdbcSink.Derby)
+    import spark.implicits._
+    val bigRaw = "x" * 20000
+    val row = Seq(("binance", "usdt", "BTCUSDT", "long", 1.0, 2.0, 2.0,
+      1L, 0L, bigRaw))
+      .toDF("exchange", "market", "symbol", "side", "qty", "price",
+        "notional", "ts_exch_ms", "ts_ingest_ms", "raw")
+    JdbcSink.appendBatch(row, url, tbl, props)
+    val back = spark.read.jdbc(url, tbl, props)
+    assert(back.count() == 1)
+    assert(back.select("raw").head.getString(0).length == 20000)
+  }
 }
