@@ -29,7 +29,12 @@ object Bench {
     // *different* queries in each pass, so the per-query min across passes
     // recovers the steady-state plan cost. Failures are reported explicitly
     // (-1 time + a "failed" list), never as a plausible-looking duration.
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the set for focused local timing runs
+    // (unset in driver runs — the full set benches).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = 3
     val timed: Seq[Seq[(Double, Boolean)]] = (1 to passes).map { _ =>
       names.map { case (_, fn) =>

@@ -41,22 +41,25 @@ object Curation {
     * corpus; every stage is also independently oracle-checked
     * (text_quality / dedup_exact / dedup_clusters). */
   def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.textQuality(spark, dir)
-      .filter(col("n_tokens") >= 5 && col("stopword_ratio") <= 0.6)
-      .select("doc_id", "n_tokens")
     val exactKeep = DedupOps.dedupExact(spark, dir)
       .select(col("keep_doc_id").as("doc_id"))
-    // materialize the cluster keep-list (doc_ids only) before the semi-joins:
-    // the LSH+verify+label pipeline behind it runs exactly once, and the main
-    // query plans a broadcast semi-join against a checkpointed list instead
-    // of re-planning the dedup subtree inline
-    val clusterKeep = Extended.dedupClusters(spark, dir)
-      .filter(col("keep")).select("doc_id").localCheckpoint()
+    // materialize the cluster DROP-list (paired docs that lose their
+    // election — tiny) before the joins: the LSH+verify+label pipeline runs
+    // exactly once, singletons keep by default so no full labeled-documents
+    // frame is built, and the main query anti-joins a checkpointed doc_id
+    // list instead of re-planning the dedup subtree inline
+    val clusterDrop = Extended.dedupClusterDrops(spark, dir).localCheckpoint()
+    // the quality gate is fused into the corpus scan (same expressions as
+    // text_quality, which stays independently oracle-checked) — one pass
+    // over documents instead of a second scan plus a self-join on doc_id
     table(spark, dir, "documents")
-      .select("doc_id", "lang")
-      .join(quality, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        TextOps.nTokensCol(col("text")).as("n_tokens"),
+        TextOps.stopwordRatioCol(col("text")).as("stopword_ratio"))
+      .filter(col("n_tokens") >= 5 && col("stopword_ratio") <= 0.6)
+      .select("doc_id", "lang", "n_tokens")
       .join(exactKeep, Seq("doc_id"), "left_semi")
-      .join(clusterKeep, Seq("doc_id"), "left_semi")
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

@@ -113,8 +113,13 @@ object Extended {
     * silently mis-clustered components are worse than a loud failure. With
     * doubling, the default 50 rounds covers diameters around 2^49. */
   def clusterLabels(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    // Seeded start = the identity labeling with round 1 fused in:
+    // lab0 = min(id, min neighbor). Pair and triplet components — the
+    // near-dup norm — are then already correct and confirm in one round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lab"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -153,12 +158,26 @@ object Extended {
     * (the edge `localCheckpoint` below); the corpus is touched exactly
     * once, by the final left join that labels every document (singletons
     * keep themselves). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The symmetric verified-pair edge set, materialized once — the LSH+verify
+    * chain never re-runs behind the label loop. */
+  private def verifiedEdges(spark: SparkSession, dir: String): DataFrame = {
     val verified = dedupVerifyEditdist(spark, dir).select("a", "b")
-    val edges = verified.select(col("a").as("src"), col("b").as("dst"))
+    verified.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(verified.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    val labels = clusterLabels(edges)
+  }
+
+  /** Doc_ids that LOSE their cluster election (lab < id) — the complement of
+    * the keep-list restricted to paired docs. Singletons are simply absent
+    * (they keep by default), so the corpus-curation query can anti-join this
+    * tiny list instead of building the full labeled-documents frame. */
+  def dedupClusterDrops(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(verifiedEdges(spark, dir))
+      .filter(col("lab") < col("id"))
+      .select(col("id").as("doc_id"))
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(verifiedEdges(spark, dir))
     val docs = table(spark, dir, "documents").select(col("doc_id"))
     docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),

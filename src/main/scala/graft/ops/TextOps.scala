@@ -28,6 +28,18 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)
 
+  /** n_tokens as a column over a text column — shared by [[textQuality]]
+    * and the fused curation scan ([[Curation.curateCorpus]]). */
+  def nTokensCol(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** stopword_ratio as a column over a text column (rounded exactly as
+    * textQuality reports it). */
+  def stopwordRatioCol(c: Column): Column = {
+    val toks = tokens(c)
+    roundD(size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast(DoubleType) / size(toks), 4)
+  }
+
   /** Quality signals per document: token counts, distinct ratio, stopword
     * ratio, mean token length — the length/punct/stopword heuristics used to
     * filter web scrape before training. */
