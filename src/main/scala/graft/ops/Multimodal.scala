@@ -230,7 +230,43 @@ object Multimodal {
         decodeWav(b, r.media_id)
       else decodeY4m(b, r.media_id)
     }
+
+    /** Decode the PCM sample VALUES of a 16-bit WAV — signed little-endian
+      * shorts out of the data chunk (content decode, not just the header
+      * walk). */
+    def wavSamples(b: Array[Byte]): Array[Int] = {
+      def le32(o: Int): Int =
+        (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+      def tag(o: Int): String = new String(b, o, 4, Ascii)
+      require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
+      var o = 12
+      var dataOff = -1; var dataLen = 0
+      while (o + 8 <= b.length) {
+        val id4 = tag(o); val sz = le32(o + 4)
+        if (id4 == "data") { dataOff = o + 8; dataLen = sz }
+        o += 8 + sz + (sz & 1)
+      }
+      require(dataOff >= 0, "missing data chunk")
+      val n = dataLen / 2
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val lo = b(dataOff + 2 * k) & 0xff
+        val hi = b(dataOff + 2 * k + 1)
+        out(k) = (hi << 8) | lo // sign-extends through hi
+        k += 1
+      }
+      out
+    }
   }
+
+  /** Per-asset audio amplitude stats. */
+  final case class AudioStatsRow(
+      media_id: Long,
+      n_samples: Long,
+      peak: Long,
+      mean_amp: Double,
+      rms: Double)
 
   /** Partition-local batched decode: the mapInPandas-shaped stage. Batching
     * (here 64 rows) is where a heavier codec amortizes context setup. */
@@ -281,6 +317,36 @@ object Multimodal {
     * hash-checked. */
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF().orderBy("media_id")
+
+  /** Audio feature extraction — amplitude stats over the DECODED sample
+    * values (the feature-extract verb for the audio modality): peak,
+    * mean amplitude, RMS from the 16-bit PCM data chunk. Partition-local
+    * typed map like the decode stage; all arithmetic stays in exact-integer
+    * double range (sum of squares ≤ 549·2^30 < 2^53) and sqrt is IEEE
+    * correctly-rounded, so the DuckDB twin — which re-derives the cyclic
+    * text-byte samples arithmetically — matches bit-for-bit. */
+  def mmAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = mediaFromDocuments(spark, dir).filter(_.kind == "audio")
+    audio.mapPartitions { it =>
+      it.map { r =>
+        val s = Codec.wavSamples(r.payload)
+        val n = s.length
+        var sum = 0L; var sumSq = 0L; var peak = 0L
+        var k = 0
+        while (k < n) {
+          val v = s(k)
+          sum += v
+          sumSq += v.toLong * v
+          if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          k += 1
+        }
+        def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+        AudioStatsRow(r.media_id, n.toLong, peak,
+          r4(sum.toDouble / n), r4(math.sqrt(sumSq.toDouble / n)))
+      }
+    }.toDF().orderBy("media_id")
+  }
 
   /** Frame sampling — every k-th frame index of each video asset (the
     * mapInPandas-shaped stage a video pipeline runs before per-frame
@@ -374,6 +440,30 @@ object Multimodal {
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 sha256(text) AS sha
          FROM documents ORDER BY doc_id""",
+    // sample k of the WAV data chunk is byte pair (2k, 2k+1) of the text
+    // cycled to 2n bytes: val = lo + hi*256 (ASCII bytes < 128, so the
+    // signed int16 decode is the same value)
+    "mm_audio_stats" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 500) + 50 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), k ->
+                 ascii(text[(((2*k) % len) + 1):(((2*k) % len) + 1)]) +
+                 ascii(text[(((2*k+1) % len) + 1):(((2*k+1) % len) + 1)]) * 256) AS vals
+        FROM m),
+      a AS (
+        SELECT media_id, n::BIGINT AS n_samples,
+               list_max(list_transform(vals, v -> abs(v)))::BIGINT AS peak,
+               list_sum(vals)::DOUBLE / n AS mean0,
+               sqrt(list_sum(list_transform(vals, v -> v::DOUBLE * v)) / n) AS rms0
+        FROM s)
+      SELECT media_id, n_samples, peak,
+             floor(mean0 * 1e4 + 0.5) / 1e4 AS mean_amp,
+             floor(rms0 * 1e4 + 0.5) / 1e4 AS rms
+      FROM a ORDER BY media_id""",
     "mm_decode" -> s"""
       WITH $decodeCte
       SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
@@ -386,6 +476,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> mmBinaryMeta _,
     "mm_decode" -> mmDecode _,
+    "mm_audio_stats" -> mmAudioStats _,
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
   )

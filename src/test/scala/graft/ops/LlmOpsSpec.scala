@@ -63,6 +63,12 @@ class LlmOpsSpec extends SparkSpec {
     wavBytes(40) = (wavBytes(40) - 2).toByte // shrink data size by 2
     val short = Codec.decode(MediaRow(4L, "audio", wavBytes, "t"))
     assert(short.n_samples == 122)
+    // sample-value decode: signed little-endian int16, including negatives
+    // (the synthesized ASCII corpus only yields positive samples, so the
+    // sign extension path needs hand-built bytes)
+    val vals = Array[Int](0, 1, -1, 32767, -32768, 256, -257)
+    val data = vals.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    assert(Codec.wavSamples(Codec.encodeWav(8000, data)).toSeq == vals.toSeq)
   }
 
   test("dedup methods agree on high-similarity pairs") {
