@@ -58,8 +58,12 @@ object Curation {
         TextOps.stopwordRatioCol(col("text")).as("stopword_ratio"))
       .filter(col("n_tokens") >= 5 && col("stopword_ratio") <= 0.6)
       .select("doc_id", "lang", "n_tokens")
-      .join(exactKeep, Seq("doc_id"), "left_semi")
-      .join(clusterDrop, Seq("doc_id"), "left_anti")
+      // explicit broadcast: both lists are doc_ids only (bounded by corpus
+      // keys, tiny next to the corpus), and the checkpointed drop-list has
+      // no stats for the planner to discover that itself — without the hint
+      // the anti-join sort-merges the whole corpus side
+      .join(broadcast(exactKeep), Seq("doc_id"), "left_semi")
+      .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

@@ -104,6 +104,20 @@ class PlanSpec extends SparkSpec {
       s"explode must not sit above a shuffle:\n$p")
   }
 
+  test("curate_corpus: two corpus scans, keep-lists as materialized broadcasts") {
+    // the curation query's scale contract: documents is scanned once for the
+    // fused quality gate and once for the exact-dedup hash agg — never a
+    // third time for the cluster keep-list, which must arrive as a
+    // checkpoint-backed RDD (the LSH+verify+label pipeline ran once at
+    // construction) joined without a shuffle of the corpus side
+    val p = plan(Curation.curateCorpus(spark, dir))
+    assert("Scan parquet".r.findAllMatchIn(p).size == 2, s"expected 2 scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "cluster drop-list is not checkpoint-backed")
+    assert(!p.toLowerCase.contains("levenshtein"), "dedup subtree re-planned inline")
+    assert(p.contains("BroadcastHashJoin"), "keep-lists should broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge")
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
