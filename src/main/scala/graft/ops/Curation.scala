@@ -58,12 +58,14 @@ object Curation {
         TextOps.stopwordRatioCol(col("text")).as("stopword_ratio"))
       .filter(col("n_tokens") >= 5 && col("stopword_ratio") <= 0.6)
       .select("doc_id", "lang", "n_tokens")
-      // explicit broadcast: both lists are doc_ids only (bounded by corpus
-      // keys, tiny next to the corpus), and the checkpointed drop-list has
-      // no stats for the planner to discover that itself — without the hint
-      // the anti-join sort-merges the whole corpus side
-      .join(broadcast(exactKeep), Seq("doc_id"), "left_semi")
-      .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti")
+      // no static broadcast hints: the checkpointed drop-list has no stats
+      // at plan time, but AQE re-plans the joins from its RUNTIME size —
+      // broadcast when the list is actually small (the common case), a
+      // keyed shuffle when a dup-heavy corpus makes it huge (a static hint
+      // would OOM the build side there). PlanSpec asserts the adaptive
+      // final plan broadcasts at this scale.
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

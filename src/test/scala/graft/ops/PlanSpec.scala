@@ -104,18 +104,25 @@ class PlanSpec extends SparkSpec {
       s"explode must not sit above a shuffle:\n$p")
   }
 
-  test("curate_corpus: two corpus scans, keep-lists as materialized broadcasts") {
+  test("curate_corpus: two corpus scans, keep-lists broadcast by AQE at runtime") {
     // the curation query's scale contract: documents is scanned once for the
     // fused quality gate and once for the exact-dedup hash agg — never a
     // third time for the cluster keep-list, which must arrive as a
     // checkpoint-backed RDD (the LSH+verify+label pipeline ran once at
-    // construction) joined without a shuffle of the corpus side
-    val p = plan(Curation.curateCorpus(spark, dir))
+    // construction). The lists carry no plan-time stats, so the broadcast
+    // decision is AQE's from runtime sizes — assert the FINAL adaptive plan
+    // (a static hint would be wrong for a dup-heavy corpus whose drop-list
+    // is too big to broadcast).
+    val df = Curation.curateCorpus(spark, dir)
+    df.collect() // drive AQE to its final plan
+    val whole = plan(df)
+    assert(whole.contains("isFinalPlan=true"), "AQE final plan not reached")
+    val p = whole.split("== Initial Plan ==").head // assert on the final section only
     assert("Scan parquet".r.findAllMatchIn(p).size == 2, s"expected 2 scans:\n$p")
     assert(p.contains("Scan ExistingRDD"), "cluster drop-list is not checkpoint-backed")
     assert(!p.toLowerCase.contains("levenshtein"), "dedup subtree re-planned inline")
-    assert(p.contains("BroadcastHashJoin"), "keep-lists should broadcast")
-    assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge")
+    assert(p.contains("BroadcastHashJoin"), "small keep-lists should broadcast at runtime")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge at this scale")
   }
 
   test("join_asof: linear union + running last, no per-event candidate fanout") {
