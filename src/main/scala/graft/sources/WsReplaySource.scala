@@ -89,9 +89,16 @@ final class FrameIndex(path: String) {
   private var lineOpen = false  // byte at `scanned` continues an indexed line
   private var scannedTotal = 0L // lifetime bytes scanned (spec: no re-reads)
 
-  /** Index any appended bytes; returns the frame count. O(appended). */
+  /** Index any appended bytes; returns the frame count. O(appended).
+    * A capture file that SHRANK is a hard error, not a re-index: committed
+    * offsets are frame ids, and silently rebuilding the index would replay
+    * different bytes under the same ids (rotate to a new path instead). */
   def refresh(): Long = synchronized {
     val len = new java.io.File(path).length()
+    require(len >= scanned,
+      s"capture file $path shrank from $scanned to $len bytes - committed " +
+        "replay offsets no longer identify the same frames; rotate captures " +
+        "to a new path instead of truncating in place")
     if (len > scanned) {
       val in = new java.io.FileInputStream(path)
       try {

@@ -54,6 +54,11 @@ class WsReplaySpec extends SparkSpec {
     assert(fi.refresh() == 7)
     assert(fi.bytesScanned == len2,
       s"append must cost only the appended bytes: scanned ${fi.bytesScanned}, file $len2")
+    // in-place truncation invalidates committed offsets — must fail loudly,
+    // never silently re-index different bytes under the same frame ids
+    Files.write(Paths.get(file), first.getBytes)
+    val e = intercept[IllegalArgumentException](fi.refresh())
+    assert(e.getMessage.contains("shrank"))
   }
 
   test("a batch splits into seekable range partitions covering the slice exactly") {
