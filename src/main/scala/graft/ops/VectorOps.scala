@@ -19,15 +19,16 @@ object VectorOps {
   /** Embedding dimensionality of the corpus. */
   val dims = 64
 
-  /** dot(a, b) as an ordered fold in double precision. Measured faster than
-    * an unrolled 64-term sum of element_at products (2.0s vs 5.0s on the
-    * sf0.1 pair search): the fold walks the array data once, while each
-    * unrolled element_at re-enters null/bounds checks. Left-to-right
-    * association keeps the float result bit-identical to the oracle's
+  /** dot(a, b) in double precision — the codegen'd
+    * [[graft.functions.DotProduct]] expression: a fused multiply-add loop
+    * over the ArrayData buffers inside whole-stage codegen. Supersedes two
+    * slower formulations, both measured on the sf0.1 pair search: an
+    * unrolled 64-term element_at sum (5.0s — per-term null/bounds checks)
+    * and the interpreted `aggregate(zip_with(...))` fold (2.0s — closure
+    * dispatch and boxing per element, outside codegen). Left-to-right
+    * accumulation keeps the result bit-identical to the oracle's
     * sequential list_reduce. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   private val duckDot = // same ordered fold, DuckDB lambdas
     """list_reduce(list_concat([0.0], list_transform(range(1, 65),
