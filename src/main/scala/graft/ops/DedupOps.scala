@@ -32,41 +32,26 @@ object DedupOps {
     * per-character and allocates a UTF8String per step. */
   def polyHash(c: Column): Column = graft.functions.PolyHash(c)
 
-  /** Per-document distinct 4-gram shingle IDs as `sh: array<long>`:
-    * per-token char hash, then 4 token hashes combined arithmetically — the
-    * char fold runs once per TOKEN, not once per shingle character, and no
-    * shingle strings are ever built (downstream keys are BIGINTs).
+  /** Per-document distinct 4-gram shingle IDs as `sh: array<long>`: the
+    * fused codegen'd [[graft.functions.ShingleHashes]] expression — one
+    * pass over the text, no shingle strings ever built (downstream keys
+    * are BIGINTs), bit-identical to the five-stage interpreted chain it
+    * replaces (split → filter → transform(poly_hash) → combine →
+    * array_distinct; that chain's Catalyst traps — no CSE across
+    * interpreted lambdas, pushdown re-inlining multi-referenced aliases —
+    * are documented at graft.ops.pinned).
     *
-    * Two Catalyst traps shape this pipeline, both measured at ~10-30×:
-    *  - interpreted higher-order lambdas have no common-subexpression
-    *    elimination: element_at over a NESTED transform re-evaluates the
-    *    whole inner array per access, so each stage must be its own
-    *    projection (multi-referenced column aliases survive
-    *    CollapseProject);
-    *  - predicate pushdown (incl. the filters InferFiltersFromGenerate adds
-    *    for a downstream explode) substitutes those aliases back INTO the
-    *    pushed condition, re-creating the quadratic expression in a Filter
-    *    at the scan. The [[pinned]] wrapper makes the token-hash alias
-    *    itself nondeterministic (a no-op `when(rand >= -1, …)`), which
-    *    pushdown cannot substitute through — every filter stays above it
-    *    and evaluates against the materialized array. (A separate
-    *    nondeterministic barrier column does NOT work: ColumnPruning drops
-    *    it before pushdown runs.)
-    * Same hash formulas in the oracle. */
-  def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
-    def combine(th: Column, i: Column): Column =
-      (((element_at(th, i) * 31 + element_at(th, i + 1)) % M * 31
-        + element_at(th, i + 2)) % M * 31
-        + element_at(th, i + 3)) % M
+    * [[pinned]] still wraps the expression: predicate pushdown would
+    * otherwise substitute the alias into the pushed `size(sh) > 0` filter
+    * and compute the array twice per row (once in the scan filter, once in
+    * the projection). The `size > 0` filter is equivalent to the previous
+    * `size(th) >= 4` pre-filter — fewer than 4 tokens yields an empty
+    * array. Same hash formulas in the oracle. */
+  def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        pinned(transform(col("toks"), t => polyHash(t))).as("th"))
-      .filter(size(col("th")) >= 4)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("th")) - 3),
-          i => combine(col("th"), i))).as("sh"))
-  }
+        pinned(graft.functions.ShingleHashes(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** [[shingleArrays]] exploded to (doc_id, h) rows for shingle-keyed joins. */
   def hashedShingles(spark: SparkSession, dir: String): DataFrame =
