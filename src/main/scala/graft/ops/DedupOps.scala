@@ -122,20 +122,20 @@ object DedupOps {
   private val prime = 2147483647L
 
   /** MinHash signatures (8 permutations) per doc, banded 4×2; candidate
-    * pairs = docs sharing any band. Signatures are computed array-natively
-    * per row (array_min over a transform of the shingle array) — a pure
-    * map-side stage with NO explode and NO groupBy shuffle; the only
-    * shuffle in the whole op is the (band_id, band_sig) bucket join. */
+    * pairs = docs sharing any band. Signatures come from the codegen'd
+    * [[graft.functions.MinHashSig]] — all permutations in one array pass,
+    * replacing 8 interpreted array_min(transform) folds — a pure map-side
+    * stage with NO explode and NO groupBy shuffle; the only shuffle in the
+    * whole op is the (band_id, band_sig) bucket join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("sh"), h => (h * a + b) % prime)).as(s"m$j")
-    }
     val sigs = shingleArrays(spark, dir)
-      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"),
+        pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map { bi =>
         struct(lit(bi).as("band"),
-          concat_ws(",", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("sig"))
+          concat_ws(",", element_at(col("ms"), 2 * bi + 1),
+            element_at(col("ms"), 2 * bi + 2)).as("sig"))
       }: _*)).as("bnd"))
       .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.sig").as("sig"))
     bands.as("x").join(bands.as("y"),
@@ -154,16 +154,12 @@ object DedupOps {
     * flipped bits leave ≥1 of 4 bands intact), then verified with
     * bit_count — banding again, never all-pairs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // per-row array fold per bit: map-side signature, no explode/shuffle
-    val votes = (0 until 28).map { j =>
-      aggregate(col("sh"), lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1)).as(s"v$j")
-    }
+    // per-row single-pass signature via the codegen'd SimHashBits (all 28
+    // vote counters in one array walk, replacing 28 interpreted aggregate
+    // folds): map-side, no explode/shuffle
     val sims = shingleArrays(spark, dir)
-      .select(col("doc_id") +: votes: _*)
       .select(col("doc_id"),
-        (0 until 28).map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+        pinned(graft.functions.SimHashBits(col("sh"), 28)).as("simhash"))
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),
