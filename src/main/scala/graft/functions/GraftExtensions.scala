@@ -16,17 +16,47 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   *
   * so SQL text, views, and thrift-served queries all resolve `poly_hash`,
-  * and every query benefits from
+  * `dot_product`, and `shingle_hashes`, and every query benefits from
   * [[graft.plans.MergeDisjointFilterUnions]] — on a 1000-executor cluster
-  * the config string is the only wiring needed.
+  * the config string is the only wiring needed. (MinHashSig / SimHashBits
+  * take Scala-level parameters — permutation constants, bit width — and
+  * stay Column-API-only.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private type Builder =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def wrongArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString, "docroot" -> "-"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PolyHash.fromArgs(exprs)))
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash.fromArgs(exprs)): Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(a, b) => DotProduct(a, b)
+          case other => wrongArgs("dot_product", 2, other.size)
+        }): Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(e) => ShingleHashes(e)
+          case other => wrongArgs("shingle_hashes", 1, other.size)
+        }): Builder))
     ext.injectOptimizerRule(_ => graft.plans.MergeDisjointFilterUnions)
   }
 }

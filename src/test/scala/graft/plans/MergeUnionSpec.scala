@@ -127,6 +127,13 @@ class MergeUnionSpec extends SparkSpec {
       assert(scans(p) == 1, s"expected one scan after the merge rule:\n$p")
       assert(u.count() ==
         ev.filter(col("event_type").isin("click", "view", "purchase")).count())
+      // the extension also registers the native function surface for SQL
+      assert(s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head.getDouble(0) == 11.0)
+      assert(s2.sql("SELECT size(shingle_hashes('a b c d e')) AS n")
+        .head.getInt(0) == 2)
+      intercept[org.apache.spark.sql.AnalysisException](
+        s2.sql("SELECT dot_product(array(1.0d))").collect())
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
