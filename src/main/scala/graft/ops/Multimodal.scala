@@ -147,7 +147,9 @@ object Multimodal {
 
     // ---- decoders ----------------------------------------------------
 
-    private def decodePpm(b: Array[Byte], id: Long): DecodedRow = {
+    /** Parse a P6 header: (width, height, pixel-data offset). */
+    def ppmHeader(b: Array[Byte]): (Int, Int, Int) = {
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM")
       var i = 2
       def skipWs(): Unit =
         while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
@@ -161,7 +163,12 @@ object Multimodal {
       require(maxv == 255, s"unsupported PPM maxval $maxv")
       i += 1 // exactly one whitespace byte separates the header from pixels
       require(b.length - i == w * h * 3, "truncated PPM pixel data")
-      DecodedRow(id, "image", b.length.toLong, w, h, 1, 0, 0L, fold(b, i, b.length))
+      (w, h, i)
+    }
+
+    private def decodePpm(b: Array[Byte], id: Long): DecodedRow = {
+      val (w, h, off) = ppmHeader(b)
+      DecodedRow(id, "image", b.length.toLong, w, h, 1, 0, 0L, fold(b, off, b.length))
     }
 
     private def decodeWav(b: Array[Byte], id: Long): DecodedRow = {
@@ -260,6 +267,15 @@ object Multimodal {
     }
   }
 
+  /** Per-asset image channel stats. */
+  final case class PixelStatsRow(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
   /** Per-asset audio amplitude stats. */
   final case class AudioStatsRow(
       media_id: Long,
@@ -317,6 +333,33 @@ object Multimodal {
     * hash-checked. */
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF().orderBy("media_id")
+
+  /** Image feature extraction — per-channel means over the DECODED raster
+    * (the feature-extract verb for the image modality): the PPM header is
+    * parsed for real and the RGB triples summed channel-wise. Integer sums
+    * with one final double division keep the DuckDB twin — which re-derives
+    * the cyclic text-byte raster arithmetically — bit-for-bit. */
+  def mmPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val images = mediaFromDocuments(spark, dir).filter(_.kind == "image")
+    images.mapPartitions { it =>
+      it.map { r =>
+        val b = r.payload
+        val (w, h, off) = Codec.ppmHeader(b)
+        val np = w * h
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < np * 3) {
+          sums(p % 3) += b(off + p) & 0xff
+          p += 1
+        }
+        def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+        PixelStatsRow(r.media_id, w, h,
+          r4(sums(0).toDouble / np), r4(sums(1).toDouble / np),
+          r4(sums(2).toDouble / np))
+      }
+    }.toDF().orderBy("media_id")
+  }
 
   /** Audio feature extraction — amplitude stats over the DECODED sample
     * values (the feature-extract verb for the audio modality): peak,
@@ -440,6 +483,30 @@ object Multimodal {
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 sha256(text) AS sha
          FROM documents ORDER BY doc_id""",
+    // pixel p's channel c byte is text byte (3p+c) mod len (the raster is
+    // the text cycled to w*h*3 bytes)
+    "mm_pixel_stats" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 16) + 4 AS width,
+               (doc_id % 12) + 3 AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (SELECT media_id, width, height, text, len,
+                    width * height AS np FROM m),
+      ch AS (
+        SELECT media_id, width, height, np,
+               list_sum(list_transform(range(0, np), p ->
+                 ascii(text[(((3*p) % len) + 1):(((3*p) % len) + 1)])))::DOUBLE / np AS r0,
+               list_sum(list_transform(range(0, np), p ->
+                 ascii(text[(((3*p+1) % len) + 1):(((3*p+1) % len) + 1)])))::DOUBLE / np AS g0,
+               list_sum(list_transform(range(0, np), p ->
+                 ascii(text[(((3*p+2) % len) + 1):(((3*p+2) % len) + 1)])))::DOUBLE / np AS b0
+        FROM px)
+      SELECT media_id, width::INT AS width, height::INT AS height,
+             floor(r0 * 1e4 + 0.5) / 1e4 AS mean_r,
+             floor(g0 * 1e4 + 0.5) / 1e4 AS mean_g,
+             floor(b0 * 1e4 + 0.5) / 1e4 AS mean_b
+      FROM ch ORDER BY media_id""",
     // sample k of the WAV data chunk is byte pair (2k, 2k+1) of the text
     // cycled to 2n bytes: val = lo + hi*256 (ASCII bytes < 128, so the
     // signed int16 decode is the same value)
@@ -477,6 +544,7 @@ object Multimodal {
     "mm_binary_meta" -> mmBinaryMeta _,
     "mm_decode" -> mmDecode _,
     "mm_audio_stats" -> mmAudioStats _,
+    "mm_pixel_stats" -> mmPixelStats _,
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
   )
