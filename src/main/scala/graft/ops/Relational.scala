@@ -314,32 +314,42 @@ object Relational {
 
   /** Ranking window: top-3 line items per return flag by price.
     *
-    * Two-phase top-k: l_returnflag has only 3 values, so a single window
-    * partitioned by it would sort the whole table inside 3 reducer
-    * partitions — a scale-killer at 100 TB. Phase 1 takes a local top-3 per
-    * (flag, input-partition) — the salt key spreads the sort evenly over all
-    * reducers and survivors are ≤ 3 per (flag, partition). Phase 2 runs the
-    * real 3-key window over that tiny survivor set. Correct because any
-    * global top-3 row is also in its own partition's top-3, and rank/
-    * row_number of a surviving row depend only on rows ordered above it —
-    * all of which also survive. */
+    * Aggregation-shaped top-k via the custom bounded-heap aggregate
+    * [[graft.functions.TopKStructs]]: each task keeps a size-3 heap per
+    * flag (map-side partial aggregation), the shuffle carries at most
+    * 3 rows per (flag, partition), and NOTHING is ever sorted beyond 3
+    * elements. This supersedes two window formulations: the naive
+    * `row_number().over(partitionBy(flag).orderBy(...))` sorts the whole
+    * table inside 3 reducer partitions (l_returnflag has 3 values — a
+    * scale-killer at 100 TB), and round 1's salted two-phase variant still
+    * fully sorted every input partition locally. The rank()/row_number()
+    * semantics are recovered on the ≤9 surviving rows: any global top-3
+    * row is in every heap that saw it, and its rank depends only on rows
+    * ordered above it — all of which also survive.
+    *
+    * Descending price is encoded by negating the leading struct field
+    * (exact for doubles); the struct's natural ascending lexicographic
+    * order then matches (price desc, orderkey, linenumber). */
   def winfnRank(spark: SparkSession, dir: String): DataFrame = {
-    val ordering = Seq(
-      col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    val wLocal = Window
-      .partitionBy(col("l_returnflag"), spark_partition_id().as("_pid"))
-      .orderBy(ordering: _*)
-    val wGlobal = Window.partitionBy(col("l_returnflag")).orderBy(ordering: _*)
+    val item = struct(
+      (-col("l_extendedprice")).as("np"),
+      col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("t.np"), col("t.ok"), col("t.ln"))
     table(spark, dir, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
-      .withColumn("_rn_local", row_number().over(wLocal))
-      .filter(col("_rn_local") <= 3)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopKStructs(item, 3).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("p", "t")))
       .select(
-        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"),
-        row_number().over(wGlobal).cast(LongType).as("rn"),
-        rank().over(wGlobal).cast(LongType).as("rnk"))
-      .filter(col("rn") <= 3)
+        col("l_returnflag"),
+        col("t.ok").as("l_orderkey"),
+        col("t.ln").as("l_linenumber"),
+        (-col("t.np")).as("l_extendedprice"),
+        (col("p") + 1).cast(LongType).as("rn"),
+        rank().over(wG).cast(LongType).as("rnk"))
       .orderBy("l_returnflag", "rn")
   }
 

@@ -58,20 +58,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
-  test("winfn_rank: full input never sorts inside the 3-value-key window") {
-    // two-phase top-k: the first (bottom-most) Window must partition by the
-    // salted (flag, input-partition) key, so the full-table sort spreads over
-    // all reducers; only the ≤3-per-(flag,pid) survivor set reaches the
-    // 3-value-key window.
+  test("winfn_rank: bounded-heap aggregate, the full input is never sorted") {
+    // aggregation-shaped top-k: the table flows into an ObjectHashAggregate
+    // running the custom TopKStructs bounded heap (map-side partial below
+    // the exchange), and the only Sort/Window in the plan operate on the
+    // ≤3-per-flag survivor set ABOVE the aggregate — the fact table itself
+    // is never sorted.
     val p = plan(Relational.winfnRank(spark, dir))
-    val windows = "Window ".r.findAllMatchIn(p).map(_.start).toSeq
-    assert(windows.size == 2, s"expected two Window nodes, plan:\n$p")
-    // toString prints top-down: the LAST Window in the text is the first to
-    // execute — it must carry the salt key
-    val bottomWindow = p.substring(windows.last,
-      math.min(p.length, windows.last + 400))
-    assert(bottomWindow.contains("SPARK_PARTITION_ID"),
-      s"bottom window must be salted by input partition id, got:\n$bottomWindow")
+    assert(p.contains("ObjectHashAggregate"), s"expected the typed aggregate:\n$p")
+    assert(p.contains("partial_top_k_structs"), s"expected map-side partials:\n$p")
+    assert("Window ".r.findAllMatchIn(p).size == 1, s"one tiny window only:\n$p")
+    // top-down toString: every Sort and the Window must appear BEFORE (above)
+    // the aggregate that bounds the data, i.e. they never touch the scan side
+    val aggPos = p.indexOf("ObjectHashAggregate")
+    val sortPositions = "Sort ".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(sortPositions.forall(_ < aggPos),
+      s"a Sort runs below the aggregate (over the full input):\n$p")
   }
 
   test("union_all_streams: exactly one file scan (isin, not N scan branches)") {
