@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.ops.Multimodal.{Codec, MediaRow}
+
+/** Property tests for the pure-JVM container codec: encode→decode
+  * round-trips arbitrary dimensions and payload bytes (not just the
+  * synthesized corpus shapes), container sizes are exact, and the sample
+  * decoder inverts 16-bit LE encoding for the full signed range. Driver-
+  * local (no Spark jobs) — the distributed path is covered by the oracle
+  * queries and LlmOpsSpec. */
+class CodecPropertySpec extends SparkSpec {
+
+  private val dims: Gen[(Int, Int)] =
+    for { w <- Gen.choose(1, 40); h <- Gen.choose(1, 30) } yield (w, h)
+
+  private def bytes(n: Int): Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+
+  test("PPM: decode recovers encoded dims and content checksum for random rasters") {
+    val cases = Gen.listOfN(30, dims).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (w, h) =>
+      val px = bytes(w * h * 3).sample.getOrElse(Array.fill[Byte](w * h * 3)(7))
+      val d = Codec.decode(MediaRow(1L, "image", Codec.encodePpm(w, h, px), "t"))
+      assert(d.width == w && d.height == h && d.n_frames == 1)
+      assert(d.n_bytes == s"P6\n$w $h\n255\n".length + px.length)
+      // checksum covers exactly the pixel region
+      var acc = 0L
+      px.foreach(b => acc = (acc * 31 + (b & 0xff)) % 1000000007L)
+      assert(d.checksum == acc)
+    }
+  }
+
+  test("Y4M: frame count comes from markers for arbitrary frame counts") {
+    val cases = Gen.listOfN(20,
+      for { (w, h) <- dims; f <- Gen.choose(1, 12) } yield (w, h, f))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (w, h, f) =>
+      val content = bytes(f * w * h * 3).sample
+        .getOrElse(Array.fill[Byte](f * w * h * 3)(3))
+      val d = Codec.decode(MediaRow(2L, "video", Codec.encodeY4m(w, h, f, content), "t"))
+      assert(d.width == w && d.height == h && d.n_frames == f)
+    }
+  }
+
+  test("WAV: sample decode inverts 16-bit LE for the full signed range") {
+    val cases = Gen.listOfN(20,
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { vals =>
+      val data = vals.flatMap(v =>
+        Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+      val wav = Codec.encodeWav(16000, data)
+      assert(Codec.wavSamples(wav).toSeq == vals)
+      val d = Codec.decode(MediaRow(3L, "audio", wav, "t"))
+      assert(d.n_samples == vals.length && d.sample_rate == 16000)
+      assert(d.n_bytes == 44 + data.length)
+    }
+  }
+
+  test("corrupt containers fail loudly, never decode to plausible garbage") {
+    // truncated PPM raster
+    val ppm = Codec.encodePpm(4, 3, Array.fill[Byte](36)(1))
+    intercept[IllegalArgumentException](
+      Codec.decode(MediaRow(4L, "image", ppm.dropRight(1), "t")))
+    // Y4M with a corrupted FRAME marker
+    val y4m = Codec.encodeY4m(2, 2, 2, Array.fill[Byte](24)(1))
+    val hdr = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n".length
+    y4m(hdr) = 'G'
+    intercept[IllegalArgumentException](
+      Codec.decode(MediaRow(5L, "video", y4m, "t")))
+    // WAV with no data chunk
+    val wav = Codec.encodeWav(8000, Array.fill[Byte](10)(1))
+    val tagPos = 36 // "data"
+    wav(tagPos) = 'x'
+    intercept[IllegalArgumentException](
+      Codec.decode(MediaRow(6L, "audio", wav, "t")))
+  }
+}
