@@ -90,13 +90,17 @@ object DedupOps {
     * computed over the df-capped shingle sets. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val exAll = hashedShingles(spark, dir).withColumnRenamed("h", "s")
-    // document-frequency cap: drop corpus-common shingles before the join.
-    // count-over-window instead of aggregate+semi-join: one shuffle on s,
-    // whose hash partitioning the self-join below then reuses directly
-    val ex = exAll
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= jaccardDfCap)
+    // document-frequency cap via a HEAVY-HITTER anti-join: aggregate the
+    // few over-cap shingles (map-side combine on (s, count)) and broadcast
+    // them as an exclusion list, so the cap is applied map-side with no
+    // sort anywhere. This replaces a count-over-window formulation whose
+    // WindowExec sorted the entire exploded shingle stream by s — at
+    // 100 TB that sort dominates; the heavy list stays tiny by definition
+    // (only shingles shared by > cap documents — stopword shingles).
+    val heavy = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > jaccardDfCap)
+      .select("s")
+    val ex = exAll.join(broadcast(heavy), Seq("s"), "left_anti")
       .select("doc_id", "s")
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("x").join(ex.as("y"),
