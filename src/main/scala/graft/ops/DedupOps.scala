@@ -91,16 +91,19 @@ object DedupOps {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val exAll = hashedShingles(spark, dir).withColumnRenamed("h", "s")
     // document-frequency cap via a HEAVY-HITTER anti-join: aggregate the
-    // few over-cap shingles (map-side combine on (s, count)) and broadcast
-    // them as an exclusion list, so the cap is applied map-side with no
-    // sort anywhere. This replaces a count-over-window formulation whose
-    // WindowExec sorted the entire exploded shingle stream by s — at
-    // 100 TB that sort dominates; the heavy list stays tiny by definition
-    // (only shingles shared by > cap documents — stopword shingles).
+    // over-cap shingles (map-side combine on (s, count)) into an exclusion
+    // list, so the cap applies with no sort anywhere. This replaces a
+    // count-over-window formulation whose WindowExec sorted the entire
+    // exploded shingle stream by s — at 100 TB that sort dominates. No
+    // static broadcast hint: on real corpora the heavy list is tiny
+    // (stopword shingles) and AQE converts the anti-join to a broadcast
+    // from its runtime size, but it is not BOUNDED — an adversarial corpus
+    // could push it past broadcast size, where the keyed-shuffle anti-join
+    // is the correct fallback and a forced hint would OOM the build side.
     val heavy = exAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > jaccardDfCap)
       .select("s")
-    val ex = exAll.join(broadcast(heavy), Seq("s"), "left_anti")
+    val ex = exAll.join(heavy, Seq("s"), "left_anti")
       .select("doc_id", "s")
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("x").join(ex.as("y"),
