@@ -50,11 +50,19 @@ object Bench {
     }
     val failed = runs.collect { case (n, _, false) => n }
     val results = runs.map { case (n, t, ok) => n -> (if (ok) t else -1.0) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The whole report must stay ONE short line: the driver captures only the
+    // last ~2000 chars of stdout, and full-precision doubles pushed rounds
+    // 1-3 past that window (every BENCH_r*.json has "parsed": null with the
+    // line's head truncated). Millisecond precision is ample for plan cost.
+    def ms(v: Double): String = f"$v%.3f"
+    // per-query at centisecond precision: 76 queries x ~25 chars must leave
+    // room for sbt's trailing "[success]" line inside the same 2000 chars
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$passes,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName // basename, same budget reason
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$passes,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ TimeWindows.queries ++ JsonOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
       Multimodal.queries ++ Extended.queries ++ Curation.queries ++
-      graft.normalize.NormalizeOps.queries
+      Formats.queries ++ graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
     Relational.oracles ++ TimeWindows.oracles ++ JsonOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
-      graft.normalize.NormalizeOps.oracles
+      Formats.oracles ++ graft.normalize.NormalizeOps.oracles
 }

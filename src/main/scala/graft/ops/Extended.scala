@@ -123,22 +123,28 @@ object Extended {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val prop = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      val hop = labels.select(col("id").as("hid"), col("lab").as("hlab"))
+      // One augmented edge set folds the doubling hop into the neighbor
+      // join: the id→lab "pointer edges" make lab(lab) just another
+      // neighbor's label, so each round is ONE keyed join + aggregate
+      // instead of separate neighbor and hop joins. (Every lab value is a
+      // node id, so the pointer edges always find a label row.)
+      val aug = edges.unionByName(
+        labels.select(col("id").as("src"), col("lab").as("dst")))
+      val prop = aug
+        .join(labels.select(col("id").as("nid"), col("lab").as("nlab")),
+          col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("nlab")).as("plab"))
+      // `chg` rides along into the checkpoint so convergence is a scan of
+      // the just-materialized blocks — not a join of two label sets.
       val next = labels
         .join(prop, col("id") === col("src"), "left")
-        .join(hop, col("lab") === col("hid"), "left")
         .select(col("id"),
-          least(col("lab"),
-            coalesce(col("nlab"), col("lab")),
-            coalesce(col("hlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"),
+          (coalesce(col("plab"), col("lab")) < col("lab")).as("chg"))
         .localCheckpoint()
-      changed = next.withColumnRenamed("lab", "nl")
-        .join(labels.withColumnRenamed("lab", "ol"), "id")
-        .filter(col("nl") < col("ol")).count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "lab")
       rounds += 1
     }
     require(changed == 0,

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage-format round-trips beyond the reference's CSV sink
+  * (liq-stream `writer_csv.py:12-39` is the pattern source; `sink_csv_daily`
+  * models it directly): day-partitioned parquet with a partition-pruned
+  * readback, ORC with predicate pushdown, and schema'd JSON-lines. These are
+  * the lake-layout moves a 100 TB corpus depends on — partition layout IS
+  * the primary index at that scale, and every readback here is asserted to
+  * prune (PlanSpec) rather than trusted to.
+  *
+  * (No Avro datasource in this environment — `spark-avro` is an external
+  * module and only avro-core jars ship under /opt/spark/jars.)
+  */
+object Formats {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Day-partitioned parquet sink + partition-pruned readback: events are
+    * written `partitionBy(day)` and read back for one week only — the scan
+    * must touch 7 of 30 partitions (PlanSpec asserts the PartitionFilters).
+    *
+    * The `repartition(day)` before the write is the small-files guard: a
+    * naive partitionBy write emits (#shuffle-partitions x #days) files,
+    * which at 100 TB / 1000 executors is millions of kilobyte files — the
+    * classic metadata-death layout. One shuffle keyed on the partition
+    * column makes each day land as a handful of large files. */
+  def sinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_pq_daily")
+    table(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("day") >= "2024-01-08" && col("day") <= "2024-01-14")
+      .groupBy(col("day").cast(StringType).as("day"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** ORC round-trip with predicate + projection pushdown on the readback:
+    * the second columnar format a lake needs (ORC readers/writers are
+    * built into Spark; the scan supports the same PushedFilters surface as
+    * parquet). The readback filter prunes row groups by the returnflag
+    * statistics, never decoding dropped stripes. */
+  def sinkOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_orc")
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** JSON-lines round-trip with an EXPLICIT read schema: the interchange
+    * format for event feeds. The explicit schema is the scale-critical
+    * part — schema inference is a full extra pass over the data before the
+    * real read (2x IO at 100 TB); a declared schema makes the read
+    * single-pass and makes corrupt rows surface as nulls (permissive mode)
+    * instead of failing the job. Doubles survive the text round-trip
+    * bit-exactly (Jackson emits the shortest round-trippable decimal). */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_jsonl")
+    table(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.read.schema(schema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val oracles: Map[String, String] = Map(
+    // the round-trip must be lossless, so the oracle aggregates the SOURCE
+    // table directly — any write/read corruption shows up as a hash mismatch
+    "sink_parquet_partitioned" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
+               BETWEEN '2024-01-08' AND '2024-01-14'
+         GROUP BY 1 ORDER BY day""",
+    "sink_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_returnflag <> 'N'
+         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_parquet_partitioned" -> sinkParquetPartitioned _,
+    "sink_orc_roundtrip" -> sinkOrcRoundtrip _,
+    "jsonl_roundtrip" -> jsonlRoundtrip _,
+  )
+}

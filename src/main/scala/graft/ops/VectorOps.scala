@@ -140,6 +140,51 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Embedding-cosine near-duplicate dedup — the vector-space member of the
+    * dedup family (exact / Jaccard / MinHash / SimHash live in
+    * [[DedupOps]]): near-dup candidate pairs come from banded hyperplane-LSH
+    * signatures (same `bands`×`bitsPerBand` knob as [[simAnnTopk]]), are
+    * verified with exact cosine ≥ `threshold` inside the bucket join, and
+    * collapse to a keep-list — every vector annotated with the smallest
+    * vec_id it duplicates (`dup_of`, null when unique) and `keep` =
+    * first-in-cluster.
+    *
+    * Scale shape (100 TB): candidate generation is an equality join keyed on
+    * (band, sig) — never all-pairs; the cosine predicate runs INSIDE the
+    * join so only surviving pairs are materialized (the dedup_simhash
+    * lesson); the min-aggregate ships only (a, b) id pairs; the final
+    * keep-list join is AQE-sized (dup lists are small relative to the
+    * corpus, but unbounded on adversarial input — no static broadcast).
+    * The synthetic corpus has no planted high-cosine twins (max pairwise
+    * cosine ≈ 0.51), so `threshold` defaults to 0.4 — "same neighborhood"
+    * in this space; a production near-dup pass would run 0.9+ with wider
+    * bands. */
+  def dedupEmbedding(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, bands: Int = 4, bitsPerBand: Int = 2): DataFrame = {
+    val nBits = bands * bitsPerBand
+    val mask = (1L << bitsPerBand) - 1L
+    val emb = table(spark, dir, "embeddings")
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      pinned(bucketCol(nBits)).as("bucket"))
+    val bandRows = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until bands).map(bi =>
+        struct(lit(bi).as("band"),
+          shiftright(col("bucket"), bi * bitsPerBand).bitwiseAND(mask).as("sig"))): _*)).as("bnd"))
+      .select(col("vec_id"), col("embedding"),
+        col("bnd.band").as("band"), col("bnd.sig").as("sig"))
+    // multi-band hits repeat (a, b) rows; the min-aggregate absorbs them, so
+    // no distinct — a shuffle saved (cf. simAnnTopk's max-dedupe rationale)
+    val pairs = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id") &&
+          roundD(dot(col("x.embedding"), col("y.embedding")), 5) >= threshold)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val dups = pairs.groupBy(col("b").as("vec_id")).agg(min(col("a")).as("dup_of"))
+    emb.select("vec_id").join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"), col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = {
     val annBits = (0 until 8).map { j =>
       val ws = (0 until 64).map(i => s"${weight(i, j)}.0").mkString("[", ", ", "]")
@@ -185,6 +230,25 @@ object VectorOps {
                      ORDER BY cosine DESC, vec_id) AS rk FROM scored)
         SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
         ORDER BY query_id, rk""",
+      // banded-LSH candidates → cosine-verified pairs → min-label keep-list;
+      // the OR-of-bands condition is the oracle twin of the banded join
+      "dedup_embedding" -> s"""
+        WITH sig AS (SELECT vec_id, embedding, ($annBits)::BIGINT AS bucket
+                     FROM embeddings),
+        pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+                  FROM sig x JOIN sig y ON x.vec_id < y.vec_id AND (
+                    ((x.bucket >> 0) & 3) = ((y.bucket >> 0) & 3) OR
+                    ((x.bucket >> 2) & 3) = ((y.bucket >> 2) & 3) OR
+                    ((x.bucket >> 4) & 3) = ((y.bucket >> 4) & 3) OR
+                    ((x.bucket >> 6) & 3) = ((y.bucket >> 6) & 3))
+                  WHERE floor(list_reduce(list_concat([0.0],
+                          list_transform(range(1, 65),
+                            i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)),
+                          (acc, v) -> acc + v) * 1e5 + 0.5) / 1e5 >= 0.4),
+        dups AS (SELECT b AS vec_id, min(a) AS dup_of FROM pairs GROUP BY 1)
+        SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS keep
+        FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+        ORDER BY e.vec_id""",
     )
   }
 
@@ -193,5 +257,6 @@ object VectorOps {
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
+    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
   )
 }

@@ -140,6 +140,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(r42 <= r82, s"wider signature must not lose candidates: $r42 vs $r82")
   }
 
+  test("dedup_embedding: keep-list is consistent with banded cosine pairs") {
+    import org.apache.spark.sql.functions.col
+    val rows = VectorOps.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2)))
+    // full coverage: one row per corpus vector
+    assert(rows.length == table(spark, dir, "embeddings").count())
+    // keep == no smaller near-dup; dup_of always points at a smaller id
+    rows.foreach { case (id, dupOf, keep) =>
+      assert(keep == dupOf.isEmpty)
+      dupOf.foreach(d => assert(d < id, s"dup_of $d not smaller than $id"))
+    }
+    // threshold 0.4 on this corpus must mark some vectors as near-dups while
+    // keeping the majority (the space has no planted twins, max cos ~ 0.51)
+    val dups = rows.count(!_._3)
+    assert(dups > 0 && dups < rows.length / 2, s"$dups dups of ${rows.length}")
+    // every flagged dup must really have cosine >= 0.4 with its dup_of target
+    val emb = table(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    rows.foreach { case (id, dupOf, _) =>
+      dupOf.foreach { d =>
+        val c = math.floor(cos(emb(id), emb(d)) * 1e5 + 0.5) / 1e5
+        assert(c >= 0.4, s"pair ($d,$id) kept with cosine $c < 0.4")
+      }
+    }
+  }
+
   test("dedup_clusters: components are consistent with the verified pairs") {
     import org.apache.spark.sql.functions.col
     val pairs = Extended.dedupVerifyEditdist(spark, dir)

@@ -127,6 +127,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge at this scale")
   }
 
+  test("sink_parquet_partitioned: readback prunes to the filtered week") {
+    // the write side produced day=... directories; the readback filter must
+    // arrive as PartitionFilters on the scan (7 of 30 partitions touched),
+    // never as a post-scan Filter over all partitions
+    val p = plan(Formats.sinkParquetPartitioned(spark, dir))
+    assert(p.contains("PartitionFilters:"), s"no partition filters:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+      s"day range not pushed into partition pruning:\n$p")
+  }
+
+  test("sink_orc_roundtrip: readback pushes the returnflag predicate into ORC") {
+    val p = plan(Formats.sinkOrcRoundtrip(spark, dir))
+    assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
+      s"returnflag predicate not pushed to the ORC reader:\n$p")
+  }
+
+  test("dedup_embedding: banded candidates from an equality join, never all-pairs") {
+    val p = plan(VectorOps.dedupEmbedding(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidate generation must never be all-pairs:\n$p")
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
