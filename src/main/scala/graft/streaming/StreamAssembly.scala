@@ -182,6 +182,29 @@ object StreamAssembly {
       }
   }
 
+  /** Switch the session's streaming state store to RocksDB and return the
+    * previous provider setting (pass it back to restore).
+    *
+    * The default state store keeps every key's state as JVM objects on the
+    * executor heap — fine for the fixture streams here, fatal at 100 TB
+    * where a high-cardinality dedup/join/window key set (billions of tids)
+    * outgrows executor memory. RocksDB keeps state off-heap and spills to
+    * local disk, so state capacity scales with SSD, not heap; changelog
+    * checkpointing ships per-batch deltas to the checkpoint location
+    * instead of full snapshots, keeping commit latency flat as state
+    * grows. Every stateful assembly in this object runs unchanged under
+    * either provider (asserted in StreamingSpec). */
+  def useRocksDbStateStore(spark: SparkSession): Option[String] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    prev
+  }
+
   /** Project the pair-stage columns to the unified schema (streaming twin of
     * the batch normalizer's finish). */
   private def finishUnified(pairs: DataFrame, market: String): DataFrame = {

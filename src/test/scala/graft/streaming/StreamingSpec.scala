@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
@@ -118,6 +120,40 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_.getLong(1) == 3))
       assert(!rows.exists(_.getString(0) == "ETHUSDT"))
     } finally q.stop()
+  }
+
+  test("RocksDB state store: stateful dedup runs unchanged on the scale provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = StreamAssembly.useRocksDbStateStore(spark)
+    try {
+      // same file-tail + watermark-dedup pipeline as the default-provider
+      // test above — the state (dedup keys) now lives in RocksDB
+      val root = tmp("hl_rocks"); val outDir = tmp("hl_rocks_out"); val ckpt = tmp("hl_rocks_ckpt")
+      Files.write(java.nio.file.Paths.get(s"$root/hour1.json"),
+        Fixtures.hyperliquid.mkString("", "\n", "\n").getBytes)
+      val unified = StreamAssembly.hyperliquidNormalizedStream(
+        StreamAssembly.hyperliquidFileStream(spark, root))
+      val q = unified.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination(60000)
+      // identical output to the default provider: 3 unique fills survive dedup
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 3)
+      assert(out.select("symbol").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("DOGEUSDC", "ETHUSDC", "SOLUSDC"))
+      // the state operator really ran on RocksDB, not the default HDFS map
+      val sp = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        .lastProgress.stateOperators
+      assert(sp.nonEmpty)
+      assert(sp.head.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"no rocksdb metrics in ${sp.head.customMetrics.keySet}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("streaming dashboard: windowed notional aggregate emits after watermark") {
