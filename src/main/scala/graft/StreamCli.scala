@@ -3,9 +3,11 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, date_format, timestamp_millis}
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.normalize.Normalizers
-import graft.streaming.StreamAssembly
+import graft.streaming.{ConsoleSink, JdbcSink, StreamAssembly}
 
 /** CLI orchestrator — the Spark counterpart of the reference's entry point
   * (liq-stream `stream.py:15-44` argparse + `:90-122` `_resolve_streams` +
@@ -23,15 +25,30 @@ import graft.streaming.StreamAssembly
   */
 object StreamCli {
 
+  /** The reference's argparse surface (`stream.py:15-44`), minus
+    * `--subscribe-chunk` (it sizes the live WS subscribe frames that a
+    * zero-egress replay never sends — the chunking logic itself is modeled
+    * and spec'd in [[graft.sources.SymbolDiscovery.subscribeFrames]]).
+    * `--pg-url` carries a JDBC url where the reference's `--pg-dsn` carried
+    * a libpq DSN; `--pg-interval` maps onto `--trigger-ms` (the micro-batch
+    * IS the flush interval); `--hl-root` maps onto `--frames-root`. */
   final case class CliArgs(
       exchange: Option[String] = None,
       market: Option[String] = None,
       all: Boolean = false,
       streams: String = "",
       framesRoot: String = "",
+      outdir: Option[String] = None,
       outdirRoot: String = "data",
       dryRun: Boolean = false,
-      triggerMs: Long = 500L)
+      triggerMs: Long = 500L,
+      sink: String = "both",
+      noWrite: Boolean = false,
+      noColor: Boolean = false,
+      pgUrl: String = sys.env.getOrElse("PG_URL", ""),
+      pgTable: String = sys.env.getOrElse("PG_TABLE", "liquidations"),
+      pgBatch: Int = sys.env.get("PG_BATCH").map(_.toInt).getOrElse(500),
+      hlNoCatchup: Boolean = false)
 
   /** The `--all` roster (`stream.py:93-99`). */
   val allPairs: Seq[(String, String)] = Seq(
@@ -48,9 +65,20 @@ object StreamCli {
       case "--all" :: t => loop(t, a.copy(all = true))
       case "--streams" :: v :: t => loop(t, a.copy(streams = v))
       case "--frames-root" :: v :: t => loop(t, a.copy(framesRoot = v))
+      case "--outdir" :: v :: t => loop(t, a.copy(outdir = Some(v)))
       case "--outdir-root" :: v :: t => loop(t, a.copy(outdirRoot = v))
       case "--dry-run" :: t => loop(t, a.copy(dryRun = true))
       case "--trigger-ms" :: v :: t => loop(t, a.copy(triggerMs = v.toLong))
+      case "--sink" :: v :: t if Set("csv", "pg", "both")(v) =>
+        loop(t, a.copy(sink = v))
+      case "--sink" :: v :: _ =>
+        throw new IllegalArgumentException(s"--sink must be csv|pg|both, got '$v'")
+      case "--no-write" :: t => loop(t, a.copy(noWrite = true))
+      case "--no-color" :: t => loop(t, a.copy(noColor = true))
+      case "--pg-url" :: v :: t => loop(t, a.copy(pgUrl = v))
+      case "--pg-table" :: v :: t => loop(t, a.copy(pgTable = v))
+      case "--pg-batch" :: v :: t => loop(t, a.copy(pgBatch = v.toInt))
+      case "--hl-no-catchup" :: t => loop(t, a.copy(hlNoCatchup = true))
       case Nil => a
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
@@ -95,14 +123,18 @@ object StreamCli {
     }
 
   /** One normalized stream per pair, unioned — the reference's N asyncio
-    * tasks into one shared writer (`stream.py:169-188`). */
+    * tasks into one shared writer (`stream.py:169-188`). `hlNoCatchup`
+    * models `--hl-no-catchup` (`stream.py:42-43,152-158`): only files
+    * younger than an hour relative to the newest are picked up, i.e. tail
+    * the latest hour instead of backfilling the whole directory. */
   def buildUnified(spark: SparkSession, framesRoot: String,
-      pairs: Seq[(String, String)]): DataFrame =
+      pairs: Seq[(String, String)], hlNoCatchup: Boolean = false): DataFrame =
     pairs.map { case (ex, mk) =>
       ex match {
         case "hyperliquid" =>
           StreamAssembly.hyperliquidNormalizedStream(
-            StreamAssembly.hyperliquidFileStream(spark, s"$framesRoot/hyperliquid"), mk)
+            StreamAssembly.hyperliquidFileStream(spark, s"$framesRoot/hyperliquid",
+              catchUp = !hlNoCatchup), mk)
         case _ =>
           val raw = StreamAssembly.wsReplayStream(spark, s"$framesRoot/$ex.jsonl")
           ex match {
@@ -118,22 +150,73 @@ object StreamCli {
 
   /** Run the resolved streams to completion of the recorded input (drain +
     * stop — the Smoke-style batch analog of the reference's run-forever
-    * loop) and report what landed in each sink. */
+    * loop) and report what landed in each sink.
+    *
+    * Sink fan-out follows the WriterShim contract (`stream.py:47-87` +
+    * `run_all` `:169-181`): every row prints to the console first (color
+    * unless `--no-color`), then forwards to the CSV writer when `--sink`
+    * is csv/both and to the Postgres writer when pg/both — unless
+    * `--no-write`, which keeps the print and drops both writers. The PG
+    * path is the real [[graft.streaming.JdbcSink]] (DDL bootstrap +
+    * batched append) when `--pg-url` is set — embedded Derby in this
+    * environment, the byte-identical PG DDL on a real cluster; with no
+    * url it falls back to a parquet append (the columnar stand-in the
+    * batch queries read; the reference instead exits — `stream.py:172` —
+    * but this sandbox has no PG server to point a DSN at).
+    *
+    * Returns (csv rows, pg-or-parquet rows) read back from the sinks. */
   def run(spark: SparkSession, args: CliArgs): (Long, Long) = {
     val pairs = resolveStreams(args)
     println(s"[cli] streams: ${pairs.map(p => s"${p._1}:${p._2}").mkString(", ")}")
     if (args.dryRun) return (0L, 0L)
-    val root = args.outdirRoot
+    // --outdir overrides the root in single-stream mode (stream.py:126-127)
+    val root = args.outdir.filter(_ => pairs.size == 1).getOrElse(args.outdirRoot)
     val csvDir = s"$root/csv"; val pqDir = s"$root/parquet"
     val ckpt = s"$root/ckpt"
     Files.createDirectories(Paths.get(root))
-    val unified = buildUnified(spark, args.framesRoot, pairs)
-    val q = StreamAssembly.fanOutSinks(unified, csvDir, pqDir, ckpt, args.triggerMs)
+    val unified = buildUnified(spark, args.framesRoot, pairs, args.hlNoCatchup)
+    val writeCsv = !args.noWrite && args.sink != "pg"
+    val writePg = !args.noWrite && args.sink != "csv"
+    val useJdbc = writePg && args.pgUrl.nonEmpty
+    val dialect =
+      if (args.pgUrl.startsWith("jdbc:derby")) JdbcSink.Derby else JdbcSink.Postgres
+    val props = new java.util.Properties()
+    if (useJdbc) JdbcSink.ensureSchema(args.pgUrl, args.pgTable, props, dialect)
+    else if (writePg)
+      println(s"[cli] no --pg-url: PG sink modeled as parquet append at $pqDir")
+    val lineCol = ConsoleSink.line(colors = !args.noColor)
+    val q = unified.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(args.triggerMs))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.persist()
+        try {
+          // WriterShim order: print, then forward (stream.py:64-87); the
+          // collect is presentation I/O bounded per micro-batch
+          batch.select(lineCol.as("line")).collect()
+            .foreach(r => println(r.getString(0)))
+          if (writeCsv) batch
+            .withColumn("day",
+              date_format(timestamp_millis(col("ts_ingest_ms")), "yyyy-MM-dd"))
+            .write.mode("append").partitionBy("day")
+            .option("header", "true").csv(csvDir)
+          if (useJdbc)
+            JdbcSink.appendBatch(batch, args.pgUrl, args.pgTable, props,
+              args.pgBatch)
+          else if (writePg) batch.write.mode("append").parquet(pqDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
     try q.processAllAvailable() finally q.stop()
-    val csvRows = spark.read.option("header", "true").csv(csvDir).count()
-    val pqRows = spark.read.parquet(pqDir).count()
-    println(s"[cli] csv rows=$csvRows parquet rows=$pqRows -> $root")
-    (csvRows, pqRows)
+    val csvRows =
+      if (writeCsv) spark.read.option("header", "true").csv(csvDir).count() else 0L
+    val pgRows =
+      if (useJdbc) spark.read.jdbc(args.pgUrl, args.pgTable, props).count()
+      else if (writePg) spark.read.parquet(pqDir).count()
+      else 0L
+    println(s"[cli] csv rows=$csvRows pg rows=$pgRows -> $root")
+    (csvRows, pgRows)
   }
 
   def main(argv: Array[String]): Unit = {

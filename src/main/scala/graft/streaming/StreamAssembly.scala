@@ -36,11 +36,31 @@ object StreamAssembly {
     * (`hyperliquid_adapter.py:341-351`). maxFilesPerTrigger is the rate
     * control the reference's drop-oldest queue approximated. */
   def hyperliquidFileStream(spark: SparkSession, root: String,
-      maxFilesPerTrigger: Int = 100): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 100, catchUp: Boolean = true): DataFrame = {
+    val base = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(root)
       .withColumnRenamed("value", "raw")
+    if (catchUp) base
+    else {
+      // catch_up=False (`--hl-no-catchup`, hyperliquid_adapter.py:341-347):
+      // skip the historical backfill, tail only the latest hour. The stale
+      // set is fixed at build time — files more than an hour older than the
+      // newest — and dropped at the source boundary by file name. (Spark's
+      // `maxFileAge` cannot model this: the first-batch listing treats every
+      // file as new, and the first batch IS the backfill.) The historical
+      // files are still listed/opened once; at real scale the layout fix is
+      // date-partitioned hourly directories plus a path filter so the
+      // backlog is never even listed.
+      val files = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      val newest = files.map(_.lastModified).maxOption.getOrElse(0L)
+      val staleNames = files
+        .filter(_.lastModified < newest - 3600 * 1000L).map(_.getName).toSeq
+      if (staleNames.isEmpty) base
+      else base.filter(!col("_metadata.file_name").isin(staleNames: _*))
+    }
+  }
 
   /** A WebSocket-shaped frame stream replayed through the custom
     * MicroBatchStream source ([[graft.sources.WsReplayProvider]]): recorded

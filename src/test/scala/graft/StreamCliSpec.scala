@@ -50,6 +50,73 @@ class StreamCliSpec extends SparkSpec {
     intercept[IllegalArgumentException](StreamCli.parse(Array("--bogus")))
   }
 
+  test("parse: sink/write/color/pg/hl flags (stream.py:15-44 surface)") {
+    val a = StreamCli.parse(Array("--sink", "pg", "--no-write", "--no-color",
+      "--pg-url", "jdbc:derby:memory:liq;create=true", "--pg-table", "liq2",
+      "--pg-batch", "250", "--hl-no-catchup", "--outdir", "/z"))
+    assert(a.sink == "pg" && a.noWrite && a.noColor && a.hlNoCatchup)
+    assert(a.pgUrl.startsWith("jdbc:derby") && a.pgTable == "liq2" && a.pgBatch == 250)
+    assert(a.outdir.contains("/z"))
+    val e = intercept[IllegalArgumentException](
+      StreamCli.parse(Array("--sink", "kafka")))
+    assert(e.getMessage.contains("csv|pg|both"))
+  }
+
+  test("--sink pg --pg-url: rows land in the JDBC table, no CSV dir is written") {
+    val framesRoot = tmp("cli_pg_frames")
+    Files.write(Paths.get(s"$framesRoot/binance.jsonl"),
+      Fixtures.binance.mkString("\n").getBytes)
+    val out = tmp("cli_pg_out")
+    val url = "jdbc:derby:memory:cli_pg;create=true"
+    val (csvRows, pgRows) = StreamCli.run(spark, StreamCli.CliArgs(
+      streams = "binance:usdt", framesRoot = framesRoot, outdirRoot = out,
+      triggerMs = 100L, sink = "pg", pgUrl = url, pgTable = "liquidations"))
+    assert(csvRows == 0L && pgRows == 4L)
+    assert(!Files.exists(Paths.get(s"$out/csv")))
+    // the rows are really in Derby, with the unified schema columns
+    val back = spark.read.jdbc(url, "liquidations", new java.util.Properties())
+    assert(back.count() == 4)
+    assert(back.columns.contains("exchange") && back.columns.contains("notional"))
+  }
+
+  test("--no-write: console only — neither sink directory is created") {
+    val framesRoot = tmp("cli_nw_frames")
+    Files.write(Paths.get(s"$framesRoot/okx.jsonl"),
+      Fixtures.okx.mkString("\n").getBytes)
+    val out = tmp("cli_nw_out")
+    val (csvRows, pgRows) = StreamCli.run(spark, StreamCli.CliArgs(
+      streams = "okx:usdt", framesRoot = framesRoot, outdirRoot = out,
+      triggerMs = 100L, noWrite = true))
+    assert(csvRows == 0L && pgRows == 0L)
+    assert(!Files.exists(Paths.get(s"$out/csv")))
+    assert(!Files.exists(Paths.get(s"$out/parquet")))
+  }
+
+  test("--hl-no-catchup: hour files older than the newest hour are skipped") {
+    val framesRoot = tmp("cli_hl_frames")
+    Files.createDirectories(Paths.get(s"$framesRoot/hyperliquid"))
+    val old = Paths.get(s"$framesRoot/hyperliquid/hour1.json")
+    // hour1 carries the ETH self-liq fill (lines 1-2); hour2 skips line 3
+    // (the ETH duplicate — it would be re-admitted either way once hour1 is
+    // dropped, making the two modes indistinguishable) and carries only the
+    // SOL + DOGE fills
+    Files.write(old, Fixtures.hyperliquid.take(2).mkString("", "\n", "\n").getBytes)
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3 * 3600 * 1000L))
+    Files.write(Paths.get(s"$framesRoot/hyperliquid/hour2.json"),
+      Fixtures.hyperliquid.drop(3).mkString("", "\n", "\n").getBytes)
+    val out = tmp("cli_hl_out")
+    val (csvRows, pgRows) = StreamCli.run(spark, StreamCli.CliArgs(
+      streams = "hyperliquid:usdc", framesRoot = framesRoot, outdirRoot = out,
+      triggerMs = 100L, hlNoCatchup = true))
+    // catch-up would see 3 fills (ETH from hour1 + SOL/DOGE); tail-only
+    // sees just hour2's two
+    assert(csvRows == 2L && pgRows == 2L)
+    val symbols = spark.read.parquet(s"$out/parquet")
+      .select("symbol").collect().map(_.getString(0)).toSet
+    assert(symbols == Set("SOLUSDC", "DOGEUSDC"), s"got $symbols")
+  }
+
   test("end-to-end: fixture frames -> union of 3 streams -> partitioned CSV + parquet") {
     val framesRoot = tmp("cli_frames")
     Files.write(Paths.get(s"$framesRoot/binance.jsonl"),
