@@ -180,6 +180,25 @@ object Relational {
         col("cnt"), col("sum_qty"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** Irregular GROUPING SETS — the grouping-set shapes ROLLUP/CUBE can't
+    * express (here: the full pair, linestatus alone, and the grand total,
+    * skipping returnflag-alone). Same single-pass expand + one keyed
+    * shuffle as rollup/cube; same ALL/gid output convention. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sumMoney(col("l_quantity")).as("sum_qty"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Approximate distinct (HLL++) — symbol-cardinality at 100 TB where exact
     * distinct would shuffle every key. The oracle is DuckDB's EXACT
     * count(DISTINCT); the match holds because per-group cardinality is ≤5
@@ -481,6 +500,15 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                count(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY gid, l_returnflag, l_linestatus""",
     "agg_approx_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id""",
@@ -577,6 +605,7 @@ object Relational {
     "agg_by_key" -> aggByKey _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
+    "agg_grouping_sets" -> aggGroupingSets _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,

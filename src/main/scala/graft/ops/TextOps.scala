@@ -84,6 +84,42 @@ object TextOps {
           .cast(LongType).as("re_tokens"))
       .orderBy("doc_id")
 
+  /** TF-IDF keyword extraction: top-3 tokens per document by
+    * tf x (N / df) — the corpus-statistics feature extractor a training
+    * pipeline uses for topic tagging and quality signals.
+    *
+    * The idf factor is the LINEAR N/df, not log(N/df): Spark's and
+    * DuckDB's libm log implementations can differ in the last ulp, which
+    * the hash compare would surface as flaky mismatches at rounding
+    * boundaries; tf*N/df stays exact integer arithmetic until one final
+    * double division evaluated identically by both engines. (log is
+    * monotone in N/df, so single-token ranking is unaffected; the blend
+    * across tf weights rare terms more aggressively than the log form.)
+    *
+    * Scale shape: explode → map-side-combined (doc, token) counts; df via
+    * count-over-window keyed on token (reuses the aggregated frame — no
+    * second corpus pass, no self-join; stopword-token skew is AQE's skew
+    * case); N arrives as a broadcast one-row frame; the per-doc top-3 is a
+    * window over doc_id partitions, each a few hundred rows. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    withDf.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        ((col("tf") * col("n")).cast(DoubleType) / col("df").cast(DoubleType))
+          .as("score"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .orderBy("doc_id", "rk")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive document signature for exact-content dedup across
     * formatting variants. */
@@ -133,6 +169,20 @@ object TextOps {
                 md5(array_to_string(list_sort(list_distinct(
                       list_filter(string_split(lower(text),' '), t -> t <> ''))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+                       FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         withdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tf),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT doc_id, token,
+                           (tf * n.n)::DOUBLE / df::DOUBLE AS score
+                    FROM withdf CROSS JOIN n),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, token) AS rk FROM scored)
+         SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, rk""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,5 +191,6 @@ object TextOps {
     "text_langid" -> textLangid _,
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
+    "text_tfidf" -> textTfidf _,
   )
 }

@@ -185,6 +185,40 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Int8 vector quantization audit — the storage move that makes 100 TB of
+    * embeddings tractable: per-vector max-abs scaling to [-127, 127]
+    * integers cuts the ANN working set 4x (float32 → int8) at a bounded,
+    * measured reconstruction error. Emits per-vector audit scalars (scale,
+    * quantized checksum, max absolute error ≤ scale/2) rather than the int8
+    * array itself, so the oracle compare stays scalar-typed.
+    *
+    * Shape: strictly map-side (no shuffle before the output sort). The
+    * lambda chain here is interpreted, not codegen'd — fine for an audit
+    * query; the hot-path serving form would be a fused native expression
+    * like [[graft.functions.DotProduct]]. `pinned` keeps the scale from
+    * being re-inlined per element by CollapseProject (one aggregate fold,
+    * not 64). */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val maxAbs = aggregate(transform(v, x => abs(x.cast(DoubleType))),
+      lit(0.0), (a, x) => greatest(a, x))
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"), pinned(maxAbs / 127.0).as("s"))
+      .select(col("vec_id"), col("v"), col("s"),
+        pinned(transform(col("v"),
+          x => floor(x.cast(DoubleType) / col("s") + 0.5).cast(LongType))).as("qv"))
+      .select(
+        col("vec_id"),
+        lit(dims.toLong).as("n_dims"),
+        roundD(col("s"), 6).as("scale"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        roundD(aggregate(
+          zip_with(col("qv"), col("v"),
+            (q, x) => abs(q.cast(DoubleType) * col("s") - x.cast(DoubleType))),
+          lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = {
     val annBits = (0 until 8).map { j =>
       val ws = (0 until 64).map(i => s"${weight(i, j)}.0").mkString("[", ", ", "]")
@@ -249,6 +283,26 @@ object VectorOps {
         SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS keep
         FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
         ORDER BY e.vec_id""",
+      // same fold order as the Spark lambdas: left-to-right with a 0 init,
+      // so every double is bit-identical across engines
+      "vec_quantize" -> """
+        WITH s AS (SELECT vec_id, embedding,
+                          list_reduce(list_concat([0.0],
+                            list_transform(embedding, x -> abs(x::DOUBLE))),
+                            (a, b) -> greatest(a, b)) / 127.0 AS s
+                   FROM embeddings),
+        q AS (SELECT vec_id, embedding, s,
+                     list_transform(embedding,
+                       x -> floor(x::DOUBLE / s + 0.5)::BIGINT) AS qv
+              FROM s)
+        SELECT vec_id, 64::BIGINT AS n_dims,
+               floor(s * 1e6 + 0.5) / 1e6 AS scale,
+               list_reduce(list_concat([0::BIGINT], qv), (a, b) -> a + b) AS q_sum,
+               floor(list_reduce(list_concat([0.0],
+                       list_transform(range(1, 65),
+                         i -> abs(qv[i] * s - embedding[i]::DOUBLE))),
+                       (a, b) -> greatest(a, b)) * 1e6 + 0.5) / 1e6 AS max_err
+        FROM q ORDER BY vec_id""",
     )
   }
 
@@ -258,5 +312,6 @@ object VectorOps {
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "vec_quantize" -> vecQuantize _,
   )
 }
