@@ -96,18 +96,21 @@ object TextOps {
     * monotone in N/df, so single-token ranking is unaffected; the blend
     * across tf weights rare terms more aggressively than the log form.)
     *
-    * Scale shape: explode → map-side-combined (doc, token) counts; df via
-    * count-over-window keyed on token (reuses the aggregated frame — no
-    * second corpus pass, no self-join; stopword-token skew is AQE's skew
-    * case); N arrives as a broadcast one-row frame; the per-doc top-3 is a
-    * window over doc_id partitions, each a few hundred rows. */
+    * Scale shape: explode → map-side-combined (doc, token) counts; df is a
+    * token-keyed aggregate of that same frame joined back on token — NOT a
+    * count-over-window, whose WindowExec would sort the entire (doc, token)
+    * stream by token (the same trap the Jaccard df-cap hit in round 2); the
+    * tf subtree appears on both sides, so exchange reuse computes it once,
+    * and AQE broadcasts the vocabulary-sized df side when it fits. N
+    * arrives as a broadcast one-row frame; the per-doc top-3 is a window
+    * over doc_id partitions, each a few hundred rows. */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
+    val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val withDf = tf.join(dfCounts, "token")
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
@@ -174,7 +177,8 @@ object TextOps {
                               unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
                        FROM documents),
          tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-         withdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tf),
+         dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         withdf AS (SELECT tf.*, dfc.df FROM tf JOIN dfc USING (token)),
          n AS (SELECT count(*) AS n FROM documents),
          scored AS (SELECT doc_id, token,
                            (tf * n.n)::DOUBLE / df::DOUBLE AS score
