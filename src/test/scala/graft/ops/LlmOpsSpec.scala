@@ -169,6 +169,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_quantize: reconstruction error bounded by scale/2, full coverage") {
+    val rows = VectorOps.vecQuantize(spark, dir).collect()
+    assert(rows.length == table(spark, dir, "embeddings").count())
+    rows.foreach { r =>
+      val scale = r.getDouble(2)
+      val maxErr = r.getDouble(4)
+      // max-abs scaling: every reconstructed component is within half a
+      // quantization step (the round-half-up guarantee); scale > 0 because
+      // the corpus vectors are unit-norm (never all-zero)
+      assert(scale > 0, s"vec ${r.getLong(0)} has zero scale")
+      // 1e-6 covers the 6-decimal reporting rounding of both columns
+      // (max_err can round up while scale rounds down)
+      assert(maxErr <= scale / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: err $maxErr exceeds ${scale / 2}")
+    }
+  }
+
   test("dedup_clusters: components are consistent with the verified pairs") {
     import org.apache.spark.sql.functions.col
     val pairs = Extended.dedupVerifyEditdist(spark, dir)
