@@ -117,6 +117,34 @@ class StreamCliSpec extends SparkSpec {
     assert(symbols == Set("SOLUSDC", "DOGEUSDC"), s"got $symbols")
   }
 
+  test("--all: the full 8-pair roster runs as ONE streaming query over 5 sources") {
+    val framesRoot = tmp("cli_all_frames")
+    Seq("binance" -> Fixtures.binance, "aster" -> Fixtures.aster,
+      "bybit" -> Fixtures.bybit, "okx" -> Fixtures.okx).foreach { case (ex, fx) =>
+      Files.write(Paths.get(s"$framesRoot/$ex.jsonl"), fx.mkString("\n").getBytes)
+    }
+    Files.createDirectories(Paths.get(s"$framesRoot/hyperliquid"))
+    Files.write(Paths.get(s"$framesRoot/hyperliquid/hour1.json"),
+      Fixtures.hyperliquid.mkString("", "\n", "\n").getBytes)
+    val out = tmp("cli_all_out")
+    val (csvRows, pgRows) = StreamCli.run(spark, StreamCli.CliArgs(
+      all = true, framesRoot = framesRoot, outdirRoot = out, triggerMs = 100L))
+    assert(csvRows > 0 && csvRows == pgRows)
+    val pq = spark.read.parquet(s"$out/parquet")
+    val exchanges = pq.select("exchange").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(exchanges == Set("binance", "bybit", "okx", "aster", "hyperliquid"))
+    // the usdt/coin market split is carried through for the dual-market
+    // exchanges (okx:coin legitimately yields no rows — the fixture
+    // instruments are all USDT-suffixed and the OKX normalizer filters by
+    // instId suffix, okx_adapter.py:15-21)
+    val pairs = pq.select("exchange", "market").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(Set("binance" -> "usdt", "binance" -> "coin", "bybit" -> "usdt",
+      "bybit" -> "coin", "okx" -> "usdt", "aster" -> "usdt",
+      "hyperliquid" -> "usdc").subsetOf(pairs), s"got $pairs")
+  }
+
   test("end-to-end: fixture frames -> union of 3 streams -> partitioned CSV + parquet") {
     val framesRoot = tmp("cli_frames")
     Files.write(Paths.get(s"$framesRoot/binance.jsonl"),
