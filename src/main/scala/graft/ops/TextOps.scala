@@ -96,19 +96,24 @@ object TextOps {
     * monotone in N/df, so single-token ranking is unaffected; the blend
     * across tf weights rare terms more aggressively than the log form.)
     *
-    * Scale shape: explode → map-side-combined (doc, token) counts; df is a
-    * token-keyed aggregate of that same frame joined back on token — NOT a
-    * count-over-window, whose WindowExec would sort the entire (doc, token)
-    * stream by token (the same trap the Jaccard df-cap hit in round 2); the
-    * tf subtree appears on both sides, so exchange reuse computes it once,
-    * and AQE broadcasts the vocabulary-sized df side when it fits. N
-    * arrives as a broadcast one-row frame; the per-doc top-3 is a window
-    * over doc_id partitions, each a few hundred rows. */
+    * Scale shape: explode → map-side-combined (doc, token) counts,
+    * materialized ONCE (localCheckpoint — plan-probed: without it the tf
+    * subtree plans twice, i.e. two full corpus tokenize passes, because
+    * exchange reuse can't fire once AQE converts one branch to a
+    * broadcast); df is a token-keyed aggregate of the materialized frame
+    * joined back on token — NOT a count-over-window, whose WindowExec
+    * would sort the entire (doc, token) stream by token (the same trap the
+    * Jaccard df-cap hit in round 2). N arrives as a broadcast one-row
+    * frame; the per-doc top-3 window is bounded map-side by Spark 4's
+    * WindowGroupLimit before the doc_id shuffle. On a multi-executor
+    * cluster swap localCheckpoint for persist-to-disk/checkpoint — the
+    * same trade documented at [[Extended.clusterLabels]]. */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val withDf = tf.join(dfCounts, "token")
     val n = docs.agg(count(lit(1)).as("n"))

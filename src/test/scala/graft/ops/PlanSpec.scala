@@ -150,6 +150,23 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidate generation must never be all-pairs:\n$p")
   }
 
+  test("text_tfidf: one tokenize pass; top-3 bounded before the doc shuffle") {
+    // the (doc, token) tf frame must be checkpoint-backed and feed both the
+    // df aggregate and the probe side — without the materialization the
+    // tokenize+aggregate subtree plans twice (two full corpus passes; AQE's
+    // broadcast conversion defeats exchange reuse). The only parquet scan
+    // left in the final plan is the column-pruned N count. Spark 4's
+    // WindowGroupLimit must bound the per-doc top-3 below the shuffle.
+    val df = TextOps.textTfidf(spark, dir)
+    df.collect() // drive AQE to the final plan
+    val whole = plan(df)
+    assert(whole.contains("isFinalPlan=true"))
+    val p = whole.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "tf frame is not checkpoint-backed")
+    assert(p.contains("WindowGroupLimit"), "top-3 not bounded before the window")
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
