@@ -89,7 +89,12 @@ object DedupOps {
     * shared-shingle equality join (no cross product): J = |A∩B| / (|A|+|B|-|A∩B|)
     * computed over the df-capped shingle sets. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE: the exploded shingle stream feeds the heavy-hitter
+    // aggregate AND the anti-join probe side — without the checkpoint the
+    // tokenize+hash subtree plans twice (plan-probed; AQE's broadcast
+    // conversion defeats exchange reuse), i.e. two full corpus passes
     val exAll = hashedShingles(spark, dir).withColumnRenamed("h", "s")
+      .localCheckpoint()
     // document-frequency cap via a HEAVY-HITTER anti-join: aggregate the
     // over-cap shingles (map-side combine on (s, count)) into an exclusion
     // list, so the cap applies with no sort anywhere. This replaces a
@@ -103,8 +108,11 @@ object DedupOps {
     val heavy = exAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > jaccardDfCap)
       .select("s")
+    // also materialized: referenced three times (sizes + both self-join
+    // sides), each of which would otherwise replay the anti-join
     val ex = exAll.join(heavy, Seq("s"), "left_anti")
       .select("doc_id", "s")
+      .localCheckpoint()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -135,9 +143,13 @@ object DedupOps {
     * stage with NO explode and NO groupBy shuffle; the only shuffle in the
     * whole op is the (band_id, band_sig) bucket join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: both sides of the band self-join derive from this
+    // frame, and AQE's broadcast conversion would otherwise re-plan the
+    // whole tokenize+signature subtree per side (plan-probed: 2 scans)
     val sigs = shingleArrays(spark, dir)
       .select(col("doc_id"),
         pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
+      .localCheckpoint()
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map { bi =>
         struct(lit(bi).as("band"),
@@ -164,9 +176,12 @@ object DedupOps {
     // per-row single-pass signature via the codegen'd SimHashBits (all 28
     // vote counters in one array walk, replacing 28 interpreted aggregate
     // folds): map-side, no explode/shuffle
+    // materialized once — same both-sides-of-the-self-join rationale as
+    // the minhash signatures above
     val sims = shingleArrays(spark, dir)
       .select(col("doc_id"),
         pinned(graft.functions.SimHashBits(col("sh"), 28)).as("simhash"))
+      .localCheckpoint()
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),

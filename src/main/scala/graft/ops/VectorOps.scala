@@ -113,6 +113,13 @@ object VectorOps {
     val nBits = bands * bitsPerBand
     require(nBits > 0 && nBits < 63, s"need 0 < bands*bitsPerBand < 63, got $nBits")
     val mask = (1L << bitsPerBand) - 1L
+    // NOT checkpointed, deliberately (cf. the text dedups, which are): the
+    // corpus and query branches do plan this subtree twice, but the frame
+    // carries the raw embedding column (the verify stage needs it), so
+    // materializing it would spill the entire vector table to executor
+    // storage — at 100 TB, two pruned columnar scans + two cheap hyperplane
+    // passes beat writing and re-reading the vectors once (measured here
+    // too: the checkpointed variant benches slower).
     val sig = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), pinned(bucketCol(nBits)).as("bucket"))
     def banded(df: DataFrame, b: String, s: String): DataFrame =
@@ -164,6 +171,7 @@ object VectorOps {
     val nBits = bands * bitsPerBand
     val mask = (1L << bitsPerBand) - 1L
     val emb = table(spark, dir, "embeddings")
+    // not checkpointed — same raw-vector-column rationale as [[simAnnTopk]]
     val sig = emb.select(col("vec_id"), col("embedding"),
       pinned(bucketCol(nBits)).as("bucket"))
     val bandRows = sig.select(col("vec_id"), col("embedding"),

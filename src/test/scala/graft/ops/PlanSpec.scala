@@ -150,6 +150,32 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidate generation must never be all-pairs:\n$p")
   }
 
+  test("text dedups: the corpus is tokenized/signed exactly once per query") {
+    // the text dedup ops materialize their signature frames
+    // (localCheckpoint), so the final plan replays NO tokenize/signature
+    // subtree: self-join sides and aggregate branches read the materialized
+    // blocks. Plan-probed without the checkpoints: 2-3 full corpus scans
+    // per query (AQE's broadcast conversion defeats exchange reuse between
+    // branches). The embedding ops are deliberately NOT checkpointed —
+    // their shared frame carries the raw vector column, and two pruned
+    // columnar scans beat spilling the vectors to executor storage (see
+    // VectorOps.simAnnTopk) — so they are asserted at their planned scan
+    // counts instead. dedup_verify_editdist's residual scan is the
+    // 2-column text prefix frame (its second use deduped by reuse).
+    def finalScans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val whole = plan(df)
+      assert(whole.contains("isFinalPlan=true") || !whole.contains("AdaptiveSparkPlan"))
+      "Scan parquet".r.findAllMatchIn(whole.split("== Initial Plan ==").head).size
+    }
+    assert(finalScans(DedupOps.dedupNgramJaccard(spark, dir)) == 0)
+    assert(finalScans(DedupOps.dedupMinhash(spark, dir)) == 0)
+    assert(finalScans(DedupOps.dedupSimhash(spark, dir)) == 0)
+    assert(finalScans(Extended.dedupVerifyEditdist(spark, dir)) <= 1)
+    assert(finalScans(VectorOps.simAnnTopk(spark, dir)) <= 2)
+    assert(finalScans(VectorOps.dedupEmbedding(spark, dir)) <= 3)
+  }
+
   test("text_tfidf: one tokenize pass; top-3 bounded before the doc shuffle") {
     // the (doc, token) tf frame must be checkpoint-backed and feed both the
     // df aggregate and the probe side — without the materialization the
