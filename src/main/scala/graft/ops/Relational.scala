@@ -251,6 +251,26 @@ object Relational {
         coalesce(sumMoney(col("o_totalprice")), lit(0.0)).as("sum_price"))
       .orderBy("c_custkey")
 
+  /** Full outer join: the reconciliation shape (rows surviving from either
+    * side with nulls for the absent one) — here, high-balance customers vs
+    * per-customer order totals, keeping customers with no orders AND order
+    * groups whose customer misses the balance gate. Both sides are
+    * pre-aggregated/filtered to one row per key, so the outer join itself
+    * is a keyed shuffle of two slim frames (never row-level fanout). */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sumMoney(col("o_totalprice")).as("sum_orders"))
+    val c = table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), roundD(col("c_acctbal"), 2).as("acctbal"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("sum_orders"), col("acctbal"))
+      .orderBy("custkey")
+  }
+
   /** Left-semi join (EXISTS): customers having at least one order. Semi joins
     * ship only the join key of the right side — at scale this is the cheap
     * form of the EXISTS predicate. */
@@ -528,6 +548,16 @@ object Relational {
                 COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_price
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_full" ->
+      """WITH o AS (SELECT o_custkey,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_orders
+                    FROM orders GROUP BY o_custkey),
+         c AS (SELECT c_custkey,
+                      floor(c_acctbal * 1e2 + 0.5) / 1e2 AS acctbal
+               FROM customer WHERE c_acctbal > 5000.0)
+         SELECT COALESCE(o_custkey, c_custkey) AS custkey, sum_orders, acctbal
+         FROM o FULL OUTER JOIN c ON o_custkey = c_custkey
+         ORDER BY custkey""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -610,6 +640,7 @@ object Relational {
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,
     "join_left" -> joinLeft _,
+    "join_full" -> joinFull _,
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_range" -> joinRange _,
