@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ TimeWindows.queries ++ JsonOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
       Multimodal.queries ++ Extended.queries ++ Curation.queries ++
-      Formats.queries ++ graft.normalize.NormalizeOps.queries
+      Formats.queries ++ Bucketing.queries ++
+      graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ TimeWindows.oracles ++ JsonOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
-      Formats.oracles ++ graft.normalize.NormalizeOps.oracles
+      Formats.oracles ++ Bucketing.oracles ++
+      graft.normalize.NormalizeOps.oracles
 }
