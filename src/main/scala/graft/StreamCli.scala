@@ -181,14 +181,16 @@ object StreamCli {
     val dialect =
       if (args.pgUrl.startsWith("jdbc:derby")) JdbcSink.Derby else JdbcSink.Postgres
     val props = new java.util.Properties()
-    if (useJdbc) JdbcSink.ensureSchema(args.pgUrl, args.pgTable, props, dialect)
+    if (useJdbc)
+      JdbcSink.ensureSchema(args.pgUrl, args.pgTable, props, dialect,
+        withBatchId = true)
     else if (writePg)
       println(s"[cli] no --pg-url: PG sink modeled as parquet append at $pqDir")
     val lineCol = ConsoleSink.line(colors = !args.noColor)
     val q = unified.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(args.triggerMs))
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         val batch = df.persist()
         try {
           // WriterShim order: print, then forward (stream.py:64-87); the
@@ -201,8 +203,9 @@ object StreamCli {
             .write.mode("append").partitionBy("day")
             .option("header", "true").csv(csvDir)
           if (useJdbc)
-            JdbcSink.appendBatch(batch, args.pgUrl, args.pgTable, props,
-              args.pgBatch)
+            // exactly-once: a checkpoint-replayed batch replaces its rows
+            JdbcSink.appendBatchExactlyOnce(batch, batchId, args.pgUrl,
+              args.pgTable, props, args.pgBatch, dialect = dialect)
           else if (writePg) batch.write.mode("append").parquet(pqDir)
         } finally batch.unpersist()
         ()

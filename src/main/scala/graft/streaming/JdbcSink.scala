@@ -68,14 +68,22 @@ object JdbcSink {
   }
 
   /** Unified-schema DDL — port of `writer_pg.py:23-36` (types) and `:38-57`
-    * (the two serving indexes: time scan + composite lookup). */
-  def ddl(table: String, dialect: SqlDialect = Postgres): Seq[String] = {
+    * (the two serving indexes: time scan + composite lookup).
+    *
+    * `withBatchId = true` adds a `batch_id BIGINT` column and its index —
+    * the deliberate schema extension [[appendBatchExactlyOnce]] needs (the
+    * reference's table has no such column because its writer is
+    * at-most-once, `writer_pg.py:211-215`); the default keeps the
+    * reference's PG DDL byte-identical. */
+  def ddl(table: String, dialect: SqlDialect = Postgres,
+      withBatchId: Boolean = false): Seq[String] = {
     val t = dialect.textType
     val ine = dialect.ifNotExists
     def c(n: String) = dialect.col(n)
+    val batchCol = if (withBatchId) s"  ${c("batch_id")} BIGINT,\n" else ""
     Seq(
       s"""CREATE TABLE $ine$table (
-         |  ${c("exchange")} $t NOT NULL,
+         |$batchCol  ${c("exchange")} $t NOT NULL,
          |  ${c("market")} $t NOT NULL,
          |  ${c("symbol")} $t NOT NULL,
          |  ${c("side")} $t,
@@ -88,7 +96,9 @@ object JdbcSink {
          |)""".stripMargin,
       s"CREATE INDEX $ine${idxName(table, "ts")} ON $table (${c("ts_exch_ms")})",
       s"CREATE INDEX $ine${idxName(table, "emst")} ON $table (${c("exchange")}, ${c("market")}, ${c("symbol")}, ${c("ts_exch_ms")})",
-    )
+    ) ++ (if (withBatchId)
+      Seq(s"CREATE INDEX $ine${idxName(table, "bid")} ON $table (${c("batch_id")})")
+    else Nil)
   }
 
   private def idxName(table: String, suffix: String): String =
@@ -98,11 +108,11 @@ object JdbcSink {
     * (`writer_pg.py:123-137`). Idempotent: IF NOT EXISTS where the dialect
     * has it, tolerated already-exists SQLStates where it doesn't. */
   def ensureSchema(url: String, table: String, props: java.util.Properties,
-      dialect: SqlDialect = Postgres): Unit = {
+      dialect: SqlDialect = Postgres, withBatchId: Boolean = false): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try ddl(table, dialect).foreach { sql =>
+      try ddl(table, dialect, withBatchId).foreach { sql =>
         try st.execute(sql)
         catch {
           case e: SQLException
@@ -123,4 +133,30 @@ object JdbcSink {
       .write.mode("append")
       .option("batchsize", batchSize)
       .jdbc(url, table, props)
+
+  /** Exactly-once micro-batch append: a retried batch REPLACES its own
+    * rows instead of duplicating them. Structured Streaming re-runs a
+    * foreachBatch with the same `batchId` after a failure; deleting that
+    * batch's rows first makes the append idempotent — the delete clears
+    * whatever a half-failed earlier attempt landed, and committed batches
+    * are never re-executed, so their rows are never touched. This is the
+    * standard rung above [[appendBatch]]'s at-least-once (the reference is
+    * at-most-once: failed batches are logged and dropped,
+    * `writer_pg.py:211-215`). Requires the `withBatchId = true` schema;
+    * the delete is driver-side by the indexed batch_id, the insert the
+    * same per-partition batched write as appendBatch. */
+  def appendBatchExactlyOnce(df: DataFrame, batchId: Long, url: String,
+      table: String, props: java.util.Properties, batchSize: Int = 500,
+      maxConnections: Int = 10, dialect: SqlDialect = Postgres): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"DELETE FROM $table WHERE ${dialect.col("batch_id")} = $batchId")
+      finally st.close()
+    } finally conn.close()
+    appendBatch(
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+      url, table, props, batchSize, maxConnections)
+  }
 }

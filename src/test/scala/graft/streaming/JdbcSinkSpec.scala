@@ -59,6 +59,34 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.filter(col("notional").isNull).count() == nullsIn * 2)
   }
 
+  test("derby: exactly-once append — a replayed batch replaces its own rows") {
+    val tbl = "liq_eo"
+    JdbcSink.ensureSchema(url, tbl, props, JdbcSink.Derby, withBatchId = true)
+    import spark.implicits._
+    val unified = Normalizers.binance(
+      Fixtures.binance.toDF("raw"), "usdt",
+      ingestMs = org.apache.spark.sql.functions.lit(0L))
+    val n = unified.count()
+    def eo(batchId: Long) = JdbcSink.appendBatchExactlyOnce(
+      unified, batchId, url, tbl, props, dialect = JdbcSink.Derby)
+    eo(0L)
+    // checkpoint replay of batch 0 (e.g. crash between sink commit and
+    // offset commit): the rows are replaced, never duplicated
+    eo(0L)
+    assert(spark.read.jdbc(url, tbl, props).count() == n)
+    // a genuinely new batch appends
+    eo(1L)
+    val back = spark.read.jdbc(url, tbl, props)
+    assert(back.count() == 2 * n)
+    assert(back.filter(col("batch_id") === 0L).count() == n)
+    // the plain at-least-once path would have duplicated: same call twice
+    JdbcSink.appendBatch(unified.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(2L)), url, tbl, props)
+    JdbcSink.appendBatch(unified.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(2L)), url, tbl, props)
+    assert(back.filter(col("batch_id") === 2L).count() == 2 * n)
+  }
+
   test("derby: raw frames longer than 4 KB insert (LONG VARCHAR payload column)") {
     // real WS frames (a full !forceOrder@arr array) routinely exceed 4 KB —
     // the payload column must not carry a VARCHAR(4096) bound
