@@ -54,10 +54,14 @@ object Bench {
     // last ~2000 chars of stdout, and full-precision doubles pushed rounds
     // 1-3 past that window (every BENCH_r*.json has "parsed": null with the
     // line's head truncated). Millisecond precision is ample for plan cost.
-    def ms(v: Double): String = f"$v%.3f"
-    // per-query at centisecond precision: 76 queries x ~25 chars must leave
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would print 0,21 — invalid JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-query at centisecond precision: ~80 queries x ~25 chars must leave
     // room for sbt's trailing "[success]" line inside the same 2000 chars
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
