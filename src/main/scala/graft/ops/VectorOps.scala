@@ -193,6 +193,58 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** IVF-style ANN top-k with a probe-count knob — the OTHER scale path
+    * next to hyperplane banding ([[simAnnTopk]]): a coarse quantizer
+    * assigns every vector to a cell (here the existing `label` column),
+    * each query is scored against one representative per cell, and only
+    * the top-`nprobe` cells are searched exactly. At 100 TB with the
+    * corpus partitioned/bucketed by cell id, the probe join IS partition
+    * pruning — `nprobe/cells` of the data is read, the rest never leaves
+    * storage.
+    *
+    * The cell representative is the minimum-vec_id member (a deterministic
+    * medoid stand-in): a production IVF trains k-means centroids, but
+    * float averaging is partition-order dependent (and engine dependent),
+    * which would break the bit-exact oracle — the probe/prune structure
+    * under test is identical. Note the synthetic corpus assigns labels
+    * independently of cosine geometry, so small-nprobe recall is low HERE
+    * (measured 0.06@1, 0.28@3, and exactly 1.0 at nprobe=cells, asserted
+    * in LlmOpsSpec); with a trained quantizer, cells align with cosine
+    * neighborhoods and the same plan recalls high at small nprobe. */
+  def simIvfTopk(spark: SparkSession, dir: String,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val reps = emb.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+      .join(emb.select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb")),
+        "rep_id")
+      .select(col("label").as("plabel"), col("rep_emb"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // one row per (query, cell): score against the representative, keep the
+    // top-nprobe cells. Tiny frame (queries x cells) — broadcast throughout.
+    val probes = queries.crossJoin(broadcast(reps))
+      .select(col("query_id"), col("qv"), col("plabel"),
+        roundD(dot(col("qv"), col("rep_emb")), 5).as("rep_cos"))
+      .withColumn("probe_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rep_cos").desc, col("plabel"))))
+      .filter(col("probe_rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("plabel"))
+    // exact search restricted to probed cells: the broadcast equality join
+    // on the cell id is the partition-pruning analog
+    emb.join(broadcast(probes),
+        col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        roundD(dot(col("qv"), col("embedding")), 5).as("cosine"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))).cast(LongType))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
   /** Int8 vector quantization audit — the storage move that makes 100 TB of
     * embeddings tractable: per-vector max-abs scaling to [-127, 127]
     * integers cuts the ANN working set 4x (float32 → int8) at a bounded,
@@ -291,6 +343,34 @@ object VectorOps {
         SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS keep
         FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
         ORDER BY e.vec_id""",
+      "sim_ivf_topk" -> s"""
+        WITH reps AS (SELECT e.label AS plabel, e.embedding AS rep_emb
+                      FROM (SELECT label, min(vec_id) AS rep_id
+                            FROM embeddings GROUP BY label) r
+                      JOIN embeddings e ON e.vec_id = r.rep_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5),
+        pscored AS (SELECT q.query_id, q.qv, reps.plabel,
+                           floor(list_reduce(list_concat([0.0],
+                             list_transform(range(1, 65),
+                               i -> q.qv[i]::DOUBLE * reps.rep_emb[i]::DOUBLE)),
+                             (acc, v) -> acc + v) * 1e5 + 0.5) / 1e5 AS rep_cos
+                    FROM q CROSS JOIN reps),
+        probes AS (SELECT query_id, qv, plabel FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rep_cos DESC, plabel) AS probe_rk FROM pscored)
+                   WHERE probe_rk <= 3),
+        scored AS (SELECT p.query_id, e.vec_id,
+                          floor(list_reduce(list_concat([0.0],
+                            list_transform(range(1, 65),
+                              i -> p.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                            (acc, v) -> acc + v) * 1e5 + 0.5) / 1e5 AS cosine
+                   FROM embeddings e JOIN probes p
+                     ON e.label = p.plabel AND e.vec_id <> p.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+        SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rk""",
       // same fold order as the Spark lambdas: left-to-right with a 0 init,
       // so every double is bit-identical across engines
       "vec_quantize" -> """
@@ -320,6 +400,7 @@ object VectorOps {
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "sim_ivf_topk" -> ((s, d) => simIvfTopk(s, d)),
     "vec_quantize" -> vecQuantize _,
   )
 }

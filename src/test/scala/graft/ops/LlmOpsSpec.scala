@@ -169,6 +169,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_topk: probing all cells equals exact; recall grows with nprobe") {
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(VectorOps.simTopk(spark, dir))
+    assert(exact.nonEmpty)
+    // the corpus has 10 cells: nprobe=10 searches everything, so the IVF
+    // result must EQUAL the exact brute-force top-10 (same scores, same
+    // deterministic tiebreaks)
+    val full = hits(VectorOps.simIvfTopk(spark, dir, nprobe = 10))
+    assert(full == exact, "full-probe IVF must reduce to the exact search")
+    // fewer probes search fewer cells: recall is monotone in nprobe
+    // (candidate pools are nested by the deterministic probe ranking)
+    def recall(np: Int) = {
+      val h = hits(VectorOps.simIvfTopk(spark, dir, nprobe = np))
+      exact.count(h.contains).toDouble / exact.size
+    }
+    val r1 = recall(1); val r3 = recall(3)
+    info(s"IVF recall: nprobe=1 $r1, nprobe=3 $r3, nprobe=10 1.0")
+    assert(r1 <= r3 + 1e-9 && r3 <= 1.0)
+    assert(r3 > 0, "probing 3 of 10 cells must recover some of the top-10")
+  }
+
   test("vec_quantize: reconstruction error bounded by scale/2, full coverage") {
     val rows = VectorOps.vecQuantize(spark, dir).collect()
     assert(rows.length == table(spark, dir, "embeddings").count())
