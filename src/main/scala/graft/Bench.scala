@@ -56,17 +56,23 @@ object Bench {
     // line's head truncated). Millisecond precision is ample for plan cost.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale would print 0,21 — invalid JSON
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query at centisecond precision: ~80 queries x ~25 chars must leave
-    // room for sbt's trailing "[success]" line inside the same 2000 chars
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val sfName = new java.io.File(sfDir).getName // basename, same budget reason
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$passes,"sf":"$sfName"}""")
+    def line(prec: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$passes,"sf":"$sfName"}"""
+    }
+    // Adaptive precision: per-query values start at centiseconds and degrade
+    // until the whole line fits ~1900 chars — the driver captures only the
+    // last ~2000 chars of stdout (sbt's trailing "[success]" line shares the
+    // window), and a clipped line loses its '{"metric"' head and parses as
+    // null (exactly what BENCH_r{1,2,3}.json recorded).
+    val out = (2 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
+    println(out)
     spark.stop()
   }
 }
