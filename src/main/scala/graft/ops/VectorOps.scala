@@ -214,9 +214,11 @@ object VectorOps {
   def simIvfTopk(spark: SparkSession, dir: String,
       nprobe: Int = 3, k: Int = 10): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val reps = emb.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
-      .join(emb.select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb")),
-        "rep_id")
+    // min_by fetches the representative's embedding in the same aggregate —
+    // one pruned scan instead of a min-id aggregate plus a fetch join
+    // (vec_id is unique, so the arg-min is deterministic)
+    val reps = emb.groupBy(col("label"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("rep_emb"))
       .select(col("label").as("plabel"), col("rep_emb"))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -344,10 +346,9 @@ object VectorOps {
         FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
         ORDER BY e.vec_id""",
       "sim_ivf_topk" -> s"""
-        WITH reps AS (SELECT e.label AS plabel, e.embedding AS rep_emb
-                      FROM (SELECT label, min(vec_id) AS rep_id
-                            FROM embeddings GROUP BY label) r
-                      JOIN embeddings e ON e.vec_id = r.rep_id),
+        WITH reps AS (SELECT label AS plabel,
+                             arg_min(embedding, vec_id) AS rep_emb
+                      FROM embeddings GROUP BY label),
         q AS (SELECT vec_id AS query_id, embedding AS qv
               FROM embeddings WHERE vec_id < 5),
         pscored AS (SELECT q.query_id, q.qv, reps.plabel,
