@@ -86,6 +86,15 @@ class NormalizerSpec extends SparkSpec {
     assert(second.getString(3) == "short")
   }
 
+  test("okx coin market: the -USD-SWAP suffix branch keeps inverse instruments") {
+    // the usdt test above shows the USD-SWAP instrument being DROPPED; the
+    // coin market must invert the selection (okx_adapter.py:15-21)
+    val rows = rowsOf(Normalizers.okx(fx(Fixtures.okx), "coin", lit(0L)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(2).endsWith("-USD-SWAP")))
+    assert(rows.forall(_.getString(1) == "coin"))
+  }
+
   test("hyperliquid: self-liq filter, dedup, ts heuristics, side decode") {
     val rows = rowsOf(Normalizers.hyperliquid(fx(Fixtures.hyperliquid), ingestMs = lit(0L)))
     assert(rows.size == 3)              // non-liq fill, taker mismatch, dup dropped
