@@ -244,9 +244,19 @@ object Normalizers {
     * normalizer (window dedup on top) and the streaming assembly
     * (dropDuplicatesWithinWatermark on top). */
   def hyperliquidPairs(rawDf: DataFrame, minAbsSz: Double = 0.0): DataFrame = {
-    val lines = rawDf
+    val parsed = rawDf
       .filter(col("raw").contains("liquidation")) // cheap prefilter before parse
       .select(from_json(col("raw"), Schemas.hyperliquidLine).as("line"))
+      // the reference LOGS each skipped line (hyperliquid_adapter.py:167-170);
+      // the Spark analog is an observed metric — per-(micro-)batch counts of
+      // parsed vs dead-lettered lines, surfaced in StreamingQueryProgress
+      // .observedMetrics / QueryExecutionListener without a second pass or
+      // any caching (CollectMetrics is a streaming pass-through)
+      .observe("hl_parse",
+        count(lit(1)).as("lines"),
+        count(when(col("line").isNull || col("line.events").isNull, lit(1)))
+          .as("dead_letters"))
+    val lines = parsed
       .filter(col("line").isNotNull && col("line.events").isNotNull)
     lines.select(
       col("line.local_time").as("local_time"),

@@ -122,6 +122,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dead-letter metrics: parse drops are observable, the stream continues") {
+    val root = tmp("hl_dead"); val outDir = tmp("hl_dead_out"); val ckpt = tmp("hl_dead_ckpt")
+    // one good line + one malformed line that passes the substring prefilter
+    // but fails the JSON parse (the reference's log-and-skip case,
+    // hyperliquid_adapter.py:167-170)
+    Files.write(java.nio.file.Paths.get(s"$root/hour1.json"),
+      (Fixtures.hyperliquid.head + "\n" + """{"liquidation": broken""" + "\n").getBytes)
+    val unified = StreamAssembly.hyperliquidNormalizedStream(
+      StreamAssembly.hyperliquidFileStream(spark, root))
+    val q = unified.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 1) // good line survived
+    // sum across micro-batches (the trailing AvailableNow batch is empty)
+    val rows = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("hl_parse")))
+    assert(rows.nonEmpty, "hl_parse metrics not observed")
+    assert(rows.map(_.getAs[Long]("lines")).sum == 2)
+    assert(rows.map(_.getAs[Long]("dead_letters")).sum == 1)
+  }
+
   test("RocksDB state store: stateful dedup runs unchanged on the scale provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = StreamAssembly.useRocksDbStateStore(spark)
