@@ -407,6 +407,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Value-position window functions: each user's first/last/second event
+    * value over the full partition frame — session boundary attribution.
+    * One keyed shuffle; the unbounded frame is a single partition pass. */
+  def winfnFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"), col("user_id"),
+        roundD(first(col("value")).over(w), 2).as("first_value"),
+        roundD(last(col("value")).over(w), 2).as("last_value"),
+        roundD(nth_value(col("value"), 2).over(w), 2).as("second_value"))
+      .orderBy("event_id")
+  }
+
   /** Top-k with deterministic tiebreak — "largest liquidations". TakeOrdered
     * physical op: per-partition top-k then merge, never a full global sort at
     * scale. */
@@ -600,6 +617,15 @@ object Relational {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+    "winfn_first_last" ->
+      """SELECT event_id, user_id,
+                floor(first_value(value) OVER w * 1e2 + 0.5) / 1e2 AS first_value,
+                floor(last_value(value) OVER w * 1e2 + 0.5) / 1e2 AS last_value,
+                floor(nth_value(value, 2) OVER w * 1e2 + 0.5) / 1e2 AS second_value
+         FROM events WHERE event_id < 2000
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
     "topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
@@ -647,6 +673,7 @@ object Relational {
     "join_asof" -> joinAsof _,
     "winfn_rank" -> winfnRank _,
     "winfn_lag_runsum" -> winfnLagRunsum _,
+    "winfn_first_last" -> winfnFirstLast _,
     "topk" -> topk _,
     "set_ops" -> setOps _,
     "union_all_streams" -> unionAllStreams _,
