@@ -180,6 +180,19 @@ object Relational {
         col("cnt"), col("sum_qty"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** Boolean/conditional aggregates per user: count_if + bool_and/bool_or —
+    * the predicate-summary shapes (error ratios, "did every event
+    * convert") that otherwise get written as sum(case when...). Map-side
+    * partial like any hash aggregate. */
+  def aggBool(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count_if(col("event_type") === "error").as("n_errors"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"),
+        bool_or(col("event_type") === "purchase").as("any_purchase"))
+      .orderBy("user_id")
+
   /** Irregular GROUPING SETS — the grouping-set shapes ROLLUP/CUBE can't
     * express (here: the full pair, linestatus alone, and the grand total,
     * skipping returnflag-alone). Same single-pass expand + one keyed
@@ -537,6 +550,12 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_bool" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+                bool_and(value >= 0.0) AS all_nonneg,
+                bool_or(event_type = 'purchase') AS any_purchase
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_grouping_sets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
                 COALESCE(l_returnflag, 'ALL') AS l_returnflag,
@@ -662,6 +681,7 @@ object Relational {
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "agg_grouping_sets" -> aggGroupingSets _,
+    "agg_bool" -> aggBool _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,
