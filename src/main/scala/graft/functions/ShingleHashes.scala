@@ -12,9 +12,11 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression producing a document's distinct 4-gram
-  * shingle ids — the signature primitive the whole dedup family keys on
-  * ([[graft.ops.DedupOps]]).
+/** Native Catalyst expression producing a document's distinct n-gram
+  * shingle ids (width 4 by default) — the signature primitive the whole
+  * dedup family keys on ([[graft.ops.DedupOps]]); decontamination
+  * ([[graft.ops.Curation.textDecontam]]) uses width 8, where a collision
+  * with a benchmark shingle is rare enough to mean real overlap.
   *
   * One pass replaces a five-stage interpreted chain
   * (`split(lower(text)) → filter empties → transform(poly_hash) →
@@ -32,7 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[compute]] directly instead of inlining the loop — one virtual call
   * per row, no interpreted lambdas.
   */
-case class ShingleHashes(child: Expression) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int = 4) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
 
   private val M = 1000000007L
 
@@ -66,13 +70,17 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
       }
       i += 1
     }
-    if (th.length < 4) new GenericArrayData(Array.empty[Long])
+    if (th.length < n) new GenericArrayData(Array.empty[Long])
     else {
       val seen = new java.util.HashSet[java.lang.Long](th.length * 2)
-      val out = new scala.collection.mutable.ArrayBuffer[Long](th.length - 3)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](th.length - n + 1)
       var j = 0
-      while (j + 3 < th.length) {
-        val v = (((th(j) * 31 + th(j + 1)) % M * 31 + th(j + 2)) % M * 31 + th(j + 3)) % M
+      while (j + n - 1 < th.length) {
+        // fold seeded with the first token hash — for n=4 this is exactly the
+        // historical (((h1*31+h2)%M*31+h3)%M*31+h4)%M chain the oracles use
+        var v = th(j)
+        var k = 1
+        while (k < n) { v = (v * 31 + th(j + k)) % M; k += 1 }
         if (seen.add(v)) out += v
         j += 1
       }
@@ -94,7 +102,9 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 }
 
 object ShingleHashes {
-  /** Column-level entry point: `shingle_hashes(c)`. */
-  def apply(c: Column): Column =
-    Bridge.column(ShingleHashes(Bridge.expression(c)))
+  /** Column-level entry point: `shingle_hashes(c [, n])`. Width 4 is the
+    * dedup default; decontamination uses wider (rarer) shingles. */
+  def apply(c: Column): Column = apply(c, 4)
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n))
 }

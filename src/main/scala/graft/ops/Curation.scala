@@ -32,6 +32,80 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source permille weights for [[sampleWeighted]] — integers so the
+    * keep/copy arithmetic is exact on both engines (2500 = 2.5 copies). */
+  val mixWeights: Seq[(String, Long)] =
+    Seq("src0" -> 2500L, "src1" -> 1000L, "src2" -> 300L)
+  val mixDefault = 800L
+
+  /** Deterministic weighted domain mixing: each source gets a target weight
+    * (permille), and every document is replicated floor(w) times plus one
+    * more for the hash-selected fraction — the up/down-sampling move that
+    * rebalances domain proportions before training (web scrape down, code
+    * and reference text up). Replication is an `explode(sequence(...))`
+    * over a per-row copy count — pure map-side, no join, no shuffle — and
+    * membership of the fractional copy is hash-mod on doc_id, so re-runs
+    * (and corpus growth) never flip existing rows, unlike `sample()`.
+    * Output carries the copy index so downstream shuffles can spread
+    * replicas of a hot document across partitions. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = mixWeights.foldLeft(lit(mixDefault)) { case (acc, (s, v)) =>
+      when(col("source") === s, v).otherwise(acc)
+    }
+    val bucket = DedupOps.polyHash(
+      concat(col("doc_id").cast(StringType), lit("#mix"))) % 1000L
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), w.as("w"), bucket.as("bucket"))
+      // (w - w%1000)/1000 stays exact in the double division (the numerator
+      // is a multiple of 1000); mirrored verbatim in the oracle SQL
+      .select(col("doc_id"), col("source"),
+        (((col("w") - col("w") % 1000L) / 1000L).cast(LongType) +
+          when(col("bucket") < col("w") % 1000L, 1L).otherwise(0L)).as("copies"))
+      .filter(col("copies") > 0L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  /** Shingle width for [[textDecontam]]: 8-token n-grams. Dedup uses width
+    * 4 to maximize candidate recall; decontamination wants the opposite —
+    * a shingle rare enough that sharing ONE with a held-out benchmark
+    * means genuine text overlap, not shared vocabulary (the published
+    * pipelines use 8-13-gram windows for the same reason). */
+  val decontamWidth = 8
+
+  /** Benchmark decontamination: drop-flag every training document that
+    * shares an 8-gram shingle with the held-out evaluation set (modeled
+    * here as the deterministic doc_id % 97 == 0 slice — in production the
+    * benchmark is a separate small table). Shape at 100 TB: the benchmark
+    * side is tiny (benchmarks are MBs), so its distinct shingle set
+    * broadcast-semi-joins against the corpus shingle stream — the corpus
+    * is read once, only (doc_id, hash) pairs ever shuffle, and the hit
+    * count aggregates with map-side combine. The shingle frame is
+    * materialized once (localCheckpoint) because both the benchmark and
+    * corpus branches derive from it — the same two-plans-of-one-subtree
+    * trap [[DedupOps.dedupNgramJaccard]] documents. */
+  def textDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val ex = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        pinned(graft.functions.ShingleHashes(col("text"), decontamWidth)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint()
+    val bench = ex.filter(col("doc_id") % 97L === 0L).select("h").distinct()
+    val hits = ex.filter(col("doc_id") % 97L =!= 0L)
+      .join(bench, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 97L =!= 0L)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The composed curation pipeline: quality gate (≥5 tokens, ≤60%
     * stopwords) ∘ exact-dedup keep (first doc per content hash) ∘ near-dup
     * cluster keep (canonical member per connected component). Semi-joins
@@ -69,13 +143,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private val duckStratBucket =
-    """list_reduce(list_concat([0::BIGINT],
-         list_transform(range(1, length(doc_id::VARCHAR || '#strat') + 1),
-           i -> ascii((doc_id::VARCHAR || '#strat')[i:i]))),
+  private def duckBucket(suffix: String) =
+    s"""list_reduce(list_concat([0::BIGINT],
+         list_transform(range(1, length(doc_id::VARCHAR || '$suffix') + 1),
+           i -> ascii((doc_id::VARCHAR || '$suffix')[i:i]))),
          (acc, c) -> (acc * 31 + c) % 1000000007) % 1000"""
+  private val duckStratBucket = duckBucket("#strat")
+
+  private val duckMixWeight = {
+    val cases = mixWeights
+      .map { case (s, v) => s"WHEN source = '$s' THEN $v" }.mkString(" ")
+    s"(CASE $cases ELSE $mixDefault END)::BIGINT"
+  }
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" -> s"""
+      WITH w AS (SELECT doc_id, source, $duckMixWeight AS w,
+                        ${duckBucket("#mix")} AS bucket
+                 FROM documents),
+      c AS (SELECT doc_id, source,
+                   ((w - w % 1000) / 1000)::BIGINT
+                     + CASE WHEN bucket < w % 1000 THEN 1 ELSE 0 END AS copies
+            FROM w)
+      SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
+      FROM c WHERE copies > 0 ORDER BY doc_id, copy""",
+    "text_decontam" -> s"""
+      WITH toks AS (SELECT doc_id, ${DedupOps.duckToks} AS toks FROM documents),
+      th AS (SELECT doc_id, list_transform(toks, t -> ${DedupOps.duckTokenHash}) AS th
+             FROM toks),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(th) - ${decontamWidth - 2}),
+               i -> list_reduce(th[i:i+${decontamWidth - 1}],
+                                (a, b) -> (a*31 + b) % 1000000007))) AS sh
+             FROM th WHERE len(th) >= $decontamWidth),
+      ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+      hits AS (SELECT ex.doc_id AS doc_id, count(*) AS n_hits
+               FROM ex JOIN bench ON ex.h = bench.h
+               WHERE ex.doc_id % 97 <> 0 GROUP BY ex.doc_id)
+      SELECT d.doc_id AS doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY doc_id""",
     "sample_stratified" -> s"""
       WITH h AS (SELECT doc_id, lang, $duckStratBucket AS bucket FROM documents)
       SELECT doc_id, lang, bucket FROM h
@@ -97,6 +206,8 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified _,
+    "sample_weighted" -> sampleWeighted _,
+    "text_decontam" -> textDecontam _,
     "curate_corpus" -> curateCorpus _,
   )
 }

@@ -57,8 +57,8 @@ object DedupOps {
   def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     shingleArrays(spark, dir).select(col("doc_id"), explode(col("sh")).as("h"))
 
-  private val duckToks = "list_filter(string_split(lower(text),' '), t -> t <> '')"
-  private val duckTokenHash = // fold with 0 prepended as the init accumulator
+  private[ops] val duckToks = "list_filter(string_split(lower(text),' '), t -> t <> '')"
+  private[ops] val duckTokenHash = // fold with 0 prepended as the init accumulator
     """list_reduce(list_concat([0::BIGINT], list_transform(range(1, length(t)+1),
         i -> ascii(t[i:i]))), (acc, c) -> (acc*31 + c) % 1000000007)"""
   private val duckShingleHashes = // same combine as shingleHashes
