@@ -193,6 +193,43 @@ object Relational {
         bool_or(col("event_type") === "purchase").as("any_purchase"))
       .orderBy("user_id")
 
+  /** Statistical aggregates — mean/variance/stddev/correlation — computed
+    * cross-engine-exact: the five moment sums (Σx, Σy, Σx², Σy², Σxy) are
+    * EXACT decimal aggregations (one keyed shuffle with map-side partials,
+    * like any hash agg), and the variance/correlation combinations are
+    * then a fixed sequence of IEEE double ops both engines evaluate
+    * identically (each mul/sub/div/sqrt is correctly rounded, so identical
+    * inputs + identical expression tree = identical bits — the
+    * mm_audio_stats pattern). Spark's own var_samp/corr stream Welford-
+    * style partials whose double accumulation is partition-order-
+    * dependent — fine in production, but it would flap a hash-compare
+    * oracle; the moment-sum form is also the one that scales (no second
+    * pass, no sort). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    val s = table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) =
+      (col("n").cast(DoubleType), col("sx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("sxx").cast(DoubleType),
+        col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+    // the derived stats are rounded (6/9 dp, same half-up formula in the
+    // oracle): DuckDB's DECIMAL(38,x)->DOUBLE cast goes through an int128
+    // split that can double-round, so the combination inputs may differ
+    // from Spark's correctly-rounded cast by one ulp — rounding the
+    // outputs absorbs that without giving up the exact-moment shape
+    s.select(col("l_returnflag"), col("n"),
+        roundD(sx / n, 6).as("mean_qty"),
+        roundD((n * sxx - sx * sx) / (n * (n - lit(1.0))), 6).as("var_qty"),
+        roundD(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))), 6).as("std_qty"),
+        roundD((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
   /** Irregular GROUPING SETS — the grouping-set shapes ROLLUP/CUBE can't
     * express (here: the full pair, linestatus alone, and the grand total,
     * skipping returnflag-alone). Same single-pass expand + one keyed
@@ -550,6 +587,25 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_stats" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                floor(sx::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_qty,
+                floor((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  / (n::DOUBLE * (n::DOUBLE - 1.0)) * 1e6 + 0.5) / 1e6 AS var_qty,
+                floor(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  / (n::DOUBLE * (n::DOUBLE - 1.0))) * 1e6 + 0.5) / 1e6 AS std_qty,
+                floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                  * 1e9 + 0.5) / 1e9 AS corr_qp
+         FROM s ORDER BY l_returnflag""",
     "agg_bool" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'error') AS n_errors,
@@ -682,6 +738,7 @@ object Relational {
     "agg_cube" -> aggCube _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_bool" -> aggBool _,
+    "agg_stats" -> aggStats _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,

@@ -128,6 +128,64 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Email / phone regexes for [[textPii]] — kept to syntax Java regex and
+    * RE2 (DuckDB) interpret identically: character classes, bounded
+    * quantifiers, \b word boundaries; no backrefs or lookaround. */
+  private val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII detection + redaction: count and mask emails and phone numbers.
+    * The synthetic corpus carries no PII, so the query first PLANTS
+    * deterministic tokens (an email on doc_id % 10 == 0, a phone on
+    * doc_id % 10 == 5 — both derived from doc_id, so the oracle plants the
+    * identical bytes); the product is the scrub expressions, which run
+    * unchanged on a real corpus. Pure per-row regexp work — map-side, no
+    * shuffle, stays in whole-stage codegen; the scrubbed text is reported
+    * as md5 so the compare never ships full documents. */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 10L === 0L,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast(StringType), lit("@example.com")))
+      .when(col("doc_id") % 10L === 5L,
+        concat(col("text"), lit(" call 555-"),
+          lpad((col("doc_id") % 10000L).cast(StringType), 4, "0")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(planted, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(emailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(planted, lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition: the fraction of bigrams occupied by the
+    * single most frequent bigram — the cheap boilerplate/template signal
+    * (quality-filter pipelines threshold on exactly this family of
+    * duplicate-n-gram fractions). Shape: bigrams explode off the token
+    * array (adjacent-pair zip, no self-join), then two keyed aggregations
+    * with map-side combine; nothing ever sorts the corpus. */
+  def textRep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    table(spark, dir, "documents")
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+        roundD(col("top_cnt").cast(DoubleType) / col("n_bigrams"), 4)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive document signature for exact-content dedup across
     * formatting variants. */
@@ -172,6 +230,34 @@ object TextOps {
                 len(list_filter(string_split(lower(text),' '), t -> t <> ''))::BIGINT AS ws_tokens,
                 len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens
          FROM documents ORDER BY doc_id""",
+    // DuckDB regexp_replace is first-match-only without the 'g' flag;
+    // Spark's always replaces all — the flag keeps them identical.
+    "text_pii" -> s"""
+      WITH p AS (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0
+               THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+             WHEN doc_id % 10 = 5
+               THEN text || ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '$emailRe'))::BIGINT AS n_emails,
+             len(regexp_extract_all(t, '$phoneRe'))::BIGINT AS n_phones,
+             md5(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+                                '$phoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+      FROM p ORDER BY doc_id""",
+    "text_rep" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+         SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_cnt,
+                floor(max(c)::DOUBLE / sum(c) * 1e4 + 0.5) / 1e4 AS rep_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(
@@ -201,5 +287,7 @@ object TextOps {
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,
+    "text_pii" -> textPii _,
+    "text_rep" -> textRep _,
   )
 }

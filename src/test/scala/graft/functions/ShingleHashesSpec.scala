@@ -57,6 +57,21 @@ class ShingleHashesSpec extends SparkSpec {
     assert(out(4L).size == 4)
   }
 
+  test("width parameter: n=8 folds eight token hashes, sub-width docs empty") {
+    import spark.implicits._
+    val toks = (1 to 9).map(i => s"w$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, toks.take(7).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), ShingleHashes(col("text"), 8).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(2L).isEmpty, "7 tokens yield no width-8 shingle")
+    assert(out(1L).size == 2, "9 tokens yield two width-8 positions")
+    // hand-fold the first shingle: acc seeded with h(w1), then *31+h(wk)
+    def h(s: String) = s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % M)
+    val expect = toks.take(8).map(h).reduceLeft((a, b) => (a * 31 + b) % M)
+    assert(out(1L).head == expect)
+  }
+
   test("stays inside the codegen stage (reference call, no interpreted lambdas)") {
     val plan = spark.read.parquet(s"$dir/documents.parquet")
       .select(ShingleHashes(col("text")).as("sh"))

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Specs for the corpus-preparation additions: weighted domain mixing,
+  * benchmark decontamination, PII scrubbing, repetition scoring, and the
+  * exact-moment statistical aggregates. Semantics are pinned on a tiny
+  * hand-built corpus (written as a documents.parquet so the ops run their
+  * real scan path); corpus-level invariants run on sf0.001.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Write rows as <tmp>/documents.parquet and return the tmp dir. */
+  private def miniCorpus(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docs-").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("sample_weighted: exact floor copies, hash-selected fractional copy") {
+    val out = Curation.sampleWeighted(spark, dir)
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val w = Curation.mixWeights.toMap
+    out.foreach { case (_, src, copies) =>
+      val permille = w.getOrElse(src, Curation.mixDefault)
+      val base = permille / 1000
+      // every emitted doc carries floor(w) or floor(w)+1 replicas
+      assert(copies == base || copies == base + 1,
+        s"$src: $copies copies for weight $permille")
+    }
+    // sources with w >= 1000 keep EVERY document (never downsampled away)
+    val docs = graft.ops.table(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+    val emitted = out.map(_._1).toSet
+    docs.foreach { r =>
+      if (w.getOrElse(r.getString(1), Curation.mixDefault) >= 1000)
+        assert(emitted.contains(r.getLong(0)))
+    }
+    // deterministic: a second run emits the identical multiset
+    val again = Curation.sampleWeighted(spark, dir)
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("text_decontam: flags 8-gram overlap with the benchmark slice only") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val overlap8 = "XX " + bench.split(" ").take(8).mkString(" ") + " YY"
+    val clean = "one two three four five six seven eight nine ten"
+    val short6 = "alpha beta gamma delta epsilon zeta" // <8 tokens: no shingle
+    val tmp = miniCorpus(Seq(
+      (0L, bench, "en", "src0", bench.length.toLong), // doc_id%97==0: benchmark
+      (1L, overlap8, "en", "src0", overlap8.length.toLong),
+      (2L, clean, "en", "src0", clean.length.toLong),
+      (3L, short6, "en", "src0", short6.length.toLong)))
+    val rows = Curation.textDecontam(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!rows.contains(0L)) // the benchmark doc is not a training row
+    assert(rows(1L) == ((1L, true))) // shares exactly one 8-gram
+    assert(rows(2L) == ((0L, false)))
+    assert(rows(3L) == ((0L, false))) // sub-width doc cannot collide
+  }
+
+  test("text_pii: plants are counted and scrubbed, clean docs untouched") {
+    val out = TextOps.textPii(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, emails, phones, _) =>
+      if (id % 10 == 0) assert(emails == 1 && phones == 0, s"doc $id")
+      else if (id % 10 == 5) assert(emails == 0 && phones == 1, s"doc $id")
+      else assert(emails == 0 && phones == 0, s"doc $id")
+    }
+    // scrubbing really removes the planted tokens: a clean doc's md5 equals
+    // md5(text) (scrub is identity), a planted doc's differs from the
+    // planted form but no longer matches the email/phone regexes
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, _, _, m) =>
+      if (id % 10 != 0 && id % 10 != 5) assert(m == docs(id))
+      else assert(m != docs(id)) // "<EMAIL>"/"<PHONE>" marker appended
+    }
+  }
+
+  test("text_rep: hand-checked bigram repetition on a planted template doc") {
+    val tmp = miniCorpus(Seq(
+      // bigrams: "a b" x3, "b a" x2 -> n=5, top=3, ratio 0.6
+      (1L, "a b a b a b", "en", "src0", 11L),
+      (2L, "u v w x y", "en", "src0", 9L), // all bigrams distinct
+      (3L, "solo", "en", "src0", 4L))) // <2 tokens: excluded
+    val rows = TextOps.textRep(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((5L, 3L, 0.6)))
+    assert(rows(2L) == ((4L, 1L, 0.25)))
+    assert(!rows.contains(3L))
+  }
+
+  test("agg_stats: exact-moment results agree with Spark's builtin aggregates") {
+    import org.apache.spark.sql.functions._
+    val ours = Relational.aggStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = graft.ops.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("m"), var_samp("l_quantity").as("v"),
+        stddev_samp("l_quantity").as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ours.keySet == ref.keySet && ours.nonEmpty)
+    // aggStats rounds to 6 dp (cross-engine ulp absorption), so allow the
+    // half-step 5e-7 absolute plus float-path slack relative to the builtin
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    ours.foreach { case (k, r) =>
+      assert(close(r.getDouble(2), ref(k).getDouble(1)), s"mean $k")
+      assert(close(r.getDouble(3), ref(k).getDouble(2)), s"var $k")
+      assert(close(r.getDouble(4), ref(k).getDouble(3)), s"std $k")
+      assert(close(r.getDouble(5), ref(k).getDouble(4)), s"corr $k")
+    }
+  }
+}
