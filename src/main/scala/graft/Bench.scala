@@ -58,20 +58,34 @@ object Bench {
     // comma-decimal locale would print 0,21 — invalid JSON
     def fmt(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Mixed per-query precision: values >= 10s print as whole seconds (a
+    // 30s stall doesn't need its deciseconds, and "32" is never longer
+    // than "9.9"), so one slow query can't push the line over budget and
+    // drag every other query down to the coarser rung.
+    def fmtQ(v: Double, prec: Int): String =
+      if (v >= 9.95) fmt(v, 0) else fmt(v, prec) // 9.95 rounds to "10.0" at %.1f
+    // "failed" appears only when non-empty and "runs" is dropped entirely:
+    // every envelope byte competes with per-query precision for the same
+    // 2000-char window (at 89+ queries the constant fields are the margin
+    // between the 0.1s and 1s reporting rungs).
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val sfName = new java.io.File(sfDir).getName // basename, same budget reason
     def line(prec: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, prec) }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$passes,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}"""
     }
     // Adaptive precision: per-query values start at centiseconds and degrade
-    // until the whole line fits ~1900 chars — the driver captures only the
-    // last ~2000 chars of stdout (sbt's trailing "[success]" line shares the
-    // window), and a clipped line loses its '{"metric"' head and parses as
-    // null (exactly what BENCH_r{1,2,3}.json recorded).
-    val out = (2 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0))
+    // until the whole line fits the driver's capture: exactly the last 2000
+    // chars of stdout (measured across BENCH_r{1,2,3}.json), shared with
+    // sbt's ~85-char "[success]" trailer and 7-char "[info] " prefix — a
+    // clipped line loses its '{"metric"' head and parses as null (exactly
+    // what rounds 1-3 recorded). 2000 - 92 = 1908; BenchReportSpec pins the
+    // 95-query worst case (1905 at the 0.1s rung) under this budget.
+    val out = (2 to 0 by -1).map(line).find(_.length <= 1908).getOrElse(line(0))
     println(out)
     spark.stop()
   }

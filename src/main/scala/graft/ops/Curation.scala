@@ -143,6 +143,33 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-budget training sequences (256 tokens here): shard
+    * the corpus, concatenate each shard's token stream in doc_id order, and
+    * cut it every `budget` tokens. Each document reports the pack it starts
+    * in and how many packs it spans (a doc crossing a boundary is split
+    * across consecutive sequences, GPT-style). The running token count is a
+    * window sum PARTITIONED BY SHARD — packing is sequential by nature, so
+    * the shard is the parallelism unit: 32 here, thousands at 100 TB, and
+    * no window ever sees more than one shard (PlanSpec asserts the window
+    * exchange partitions on shard, never a single global sort). All
+    * arithmetic is exact int64. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, -1)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32L)).as("shard"),
+        TextOps.nTokensCol(col("text")).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"cum_before div $budget").as("pack_first"),
+        (expr(s"(cum_before + n_tok - 1) div $budget") -
+          expr(s"cum_before div $budget") + lit(1L)).as("n_span"))
+      .orderBy("doc_id")
+  }
+
   private def duckBucket(suffix: String) =
     s"""list_reduce(list_concat([0::BIGINT],
          list_transform(range(1, length(doc_id::VARCHAR || '$suffix') + 1),
@@ -157,7 +184,23 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
-    "sample_weighted" -> s"""
+    "pack_seq" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 32 AS shard,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tok,
+                  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM d)
+         SELECT doc_id, shard, n_tok,
+                cum_before // 256 AS pack_first,
+                (cum_before + n_tok - 1) // 256 - cum_before // 256 + 1 AS n_span
+         FROM c ORDER BY doc_id""",
+    "mix_weighted" -> s"""
       WITH w AS (SELECT doc_id, source, $duckMixWeight AS w,
                         ${duckBucket("#mix")} AS bucket
                  FROM documents),
@@ -167,7 +210,7 @@ object Curation {
             FROM w)
       SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
       FROM c WHERE copies > 0 ORDER BY doc_id, copy""",
-    "text_decontam" -> s"""
+    "decontam" -> s"""
       WITH toks AS (SELECT doc_id, ${DedupOps.duckToks} AS toks FROM documents),
       th AS (SELECT doc_id, list_transform(toks, t -> ${DedupOps.duckTokenHash}) AS th
              FROM toks),
@@ -206,8 +249,9 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified _,
-    "sample_weighted" -> sampleWeighted _,
-    "text_decontam" -> textDecontam _,
+    "mix_weighted" -> sampleWeighted _,
+    "decontam" -> textDecontam _,
     "curate_corpus" -> curateCorpus _,
+    "pack_seq" -> packSequences _,
   )
 }

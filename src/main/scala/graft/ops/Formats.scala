@@ -86,7 +86,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     // the round-trip must be lossless, so the oracle aggregates the SOURCE
     // table directly — any write/read corruption shows up as a hash mismatch
-    "sink_parquet_partitioned" ->
+    "sink_pq_days" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -94,21 +94,21 @@ object Formats {
          WHERE strftime(date_trunc('day', ts), '%Y-%m-%d')
                BETWEEN '2024-01-08' AND '2024-01-14'
          GROUP BY 1 ORDER BY day""",
-    "sink_orc_roundtrip" ->
+    "sink_orc" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_returnflag <> 'N'
          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
-    "jsonl_roundtrip" ->
+    "sink_jsonl" ->
       """SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sink_parquet_partitioned" -> sinkParquetPartitioned _,
-    "sink_orc_roundtrip" -> sinkOrcRoundtrip _,
-    "jsonl_roundtrip" -> jsonlRoundtrip _,
+    "sink_pq_days" -> sinkParquetPartitioned _,
+    "sink_orc" -> sinkOrcRoundtrip _,
+    "sink_jsonl" -> jsonlRoundtrip _,
   )
 }

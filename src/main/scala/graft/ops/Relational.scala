@@ -399,6 +399,58 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Manually salted skew join — the technique AQE's skew-join handles
+    * reactively, written out proactively for the case where one hot key
+    * (a BTCUSDT-style symbol carrying half the feed) would otherwise pin a
+    * single reducer: the fact side gets a deterministic salt in [0, 8), the
+    * dim side explodes 8x, and the join key becomes (key, salt) so the hot
+    * key's rows spread across 8 reducers. The `shuffle_hash` hint keeps the
+    * demo honest — without it Catalyst would broadcast the small dim and no
+    * salting would be observable. Salting multiplies the DIM side only
+    * (8x a small table), never the fact side; the oracle is the plain
+    * unsalted join, proving salt-and-explode is semantics-preserving.
+    * PlanSpec locks the shuffled-hash + explode shape. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val fact = table(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts.toLong)))
+    val dim = table(spark, dir, "supplier")
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_name")
+  }
+
+  /** Two-pass anomaly detection: per-group exact moment sums (the
+    * [[aggStats]] DECIMAL technique) broadcast back onto the stream, rows
+    * more than 3 sigma from their group mean flagged. This is the 100 TB
+    * outlier-scan shape — pass 1 is a tiny keyed aggregate (5 groups), pass
+    * 2 re-scans with a broadcast join, so the fact table never shuffles.
+    * The z threshold compares doubles derived from exact decimal sums: both
+    * engines evaluate the identical expression tree on identical inputs, and
+    * the sf0.01/sf0.1 corpora keep a >1e-4 |z|-gap around the 3.0 cut
+    * (checked at build time), so a last-ulp divergence cannot flip
+    * membership. Reported z is rounded (4 dp) like all derived doubles. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val st = table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nL"), sum(x).as("sxD"), sum(x * x).as("sxxD"))
+      .select(col("event_type"), col("nL").cast(DoubleType).as("n"),
+        col("sxD").cast(DoubleType).as("sx"), col("sxxD").cast(DoubleType).as("sxx"))
+    val mean = col("sx") / col("n")
+    val std = sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+      (col("n") * (col("n") - lit(1.0))))
+    table(spark, dir, "events")
+      .join(broadcast(st), "event_type")
+      .filter(abs(col("value") - mean) > lit(3.0) * std)
+      .select(col("event_id"), col("event_type"), col("value"),
+        roundD((col("value") - mean) / std, 4).as("z"))
+      .orderBy("event_id")
+  }
+
   // ── window functions ─────────────────────────────────────────────────────
 
   /** Ranking window: top-3 line items per return flag by price.
@@ -612,7 +664,7 @@ object Relational {
                 bool_and(value >= 0.0) AS all_nonneg,
                 bool_or(event_type = 'purchase') AS any_purchase
          FROM events GROUP BY user_id ORDER BY user_id""",
-    "agg_grouping_sets" ->
+    "agg_gsets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
                 COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                 COALESCE(l_linestatus, 'ALL') AS l_linestatus,
@@ -692,7 +744,7 @@ object Relational {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
-    "winfn_first_last" ->
+    "winfn_nth" ->
       """SELECT event_id, user_id,
                 floor(first_value(value) OVER w * 1e2 + 0.5) / 1e2 AS first_value,
                 floor(last_value(value) OVER w * 1e2 + 0.5) / 1e2 AS last_value,
@@ -718,6 +770,30 @@ object Relational {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click','view','purchase')
          GROUP BY event_type ORDER BY event_type""",
+    // the oracle is the PLAIN join — salting must be invisible in the result
+    "join_salt" ->
+      """SELECT s.s_name AS s_name, count(*) AS cnt,
+                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1 ORDER BY s_name""",
+    // same exact-decimal moment sums as agg_stats; the 3-sigma filter and z
+    // reuse the identical double expression tree the Spark side evaluates
+    "zscore" ->
+      """WITH st AS (
+           SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+           FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+                floor(((e.value - st.sx / st.n) /
+                       sqrt((st.n * st.sxx - st.sx * st.sx) /
+                            (st.n * (st.n - 1.0)))) * 1e4 + 0.5) / 1e4 AS z
+         FROM events e JOIN st USING (event_type)
+         WHERE abs(e.value - st.sx / st.n) >
+               3.0 * sqrt((st.n * st.sxx - st.sx * st.sx) /
+                          (st.n * (st.n - 1.0)))
+         ORDER BY event_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -736,7 +812,7 @@ object Relational {
     "agg_by_key" -> aggByKey _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
-    "agg_grouping_sets" -> aggGroupingSets _,
+    "agg_gsets" -> aggGroupingSets _,
     "agg_bool" -> aggBool _,
     "agg_stats" -> aggStats _,
     "agg_approx_distinct" -> aggApproxDistinct _,
@@ -750,7 +826,9 @@ object Relational {
     "join_asof" -> joinAsof _,
     "winfn_rank" -> winfnRank _,
     "winfn_lag_runsum" -> winfnLagRunsum _,
-    "winfn_first_last" -> winfnFirstLast _,
+    "winfn_nth" -> winfnFirstLast _,
+    "join_salt" -> joinSalted _,
+    "zscore" -> anomalyZscore _,
     "topk" -> topk _,
     "set_ops" -> setOps _,
     "union_all_streams" -> unionAllStreams _,

@@ -197,9 +197,104 @@ object TextOps {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Sliding-window document chunking — the context-window splitter every
+    * RAG / long-document training pipeline runs before embedding: 200-char
+    * chunks advancing by 150 (50-char overlap so no sentence is lost at a
+    * boundary). `sequence(0, len-1, stride)` + explode is pure map-side
+    * codegen — chunking N docs costs one scan, zero shuffles (the only
+    * exchange in the plan is the final presentation sort; PlanSpec locks
+    * this). Chunks are reported as md5 + length, not text, so the result
+    * stays small while still hash-pinning every chunk's exact bytes. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(len - 1, lit(0)), lit(150))).as("s"))
+      .select(col("doc_id"),
+        (col("s").cast(LongType) / 150).cast(LongType).as("chunk_id"),
+        length(col("text").substr(col("s") + 1, lit(200))).cast(LongType)
+          .as("chunk_len"),
+        md5(col("text").substr(col("s") + 1, lit(200)).cast(BinaryType))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Bigram collocation mining by lift — the phrase detector (word2vec-style
+    * "new_york" merging, quality-signal n-gram stats) over the corpus.
+    * lift = N * c(ab) / (c(a) * c(b)) stays in exact integer arithmetic
+    * until one final double division (same rationale as [[textTfidf]]'s
+    * linear idf: libm log differs across engines in the last ulp; lift is
+    * monotone with PMI for ranking). Shapes: bigrams explode map-side from
+    * the token array (no self-join of the token stream!), counts are
+    * map-side-combined keyed aggregates, and the two unigram lookups plus
+    * the one-row N frame all broadcast at vocab scale (drop the hints and
+    * let the lookups shuffle on token if the vocab ever outgrows the
+    * driver) — the corpus is touched exactly twice (unigram pass + bigram
+    * pass), never sorted. The unigram count frame is materialized ONCE
+    * (localCheckpoint, the [[textTfidf]] pattern): it feeds three
+    * consumers (w1 lookup, w2 lookup, N), and without the materialization
+    * each consumer re-plans its own full corpus tokenize pass — explain
+    * showed four scans where two suffice. */
+  def textColloc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(tokens(col("text")).as("t"))
+    val uni = docs.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = uni.agg(sum("c").cast(LongType).as("n"))
+    val big = docs
+      .select(explode(transform(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        (x, i) => struct(x.as("w1"), element_at(col("t"), i + lit(2)).as("w2"))))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    big
+      .join(broadcast(uni.select(col("token").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("token").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        roundD((col("n") * col("c_ab")).cast(DoubleType) /
+          (col("c1") * col("c2")).cast(DoubleType), 4).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   private val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    "chunks" ->
+      """WITH e AS (
+           SELECT doc_id, text,
+                  unnest(range(0, greatest(length(text) - 1, 0) + 1, 150)) AS s
+           FROM documents)
+         SELECT doc_id, CAST(s AS BIGINT) // 150 AS chunk_id,
+                CAST(length(substring(text, CAST(s AS INT) + 1, 200)) AS BIGINT)
+                  AS chunk_len,
+                md5(substring(text, CAST(s AS INT) + 1, 200)) AS chunk_md5
+         FROM e ORDER BY doc_id, chunk_id""",
+    "colloc" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents),
+         uni AS (
+           SELECT u AS token, count(*) AS c
+           FROM toks, unnest(t) AS un(u) GROUP BY 1),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         big AS (
+           SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+                  count(*) AS c_ab
+           FROM toks, unnest(range(1, len(t))) AS r(i)
+           GROUP BY 1, 2)
+         SELECT b.w1, b.w2, b.c_ab,
+                floor((CAST(n.n * b.c_ab AS DOUBLE) /
+                       CAST(a.c * w.c AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS lift
+         FROM big b
+         JOIN uni a ON b.w1 = a.token
+         JOIN uni w ON b.w2 = w.token
+         CROSS JOIN n
+         WHERE b.c_ab >= 5
+         ORDER BY lift DESC, w1, w2 LIMIT 20""",
     "text_tokenize_count" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
@@ -289,5 +384,7 @@ object TextOps {
     "text_tfidf" -> textTfidf _,
     "text_pii" -> textPii _,
     "text_rep" -> textRep _,
+    "chunks" -> textChunks _,
+    "colloc" -> textColloc _,
   )
 }

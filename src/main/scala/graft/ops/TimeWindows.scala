@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-time window aggregations: tumbling, sliding, session.
@@ -47,6 +47,60 @@ object TimeWindows {
         col("user_id"), tsStr(col("w.start")).as("session_start"),
         col("cnt"), col("sum_value"))
       .orderBy("user_id", "session_start")
+
+  /** Hourly OHLCV candles per event type — THE liquidation-stream product
+    * query (open/high/low/close + volume per symbol-hour, the shape every
+    * downstream dashboard of the reference's feed aggregates; liq-stream
+    * itself stops at raw rows, `writer_pg.py:23-36`). `min_by`/`max_by` over
+    * a packed ordering key pick the first/last fill deterministically. The
+    * key packs (µs-within-hour, event_id mod 2^31) into ONE BIGINT instead
+    * of a (ts, event_id) struct: a struct ordering forces the aggregation
+    * buffer out of Tungsten's fixed-width row and the whole query into
+    * SortAggregate (observed via explain — every partition pays an
+    * O(n log n) sort), while the packed long keeps min_by/max_by
+    * HashAggregate-eligible with map-side partials, so the only work is one
+    * hash pass plus the keyed exchange. µs-within-hour needs 32 bits, the
+    * id residue 31 — the product stays under 2^63. The id mask only
+    * matters for events in the same hour with IDENTICAL microsecond ts and
+    * colliding id residues, where open/close would pick between equal-ts
+    * fills arbitrarily. The streaming variant is the same expressions
+    * behind a watermarked `window()` groupBy. */
+  /** The packed ordering key and candle aggregates, shared verbatim by the
+    * batch query and [[candlesStream]]. */
+  private[graft] def candleAggs: Seq[Column] = {
+    val order = (unix_micros(col("ts")) % 3600000000L) * 2147483648L +
+      pmod(col("event_id"), lit(2147483648L))
+    Seq(
+      min_by(col("value"), order).as("open"),
+      max(col("value")).as("high"),
+      min(col("value")).as("low"),
+      max_by(col("value"), order).as("close"),
+      count(lit(1)).as("cnt"),
+      sumMoney(col("value")).as("volume"))
+  }
+
+  def candles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(candleAggs.head, candleAggs.tail: _*)
+      .select(col("event_type"), tsStr(col("w.start")).as("hour"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("cnt"), col("volume"))
+      .orderBy("event_type", "hour")
+
+  /** Streaming OHLCV: the identical candle aggregates behind a watermarked
+    * event-time window — late fills inside the watermark still update their
+    * candle, and closed candles emit exactly once in append mode. min_by/
+    * max_by are watermark-compatible (plain hash aggregates over streaming
+    * state), so batch and stream share one expression set — the
+    * batch/stream unification Structured Streaming exists for. */
+  def candlesStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(candleAggs.head, candleAggs.tail: _*)
+      .select(col("event_type"), tsStr(col("w.start")).as("hour"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("cnt"), col("volume"))
 
   /** Batch analog of the daily-rotating CSV sink (liq-stream
     * `writer_csv.py:12-39`): write events partitioned by UTC day, read the
@@ -100,6 +154,22 @@ object TimeWindows {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY day""",
+    // arg_min/arg_max over the same packed ordering key the Spark side
+    // builds; open/high/low/close are raw parquet doubles (bit-identical in
+    // both engines), volume goes through the exact DECIMAL sum
+    "candles" ->
+      """WITH b AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, value,
+                  (epoch_us(ts) % 3600000000) * 2147483648
+                    + (event_id % 2147483648) AS ord
+           FROM events)
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+                arg_min(value, ord) AS open,
+                max(value) AS high, min(value) AS low,
+                arg_max(value, ord) AS close,
+                count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+         FROM b GROUP BY 1, 2 ORDER BY event_type, hour""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,5 +177,6 @@ object TimeWindows {
     "window_sliding" -> windowSliding _,
     "window_session" -> windowSession _,
     "sink_csv_daily" -> sinkCsvDaily _,
+    "candles" -> candles _,
   )
 }

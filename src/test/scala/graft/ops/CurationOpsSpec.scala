@@ -22,7 +22,7 @@ class CurationOpsSpec extends SparkSpec {
     tmp
   }
 
-  test("sample_weighted: exact floor copies, hash-selected fractional copy") {
+  test("mix_weighted: exact floor copies, hash-selected fractional copy") {
     val out = Curation.sampleWeighted(spark, dir)
       .groupBy("doc_id", "source").count().collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -50,7 +50,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
-  test("text_decontam: flags 8-gram overlap with the benchmark slice only") {
+  test("decontam: flags 8-gram overlap with the benchmark slice only") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val overlap8 = "XX " + bench.split(" ").take(8).mkString(" ") + " YY"
     val clean = "one two three four five six seven eight nine ten"
@@ -122,6 +122,29 @@ class CurationOpsSpec extends SparkSpec {
       assert(close(r.getDouble(3), ref(k).getDouble(2)), s"var $k")
       assert(close(r.getDouble(4), ref(k).getDouble(3)), s"std $k")
       assert(close(r.getDouble(5), ref(k).getDouble(4)), s"corr $k")
+    }
+  }
+
+  test("pack_seq: packs tile each shard's token stream exactly, no gaps or overlaps") {
+    // re-derive the packing sequentially per shard: every document must
+    // start in the pack its running offset implies, span exactly the packs
+    // its token range covers, and leave the running offset where the next
+    // document picks up — i.e. the concat-and-chunk semantics hold shard by
+    // shard regardless of how Spark partitioned the window
+    val rows = Curation.packSequences(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      var running = 0L
+      docs.sortBy(_._1).foreach { case (docId, _, nTok, packFirst, nSpan) =>
+        assert(packFirst == running / 256,
+          s"doc $docId in shard $shard starts in pack $packFirst, offset says ${running / 256}")
+        assert(nSpan == (running + nTok - 1) / 256 - running / 256 + 1,
+          s"doc $docId span mismatch")
+        assert(nSpan >= 1)
+        running += nTok
+      }
     }
   }
 }

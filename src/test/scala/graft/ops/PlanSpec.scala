@@ -127,7 +127,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge at this scale")
   }
 
-  test("sink_parquet_partitioned: readback prunes to the filtered week") {
+  test("sink_pq_days: readback prunes to the filtered week") {
     // the write side produced day=... directories; the readback filter must
     // arrive as PartitionFilters on the scan (7 of 30 partitions touched),
     // never as a post-scan Filter over all partitions
@@ -137,7 +137,7 @@ class PlanSpec extends SparkSpec {
       s"day range not pushed into partition pruning:\n$p")
   }
 
-  test("sink_orc_roundtrip: readback pushes the returnflag predicate into ORC") {
+  test("sink_orc: readback pushes the returnflag predicate into ORC") {
     val p = plan(Formats.sinkOrcRoundtrip(spark, dir))
     assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
     assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
@@ -197,5 +197,59 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
     assert(p.contains("last("), s"expected running last_value:\n$p")
+  }
+
+  test("candles: packed ordering key keeps min_by/max_by in HashAggregate") {
+    // the whole point of the BIGINT-packed (µs-in-hour, id) ordering key:
+    // a struct key forces SortAggregate (per-partition O(n log n) sort of
+    // the event stream); the packed long keeps the buffer fixed-width so
+    // both partial and final aggregates hash
+    val p = plan(TimeWindows.candles(spark, dir))
+    assert(p.contains("partial_min_by"), s"expected map-side min_by partials:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"candles must hash-aggregate, not sort-aggregate:\n$p")
+  }
+
+  test("chunks: map-side explode only — no shuffle before the output sort") {
+    val p = plan(TextOps.textChunks(spark, dir))
+    assert(p.contains("Generate explode(sequence"), s"expected chunk explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size <= 1, s"one corpus scan:\n$p")
+  }
+
+  test("colloc: unigram counts materialized once — final plan scans the corpus once") {
+    val p = plan(TextOps.textColloc(spark, dir))
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"only the bigram pass may scan the corpus (unigrams are checkpointed):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded take, not a global sort:\n$p")
+  }
+
+  test("pack_seq: running sum partitioned by shard, never a global window") {
+    val p = plan(Curation.packSequences(spark, dir))
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"window must shuffle on shard (the parallelism unit):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a single-partition window would serialize the corpus:\n$p")
+  }
+
+  test("join_salt: shuffled-hash on (key, salt) with the dim side exploded") {
+    val p = plan(Relational.joinSalted(spark, dir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"the hint must hold (broadcast would hide the salting):\n$p")
+    assert(p.contains("Generate explode"), s"dim side must explode per salt:\n$p")
+    assert("hashpartitioning\\(l_suppkey[^)]*salt".r.findFirstIn(p).isDefined,
+      s"fact shuffle must key on (suppkey, salt):\n$p")
+  }
+
+  test("zscore: stats broadcast back — the event stream itself never hash-shuffles") {
+    val p = plan(Relational.anomalyZscore(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"stats side must broadcast:\n$p")
+    // the only hash exchange belongs to the tiny stats aggregate (below the
+    // BroadcastExchange); the probe side reads the scan directly
+    val probe = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!probe.contains("Exchange hashpartitioning"),
+      s"probe side must not shuffle before the join:\n$p")
   }
 }

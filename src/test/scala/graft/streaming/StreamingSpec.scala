@@ -199,4 +199,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_.getLong(3) >= 1))  // cnt per (minute, exchange, symbol)
     } finally q.stop()
   }
+
+  test("streaming candles: batch and stream emit identical OHLCV per closed hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, event_type, value): two fills in hour 10, an OUT-OF-ORDER
+    // third fill arriving late but inside the watermark, one fill in hour 11
+    val h10 = java.sql.Timestamp.valueOf("2024-03-01 10:00:05")
+    val h10b = java.sql.Timestamp.valueOf("2024-03-01 10:59:59")
+    val h10late = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
+    val h11 = java.sql.Timestamp.valueOf("2024-03-01 11:00:01")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = graft.ops.TimeWindows.candlesStream(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("candles_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, h10, "liq", 100.0), (2L, h10b, "liq", 50.0))
+      q.processAllAvailable()
+      mem.addData((3L, h10late, "liq", 200.0), (4L, h11, "liq", 75.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 11 so both candles close
+      mem.addData((9L, java.sql.Timestamp.valueOf("2024-03-01 23:00:00"), "zz", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT hour, open, high, low, close, cnt, volume
+           FROM candles_stream WHERE event_type = 'liq' ORDER BY hour""").collect()
+      assert(got.length == 2, got.mkString("; "))
+      // hour 10: open=first fill (100), close=last-by-ts (50), late 200 is high
+      assert(got(0).getString(0) == "2024-03-01 10:00:00.000000")
+      assert((got(0).getDouble(1), got(0).getDouble(2), got(0).getDouble(3),
+        got(0).getDouble(4), got(0).getLong(5), got(0).getDouble(6)) ==
+        ((100.0, 200.0, 50.0, 50.0, 3L, 350.0)))
+      assert((got(1).getDouble(1), got(1).getLong(5)) == ((75.0, 1L)))
+    } finally q.stop()
+  }
 }
