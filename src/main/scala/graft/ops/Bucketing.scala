@@ -60,7 +60,7 @@ object Bucketing {
 
   val oracles: Map[String, String] = Map(
     // the bucketed round-trip must be lossless: aggregate the SOURCE tables
-    "join_bucketed" ->
+    "join_bkt" ->
       """SELECT c_mktsegment, count(*) AS cnt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
@@ -68,6 +68,6 @@ object Bucketing {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_bucketed" -> joinBucketed _,
+    "join_bkt" -> joinBucketed _,
   )
 }

@@ -86,7 +86,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     // the round-trip must be lossless, so the oracle aggregates the SOURCE
     // table directly — any write/read corruption shows up as a hash mismatch
-    "sink_pq_days" ->
+    "pq_days" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -100,15 +100,15 @@ object Formats {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_returnflag <> 'N'
          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
-    "sink_jsonl" ->
+    "jsonl" ->
       """SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sink_pq_days" -> sinkParquetPartitioned _,
+    "pq_days" -> sinkParquetPartitioned _,
     "sink_orc" -> sinkOrcRoundtrip _,
-    "sink_jsonl" -> jsonlRoundtrip _,
+    "jsonl" -> jsonlRoundtrip _,
   )
 }

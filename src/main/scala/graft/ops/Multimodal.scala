@@ -238,6 +238,42 @@ object Multimodal {
       else decodeY4m(b, r.media_id)
     }
 
+    /** Per-frame Y-plane means from a Y4M container — the content decode
+      * behind scene-cut detection. Parses the stream header + FRAME
+      * markers like [[decodeY4m]], then integer-sums the first w*h bytes
+      * of each frame (the Y plane of C444) with ONE double division per
+      * frame, so the oracle's arithmetic re-derivation lands on identical
+      * bits. */
+    def y4mFrameMeans(b: Array[Byte]): Array[Double] = {
+      var eol = 0
+      while (b(eol) != '\n') eol += 1
+      val params = new String(b, 0, eol, Ascii).split(' ')
+      require(params(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      var w = 0; var h = 0
+      params.tail.foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case _   => ()
+        }
+      }
+      require(w > 0 && h > 0, "missing Y4M dimensions")
+      val np = w * h
+      val fsz = np * 3
+      val marker = "FRAME\n".getBytes(Ascii)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var o = eol + 1
+      while (o < b.length) {
+        o += marker.length
+        var s = 0L
+        var i = o
+        while (i < o + np) { s += (b(i) & 0xff); i += 1 }
+        out += s.toDouble / np
+        o += fsz
+      }
+      out.toArray
+    }
+
     /** Decode the PCM sample VALUES of a 16-bit WAV — signed little-endian
       * shorts out of the data chunk (content decode, not just the header
       * walk). */
@@ -421,6 +457,43 @@ object Multimodal {
           .cast(LongType).as("out_h"))
       .orderBy("media_id")
 
+  /** One frame-to-frame luminance delta. */
+  final case class CutRow(
+      media_id: Long,
+      frame: Int,
+      mean_y: Double,
+      d: Double,
+      is_cut: Boolean)
+
+  /** Scene-cut detection — the video-native feature extractor: decode each
+    * Y4M payload's frames, compare consecutive Y-plane means, and flag
+    * jumps above the threshold (the shot-boundary heuristic every video
+    * curation pipeline runs before sampling training frames). The decode
+    * is the REAL container walk ([[Codec.y4mFrameMeans]]); deltas stay
+    * per-asset and partition-local, so the stage is embarrassingly
+    * parallel — no shuffle until the presentation sort. The cut predicate
+    * compares integer-derived doubles built by the identical expression
+    * tree in both engines (frame sums are exact int64), so the strict `>`
+    * is deterministic even when a delta lands exactly on the threshold.
+    * Reported mean/delta are rounded 4 dp like all derived doubles. */
+  def mmSceneCuts(spark: SparkSession, dir: String, threshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val means = Codec.y4mFrameMeans(m.payload)
+          (1 until means.length).iterator.map { f =>
+            val d = means(f) - means(f - 1)
+            CutRow(m.media_id, f, r4(means(f)), r4(d), math.abs(d) > threshold)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id", "frame")
+  }
+
   /** The oracle's arithmetic twin of Codec.encode + Codec.decode: dims and
     * sample counts from the same length/id formulas, container byte counts
     * from the header layouts (PPM `P6\n{w} {h}\n255\n` = 9 + digits; WAV
@@ -468,6 +541,33 @@ object Multimodal {
         FROM s)"""
 
   val oracles: Map[String, String] = Map(
+    // frame f's Y plane is the first w*h bytes of the cyclic text at offset
+    // f*w*h*3 — the same synthesis arithmetic as mm_pixel_stats, plus a lag
+    // diff per frame; the cut predicate runs on the UNROUNDED delta exactly
+    // like the Spark side
+    "mm_cuts" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, text, length(text) AS len,
+                  (length(text) % 8) + 4 AS w, (doc_id % 6) + 3 AS h,
+                  (doc_id % 8) + 2 AS frames
+           FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT media_id, w, h, len, text,
+                       unnest(range(0, frames)) AS f FROM m),
+         mn AS (
+           SELECT media_id, f,
+                  list_sum(list_transform(range(0, w*h), p ->
+                    ascii(text[(((f*w*h*3 + p) % len) + 1):(((f*w*h*3 + p) % len) + 1)])))::DOUBLE
+                    / (w*h) AS my
+           FROM fr),
+         d AS (
+           SELECT media_id, f, my,
+                  my - lag(my) OVER (PARTITION BY media_id ORDER BY f) AS dd
+           FROM mn)
+         SELECT media_id, CAST(f AS INT) AS frame,
+                floor(my * 1e4 + 0.5) / 1e4 AS mean_y,
+                floor(dd * 1e4 + 0.5) / 1e4 AS d,
+                abs(dd) > 3.0 AS is_cut
+         FROM d WHERE f >= 1 ORDER BY media_id, frame""",
     "mm_frame_sample" -> s"""
       WITH $decodeCte
       SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx
@@ -547,5 +647,6 @@ object Multimodal {
     "mm_pixel_stats" -> mmPixelStats _,
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
+    "mm_cuts" -> ((s, d) => mmSceneCuts(s, d)),
   )
 }

@@ -664,7 +664,7 @@ object Relational {
                 bool_and(value >= 0.0) AS all_nonneg,
                 bool_or(event_type = 'purchase') AS any_purchase
          FROM events GROUP BY user_id ORDER BY user_id""",
-    "agg_gsets" ->
+    "gsets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
                 COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                 COALESCE(l_linestatus, 'ALL') AS l_linestatus,
@@ -812,7 +812,7 @@ object Relational {
     "agg_by_key" -> aggByKey _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
-    "agg_gsets" -> aggGroupingSets _,
+    "gsets" -> aggGroupingSets _,
     "agg_bool" -> aggBool _,
     "agg_stats" -> aggStats _,
     "agg_approx_distinct" -> aggApproxDistinct _,

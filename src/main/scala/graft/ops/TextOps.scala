@@ -260,6 +260,45 @@ object TextOps {
       .limit(20)
   }
 
+  /** BPE merge-pair counting — the inner loop of tokenizer training: count
+    * every adjacent character pair across all token occurrences and rank
+    * the merge candidates (the top pair is what a BPE trainer would merge
+    * next). A 100 TB tokenizer-training run is exactly this query iterated:
+    * explode is map-side, the pair count is a map-side-combined aggregate
+    * over a tiny key space (≤ alphabet²), and the top-20 is a bounded
+    * take — per iteration the corpus is scanned once and the shuffle
+    * carries only (pair, count) partials. */
+  def textBpe(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(col("token"), explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(col("token").substr(col("i"), lit(2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  /** Inverted-index construction: token → sorted posting list of documents,
+    * reported as (df, md5-of-postings) so the oracle pins the exact list
+    * without shipping it. The (token, doc_id) distinct and the keyed
+    * aggregate are the index-build shuffle; `sort_array` orders each
+    * posting list deterministically INSIDE its reducer (no global sort).
+    * At 100 TB the skew trap is stopword postings (one token = billions of
+    * doc_ids in one reducer): production sharding splits the posting key
+    * into (token, doc_id div B) segment rows — same plan shape, bounded
+    * reducers — and delta-encodes each segment; the fixture vocab needs
+    * neither, so the query keeps the canonical single-row-per-token form. */
+  def invIndex(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"), col("doc_id"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast(StringType)))
+          .cast(BinaryType)).as("postings_md5"))
+      .orderBy("token")
+
   private val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
@@ -295,6 +334,27 @@ object TextOps {
          CROSS JOIN n
          WHERE b.c_ab >= 5
          ORDER BY lift DESC, w1, w2 LIMIT 20""",
+    "bpe" ->
+      """WITH tk AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')) AS token
+           FROM documents),
+         p AS (
+           SELECT substring(token, CAST(i AS INT), 2) AS pair
+           FROM tk, unnest(range(1, length(token))) AS r(i)
+           WHERE length(token) >= 2)
+         SELECT pair, count(*) AS cnt
+         FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""",
+    "invidx" ->
+      """WITH td AS (
+           SELECT DISTINCT token, doc_id FROM (
+             SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS token, doc_id
+             FROM documents))
+         SELECT token, count(*) AS df,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                  AS postings_md5
+         FROM td GROUP BY token ORDER BY token""",
     "text_tokenize_count" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
@@ -386,5 +446,7 @@ object TextOps {
     "text_rep" -> textRep _,
     "chunks" -> textChunks _,
     "colloc" -> textColloc _,
+    "bpe" -> textBpe _,
+    "invidx" -> invIndex _,
   )
 }

@@ -328,7 +328,7 @@ object VectorOps {
         ORDER BY query_id, rk""",
       // banded-LSH candidates → cosine-verified pairs → min-label keep-list;
       // the OR-of-bands condition is the oracle twin of the banded join
-      "dedup_embedding" -> s"""
+      "dedup_vec" -> s"""
         WITH sig AS (SELECT vec_id, embedding, ($annBits)::BIGINT AS bucket
                      FROM embeddings),
         pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
@@ -345,7 +345,7 @@ object VectorOps {
         SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS keep
         FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
         ORDER BY e.vec_id""",
-      "sim_ivf_topk" -> s"""
+      "sim_ivf" -> s"""
         WITH reps AS (SELECT label AS plabel,
                              arg_min(embedding, vec_id) AS rep_emb
                       FROM embeddings GROUP BY label),
@@ -374,7 +374,7 @@ object VectorOps {
         ORDER BY query_id, rk""",
       // same fold order as the Spark lambdas: left-to-right with a 0 init,
       // so every double is bit-identical across engines
-      "vec_quantize" -> """
+      "vec_q8" -> """
         WITH s AS (SELECT vec_id, embedding,
                           list_reduce(list_concat([0.0],
                             list_transform(embedding, x -> abs(x::DOUBLE))),
@@ -400,8 +400,8 @@ object VectorOps {
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
-    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
-    "sim_ivf_topk" -> ((s, d) => simIvfTopk(s, d)),
-    "vec_quantize" -> vecQuantize _,
+    "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
+    "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
+    "vec_q8" -> vecQuantize _,
   )
 }

@@ -47,6 +47,25 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("Y4M: frame means decode the Y plane exactly (unsigned, plane offsets)") {
+    val cases = Gen.listOfN(20,
+      for { (w, h) <- dims; f <- Gen.choose(1, 12) } yield (w, h, f))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (w, h, f) =>
+      val content = bytes(f * w * h * 3).sample
+        .getOrElse(Array.fill[Byte](f * w * h * 3)(3))
+      val means = Codec.y4mFrameMeans(Codec.encodeY4m(w, h, f, content))
+      assert(means.length == f)
+      // reference: mean over the first w*h bytes of each frame's planes,
+      // decoded UNSIGNED (a negative random byte must land as 128..255)
+      (0 until f).foreach { k =>
+        val s = (0 until w * h).map(p => content(k * w * h * 3 + p) & 0xff).map(_.toLong).sum
+        assert(means(k) == s.toDouble / (w * h), s"frame $k of ($w,$h,$f)")
+      }
+    }
+  }
+
   test("WAV: sample decode inverts 16-bit LE for the full signed range") {
     val cases = Gen.listOfN(20,
       Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))

@@ -140,7 +140,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(r42 <= r82, s"wider signature must not lose candidates: $r42 vs $r82")
   }
 
-  test("dedup_embedding: keep-list is consistent with banded cosine pairs") {
+  test("dedup_vec: keep-list is consistent with banded cosine pairs") {
     import org.apache.spark.sql.functions.col
     val rows = VectorOps.dedupEmbedding(spark, dir).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
@@ -169,7 +169,7 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("sim_ivf_topk: probing all cells equals exact; recall grows with nprobe") {
+  test("sim_ivf: probing all cells equals exact; recall grows with nprobe") {
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -192,7 +192,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(r3 > 0, "probing 3 of 10 cells must recover some of the top-10")
   }
 
-  test("vec_quantize: reconstruction error bounded by scale/2, full coverage") {
+  test("vec_q8: reconstruction error bounded by scale/2, full coverage") {
     val rows = VectorOps.vecQuantize(spark, dir).collect()
     assert(rows.length == table(spark, dir, "embeddings").count())
     rows.foreach { r =>

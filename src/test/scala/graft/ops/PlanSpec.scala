@@ -127,7 +127,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge at this scale")
   }
 
-  test("sink_pq_days: readback prunes to the filtered week") {
+  test("pq_days: readback prunes to the filtered week") {
     // the write side produced day=... directories; the readback filter must
     // arrive as PartitionFilters on the scan (7 of 30 partitions touched),
     // never as a post-scan Filter over all partitions
@@ -144,7 +144,7 @@ class PlanSpec extends SparkSpec {
       s"returnflag predicate not pushed to the ORC reader:\n$p")
   }
 
-  test("dedup_embedding: banded candidates from an equality join, never all-pairs") {
+  test("dedup_vec: banded candidates from an equality join, never all-pairs") {
     val p = plan(VectorOps.dedupEmbedding(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"near-dup candidate generation must never be all-pairs:\n$p")
@@ -241,6 +241,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"dim side must explode per salt:\n$p")
     assert("hashpartitioning\\(l_suppkey[^)]*salt".r.findFirstIn(p).isDefined,
       s"fact shuffle must key on (suppkey, salt):\n$p")
+  }
+
+  test("bpe: bounded top-k over a map-side-combined pair count, one scan") {
+    val p = plan(TextOps.textBpe(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be bounded:\n$p")
+    assert(p.contains("partial_count"), s"pair count must combine map-side:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"one corpus scan:\n$p")
+  }
+
+  test("invidx: postings built by hash aggregation, the corpus is never sorted") {
+    val p = plan(TextOps.invIndex(spark, dir))
+    assert(p.contains("partial_collect_list"),
+      s"posting lists must combine map-side:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"index build must stay in hash aggregation (sort_array is per-row):\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"one corpus scan:\n$p")
   }
 
   test("zscore: stats broadcast back — the event stream itself never hash-shuffles") {
