@@ -32,5 +32,16 @@ class ScaleProbeSpec extends SparkSpec {
     val (cc10, tc10) = time(Extended.dedupClusters(spark, out).count())
     info(f"clusters 1x: $cc1 rows $tc1%.2fs; 10x: $cc10 rows $tc10%.2fs, ratio ${tc10 / tc1}%.1fx")
     assert(c10 >= c1 * 10) // every replica contributes its pair set
+
+    // inverted index under 10x: the vocab is FIXED (replicas add documents,
+    // not tokens), so rows stay at vocab size while every posting list
+    // grows 10x — the stopword-postings regime the invidx scaladoc warns
+    // about, in miniature. The build must stay hash-aggregated (no sort of
+    // the exploded token stream) and wall clock must scale with the
+    // posting volume, not quadratically.
+    val (v1, ti1) = time(TextOps.invIndex(spark, dir).count())
+    val (v10, ti10) = time(TextOps.invIndex(spark, out).count())
+    info(f"invidx 1x: $v1 tokens $ti1%.2fs; 10x: $v10 tokens $ti10%.2fs, ratio ${ti10 / ti1}%.1fx")
+    assert(v10 == v1, "replication must not invent vocabulary")
   }
 }
