@@ -200,7 +200,7 @@ object Curation {
                 cum_before // 256 AS pack_first,
                 (cum_before + n_tok - 1) // 256 - cum_before // 256 + 1 AS n_span
          FROM c ORDER BY doc_id""",
-    "mix_weighted" -> s"""
+    "mix" -> s"""
       WITH w AS (SELECT doc_id, source, $duckMixWeight AS w,
                         ${duckBucket("#mix")} AS bucket
                  FROM documents),
@@ -210,7 +210,7 @@ object Curation {
             FROM w)
       SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
       FROM c WHERE copies > 0 ORDER BY doc_id, copy""",
-    "decontam" -> s"""
+    "decon" -> s"""
       WITH toks AS (SELECT doc_id, ${DedupOps.duckToks} AS toks FROM documents),
       th AS (SELECT doc_id, list_transform(toks, t -> ${DedupOps.duckTokenHash}) AS th
              FROM toks),
@@ -249,8 +249,8 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified _,
-    "mix_weighted" -> sampleWeighted _,
-    "decontam" -> textDecontam _,
+    "mix" -> sampleWeighted _,
+    "decon" -> textDecontam _,
     "curate_corpus" -> curateCorpus _,
     "pack_seq" -> packSequences _,
   )

@@ -423,6 +423,46 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** MERGE / upsert — the incremental-refresh primitive (SCD type 1): apply
+    * a change batch of updates (U), inserts (I), and delete tombstones (D)
+    * to a base table. The naive encoding is a FULL OUTER join on the key —
+    * but full outer cannot broadcast (the unmatched side of a broadcast
+    * build is unenumerable), so it sort-merges BOTH sides at any scale
+    * (explain-verified). Because SCD1 change rows carry complete rows, the
+    * merge decomposes instead into: base ANTI-JOIN change-keys (keep every
+    * untouched base row) ∪ non-tombstone change rows — and an anti join
+    * broadcasts happily, so the base table NEVER shuffles; the only moved
+    * bytes are the change batch (tiny by definition) and the presentation
+    * sort. Table formats (Delta/Iceberg MERGE) add file-level pruning on
+    * top of exactly this plan. The change batch is synthesized
+    * deterministically from the base (op classes by disjoint key residues)
+    * so the DuckDB oracle rebuilds the identical merge as a FULL OUTER —
+    * proving the decomposition equivalent. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    // the change batch carries its own column names (cname/nbal) — it is
+    // derived from base, and a USING self-join with shared names would be
+    // ambiguous to resolve
+    val changes = base.select(col("k"), col("name"), col("bal"),
+        when(col("k") % 31 === 0, "D")
+          .when(col("k") % 10 === 0, "U")
+          .otherwise("-").as("op"))
+      .filter(col("op") =!= "-")
+      .select(col("k"), col("name").as("cname"),
+        (col("bal") + 100.0).as("nbal"), col("op"))
+      .unionByName(
+        base.filter(col("k") % 97 === 0)
+          .select((col("k") + 1000000L).as("k"),
+            concat(col("name"), lit("+new")).as("cname"),
+            col("bal").as("nbal"), lit("I").as("op")))
+    base.join(broadcast(changes.select("k")), Seq("k"), "left_anti")
+      .unionByName(changes.filter(col("op") =!= "D")
+        .select(col("k"), col("cname").as("name"), col("nbal").as("bal")))
+      .orderBy("k")
+  }
+
   /** Two-pass anomaly detection: per-group exact moment sums (the
     * [[aggStats]] DECIMAL technique) broadcast back onto the stream, rows
     * more than 3 sigma from their group mean flagged. This is the 100 TB
@@ -770,6 +810,24 @@ object Relational {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click','view','purchase')
          GROUP BY event_type ORDER BY event_type""",
+    // the same change-batch synthesis + FULL OUTER merge arithmetic
+    "upsert" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+           FROM customer),
+         ch AS (
+           SELECT k, name, bal + 100.0 AS nbal,
+                  CASE WHEN k % 31 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM base WHERE k % 31 = 0 OR k % 10 = 0
+           UNION ALL
+           SELECT k + 1000000, name || '+new', bal, 'I'
+           FROM base WHERE k % 97 = 0)
+         SELECT COALESCE(b.k, c.k) AS k,
+                COALESCE(c.name, b.name) AS name,
+                COALESCE(c.nbal, b.bal) AS bal
+         FROM base b FULL OUTER JOIN ch c ON b.k = c.k
+         WHERE COALESCE(c.op, '') <> 'D'
+         ORDER BY k""",
     // the oracle is the PLAIN join — salting must be invisible in the result
     "join_salt" ->
       """SELECT s.s_name AS s_name, count(*) AS cnt,
@@ -829,6 +887,7 @@ object Relational {
     "winfn_nth" -> winfnFirstLast _,
     "join_salt" -> joinSalted _,
     "zscore" -> anomalyZscore _,
+    "upsert" -> upsert _,
     "topk" -> topk _,
     "set_ops" -> setOps _,
     "union_all_streams" -> unionAllStreams _,

@@ -126,6 +126,17 @@ object StreamAssembly {
       }
       .start()
 
+  /** Stream-STATIC enrichment join: each streaming liquidation picks up
+    * reference metadata from a batch dimension table (the lookup the
+    * reference serves with its PG index `(exchange,market,symbol,ts)`,
+    * `writer_pg.py:54` — here done in-flight instead of post-hoc). The
+    * static side needs no watermark and holds no state: Spark broadcasts
+    * the dim to every micro-batch task (re-read per batch, so a dim
+    * refresh is picked up without restarting the query). Unmatched rows
+    * keep flowing with null metadata — enrichment must never drop events. */
+  def enrichJoin(unified: DataFrame, dim: DataFrame): DataFrame =
+    unified.join(broadcast(dim), Seq("exchange", "symbol"), "left")
+
   /** Stream-stream interval join: each liquidation matched to liquidations
     * of the OTHER side for the same symbol within the following minute —
     * long-liquidation → short-liquidation flip detection. Both sides carry

@@ -22,7 +22,7 @@ class CurationOpsSpec extends SparkSpec {
     tmp
   }
 
-  test("mix_weighted: exact floor copies, hash-selected fractional copy") {
+  test("mix: exact floor copies, hash-selected fractional copy") {
     val out = Curation.sampleWeighted(spark, dir)
       .groupBy("doc_id", "source").count().collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -50,7 +50,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
-  test("decontam: flags 8-gram overlap with the benchmark slice only") {
+  test("decon: flags 8-gram overlap with the benchmark slice only") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val overlap8 = "XX " + bench.split(" ").take(8).mkString(" ") + " YY"
     val clean = "one two three four five six seven eight nine ten"

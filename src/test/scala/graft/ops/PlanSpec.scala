@@ -243,6 +243,17 @@ class PlanSpec extends SparkSpec {
       s"fact shuffle must key on (suppkey, salt):\n$p")
   }
 
+  test("upsert: anti-join decomposition — the base table never shuffles") {
+    // the naive MERGE (full outer on the key) sort-merges BOTH sides; the
+    // decomposed form keeps every untouched base row via a broadcast anti
+    // join, so no hash exchange may appear on the base branch
+    val p = plan(Relational.upsert(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"change keys must broadcast into an anti join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("FullOuter"),
+      s"the full-outer encoding shuffles the base at any scale:\n$p")
+  }
+
   test("bpe: bounded top-k over a map-side-combined pair count, one scan") {
     val p = plan(TextOps.textBpe(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must be bounded:\n$p")

@@ -200,6 +200,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dim metadata joins in-flight, misses pass through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val unified = Normalizers.binance(mem.toDF().withColumnRenamed("value", "raw"), "usdt")
+    val dim = Seq(("binance", "BTCUSDT", "majors"), ("binance", "ETHUSDT", "majors"))
+      .toDF("exchange", "symbol", "tier")
+    val q = StreamAssembly.enrichJoin(unified, dim)
+      .select("symbol", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(Fixtures.binance: _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT symbol, tier FROM enriched").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(rows("BTCUSDT").contains("majors"))
+      // fixtures carry symbols beyond the dim — they must survive with null
+      val misses = rows.filterNot { case (s, _) => s == "BTCUSDT" || s == "ETHUSDT" }
+      assert(misses.nonEmpty && misses.values.forall(_.isEmpty))
+    } finally q.stop()
+  }
+
   test("streaming candles: batch and stream emit identical OHLCV per closed hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
