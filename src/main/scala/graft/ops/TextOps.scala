@@ -128,6 +128,57 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Unigram-LM cross-entropy scoring (the CCNet-style quality filter):
+    * train a unigram model on the corpus itself, score every document by
+    * its mean -log2 p(token) — "bits per token". Fluent text built from
+    * common tokens scores low; rare-token noise scores high; the score is
+    * the classic keep/drop signal next to [[textQuality]]'s ratios.
+    *
+    * Cross-engine float parity: per-token log-probs are QUANTIZED ONCE on
+    * the vocab frame — `qlog = floor(log2(ctf)·1e6 + 0.5)` — so every
+    * downstream step (tf·qlog products, per-doc sums, the n_tokens
+    * division) is exact integer arithmetic until one final double
+    * division. Summing raw double logs per occurrence would be
+    * partition-order-dependent and ulp-sensitive across engines.
+    * Round-to-nearest (not plain floor) is load-bearing: at ctf = 2^k the
+    * true log2 is EXACTLY an integer, and the two engines' log2 land on
+    * opposite sides of it (libm log2(8)=3.0 exactly; log(8)/log(2) can be
+    * 2.999…96) — a plain floor splits there on every power-of-two count,
+    * while +0.5 puts both a half-unit away from the cut. The remaining
+    * boundaries (log2 of a non-power-of-two within 1e-10 of a half-unit)
+    * are measure-zero irrationals, one test per DISTINCT count value.
+    *
+    * Scale shape: tokenize once into the (doc, token, tf) aggregate
+    * (localCheckpoint — same two-consumer replan trap as [[textTfidf]]);
+    * the scoring join is the pre-aggregated (doc,token) grain against the
+    * token-grain vocab — broadcast here, a shuffled-hash join keyed on
+    * token at web scale where both sides are already aggregates (skew is
+    * bounded by distinct docs per token, not token occurrences). */
+  def textPpl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val vocab = tf.groupBy("token").agg(sum("tf").as("ctf"))
+      .withColumn("qlog_ctf",
+        floor(log2(col("ctf").cast(DoubleType)) * 1e6 + 0.5).cast(LongType))
+    val total = tf.agg(sum(col("tf")).as("n"))
+      .withColumn("qlog_n",
+        floor(log2(col("n").cast(DoubleType)) * 1e6 + 0.5).cast(LongType))
+    tf.join(broadcast(vocab), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast(LongType).as("n_tokens"),
+        roundD(
+          (max(col("qlog_n")) * sum(col("tf")) -
+            sum(col("tf") * col("qlog_ctf"))).cast(DoubleType) /
+            (sum(col("tf")).cast(DoubleType) * 1e6), 4)
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Email / phone regexes for [[textPii]] — kept to syntax Java regex and
     * RE2 (DuckDB) interpret identically: character classes, bounded
     * quantifiers, \b word boundaries; no backrefs or lookaround. */
@@ -433,6 +484,23 @@ object TextOps {
                       ORDER BY score DESC, token) AS rk FROM scored)
          SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    "text_ppl" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
+                       FROM documents),
+         tfc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         vocab AS (SELECT token, sum(tf) AS ctf FROM tfc GROUP BY 1),
+         qv AS (SELECT token, CAST(floor(log2(ctf::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qlog_ctf
+                FROM vocab),
+         qn AS (SELECT CAST(floor(log2(sum(tf)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qlog_n
+                FROM tfc),
+         perdoc AS (SELECT doc_id, sum(t.tf)::BIGINT AS n_tokens,
+                           sum(t.tf * v.qlog_ctf)::BIGINT AS s
+                    FROM tfc t JOIN qv v USING (token) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+                floor((qn.qlog_n * n_tokens - s)::DOUBLE
+                      / (n_tokens::DOUBLE * 1e6) * 1e4 + 0.5) / 1e4 AS bits_per_token
+         FROM perdoc CROSS JOIN qn ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -442,6 +510,7 @@ object TextOps {
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,
+    "text_ppl" -> textPpl _,
     "text_pii" -> textPii _,
     "text_rep" -> textRep _,
     "chunks" -> textChunks _,

@@ -281,6 +281,72 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Deterministic spherical k-means — two Lloyd passes over K=8 seeds —
+    * the SemDeDup-style semantic clustering primitive: cluster the corpus
+    * by embedding, then dedup / curate WITHIN clusters (the coarse
+    * quantizer [[simIvfTopk]] probes is trained exactly this way).
+    *
+    * Seeds are the first K vectors (vec_id < K — deterministic, no RNG:
+    * Date-seeded inits don't replay). Assignment is max dot product
+    * (vectors are unit-norm, so max-dot = min angular distance), tie →
+    * smaller cluster id. New centroids are element-wise means of the
+    * members, renormalized to the sphere.
+    *
+    * Bit-reproducibility across engines AND across partitionings — the
+    * property a 1000-executor re-run needs: member sums are quantized to
+    * the 1e-6 grid per element (floor(x·1e6+0.5) as BIGINT) so the
+    * centroid mean is an exact integer sum in any summation order; every
+    * other step (dot folds, sqrt, divisions) is identical IEEE arithmetic
+    * on identical inputs. The dot folds are strict left-to-right
+    * ([[graft.functions.DotProduct]]) mirrored by the oracle's sequential
+    * list_reduce.
+    *
+    * Scale shape: centroids broadcast to every partition (K·dims doubles);
+    * assignment is map-side; the only shuffles are the vec_id partial-agg
+    * argmax and the (cluster, pos) centroid aggregate — K·dims cells, i.e.
+    * bytes, regardless of corpus size. Lloyd at 100 TB is exactly this
+    * loop iterated: broadcast-assign + tree-aggregate per pass. */
+  def simKmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // pass 1: score n×K map-side, argmax per vector (partial-agg'd)
+    val assign1 = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dot(col("embedding"), col("cvec")).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("aff"), (-col("cid")).as("nc"))).as("cluster"),
+        first(col("embedding")).as("embedding")) // all K rows carry the same vector
+    // centroid update: quantized integer sums per (cluster, dim) — exact in
+    // any partition order — then mean + renormalize
+    val cellSums = assign1
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("qsum"),
+        count(lit(1)).as("cnt"))
+      .select(col("cluster"), col("pos"),
+        (col("qsum").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6)).as("m"))
+    val cent = cellSums.groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mvec"))
+      .select(col("cluster"), col("mvec"),
+        sqrt(dot(col("mvec"), col("mvec"))).as("nrm"))
+      .select(col("cluster"),
+        transform(col("mvec"), x => x / col("nrm")).as("cvec"))
+    // pass 2: reassign against the updated centroids
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cluster"),
+        dot(col("embedding"), col("cvec")).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cluster"),
+          struct(col("aff"), (-col("cluster")).as("nc"))).as("cluster"),
+        roundD(max(col("aff")), 5).as("affinity"))
+      .orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = {
     val annBits = (0 until 8).map { j =>
       val ws = (0 until 64).map(i => s"${weight(i, j)}.0").mkString("[", ", ", "]")
@@ -392,6 +458,42 @@ object VectorOps {
                          i -> abs(qv[i] * s - embedding[i]::DOUBLE))),
                        (a, b) -> greatest(a, b)) * 1e6 + 0.5) / 1e6 AS max_err
         FROM q ORDER BY vec_id""",
+      // the two argmax stages mirror the Spark max_by(cid, struct(aff, -cid))
+      // tie-break as (aff DESC, cid ASC) row_number windows; centroid means
+      // re-derive the same quantized integer sums
+      "sim_kmeans" -> """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+        s1 AS (SELECT e.vec_id, e.embedding, s.cid,
+                      list_reduce(list_concat([0.0], list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * s.cvec[i]::DOUBLE)),
+                        (acc, x) -> acc + x) AS aff
+               FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, embedding, cid AS cluster FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY aff DESC, cid) AS rn FROM s1)
+               WHERE rn = 1),
+        cq AS (SELECT cluster, t.i AS pos,
+                      sum(CAST(floor(embedding[t.i]::DOUBLE * 1e6 + 0.5) AS BIGINT)) AS qsum,
+                      count(*) AS cnt
+               FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+               GROUP BY 1, 2),
+        cm AS (SELECT cluster, pos, qsum::DOUBLE / (cnt::DOUBLE * 1e6) AS m FROM cq),
+        cv AS (SELECT cluster, list(m ORDER BY pos) AS mvec FROM cm GROUP BY cluster),
+        cn AS (SELECT cluster, mvec,
+                      sqrt(list_reduce(list_concat([0.0], list_transform(range(1, 65),
+                        i -> mvec[i] * mvec[i])), (acc, x) -> acc + x)) AS nrm
+               FROM cv),
+        cent AS (SELECT cluster, list_transform(mvec, x -> x / nrm) AS cvec FROM cn),
+        s2 AS (SELECT e.vec_id, c.cluster,
+                      list_reduce(list_concat([0.0], list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * c.cvec[i])),
+                        (acc, x) -> acc + x) AS aff
+               FROM e CROSS JOIN cent c)
+        SELECT vec_id, cluster, floor(aff * 1e5 + 0.5) / 1e5 AS affinity FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY aff DESC, cluster) AS rn FROM s2)
+        WHERE rn = 1 ORDER BY vec_id""",
     )
   }
 
@@ -403,5 +505,6 @@ object VectorOps {
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,
+    "sim_kmeans" -> ((s, d) => simKmeans(s, d)),
   )
 }

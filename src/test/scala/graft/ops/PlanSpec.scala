@@ -193,6 +193,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-3 not bounded before the window")
   }
 
+  test("text_ppl: one tokenize pass; vocab and N broadcast onto the tf grain") {
+    // same materialize-once contract as text_tfidf: the (doc, token, tf)
+    // frame is checkpoint-backed and feeds vocab, N, and the probe side —
+    // the final plan holds zero parquet scans (everything derives from the
+    // one materialized tokenize) and the scoring joins are broadcasts, so
+    // the per-doc aggregation is the only hash exchange.
+    val df = TextOps.textPpl(spark, dir)
+    df.collect()
+    val whole = plan(df)
+    val p = whole.split("== Initial Plan ==").head
+    assert(!p.contains("Scan parquet"), s"expected no parquet scan:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "tf frame is not checkpoint-backed")
+    assert(p.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join expected:\n$p")
+  }
+
+  test("sim_kmeans: centroids broadcast in both passes, argmax partial-aggregated") {
+    // Lloyd at scale = broadcast-assign + tree-aggregate: both assignment
+    // joins must be broadcast nested-loop joins of a K-row side (never a
+    // shuffle of the corpus against centroids), and the per-vector argmax
+    // must have a partial_max_by below its exchange so the shuffle carries
+    // one row per vector, not one per (vector, centroid).
+    val p = plan(VectorOps.simKmeans(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join expected:\n$p")
+    assert(p.contains("partial_max_by"), s"argmax must map-side combine:\n$p")
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
