@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   *
   * so SQL text, views, and thrift-served queries all resolve `poly_hash`,
-  * `dot_product`, and `shingle_hashes`, and every query benefits from
+  * `dot_product`, `shingle_hashes`, and `cdc_boundaries`, and every query
+  * benefits from
   * [[graft.plans.MergeDisjointFilterUnions]] — on a 1000-executor cluster
   * the config string is the only wiring needed. (MinHashSig / SimHashBits
   * take Scala-level parameters — permutation constants, bit width — and
@@ -56,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs match {
           case Seq(e) => ShingleHashes(e)
           case other => wrongArgs("shingle_hashes", 1, other.size)
+        }): Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(e) => CdcBoundaries(e)
+          case other => wrongArgs("cdc_boundaries", 1, other.size)
         }): Builder))
     ext.injectOptimizerRule(_ => graft.plans.MergeDisjointFilterUnions)
   }

@@ -270,6 +270,39 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Content-defined chunking — the dedup-grade splitter next to the
+    * fixed-stride [[textChunks]]: cut points come from a Karp-Rabin rolling
+    * hash ([[graft.functions.CdcBoundaries]], window 16, hash ≡ 0 mod 64 →
+    * ~64-byte expected chunks), so an edit perturbs only the chunk it
+    * touches while every later chunk keeps its identity — the property
+    * chunk-level dedup at 100 TB depends on and fixed strides lack.
+    *
+    * Shape: the boundary scan is one codegen'd O(n) pass per document,
+    * map-side; chunk assembly is array arithmetic over the boundary list;
+    * nothing shuffles before the presentation sort. Chunks are reported as
+    * (len, md5) so the compare pins exact bytes without shipping text. The
+    * document's end is always the final boundary (appended unless the hash
+    * already cut there), so chunks tile the document exactly. */
+  def chunksCdc(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val bs = graft.functions.CdcBoundaries(txt)
+    val bounds = when(array_contains(bs, length(txt)), bs)
+      .otherwise(concat(bs, array(length(txt))))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), txt, bounds.as("bounds"))
+      .select(col("doc_id"), txt, col("bounds"),
+        posexplode(col("bounds")).as(Seq("bi", "e")))
+      .select(col("doc_id"), (col("bi") + 1).cast(LongType).as("chunk_idx"),
+        when(col("bi") === 0, lit(0))
+          .otherwise(element_at(col("bounds"), col("bi"))).as("s"),
+        col("e"), txt)
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("e") - col("s")).cast(LongType).as("chunk_len"),
+        md5(txt.substr(col("s") + 1, col("e") - col("s")).cast(BinaryType))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Bigram collocation mining by lift — the phrase detector (word2vec-style
     * "new_york" merging, quality-signal n-gram stats) over the corpus.
     * lift = N * c(ab) / (c(a) * c(b)) stays in exact integer arithmetic
@@ -363,6 +396,31 @@ object TextOps {
                   AS chunk_len,
                 md5(substring(text, CAST(s AS INT) + 1, 200)) AS chunk_md5
          FROM e ORDER BY doc_id, chunk_id""",
+    // per-window refold of the same acc*31+byte (mod 1e9+7) hash the
+    // Karp-Rabin scan maintains incrementally — O(n·w) here is fine for an
+    // oracle; ord() = byte on the ASCII-pinned corpus
+    "chunks_cdc" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         b0 AS (SELECT doc_id, text, len,
+                       list_filter(range(16, len + 1),
+                         p -> list_reduce(list_concat([0::BIGINT],
+                                list_transform(range(p - 15, p + 1),
+                                  i -> ord(substr(text, i::INT, 1))::BIGINT)),
+                                (acc, c) -> (acc * 31 + c) % 1000000007) % 64 = 0) AS bs
+                FROM d),
+         b AS (SELECT doc_id, text,
+                      CASE WHEN list_contains(bs, len::BIGINT) THEN bs
+                           ELSE list_append(bs, len::BIGINT) END AS bounds
+               FROM b0),
+         x AS (SELECT doc_id, text, bounds,
+                      unnest(range(1, len(bounds) + 1))::INT AS i
+               FROM b),
+         ch AS (SELECT doc_id, i, text, bounds[i] AS e,
+                       CASE WHEN i = 1 THEN 0 ELSE bounds[i - 1] END AS s
+                FROM x)
+         SELECT doc_id, i::BIGINT AS chunk_idx, (e - s)::BIGINT AS chunk_len,
+                md5(substr(text, (s + 1)::INT, (e - s)::INT)) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
     "colloc" ->
       """WITH toks AS (
            SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -514,6 +572,7 @@ object TextOps {
     "text_pii" -> textPii _,
     "text_rep" -> textRep _,
     "chunks" -> textChunks _,
+    "chunks_cdc" -> chunksCdc _,
     "colloc" -> textColloc _,
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,

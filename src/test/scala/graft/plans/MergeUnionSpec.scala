@@ -132,6 +132,9 @@ class MergeUnionSpec extends SparkSpec {
         .head.getDouble(0) == 11.0)
       assert(s2.sql("SELECT size(shingle_hashes('a b c d e')) AS n")
         .head.getInt(0) == 2)
+      // boundary list of a 16-char doc is computable by hand: one window
+      assert(s2.sql("SELECT cdc_boundaries('aaaaaaaaaaaaaaaa') AS b")
+        .head.getSeq[Int](0).forall(_ == 16))
       intercept[org.apache.spark.sql.AnalysisException](
         s2.sql("SELECT dot_product(array(1.0d))").collect())
     } finally {
