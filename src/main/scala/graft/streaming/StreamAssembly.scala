@@ -236,6 +236,73 @@ object StreamAssembly {
     prev
   }
 
+  /** One symbol's running VWAP accumulator state. */
+  final case class VwapState(n: Long, sumNotional: Double, sumQty: Double)
+
+  /** Per-batch VWAP update emitted by [[VwapProcessor]]. */
+  final case class VwapUpdate(symbol: String, n: Long, vwap: Double)
+
+  /** Per-symbol running VWAP on the transformWithState API (Spark 4's
+    * successor to flatMapGroupsWithState, cf. [[cascadeAlerts]]): typed
+    * state variables come from the handle instead of one opaque blob, and
+    * state TTL is DECLARED (TTLConfig) rather than hand-rolled with
+    * timeout callbacks — the store evicts idle symbols by itself, which is
+    * the state-boundedness story at 100 TB key cardinalities. Requires the
+    * RocksDB state store provider (multi-column-family support), i.e.
+    * [[useRocksDbStateStore]] — that pairing is deliberate: this API
+    * targets exactly the large-state deployments RocksDB exists for.
+    *
+    * TTL caveat, measured here: with a TTL the operator reports
+    * shouldRunAnotherBatch every trigger (the eviction sweep), so the
+    * query NEVER settles — processAllAvailable blocks and even
+    * Trigger.AvailableNow keeps cycling empty batches. That is the right
+    * behavior for a 24/7 deployment on a ProcessingTime trigger (the sweep
+    * rides the trigger cadence) and wrong for bounded drains, which is why
+    * `ttl` is opt-in rather than defaulted.
+    *
+    * Emits one update per symbol per micro-batch that touched it. */
+  final class VwapProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Option[Double], Option[Double]), VwapUpdate] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[VwapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[VwapState]("vwap",
+        org.apache.spark.sql.Encoders.product[VwapState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Option[Double], Option[Double])],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[VwapUpdate] = {
+      var s = if (state.exists()) state.get() else VwapState(0L, 0.0, 0.0)
+      rows.foreach { case (_, notional, qty) =>
+        s = VwapState(s.n + 1,
+          s.sumNotional + notional.getOrElse(0.0),
+          s.sumQty + qty.getOrElse(0.0))
+      }
+      state.update(s)
+      Iterator.single(VwapUpdate(key, s.n,
+        if (s.sumQty == 0.0) 0.0 else s.sumNotional / s.sumQty))
+    }
+  }
+
+  /** Wire [[VwapProcessor]] over the unified stream: group by symbol;
+    * pass a `ttl` (and run on a ProcessingTime trigger) to have the store
+    * evict idle symbols — see the TTL caveat on [[VwapProcessor]]. */
+  def vwapUpdates(unified: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[VwapUpdate] = {
+    import unified.sparkSession.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    unified
+      .select(col("symbol"), col("notional"), col("qty"))
+      .as[(String, Option[Double], Option[Double])]
+      .groupByKey(_._1)
+      .transformWithState(new VwapProcessor(ttl), timeMode, OutputMode.Append())
+  }
+
   /** Project the pair-stage columns to the unified schema (streaming twin of
     * the batch normalizer's finish). */
   private def finishUnified(pairs: DataFrame, market: String): DataFrame = {

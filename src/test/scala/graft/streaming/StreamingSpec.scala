@@ -122,6 +122,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: VWAP state survives across batches AND restarts") {
+    // TTL off (see the VwapProcessor caveat: the TTL sweep re-batches
+    // forever, which only makes sense on a real ProcessingTime trigger).
+    // Each phase runs Trigger.AvailableNow to completion and the second
+    // phase REUSES the checkpoint: the assertion proves the ValueState came
+    // back from RocksDB across a full query restart, not just across
+    // micro-batches.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = StreamAssembly.useRocksDbStateStore(spark) // tws requires RocksDB
+    try {
+      val root = tmp("vwap_src"); val outDir = tmp("vwap_out"); val ckpt = tmp("vwap_ckpt")
+      def ev(sym: String, qty: Int, px: Int) =
+        s"""{"e":"forceOrder","E":1710000000000,"o":{"s":"$sym","S":"SELL","q":"$qty","p":"$px","l":"$qty","T":1710000000000}}"""
+      def runOnce(): Unit = {
+        val raw = spark.readStream.format("text").load(root)
+          .withColumnRenamed("value", "raw")
+        val q = StreamAssembly.vwapUpdates(Normalizers.binance(raw, "usdt"))
+          .toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", outDir)
+          .start()
+        q.awaitTermination(120000)
+      }
+      // phase 1: BTC 1@100 + 3@200 -> vwap 175
+      Files.write(java.nio.file.Paths.get(s"$root/b1.txt"),
+        (ev("BTCUSDT", 1, 100) + "\n" + ev("BTCUSDT", 3, 200) + "\n").getBytes)
+      runOnce()
+      // phase 2 (fresh query, same checkpoint): +4@50 -> running vwap 112.5
+      Files.write(java.nio.file.Paths.get(s"$root/b2.txt"),
+        (ev("BTCUSDT", 4, 50) + "\n").getBytes)
+      runOnce()
+      val rows = spark.read.parquet(outDir)
+        .select("n", "vwap").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(rows == Seq((2L, 175.0), (3L, 112.5)), s"got $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dead-letter metrics: parse drops are observable, the stream continues") {
     val root = tmp("hl_dead"); val outDir = tmp("hl_dead_out"); val ckpt = tmp("hl_dead_ckpt")
     // one good line + one malformed line that passes the substring prefilter
