@@ -201,7 +201,7 @@ object NormalizeOps {
     "normalize_aster" -> ordered(binanceSelect("aster", Fixtures.aster)),
     "normalize_bybit" -> ordered(bybitSelect),
     "normalize_okx" -> ordered(okxSelect),
-    "normalize_hyperliquid" -> ordered(hyperliquidSelect),
+    "normalize_hl" -> ordered(hyperliquidSelect),
     "normalize_union" -> s"""
       SELECT exchange, market, count(*) AS cnt,
              CAST(SUM(CAST(notional AS DECIMAL(18,2))) AS DOUBLE) AS sum_notional
@@ -216,7 +216,7 @@ object NormalizeOps {
     "normalize_aster" -> normalizeAster _,
     "normalize_bybit" -> normalizeBybit _,
     "normalize_okx" -> normalizeOkx _,
-    "normalize_hyperliquid" -> normalizeHyperliquid _,
+    "normalize_hl" -> normalizeHyperliquid _,
     "normalize_union" -> normalizeUnion _,
   )
 }

@@ -220,7 +220,7 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keep_doc_id
          FROM documents GROUP BY 1 ORDER BY content_hash""",
-    "dedup_ngram_jaccard" -> s"""
+    "dedup_jac" -> s"""
       WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
       th AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS th FROM toks),
       sh AS (SELECT doc_id, $duckShingleHashes AS sh FROM th WHERE len(th) >= 4),
@@ -268,7 +268,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
-    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_jac" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
   )

@@ -77,6 +77,60 @@ object Extended {
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "pct_rank")
   }
 
+  /** Trailing event-time window features — RANGE BETWEEN INTERVAL frames,
+    * the per-entity rolling-aggregate shape every fraud/abuse/session model
+    * consumes (events in the last N minutes per user, as-of each event).
+    * A RANGE frame is peer-inclusive: rows with equal timestamps always
+    * share a frame, so the result is tie-order independent — but the
+    * ACCUMULATION order of equal-ts peers still differs across engines,
+    * which is why the sum runs in DECIMAL (exact, order-free) per the
+    * package convention. Partitioned by user_id — cardinality grows with
+    * the data, so state per window partition stays bounded at 100 TB
+    * (never partition a range frame by a low-cardinality label). */
+  def winfnRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-600L * 1000 * 1000, Window.currentRow) // trailing 10 min
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("trail_cnt"),
+        sum(col("v")).over(w).cast(DoubleType).as("trail_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Bit widths covering the lineitem key domains ([[zorder]]). */
+  private val zBits = 16
+
+  /** Z-order (Morton) addressing audit — the multi-dimensional file-layout
+    * technique (Delta/Iceberg `OPTIMIZE ZORDER BY`): interleaving the bits
+    * of two join/filter keys gives a 1-D sort order under which files stay
+    * tight in BOTH dimensions, so parquet min/max stats prune scans for
+    * predicates on either key — at 100 TB this is what makes two-column
+    * data skipping work where a lexicographic sort only serves its leading
+    * column. The query computes z-addresses, clusters rows into z-buckets
+    * (≈ files after a z-sorted write), and audits the layout: each
+    * bucket's bounding box over (partkey, suppkey) — the row-group stats a
+    * reader would prune with. Pure integer bit arithmetic end to end, so
+    * the oracle is exact by construction. */
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      (0 until zBits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        interleave(col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy(shiftright(col("z"), 14).as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+        min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+      .orderBy("zbucket")
+  }
+
   /** Candidate verification — the stage after LSH candidate generation in a
     * real dedup pipeline: MinHash band candidates are confirmed by edit
     * distance on a text prefix. Only candidate pairs (not all pairs) ever
@@ -202,7 +256,29 @@ object Extended {
       WHERE levenshtein(da.prefix, db.prefix) <= 20
       ORDER BY a, b"""
 
+  /** DuckDB twin of [[zorder]]'s bit interleave — same 16-bit expansion. */
+  private val duckZ = (0 until zBits).map { i =>
+    s"((((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "win_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                           CAST(value AS DECIMAL(18,2)) AS v
+                    FROM events)
+         SELECT event_id, user_id,
+                count(*) OVER w AS trail_cnt,
+                CAST(sum(v) OVER w AS DOUBLE) AS trail_sum
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "zorder" -> s"""
+      WITH z AS (SELECT l_partkey, l_suppkey, $duckZ AS z FROM lineitem)
+      SELECT z >> 14 AS zbucket, count(*) AS cnt,
+             min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+             min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+      FROM z GROUP BY 1 ORDER BY zbucket""",
     "agg_pivot" -> {
       val cols = eventTypes
         .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
@@ -236,7 +312,7 @@ object Extended {
          WINDOW w AS (PARTITION BY l_returnflag
            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
          ORDER BY l_returnflag, l_orderkey, l_linenumber, pct_rank""",
-    "dedup_verify_editdist" -> verifyEditdistSql,
+    "dedup_verify" -> verifyEditdistSql,
     "dedup_clusters" -> s"""
       WITH RECURSIVE
       verified AS ($verifyEditdistSql),
@@ -259,7 +335,9 @@ object Extended {
     "agg_percentile" -> aggPercentile _,
     "agg_histogram" -> aggHistogram _,
     "winfn_ntile" -> winfnNtile _,
-    "dedup_verify_editdist" -> dedupVerifyEditdist _,
+    "win_range" -> winfnRange _,
+    "zorder" -> zorder _,
+    "dedup_verify" -> dedupVerifyEditdist _,
     "dedup_clusters" -> dedupClusters _,
   )
 }

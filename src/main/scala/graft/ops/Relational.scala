@@ -641,7 +641,7 @@ object Relational {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                  ORDER BY ts, event_id) AS rn FROM events)
          WHERE rn = 1 ORDER BY event_id""",
-    "string_concat_upper" ->
+    "str_concat" ->
       """SELECT doc_id, upper(lang) || '-' || source AS tag
          FROM documents ORDER BY doc_id""",
     "case_side_decode" ->
@@ -713,7 +713,7 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
          ORDER BY gid, l_returnflag, l_linestatus""",
-    "agg_approx_distinct" ->
+    "agg_approx" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id""",
     "join_hash" ->
@@ -805,7 +805,7 @@ object Relational {
          UNION ALL
          SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
          ORDER BY tag, nationkey""",
-    "union_all_streams" ->
+    "union_all" ->
       """SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click','view','purchase')
@@ -864,7 +864,7 @@ object Relational {
     "filter_threshold" -> filterThreshold _,
     "filter_eq_cols" -> filterEqCols _,
     "dedup_keys" -> dedupKeys _,
-    "string_concat_upper" -> stringConcatUpper _,
+    "str_concat" -> stringConcatUpper _,
     "case_side_decode" -> caseSideDecode _,
     "derive_notional" -> deriveNotional _,
     "agg_by_key" -> aggByKey _,
@@ -873,7 +873,7 @@ object Relational {
     "gsets" -> aggGroupingSets _,
     "agg_bool" -> aggBool _,
     "agg_stats" -> aggStats _,
-    "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_approx" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,
     "join_left" -> joinLeft _,
@@ -890,6 +890,6 @@ object Relational {
     "upsert" -> upsert _,
     "topk" -> topk _,
     "set_ops" -> setOps _,
-    "union_all_streams" -> unionAllStreams _,
+    "union_all" -> unionAllStreams _,
   )
 }

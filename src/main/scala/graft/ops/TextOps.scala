@@ -399,7 +399,7 @@ object TextOps {
     // per-window refold of the same acc*31+byte (mod 1e9+7) hash the
     // Karp-Rabin scan maintains incrementally — O(n·w) here is fine for an
     // oracle; ord() = byte on the ASCII-pinned corpus
-    "chunks_cdc" ->
+    "cdc" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
          b0 AS (SELECT doc_id, text, len,
                        list_filter(range(16, len + 1),
@@ -464,7 +464,7 @@ object TextOps {
                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
                   AS postings_md5
          FROM td GROUP BY token ORDER BY token""",
-    "text_tokenize_count" ->
+    "tok_count" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
                FROM documents)
@@ -542,7 +542,7 @@ object TextOps {
                       ORDER BY score DESC, token) AS rk FROM scored)
          SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3
          ORDER BY doc_id, rk""",
-    "text_ppl" ->
+    "ppl" ->
       """WITH toks AS (SELECT doc_id,
                               unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
                        FROM documents),
@@ -562,17 +562,17 @@ object TextOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_tokenize_count" -> textTokenizeCount _,
+    "tok_count" -> textTokenizeCount _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,
-    "text_ppl" -> textPpl _,
+    "ppl" -> textPpl _,
     "text_pii" -> textPii _,
     "text_rep" -> textRep _,
     "chunks" -> textChunks _,
-    "chunks_cdc" -> chunksCdc _,
+    "cdc" -> chunksCdc _,
     "colloc" -> textColloc _,
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,

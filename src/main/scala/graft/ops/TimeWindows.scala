@@ -121,7 +121,7 @@ object TimeWindows {
   }
 
   val oracles: Map[String, String] = Map(
-    "window_tumbling_daily" ->
+    "win_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -173,7 +173,7 @@ object TimeWindows {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "window_tumbling_daily" -> windowTumblingDaily _,
+    "win_daily" -> windowTumblingDaily _,
     "window_sliding" -> windowSliding _,
     "window_session" -> windowSession _,
     "sink_csv_daily" -> sinkCsvDaily _,

@@ -461,7 +461,7 @@ object VectorOps {
       // the two argmax stages mirror the Spark max_by(cid, struct(aff, -cid))
       // tie-break as (aff DESC, cid ASC) row_number windows; centroid means
       // re-derive the same quantized integer sums
-      "sim_kmeans" -> """
+      "kmeans" -> """
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
         s1 AS (SELECT e.vec_id, e.embedding, s.cid,
@@ -505,6 +505,6 @@ object VectorOps {
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,
-    "sim_kmeans" -> ((s, d) => simKmeans(s, d)),
+    "kmeans" -> ((s, d) => simKmeans(s, d)),
   )
 }

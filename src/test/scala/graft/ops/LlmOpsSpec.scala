@@ -261,7 +261,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("approx_distinct stays in its exact regime (no HLL register collisions)") {
-    // agg_approx_distinct's oracle is an EXACT count(DISTINCT): valid only
+    // agg_approx's oracle is an EXACT count(DISTINCT): valid only
     // while every per-group cardinality is small enough that HLL++ linear
     // counting is collision-free. Assert approx == exact on the corpus the
     // driver checks, so a corpus change surfaces here, not as a silent

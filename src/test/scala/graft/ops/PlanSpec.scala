@@ -76,7 +76,7 @@ class PlanSpec extends SparkSpec {
       s"a Sort runs below the aggregate (over the full input):\n$p")
   }
 
-  test("union_all_streams: exactly one file scan (isin, not N scan branches)") {
+  test("union_all: exactly one file scan (isin, not N scan branches)") {
     val p = plan(Relational.unionAllStreams(spark, dir))
     val scans = "Scan parquet".r.findAllMatchIn(p).size
     assert(scans == 1, s"expected a single parquet scan, found $scans:\n$p")
@@ -160,7 +160,7 @@ class PlanSpec extends SparkSpec {
     // their shared frame carries the raw vector column, and two pruned
     // columnar scans beat spilling the vectors to executor storage (see
     // VectorOps.simAnnTopk) — so they are asserted at their planned scan
-    // counts instead. dedup_verify_editdist's residual scan is the
+    // counts instead. dedup_verify's residual scan is the
     // 2-column text prefix frame (its second use deduped by reuse).
     def finalScans(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect()
