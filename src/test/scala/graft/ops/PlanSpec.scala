@@ -221,6 +221,59 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max_by"), s"argmax must map-side combine:\n$p")
   }
 
+  test("win_range: one user-keyed exchange; the range frame never single-partitions") {
+    val p = plan(Extended.winfnRange(spark, dir))
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"range window must key on user_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"a single-partition window would serialize the table:\n$p")
+  }
+
+  test("zorder: interleave is map-side, aggregate has partials below the exchange") {
+    val p = plan(Extended.zorder(spark, dir))
+    val partial = p.indexOf("partial_count")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0 && exchange >= 0 && exchange < partial,
+      s"z-bucket agg must map-side combine:\n$p")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"scan must prune to the two z columns:\n$p")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // the OTHER half of the skew story next to join_salt's manual salting:
+    // when a hot key concentrates a shuffle partition, AQE's runtime
+    // statistics split it into parallel sub-partitions with no query
+    // rewrite. Thresholds are lowered so the fixture-scale hot key (50k of
+    // 51k rows on key 0) trips the same OptimizeSkewedJoin rule a 100 TB
+    // skew would.
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(51000)
+        .select(when(col("id") < 50000, 0L).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("pad"))
+      val dim = spark.range(2000).select(col("id").as("k"), (col("id") * 7).as("v"))
+      val joined = fact.join(dim, "k")
+      // drive THIS dataframe so its adaptive plan finalizes (count() would
+      // execute a different query); only the hot key 0 exists in dim
+      assert(joined.collect().length == 50000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_asof: linear union + running last, no per-event candidate fanout") {
     val p = plan(Relational.joinAsof(spark, dir))
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
