@@ -44,4 +44,35 @@ class ScaleProbeSpec extends SparkSpec {
     info(f"invidx 1x: $v1 tokens $ti1%.2fs; 10x: $v10 tokens $ti10%.2fs, ratio ${ti10 / ti1}%.1fx")
     assert(v10 == v1, "replication must not invent vocabulary")
   }
+
+  test("probe: kmeans at 1x vs 10x embeddings — replication-invariant centroids") {
+    // replicating every vector 10x (seeds stay replica-0's vec_id < 8)
+    // multiplies each cluster's quantized element sums AND its count by
+    // exactly 10, so the means — and therefore the pass-2 centroids and
+    // every assignment — must be BIT-IDENTICAL to the 1x run. This is the
+    // partition-order-independence argument made measurable: a bigger
+    // corpus changes the work, not the geometry. Wall clock must scale
+    // ~linearly (broadcast assign + K*dims-cell aggregate, no pairwise
+    // stage).
+    val dir = "/root/testdata/sf0.1"
+    val emb = table(spark, dir, "embeddings")
+    val out = java.nio.file.Files.createTempDirectory("scale10v").toString
+    (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    VectorOps.simKmeans(spark, dir).count() // warm
+    val (r1, t1) = time(VectorOps.simKmeans(spark, dir).collect())
+    val (r10, t10) = time(VectorOps.simKmeans(spark, out).collect())
+    info(f"kmeans 1x: ${r1.length} rows $t1%.2fs; 10x: ${r10.length} rows $t10%.2fs, ratio ${t10 / t1}%.1fx")
+    assert(r10.length == r1.length * 10)
+    val base = r1.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    r10.foreach { r =>
+      val orig = r.getLong(0) % 1000000L
+      assert(base(orig) == ((r.getLong(1), r.getDouble(2))),
+        s"replica of vec $orig diverged: ${base(orig)} vs (${r.getLong(1)}, ${r.getDouble(2)})")
+    }
+  }
 }
