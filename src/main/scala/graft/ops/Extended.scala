@@ -111,7 +111,13 @@ object Extended {
     * (≈ files after a z-sorted write), and audits the layout: each
     * bucket's bounding box over (partkey, suppkey) — the row-group stats a
     * reader would prune with. Pure integer bit arithmetic end to end, so
-    * the oracle is exact by construction. */
+    * the oracle is exact by construction.
+    *
+    * Addresses use the low 16 bits of each key (both engines truncate with
+    * the same `& 0xFFFF`, so the compare holds at any SF); a deployment
+    * whose keys outgrow 16 bits widens the spread masks — or better,
+    * z-orders on range-bucketed key prefixes, since layout only needs the
+    * leading bits to cluster. */
   def zorder(spark: SparkSession, dir: String): DataFrame = {
     // magic-mask bit spread: 4 shift/or/mask steps spread 16 bits to 32 —
     // ~10 expression nodes per dimension vs ~100 for the naive 16-term
