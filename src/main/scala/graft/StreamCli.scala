@@ -48,7 +48,9 @@ object StreamCli {
       pgUrl: String = sys.env.getOrElse("PG_URL", ""),
       pgTable: String = sys.env.getOrElse("PG_TABLE", "liquidations"),
       pgBatch: Int = sys.env.get("PG_BATCH").map(_.toInt).getOrElse(500),
-      hlNoCatchup: Boolean = false)
+      hlNoCatchup: Boolean = false,
+      candles: Boolean = false,
+      vwap: Boolean = false)
 
   /** The `--all` roster (`stream.py:93-99`). */
   val allPairs: Seq[(String, String)] = Seq(
@@ -79,6 +81,8 @@ object StreamCli {
       case "--pg-table" :: v :: t => loop(t, a.copy(pgTable = v))
       case "--pg-batch" :: v :: t => loop(t, a.copy(pgBatch = v.toInt))
       case "--hl-no-catchup" :: t => loop(t, a.copy(hlNoCatchup = true))
+      case "--candles" :: t => loop(t, a.copy(candles = true))
+      case "--vwap" :: t => loop(t, a.copy(vwap = true))
       case Nil => a
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
@@ -212,6 +216,43 @@ object StreamCli {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // Product dashboards over the same replay pipeline, each its own
+    // streaming query + checkpoint (the replay source is deterministic, so
+    // re-reading it is exact). Candles emit in append mode as the
+    // watermark closes each hour; VWAP updates flow every micro-batch via
+    // transformWithState, which needs the RocksDB state store (restored
+    // after the drain so the session's provider choice is untouched).
+    if (args.candles) {
+      val cq = StreamAssembly.candlesOverUnified(unified)
+        .writeStream.option("checkpointLocation", s"$root/ckpt_candles")
+        .outputMode("append").format("parquet")
+        .option("path", s"$root/candles")
+        .trigger(Trigger.ProcessingTime(args.triggerMs))
+        .start()
+      try cq.processAllAvailable() finally cq.stop()
+      println(s"[cli] candle rows=${spark.read.parquet(s"$root/candles").count()} " +
+        s"-> $root/candles")
+    }
+    if (args.vwap) {
+      val prev = StreamAssembly.useRocksDbStateStore(spark)
+      try {
+        val vq = StreamAssembly.vwapUpdates(unified).toDF()
+          .writeStream.option("checkpointLocation", s"$root/ckpt_vwap")
+          .outputMode("append").format("parquet")
+          .option("path", s"$root/vwap")
+          .trigger(Trigger.ProcessingTime(args.triggerMs))
+          .start()
+        try vq.processAllAvailable() finally vq.stop()
+      } finally {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None => spark.conf.unset(key)
+        }
+      }
+      println(s"[cli] vwap rows=${spark.read.parquet(s"$root/vwap").count()} " +
+        s"-> $root/vwap")
+    }
     val csvRows =
       if (writeCsv) spark.read.option("header", "true").csv(csvDir).count() else 0L
     val pgRows =

@@ -91,7 +91,7 @@ object Curation {
         pinned(graft.functions.ShingleHashes(col("text"), decontamWidth)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("h"))
-      .localCheckpoint()
+      .materialized
     val bench = ex.filter(col("doc_id") % 97L === 0L).select("h").distinct()
     val hits = ex.filter(col("doc_id") % 97L =!= 0L)
       .join(bench, Seq("h"), "left_semi")
@@ -122,7 +122,7 @@ object Curation {
     // exactly once, singletons keep by default so no full labeled-documents
     // frame is built, and the main query anti-joins a checkpointed doc_id
     // list instead of re-planning the dedup subtree inline
-    val clusterDrop = Extended.dedupClusterDrops(spark, dir).localCheckpoint()
+    val clusterDrop = Extended.dedupClusterDrops(spark, dir).materialized
     // the quality gate is fused into the corpus scan (same expressions as
     // text_quality, which stays independently oracle-checked) — one pass
     // over documents instead of a second scan plus a self-join on doc_id
@@ -165,8 +165,13 @@ object Curation {
       .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"),
         expr(s"cum_before div $budget").as("pack_first"),
-        (expr(s"(cum_before + n_tok - 1) div $budget") -
-          expr(s"cum_before div $budget") + lit(1L)).as("n_span"))
+        // n_tok = 0 is special-cased: the general formula's numerator goes
+        // negative there, where Spark's `div` (truncate toward zero) and
+        // DuckDB's `//` (floor) disagree — and an empty doc spanning one
+        // pack is semantically wrong anyway. Mirrored in the oracle.
+        when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr(s"(cum_before + n_tok - 1) div $budget") -
+            expr(s"cum_before div $budget") + lit(1L)).as("n_span"))
       .orderBy("doc_id")
   }
 
@@ -198,7 +203,9 @@ object Curation {
            FROM d)
          SELECT doc_id, shard, n_tok,
                 cum_before // 256 AS pack_first,
-                (cum_before + n_tok - 1) // 256 - cum_before // 256 + 1 AS n_span
+                CASE WHEN n_tok = 0 THEN 0
+                     ELSE (cum_before + n_tok - 1) // 256
+                          - cum_before // 256 + 1 END AS n_span
          FROM c ORDER BY doc_id""",
     "mix" -> s"""
       WITH w AS (SELECT doc_id, source, $duckMixWeight AS w,

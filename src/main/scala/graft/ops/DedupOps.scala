@@ -94,7 +94,7 @@ object DedupOps {
     // tokenize+hash subtree plans twice (plan-probed; AQE's broadcast
     // conversion defeats exchange reuse), i.e. two full corpus passes
     val exAll = hashedShingles(spark, dir).withColumnRenamed("h", "s")
-      .localCheckpoint()
+      .materialized
     // document-frequency cap via a HEAVY-HITTER anti-join: aggregate the
     // over-cap shingles (map-side combine on (s, count)) into an exclusion
     // list, so the cap applies with no sort anywhere. This replaces a
@@ -112,7 +112,7 @@ object DedupOps {
     // sides), each of which would otherwise replay the anti-join
     val ex = exAll.join(heavy, Seq("s"), "left_anti")
       .select("doc_id", "s")
-      .localCheckpoint()
+      .materialized
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -149,7 +149,7 @@ object DedupOps {
     val sigs = shingleArrays(spark, dir)
       .select(col("doc_id"),
         pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
-      .localCheckpoint()
+      .materialized
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map { bi =>
         struct(lit(bi).as("band"),
@@ -181,7 +181,7 @@ object DedupOps {
     val sims = shingleArrays(spark, dir)
       .select(col("doc_id"),
         pinned(graft.functions.SimHashBits(col("sh"), 28)).as("simhash"))
-      .localCheckpoint()
+      .materialized
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),

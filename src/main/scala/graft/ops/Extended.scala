@@ -42,8 +42,11 @@ object Extended {
       .orderBy("l_orderkey", "l_linenumber", "metric", "val")
 
   /** Exact interpolated percentiles per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`). At 100 TB swap for approx_percentile — the
-    * exact form sorts each group's values. */
+    * DuckDB `quantile_cont`) — the correctness baseline. The exact form
+    * materializes each group's values in its reducer, so with a 3-value
+    * group key it does NOT survive 100x growth; [[aggPercentileApprox]] is
+    * the registered scale path (bounded sketch state, oracle-matched in
+    * its exact regime). */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -51,6 +54,33 @@ object Extended {
         roundD(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
         roundD(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         roundD(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Accuracy knob for [[aggPercentileApprox]]. Spark's approx_percentile
+    * (Greenwald-Khanna summaries) guarantees rank error ≤ n/accuracy; while
+    * every group's row count n stays under accuracy/2 the error is < half a
+    * rank, i.e. the sketch returns EXACTLY the element at rank ceil(p·n) —
+    * which is also DuckDB's `quantile_disc` (Postgres percentile_disc
+    * semantics; rank convention verified empirically for the oracle).
+    * LlmOpsSpec guards the regime assumption the same way agg_approx's HLL
+    * oracle is guarded. */
+  val pctlAccuracy = 1000000L
+
+  /** Sketch-form percentiles — the scale path next to the exact
+    * [[aggPercentile]]: approx_percentile's per-group state is a bounded
+    * O(accuracy) summary MERGED across partitions, so a 3-value group key
+    * over 100 TB costs 3 small sketch merges instead of 3 reducers each
+    * materializing and sorting a third of the corpus (the documented
+    * weakness of the exact form, kept as the correctness baseline). */
+  def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D), " +
+        s"$pctlAccuracy)").as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p90"))
       .orderBy("l_returnflag")
 
   /** Histogram binning via floor arithmetic (width 2, 10 bins, clamped) —
@@ -63,7 +93,12 @@ object Extended {
       .orderBy("bucket")
 
   /** Distribution window functions: quartile (ntile), percent_rank,
-    * cume_dist per return flag. */
+    * cume_dist per return flag. Scale note: the window partitions by a
+    * 3-value key, which would concentrate reducers on an unbounded input —
+    * the `l_orderkey < 500` KEY-RANGE filter is the scale guard: it selects
+    * a constant-size slice regardless of corpus growth, so each window
+    * partition stays bounded at any SF. Distribution functions over a
+    * growing partition need the rank/count decomposition instead. */
   def winfnNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
@@ -118,20 +153,22 @@ object Extended {
     * whose keys outgrow 16 bits widens the spread masks — or better,
     * z-orders on range-bucketed key prefixes, since layout only needs the
     * leading bits to cluster. */
-  def zorder(spark: SparkSession, dir: String): DataFrame = {
-    // magic-mask bit spread: 4 shift/or/mask steps spread 16 bits to 32 —
-    // ~10 expression nodes per dimension vs ~100 for the naive 16-term
-    // extract-and-place fold. (Profiled at sf0.1: the query is scan+agg
-    // bound either way — scan-and-count alone costs as much — so this is
-    // an expression-size cleanup, not a measured win.)
-    def spread(c: org.apache.spark.sql.Column) = {
-      val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
-      Seq(8, 4, 2, 1).zip(m).foldLeft(c.bitwiseAND(0xFFFFL)) {
-        case (x, (s, mask)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(mask)
-      }
+  // magic-mask bit spread: 4 shift/or/mask steps spread 16 bits to 32 —
+  // ~10 expression nodes per dimension vs ~100 for the naive 16-term
+  // extract-and-place fold. (Profiled at sf0.1: the query is scan+agg
+  // bound either way — scan-and-count alone costs as much — so this is
+  // an expression-size cleanup, not a measured win.) Shared by [[zorder]]
+  // and [[zorderWide]].
+  private def spread(c: org.apache.spark.sql.Column) = {
+    val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
+    Seq(8, 4, 2, 1).zip(m).foldLeft(c.bitwiseAND(0xFFFFL)) {
+      case (x, (s, mask)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(mask)
     }
-    def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+  private def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"),
         interleave(col("l_partkey"), col("l_suppkey")).as("z"))
@@ -139,6 +176,42 @@ object Extended {
       .agg(count(lit(1)).as("cnt"),
         min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
         min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+      .orderBy("zbucket")
+  }
+
+  /** Z-order over WIDE keys — the widening path the 16-bit [[zorder]]
+    * documents: keys past 2^16 (synthesized here as key·10^5, well past the
+    * truncation mask) are first RANGE-BUCKETED into 256 uniform-width
+    * buckets per dimension, and the z-interleave runs on the bucket
+    * indices. Layout only needs the LEADING bits of each key to cluster,
+    * so bucketing-then-interleaving preserves the 2-D locality that plain
+    * low-bit truncation destroys by aliasing (key and key+2^16 would land
+    * in the same z-address).
+    *
+    * Scale shape: the per-dimension (min, max) is one tiny broadcast agg
+    * and bucket assignment is map-side integer arithmetic — no global sort
+    * or ntile window (a global ntile would single-partition the corpus;
+    * uniform-width buckets need only the range). Exact int64 end to end,
+    * so the oracle is exact by construction. ZorderWideSpec asserts the
+    * bounding boxes stay tight in both dimensions. */
+  def zorderWide(spark: SparkSession, dir: String): DataFrame = {
+    val rows = table(spark, dir, "lineitem")
+      .select((col("l_partkey").cast(LongType) * 100000L).as("pk"),
+        (col("l_suppkey").cast(LongType) * 100000L).as("sk"))
+    val rng = rows.agg(
+      min("pk").as("pmin"), max("pk").as("pmax"),
+      min("sk").as("smin"), max("sk").as("smax"))
+    rows.crossJoin(broadcast(rng))
+      .select(col("pk"), col("sk"),
+        expr("((pk - pmin) * 256) div (pmax - pmin + 1)").as("pb"),
+        expr("((sk - smin) * 256) div (smax - smin + 1)").as("sb"))
+      .select(col("pk"), col("sk"), interleave(col("pb"), col("sb")).as("z"))
+      // 8-bit buckets interleave to a 16-bit z; >> 8 keeps the top 4 bits
+      // of each dimension → 256 z-buckets, each a 16x16-bucket tile
+      .groupBy(shiftright(col("z"), 8).as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("pk").as("p_min"), max("pk").as("p_max"),
+        min("sk").as("s_min"), max("sk").as("s_max"))
       .orderBy("zbucket")
   }
 
@@ -184,7 +257,7 @@ object Extended {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lab"))
-      .localCheckpoint()
+      .materialized
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -206,7 +279,7 @@ object Extended {
         .select(col("id"),
           least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"),
           (coalesce(col("plab"), col("lab")) < col("lab")).as("chg"))
-        .localCheckpoint()
+        .materialized
       changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next.select("id", "lab")
@@ -235,7 +308,7 @@ object Extended {
     val verified = dedupVerifyEditdist(spark, dir).select("a", "b")
     verified.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(verified.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .materialized
   }
 
   /** Doc_ids that LOSE their cluster election (lab < id) — the complement of
@@ -267,16 +340,18 @@ object Extended {
       WHERE levenshtein(da.prefix, db.prefix) <= 20
       ORDER BY a, b"""
 
-  /** DuckDB twin of [[zorder]]'s bit interleave — the same magic-mask
-    * spread, generated as nested integer arithmetic. */
-  private val duckZ = {
-    def spread(col: String): String =
-      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
-        .foldLeft(s"($col & 65535)") { case (x, (s, m)) =>
-          s"((($x | ($x << $s)) & $m))"
-        }
-    s"(${spread("l_partkey")} | (${spread("l_suppkey")} << 1))"
-  }
+  /** DuckDB twin of the magic-mask bit spread — nested integer arithmetic
+    * over any input expression. */
+  private def duckSpread(e: String): String =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(s"($e & 65535)") { case (x, (s, m)) =>
+        s"((($x | ($x << $s)) & $m))"
+      }
+
+  private def duckInterleave(x: String, y: String): String =
+    s"(${duckSpread(x)} | (${duckSpread(y)} << 1))"
+
+  private val duckZ = duckInterleave("l_partkey", "l_suppkey")
 
   val oracles: Map[String, String] = Map(
     "win_range" ->
@@ -296,6 +371,26 @@ object Extended {
              min(l_partkey) AS p_min, max(l_partkey) AS p_max,
              min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
       FROM z GROUP BY 1 ORDER BY zbucket""",
+    "zorder_wide" -> s"""
+      WITH r AS (SELECT l_partkey::BIGINT * 100000 AS pk,
+                        l_suppkey::BIGINT * 100000 AS sk FROM lineitem),
+      g AS (SELECT min(pk) AS pmin, max(pk) AS pmax,
+                   min(sk) AS smin, max(sk) AS smax FROM r),
+      b AS (SELECT pk, sk,
+                   ((pk - pmin) * 256) // (pmax - pmin + 1) AS pb,
+                   ((sk - smin) * 256) // (smax - smin + 1) AS sb
+            FROM r CROSS JOIN g),
+      z AS (SELECT pk, sk, ${duckInterleave("pb", "sb")} AS z FROM b)
+      SELECT z >> 8 AS zbucket, count(*) AS cnt,
+             min(pk) AS p_min, max(pk) AS p_max,
+             min(sk) AS s_min, max(sk) AS s_max
+      FROM z GROUP BY 1 ORDER BY zbucket""",
+    "agg_percentile_approx" ->
+      """SELECT l_returnflag,
+                quantile_disc(l_extendedprice, 0.25) AS p25,
+                quantile_disc(l_extendedprice, 0.5) AS p50,
+                quantile_disc(l_extendedprice, 0.9) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_pivot" -> {
       val cols = eventTypes
         .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
@@ -350,6 +445,8 @@ object Extended {
     "agg_pivot" -> aggPivot _,
     "agg_unpivot" -> aggUnpivot _,
     "agg_percentile" -> aggPercentile _,
+    "agg_percentile_approx" -> aggPercentileApprox _,
+    "zorder_wide" -> zorderWide _,
     "agg_histogram" -> aggHistogram _,
     "winfn_ntile" -> winfnNtile _,
     "win_range" -> winfnRange _,

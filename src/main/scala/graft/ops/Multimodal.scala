@@ -218,8 +218,11 @@ object Multimodal {
       var frames = 0
       var acc = 0L
       while (o < b.length) {
-        require((0 until marker.length).forall(k => b(o + k) == marker(k)), "bad FRAME marker")
+        require(o + marker.length <= b.length &&
+          (0 until marker.length).forall(k => b(o + k) == marker(k)),
+          "bad FRAME marker")
         o += marker.length
+        require(o + fsz <= b.length, "truncated Y4M frame body")
         var i = o
         while (i < o + fsz) { acc = (acc * 31 + (b(i) & 0xff)) % M; i += 1 }
         o += fsz
@@ -264,7 +267,14 @@ object Multimodal {
       val out = scala.collection.mutable.ArrayBuffer.empty[Double]
       var o = eol + 1
       while (o < b.length) {
+        // Same marker + body validation as decodeY4m: a truncated or
+        // corrupt payload must fail loudly, not sum bytes of the wrong
+        // frame (or walk off the array).
+        require(o + marker.length <= b.length &&
+          (0 until marker.length).forall(k => b(o + k) == marker(k)),
+          "bad FRAME marker")
         o += marker.length
+        require(o + fsz <= b.length, "truncated Y4M frame body")
         var s = 0L
         var i = o
         while (i < o + np) { s += (b(i) & 0xff); i += 1 }

@@ -113,7 +113,7 @@ object TextOps {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialized
     val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val withDf = tf.join(dfCounts, "token")
     val n = docs.agg(count(lit(1)).as("n"))
@@ -159,7 +159,7 @@ object TextOps {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialized
     val vocab = tf.groupBy("token").agg(sum("tf").as("ctf"))
       .withColumn("qlog_ctf",
         floor(log2(col("ctf").cast(DoubleType)) * 1e6 + 0.5).cast(LongType))
@@ -288,8 +288,17 @@ object TextOps {
     val bs = graft.functions.CdcBoundaries(txt)
     val bounds = when(array_contains(bs, length(txt)), bs)
       .otherwise(concat(bs, array(length(txt))))
+    // CdcBoundaries emits BYTE offsets while substr/length below count
+    // CHARS; the two agree only on single-byte text. The corpus is ASCII,
+    // but that assumption is enforced, not assumed: a multibyte document
+    // fails loudly here instead of silently mis-tiling and hashing wrong
+    // slices. (octet_length == char_length ⇔ every char is one byte.)
+    val asciiGuarded = when(octet_length(txt) === length(txt), txt)
+      .otherwise(raise_error(concat(
+        lit("chunksCdc: non-ASCII text in doc_id="),
+        col("doc_id").cast(StringType))).cast(StringType))
     table(spark, dir, "documents")
-      .select(col("doc_id"), txt, bounds.as("bounds"))
+      .select(col("doc_id"), asciiGuarded.as("text"), bounds.as("bounds"))
       .select(col("doc_id"), txt, col("bounds"),
         posexplode(col("bounds")).as(Seq("bi", "e")))
       .select(col("doc_id"), (col("bi") + 1).cast(LongType).as("chunk_idx"),
@@ -323,7 +332,7 @@ object TextOps {
     val docs = table(spark, dir, "documents").select(tokens(col("text")).as("t"))
     val uni = docs.select(explode(col("t")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .materialized
     val n = uni.agg(sum("c").cast(LongType).as("n"))
     val big = docs
       .select(explode(transform(
@@ -370,8 +379,9 @@ object TextOps {
     * At 100 TB the skew trap is stopword postings (one token = billions of
     * doc_ids in one reducer): production sharding splits the posting key
     * into (token, doc_id div B) segment rows — same plan shape, bounded
-    * reducers — and delta-encodes each segment; the fixture vocab needs
-    * neither, so the query keeps the canonical single-row-per-token form. */
+    * reducers — and delta-encodes each segment ([[invIndexSeg]] is that
+    * registered form); this canonical single-row-per-token form is the
+    * small-vocab baseline. */
   def invIndex(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"), col("doc_id"))
@@ -382,6 +392,34 @@ object TextOps {
           transform(sort_array(collect_list(col("doc_id"))), _.cast(StringType)))
           .cast(BinaryType)).as("postings_md5"))
       .orderBy("token")
+
+  /** Posting-segment width for [[invIndexSeg]]: each (token, seg) row holds
+    * at most this many doc_ids, because seg = doc_id div B admits only B
+    * distinct doc_ids — the bound holds by construction for ANY token
+    * frequency, which is the whole point. */
+  val invIdxSegSize = 100L
+
+  /** Segment-sharded inverted index — the production form of [[invIndex]]'s
+    * documented stopword-skew fix: the posting key is (token, doc_id div B)
+    * so a token appearing in EVERY document ("the" at 100 TB: billions of
+    * postings) spreads across doc-range segments instead of concentrating
+    * one reducer, and per-reducer list state is bounded at B by
+    * construction. Same plan shape as the canonical form (distinct +
+    * keyed aggregate); a reader walks a token's segments in seg order,
+    * which is also ascending-doc_id order — so segment-local sorted lists
+    * concatenate into the global posting list (delta-encoding per segment
+    * drops in here in a real deployment). TextSegSpec asserts the bound on
+    * a stopword-heavy fixture. */
+  def invIndexSeg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"), col("doc_id"))
+      .distinct()
+      .groupBy(col("token"), expr(s"doc_id div $invIdxSegSize").as("seg"))
+      .agg(count(lit(1)).as("seg_df"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast(StringType)))
+          .cast(BinaryType)).as("postings_md5"))
+      .orderBy("token", "seg")
 
   private val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
@@ -464,6 +502,16 @@ object TextOps {
                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
                   AS postings_md5
          FROM td GROUP BY token ORDER BY token""",
+    "invidx_seg" -> s"""
+      WITH td AS (
+           SELECT DISTINCT token, doc_id FROM (
+             SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS token, doc_id
+             FROM documents))
+         SELECT token, doc_id // $invIdxSegSize AS seg, count(*) AS seg_df,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                  AS postings_md5
+         FROM td GROUP BY token, seg ORDER BY token, seg""",
     "tok_count" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
@@ -576,5 +624,6 @@ object TextOps {
     "colloc" -> textColloc _,
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
+    "invidx_seg" -> invIndexSeg _,
   )
 }

@@ -58,6 +58,34 @@ package object ops {
     * [0,1) bounds, which would strip the pin. */
   def pinned(c: Column): Column = when(rand(42) =!= lit(-1.0), c)
 
+  /** Materialize an intermediate frame and truncate its lineage — the
+    * multi-consumer / iterative-loop pattern (tfidf's unigram pass, the
+    * cluster-label rounds, LSH edge sets): without it each consumer
+    * re-plans the whole upstream subtree, and loop lineage grows without
+    * bound.
+    *
+    * Storage is conf-selected: when `spark.graft.checkpointDir` is set the
+    * blocks go to RELIABLE storage via `checkpoint()` (HDFS/S3 on a real
+    * cluster — an executor loss recomputes nothing), otherwise
+    * `localCheckpoint()` keeps them in executor block storage (right for
+    * local[n] test/bench runs, where "executor loss" means the whole JVM
+    * died anyway). Both are eager, so the frame is computed exactly once
+    * at the call site either way and downstream plans are identical
+    * (LogicalRDD) — PlanSpec's zero-rescan locks hold under either mode. */
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(cpDir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(cpDir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
+  /** Chainable form of [[materialize]]. */
+  implicit class MaterializeSyntax(private val df: DataFrame) {
+    def materialized: DataFrame = materialize(df)
+  }
+
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
     * Spark's round() goes through the decimal STRING representation
     * (BigDecimal.valueOf HALF_UP) while DuckDB rounds the BINARY double —

@@ -103,6 +103,27 @@ object StreamAssembly {
       .select(col("window.start").as("minute"), col("exchange"), col("symbol"),
         col("cnt"), col("sum_notional"))
 
+  /** Per-symbol OHLCV candles over the UNIFIED liquidation stream — the
+    * reference's CHANGELOG price dashboards as a streaming windowed
+    * aggregate. Reuses the batch/stream-shared candle aggregate set
+    * ([[graft.ops.TimeWindows.candlesStream]]) by mapping the unified
+    * schema onto its (event_type, ts, value, event_id) input: symbol keys
+    * the candle, liquidation price is the candled value, and the open/
+    * close tiebreak id is a content hash of the raw frame (deterministic
+    * across replays, no counter state). The default 1-minute watermark is
+    * the DASHBOARD lateness budget — candles close promptly after their
+    * hour passes; widen it for analytical backfills where late exchange
+    * timestamps matter more than freshness. */
+  def candlesOverUnified(unified: DataFrame, watermark: String = "1 minute"): DataFrame =
+    graft.ops.TimeWindows.candlesStream(
+      unified.select(
+        col("symbol").as("event_type"),
+        timestamp_millis(col("ts_exch_ms")).as("ts"),
+        col("price").as("value"),
+        xxhash64(col("raw")).as("event_id")),
+      watermark)
+      .withColumnRenamed("event_type", "symbol")
+
   /** Fan-out sink: one micro-batch → daily-partitioned CSV (the rotating
     * CSVWriter, `writer_csv.py:12-39`) + parquet append (the batched PG
     * insert path, `writer_pg.py:174-215`; swap for .jdbc on a real cluster).

@@ -3,39 +3,54 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the bench report's size budget. The driver captures only the
-  * last ~2000 characters of stdout; rounds 1-3 all recorded
-  * `"parsed": null` because the full-precision one-line JSON overflowed
-  * that window and its head (including the `{"metric"` anchor) was cut
-  * off. The line must stay short enough that the WHOLE report plus sbt's
-  * trailing `[success] Total time: ...` line (~80 chars) fits — adding
-  * queries silently grows it, so the budget is enforced here. */
+  * last ~2000 characters of stdout, SHARED with sbt's trailing output:
+  * rounds 1-3 overflowed with the full-precision line; round 4 fit the
+  * 1908-char budget but an unbudgeted ~250-char sbt GC `[warn]` line after
+  * `[success]` still ate the head. The report is now a compact line that
+  * reserves 600 chars for the trailer (observed worst case ~330) and packs
+  * only the slowest queries; this spec drives the pure builder with the
+  * REAL query roster and pathological values to pin that invariant. */
 class BenchReportSpec extends AnyFunSuite {
 
-  test("the bench JSON line fits the driver's 2000-char stdout capture") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val prefix = "[info] ".length
-    val trailer = 85 // "[success] Total time: ..." + newlines
-    // the normal regime — the %.1f rung — must fit outright, and "9.9" is
-    // the exact per-value worst case there: Bench's mixed formatter prints
-    // values >= 10s as whole seconds ("32", never wider than "9.9"), so no
-    // stall can widen the line past this bound. (The %.2f opening rung
-    // stopped fitting at 89 queries; deciseconds still expose the 3-20x
-    // stall inflation the driver file is read for, and the 3-dp total is
-    // unaffected.)
-    val typical = names.map(n => s"\"$n\":9.9").mkString("{", ",", "}")
-    val typicalLine =
-      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$typical,"sf":"sf0.1"}"""
-    assert(prefix + typicalLine.length + trailer <= 2000,
-      s"typical bench line would be ${prefix + typicalLine.length + trailer} " +
-        s"chars with ${names.length} queries - trim names or the driver " +
-        "cannot parse the report")
-    // the adaptive floor (%.0f, pathological 3-digit seconds everywhere)
-    // must also fit — this is the last rung Bench degrades to
-    val floor = names.map(n => s"\"$n\":999").mkString("{", ",", "}")
-    val floorLine =
-      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$floor,"sf":"sf0.1"}"""
-    assert(prefix + floorLine.length + trailer <= 2000,
-      s"even the %.0f fallback would overflow with ${names.length} queries " +
-        s"(${prefix + floorLine.length + trailer} chars) - query names must shrink")
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+  private val budget = 1400 // 2000-char capture minus 600-char trailer
+
+  test("compact line fits the budget for every value profile") {
+    val profiles = Seq(
+      names.map(_ -> 0.123),                         // all fast
+      names.map(_ -> 9.94),                          // widest sub-10s slot
+      names.map(_ -> 171.3),                         // degraded-host uniform
+      names.map(_ -> 12345.6),                       // pathological: fmtQ caps at 999
+      names.zipWithIndex.map { case (n, i) => n -> (if (i % 3 == 0) -1.0 else 4.2) }
+    )
+    profiles.foreach { rs =>
+      val failed = rs.collect { case (n, t) if t < 0 => n }
+      val line = Bench.report(rs, failed, "sf0.1")
+      assert(line.length <= budget,
+        s"report is ${line.length} chars > $budget with ${names.length} queries")
+      assert(line.startsWith("{\"metric\":\"total\""), "anchor head intact")
+      assert(line.endsWith("\"sf\":\"sf0.1\"}"), "envelope tail intact")
+    }
+  }
+
+  test("slowest queries are the ones kept, worst-first") {
+    val rs = names.zipWithIndex.map { case (n, i) => n -> (i + 1) * 0.1 }
+    val line = Bench.report(rs, Nil, "sf0.1")
+    val slowest = rs.maxBy(_._2)._1
+    assert(line.contains(s""""$slowest":"""), "the slowest query must survive packing")
+    // qcount always reports the full roster even when the map is partial
+    assert(line.contains(s""""qcount":${names.length}"""))
+  }
+
+  test("values >= 1000s cannot widen a slot past 3 chars") {
+    val line = Bench.report(Seq("huge" -> 123456.789), Nil, "sf0.1")
+    assert(line.contains("\"huge\":999"))
+  }
+
+  test("full detail json carries every query at full precision") {
+    val rs = names.map(_ -> 1.234)
+    val full = Bench.fullJson(rs, Nil, "sf0.1")
+    names.foreach(n => assert(full.contains(s""""$n":1.234""")))
+    assert(full.contains("\"failed\":[]"))
   }
 }

@@ -145,6 +145,45 @@ class StreamCliSpec extends SparkSpec {
       "hyperliquid" -> "usdc").subsetOf(pairs), s"got $pairs")
   }
 
+  test("--candles/--vwap: dashboard queries run over the replay pipeline") {
+    // candle emission needs event time to ADVANCE: frames span 3 hours so
+    // the 1-minute watermark closes the first two hourly windows; the last
+    // hour stays open (append mode emits closed candles only)
+    val t0 = 1710000000000L
+    def frame(tMs: Long, px: String) =
+      s"""{"e":"forceOrder","E":$tMs,"o":{"s":"BTCUSDT","S":"SELL","q":"0.01","p":"$px","ap":"$px","l":"0.01","T":$tMs}}"""
+    val frames = Seq(
+      frame(t0, "62000.0"), frame(t0 + 20 * 60000L, "62100.0"),
+      frame(t0 + 40 * 60000L, "61900.0"),                       // hour 0
+      frame(t0 + 70 * 60000L, "63000.0"),
+      frame(t0 + 110 * 60000L, "62500.0"),                      // hour 1
+      frame(t0 + 125 * 60000L, "62800.0"))                      // hour 2 (open)
+    val framesRoot = tmp("cli_dash_frames")
+    Files.write(Paths.get(s"$framesRoot/binance.jsonl"),
+      frames.mkString("\n").getBytes)
+    val out = tmp("cli_dash_out")
+    StreamCli.run(spark, StreamCli.CliArgs(
+      streams = "binance:usdt", framesRoot = framesRoot, outdirRoot = out,
+      triggerMs = 100L, noWrite = true, candles = true, vwap = true))
+    // two closed hourly candles, with the right OHLC shape
+    val candles = spark.read.parquet(s"$out/candles")
+    assert(candles.count() == 2, "expected the two watermark-closed candles")
+    val h0 = candles.filter(col("open") === 62000.0).head()
+    assert(h0.getAs[String]("symbol") == "BTCUSDT")
+    assert(h0.getAs[Double]("high") == 62100.0 &&
+      h0.getAs[Double]("low") == 61900.0 && h0.getAs[Double]("close") == 61900.0)
+    assert(h0.getAs[Long]("cnt") == 3L)
+    // VWAP updates emitted (one per micro-batch that touched the symbol);
+    // the LAST update carries the full running aggregate over all 6 fills
+    val vwap = spark.read.parquet(s"$out/vwap")
+    assert(vwap.count() >= 1)
+    val last = vwap.orderBy(col("n").desc).head()
+    assert(last.getAs[String]("symbol") == "BTCUSDT" && last.getAs[Long]("n") == 6L)
+    val px = Seq(62000.0, 62100.0, 61900.0, 63000.0, 62500.0, 62800.0)
+    val expVwap = px.map(_ * 0.01).sum / (0.01 * px.size)
+    assert(math.abs(last.getAs[Double]("vwap") - expVwap) < 1e-6)
+  }
+
   test("end-to-end: fixture frames -> union of 3 streams -> partitioned CSV + parquet") {
     val framesRoot = tmp("cli_frames")
     Files.write(Paths.get(s"$framesRoot/binance.jsonl"),

@@ -277,6 +277,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays in its exact regime (sketch == percentile_disc)") {
+    // agg_percentile_approx's oracle is DuckDB's EXACT quantile_disc: valid
+    // only while every group's row count n keeps the GK rank error
+    // n/accuracy under half a rank, where the sketch returns exactly the
+    // element at rank ceil(p*n) — percentile_disc semantics. Assert BOTH
+    // halves on the corpora the driver checks: the count headroom, and
+    // sketch == exact percentile_disc, so corpus growth surfaces here
+    // rather than as a silent oracle mismatch.
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val maxN = table(spark, d, "lineitem")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .agg(org.apache.spark.sql.functions.max("n")).head.getLong(0)
+      assert(maxN < Extended.pctlAccuracy / 2,
+        s"group of $maxN rows in $d exceeds the exact-regime bound " +
+          s"${Extended.pctlAccuracy / 2} - the quantile_disc oracle is no longer exact")
+      val exact = table(spark, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"))
+      val bad = Extended.aggPercentileApprox(spark, d).as("a")
+        .join(exact.as("e"), "l_returnflag")
+        .filter(col("a.p25") =!= col("e.p25") || col("a.p50") =!= col("e.p50") ||
+          col("a.p90") =!= col("e.p90"))
+        .count()
+      assert(bad == 0, s"approx_percentile left its exact regime in $d")
+    }
+  }
+
   test("documents corpus is ASCII — the polyhash byte/char fold equivalence holds") {
     // PolyHash folds UTF-8 bytes; the DuckDB oracles fold per-character
     // codepoints. They agree exactly when every document is ASCII, which

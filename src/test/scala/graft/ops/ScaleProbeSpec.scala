@@ -45,6 +45,95 @@ class ScaleProbeSpec extends SparkSpec {
     assert(v10 == v1, "replication must not invent vocabulary")
   }
 
+  test("probe: join_salt spreads a synthetic hot key at the REDUCER grain") {
+    // adversarial skew fixture: one supplier carries HALF the fact rows —
+    // the BTCUSDT-half-the-feed shape joinSalted's scaladoc names. The
+    // probe measures actual hash-partition row counts (the reducer grain
+    // the shuffled-hash join uses), not just plan shape: unsalted, the hot
+    // key pins its whole volume in one partition; salted, no partition may
+    // hold more than ~1/salts of it.
+    val out = java.nio.file.Files.createTempDirectory("scale_salt").toString
+    val n = 200000L
+    val hotKey = 7L
+    val fact = spark.range(n).select(
+      col("id").as("l_orderkey"),
+      when(col("id") % 2 === 0, hotKey)
+        .otherwise(pmod(col("id"), lit(100L))).as("l_suppkey"),
+      (col("id") % 1000L).cast("double").as("l_extendedprice"))
+    fact.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    spark.range(100).select(col("id").as("s_suppkey"),
+        concat(lit("sup"), format_string("%03d", col("id"))).as("s_name"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // semantics preserved under skew: salted result == plain-join result
+    val salted = Relational.joinSalted(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = table(spark, out, "lineitem")
+      .join(table(spark, out, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain, "salting changed the join result")
+    // reducer-level spread, measured: partition row counts under the two
+    // join keys' hash partitioning (32 = the session shuffle parallelism
+    // a real run would use; 4 in specs — the ratio argument is identical)
+    def maxPart(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).head().getLong(0)
+    val withSalt = table(spark, out, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8L)))
+    val hotCnt = n / 2
+    val unsaltedMax = maxPart(withSalt.repartition(32, col("l_suppkey")))
+    val saltedMax = maxPart(withSalt.repartition(32, col("l_suppkey"), col("salt")))
+    info(s"hot=$hotCnt rows; max partition unsalted=$unsaltedMax salted=$saltedMax")
+    assert(unsaltedMax >= hotCnt, "fixture lost its skew - probe is vacuous")
+    // the hot key's 1/8-size salt groups themselves hash into partitions,
+    // so a partition can legitimately catch 2-3 of the 8 (balls-in-bins;
+    // measured: 2 here → ~31k). The scale claim is that NO partition holds
+    // the hot key's full volume any more — bound at half, which any
+    // collision profile short of 4-of-8-in-one-bin satisfies.
+    assert(saltedMax <= hotCnt / 2,
+      s"salted max partition $saltedMax did not spread the hot key")
+    assert(saltedMax * 2 <= unsaltedMax,
+      s"salting won less than 2x ($unsaltedMax -> $saltedMax)")
+  }
+
+  test("probe: candles at 1x vs 10x events — identical candles, 10x volume") {
+    // replicating every event 10x (distinct event_ids, same ts/value) must
+    // keep the candle SET identical — same windows, same OHLC values (ties
+    // in the open/close ordering all carry the same value) — while cnt and
+    // volume scale exactly 10x (volume sums in DECIMAL, so 10x is exact,
+    // not approximate). Wall clock must scale ~linearly: the aggregate is
+    // hash-based with map-side combine over (event_type, window) — a sort
+    // anywhere would show super-linear growth here.
+    val dir = "/root/testdata/sf0.1"
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("scale10c").toString
+    (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    TimeWindows.candles(spark, dir).count() // warm
+    val (c1, t1) = time(TimeWindows.candles(spark, dir).collect())
+    val (c10, t10) = time(TimeWindows.candles(spark, out).collect())
+    info(f"candles 1x: ${c1.length} rows $t1%.2fs; 10x: ${c10.length} rows $t10%.2fs, ratio ${t10 / t1}%.1fx")
+    assert(c10.length == c1.length, "replication must not invent candles")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val base = c1.map(r => key(r) -> r).toMap
+    c10.foreach { r =>
+      val b = base(key(r))
+      assert(r.getDouble(2) == b.getDouble(2) && r.getDouble(3) == b.getDouble(3) &&
+        r.getDouble(4) == b.getDouble(4) && r.getDouble(5) == b.getDouble(5),
+        s"OHLC diverged for ${key(r)}")
+      assert(r.getLong(6) == 10 * b.getLong(6), s"cnt not 10x for ${key(r)}")
+      // the DECIMAL sum is exactly 10x; the two double CASTS of it may
+      // differ in the last ulp, hence relative (not exact) compare
+      assert(math.abs(r.getDouble(7) - 10 * b.getDouble(7)) <= 1e-9 * math.abs(r.getDouble(7)),
+        s"volume not 10x for ${key(r)}")
+    }
+  }
+
   test("probe: kmeans at 1x vs 10x embeddings — replication-invariant centroids") {
     // replicating every vector 10x (seeds stay replica-0's vec_id < 8)
     // multiplies each cluster's quantized element sums AND its count by
