@@ -136,6 +136,26 @@ object DedupOps {
     (1300109L, 32452843L), (1300151L, 15485863L), (1300187L, 49979687L), (1300201L, 67867967L))
   private val prime = 2147483647L
 
+  /** (doc_id, band, sig) LSH band rows for a shingled documents frame —
+    * the signature index an incremental pipeline stores between runs. The
+    * signature stage is materialized once: every consumer (self-join
+    * sides, old/new splits) would otherwise re-plan the whole
+    * tokenize+signature subtree (plan-probed: 2 scans; AQE's broadcast
+    * conversion defeats exchange reuse). */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"),
+        pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
+      .materialized
+    sigs.select(col("doc_id"), explode(array(
+      (0 until 4).map { bi =>
+        struct(lit(bi).as("band"),
+          concat_ws(",", element_at(col("ms"), 2 * bi + 1),
+            element_at(col("ms"), 2 * bi + 2)).as("sig"))
+      }: _*)).as("bnd"))
+      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.sig").as("sig"))
+  }
+
   /** MinHash signatures (8 permutations) per doc, banded 4×2; candidate
     * pairs = docs sharing any band. Signatures come from the codegen'd
     * [[graft.functions.MinHashSig]] — all permutations in one array pass,
@@ -143,26 +163,47 @@ object DedupOps {
     * stage with NO explode and NO groupBy shuffle; the only shuffle in the
     * whole op is the (band_id, band_sig) bucket join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // materialized once: both sides of the band self-join derive from this
-    // frame, and AQE's broadcast conversion would otherwise re-plan the
-    // whole tokenize+signature subtree per side (plan-probed: 2 scans)
-    val sigs = shingleArrays(spark, dir)
-      .select(col("doc_id"),
-        pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
-      .materialized
-    val bands = sigs.select(col("doc_id"), explode(array(
-      (0 until 4).map { bi =>
-        struct(lit(bi).as("band"),
-          concat_ws(",", element_at(col("ms"), 2 * bi + 1),
-            element_at(col("ms"), 2 * bi + 2)).as("sig"))
-      }: _*)).as("bnd"))
-      .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.sig").as("sig"))
+    val bands = minhashBands(shingleArrays(spark, dir))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .orderBy("a", "b")
+  }
+
+  /** Incremental near-dup detection — the daily-growth shape of a 100 TB
+    * corpus: a NEW batch of documents (modeled as the doc_id % 5 == 0
+    * slice) is deduped against the EXISTING corpus without re-shingling
+    * it, by probing the corpus's STORED (band, sig, doc_id) index (modeled
+    * as the materialized band frame — in production a bucketed table
+    * maintained across increments, so the daily job's only shuffle is the
+    * delta side). New docs are also checked against EARLIER new docs
+    * (doc_id order within the batch), so an all-new duplicate group keeps
+    * exactly one representative. Emits, per new doc with any candidate,
+    * the distinct-partner count and the minimum matching partner — the
+    * keep-list complement an ingest pipeline drops before appending.
+    *
+    * Scale shape: signatures are computed ONCE for the increment (and in
+    * production read from storage for the old side); both probe joins key
+    * on (band, sig); nothing ever compares all pairs. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(shingleArrays(spark, dir))
+    // the stored-index stand-in: materialized so the probe joins replan
+    // from its blocks, never from the corpus scan
+    val oldIdx = bands.filter(col("doc_id") % 5L =!= 0L).materialized
+    val fresh = bands.filter(col("doc_id") % 5L === 0L)
+    val vsOld = fresh.as("x").join(oldIdx.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val vsNew = fresh.as("x").join(fresh.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    vsOld.unionByName(vsNew).distinct()
+      .groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup"), min(col("b")).as("dup_of"))
+      .orderBy("doc_id")
   }
 
   // ── SimHash ──────────────────────────────────────────────────────────────
@@ -242,6 +283,22 @@ object DedupOps {
            ((x.m0=y.m0 AND x.m1=y.m1) OR (x.m2=y.m2 AND x.m3=y.m3) OR
             (x.m4=y.m4 AND x.m5=y.m5) OR (x.m6=y.m6 AND x.m7=y.m7))
       ORDER BY a, b""",
+    "dedup_incr" -> s"""
+      WITH $duckSigs,
+      cand AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sigs x JOIN sigs y ON
+             x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0 AND
+             ((x.m0=y.m0 AND x.m1=y.m1) OR (x.m2=y.m2 AND x.m3=y.m3) OR
+              (x.m4=y.m4 AND x.m5=y.m5) OR (x.m6=y.m6 AND x.m7=y.m7))
+        UNION
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sigs x JOIN sigs y ON
+             x.doc_id % 5 = 0 AND y.doc_id % 5 = 0 AND x.doc_id > y.doc_id AND
+             ((x.m0=y.m0 AND x.m1=y.m1) OR (x.m2=y.m2 AND x.m3=y.m3) OR
+              (x.m4=y.m4 AND x.m5=y.m5) OR (x.m6=y.m6 AND x.m7=y.m7)))
+      SELECT a AS doc_id, count(*) AS n_dup, min(b) AS dup_of
+      FROM cand GROUP BY a ORDER BY doc_id""",
     "dedup_simhash" -> {
       val votes = (0 until 28)
         .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(", ")
@@ -270,6 +327,7 @@ object DedupOps {
     "dedup_exact" -> dedupExact _,
     "dedup_jac" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
+    "dedup_incr" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _,
   )
 }

@@ -277,6 +277,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incr is consistent with the full-batch minhash pair set") {
+    // the incremental split (new batch vs stored index) must find exactly
+    // the full run's candidate pairs that involve at least one new doc —
+    // incremental processing may not lose or invent duplicates. Mapping:
+    // an incremental hit (a=new, b=partner) is the unordered pair
+    // (min, max); a full-run pair (a<b) involves a new doc iff either end
+    // is % 5 == 0.
+    val dir = "/root/testdata/sf0.01"
+    val full = DedupOps.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+      .toSet
+    val incrRows = DedupOps.dedupIncremental(spark, dir).collect()
+    // recover the pair set by re-deriving each new doc's partners from the
+    // full run and checking counts + min; then check coverage both ways
+    val byNew = full.toSeq
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(_ % 5 == 0).map { n => n -> Seq(a, b).filter(_ != n).head }
+      }
+      // a both-new pair contributes only to its LATER member (earlier wins)
+      .filter { case (n, p) => p % 5 != 0 || p < n }
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    assert(incrRows.map(_.getLong(0)).toSet == byNew.keySet,
+      "incremental run found a different set of dup'd new docs")
+    incrRows.foreach { r =>
+      val partners = byNew(r.getLong(0))
+      assert(r.getLong(1) == partners.size && r.getLong(2) == partners.min,
+        s"doc ${r.getLong(0)}: n_dup/dup_of disagree with the full run")
+    }
+  }
+
   test("approx_percentile stays in its exact regime (sketch == percentile_disc)") {
     // agg_percentile_approx's oracle is DuckDB's EXACT quantile_disc: valid
     // only while every group's row count n keeps the GK rank error
