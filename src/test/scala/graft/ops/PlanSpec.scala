@@ -360,4 +360,45 @@ class PlanSpec extends SparkSpec {
     assert(!probe.contains("Exchange hashpartitioning"),
       s"probe side must not shuffle before the join:\n$p")
   }
+
+  test("agg_percentile_approx: sketch state merges across partitions, no sort") {
+    // the whole point vs the exact form: per-group state is a bounded GK
+    // summary combined map-side, never a materialize-and-sort of the group
+    val p = plan(Extended.aggPercentileApprox(spark, dir))
+    assert(p.contains("partial_approx_percentile"),
+      s"sketch must partial-aggregate below the exchange:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"approx percentile must not fall back to sort aggregation:\n$p")
+  }
+
+  test("invidx_seg: same hash-aggregated build as the canonical index") {
+    val p = plan(TextOps.invIndexSeg(spark, dir))
+    assert(p.contains("partial_collect_list"),
+      s"segment posting lists must combine map-side:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"segmented build must stay in hash aggregation:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"one corpus scan:\n$p")
+  }
+
+  test("zorder_wide: range bounds broadcast; bucketing never sorts globally") {
+    val p = plan(Extended.zorderWide(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row (min,max) frame must broadcast onto the scan:\n$p")
+    // bucket assignment is map-side arithmetic — the only Sort is the
+    // 256-row presentation ORDER BY, never a sort of the corpus (a global
+    // ntile formulation would show a SinglePartition window here)
+    assert(!p.contains("Window"), s"no window/ntile machinery:\n$p")
+  }
+
+  test("dedup_incr: probes replan from the materialized index, not the corpus") {
+    // both probe joins (new-vs-stored, new-vs-new) must derive from the
+    // checkpointed band frame: zero parquet scans in the final plan, and
+    // candidates come from equality joins — never a cartesian
+    val p = plan(DedupOps.dedupIncremental(spark, dir))
+    assert("Scan parquet".r.findAllMatchIn(p).isEmpty,
+      s"incremental probe must not rescan the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"stored index must back the probes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from keyed equality joins:\n$p")
+  }
 }
