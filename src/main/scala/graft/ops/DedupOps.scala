@@ -206,6 +206,55 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Minimum matched-alignment run (in 8-gram windows) for
+    * [[dedupSubstring]]: 9 consecutive matching windows ⇔ a 16-token
+    * exact overlap. Set-similarity misses this case — two long documents
+    * sharing one verbatim paragraph have low Jaccard but are exactly the
+    * "copied passage" training-data dedup must catch. */
+  val substrMinRun = 9
+
+  /** Substring-overlap dedup — the exact-token-run detector (the
+    * published training-data dedup pipelines pair a suffix-array pass
+    * with set-similarity for exactly this): find document pairs sharing a
+    * VERBATIM run of ≥ 16 tokens, reported as the longest overlap.
+    *
+    * Shape: each document emits position-stamped 8-gram window hashes
+    * (one map-side pass; the window fold is 8 exact integer steps over
+    * the token-hash array — no window strings built); candidate matches
+    * come from an equality join on the window hash (8-grams are rare, the
+    * [[Curation.decontamWidth]] rationale, so the join has no stopword
+    * skew); a shared run shows up as consecutive positions at ONE
+    * alignment d = pos_a - pos_b, recovered with the classic islands
+    * trick (pos − row_number per (a,b,d) is constant within a run). The
+    * per-(a,b,d) windows are bounded by the shorter document, so the
+    * island window never concentrates a reducer. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val th = transform(TextOps.tokens(col("text")), t => graft.functions.PolyHash(t))
+    // materialized: both sides of the self-join derive from this frame
+    // (the minhashBands rationale)
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), pinned(th).as("th"))
+      .filter(size(col("th")) >= 8)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("th")) - 7),
+          i => (1 until 8).foldLeft(element_at(col("th"), i)) {
+            (acc, k) => (acc * 31 + element_at(col("th"), i + lit(k))) % M
+          })).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .materialized
+    val m = grams.as("x").join(grams.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b", "d").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("a", "b", "d", "island").agg(count(lit(1)).as("run"))
+      .groupBy("a", "b").agg((max("run") + 7L).as("max_overlap"))
+      .filter(col("max_overlap") >= substrMinRun + 7L)
+      .orderBy("a", "b")
+  }
+
   // ── SimHash ──────────────────────────────────────────────────────────────
 
   /** 28-bit SimHash from shingle hashes (the polyhash spans ~30 bits): bit
@@ -283,6 +332,22 @@ object DedupOps {
            ((x.m0=y.m0 AND x.m1=y.m1) OR (x.m2=y.m2 AND x.m3=y.m3) OR
             (x.m4=y.m4 AND x.m5=y.m5) OR (x.m6=y.m6 AND x.m7=y.m7))
       ORDER BY a, b""",
+    "dedup_substr" -> s"""
+      WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      th AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS th FROM toks),
+      g AS (SELECT doc_id, i AS pos,
+                   list_reduce(th[i::INT:i::INT+7], (a, b) -> (a*31 + b) % $M) AS h
+            FROM th, unnest(range(1, len(th) - 6)) AS r(i)
+            WHERE len(th) >= 8),
+      m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, x.pos - y.pos AS d
+            FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id),
+      isl AS (SELECT a, b, d,
+                     pa - row_number() OVER (PARTITION BY a, b, d ORDER BY pa) AS island
+              FROM m),
+      runs AS (SELECT a, b, count(*) AS run FROM isl GROUP BY a, b, d, island)
+      SELECT a, b, max(run) + 7 AS max_overlap
+      FROM runs GROUP BY a, b HAVING max(run) + 7 >= ${substrMinRun + 7}
+      ORDER BY a, b""",
     "dedup_incr" -> s"""
       WITH $duckSigs,
       cand AS (
@@ -328,6 +393,7 @@ object DedupOps {
     "dedup_jac" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_incr" -> dedupIncremental _,
+    "dedup_substr" -> dedupSubstring _,
     "dedup_simhash" -> dedupSimhash _,
   )
 }

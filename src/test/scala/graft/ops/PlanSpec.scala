@@ -390,6 +390,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window/ntile machinery:\n$p")
   }
 
+  test("dedup_substr: gram join from the materialized frame; islands never single-partition") {
+    val p = plan(DedupOps.dedupSubstring(spark, dir))
+    assert("Scan parquet".r.findAllMatchIn(p).isEmpty,
+      s"both join sides must replan from the materialized gram frame:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the keyed gram-hash join:\n$p")
+    // the islands window keys on (a, b, d) — a run is bounded by the
+    // shorter document, so no reducer concentrates
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      s"islands window must partition by (a,b,d):\n$p")
+  }
+
   test("dedup_incr: probes replan from the materialized index, not the corpus") {
     // both probe joins (new-vs-stored, new-vs-new) must derive from the
     // checkpointed band frame: zero parquet scans in the final plan, and
