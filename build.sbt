@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked run JVM's stdout RAW (no "[info] " log decoration): the
+// driver parses Bench's one-line JSON report from the captured stdout tail,
+// and a parser matching a line that *starts* with '{' never sees it through
+// sbt's logger prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,10 +38,12 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val tail = s"""$failedJson,"qcount":${results.size},"sf":"$sfName"}"""
     val head = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":"""
-    // Slowest-first (failures, reported as -1, sort by |t| so a failed
-    // 0-time run doesn't displace real hot spots; name-tiebreak for
-    // determinism), greedily packed while the whole line fits the budget.
-    val ordered = results.sortBy { case (n, t) => (-math.abs(t), n) }
+    // Failed queries are named ONLY in the "failed" array — the queries map
+    // carries real durations exclusively, so a consumer that sums it or
+    // schema-validates non-negative seconds never sees a -1 sentinel.
+    // Slowest-first (name-tiebreak for determinism), greedily packed while
+    // the whole line fits the budget.
+    val ordered = results.filter(_._2 >= 0).sortBy { case (n, t) => (-t, n) }
     val entries = ordered.map { case (n, t) => s"\"$n\":${fmtQ(t)}" }
     val fixed = head.length + 2 /* {} */ + tail.length
     var used = fixed
@@ -59,7 +61,7 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    val qs = results.sortBy(_._1)
+    val qs = results.filter(_._2 >= 0).sortBy(_._1)
       .map { case (n, t) => s"\"$n\":${fmt(t)}" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfName"}"""

@@ -21,17 +21,25 @@ package object ops {
     * ReadSchema) — at 100 TB this is what keeps IO proportional to the query,
     * not to the table.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark reads
-    * only as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in
-    * Verify/Bench/test sessions); it is normalized here to a microsecond
-    * timestamp — the same truncation DuckDB applies reading the file. */
+    * `events.ts` has drifted physical type across test-data generations —
+    * TIMESTAMP(NANOS) (which Spark reads only as a nanosecond long under
+    * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench/test
+    * sessions), then timestamp[us] with no timezone annotation (which Spark 4
+    * reads as TIMESTAMP_NTZ). Both are normalized here to a regular
+    * microsecond TIMESTAMP so every downstream consumer (unix_micros,
+    * window(), date_format) sees ONE type. The NTZ→LTZ cast is
+    * value-identical under the pinned UTC session timezone, and matches what
+    * DuckDB yields reading the same file. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (name != "events") df
+    else df.schema("ts").dataType match {
       // integer `div`, not `/`: ns values exceed 2^53, double division would
       // lose the low microseconds.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Exact, partition-order-independent sum of a 2-dp double column.

@@ -30,7 +30,19 @@ class BenchReportSpec extends AnyFunSuite {
         s"report is ${line.length} chars > $budget with ${names.length} queries")
       assert(line.startsWith("{\"metric\":\"total\""), "anchor head intact")
       assert(line.endsWith("\"sf\":\"sf0.1\"}"), "envelope tail intact")
+      // failed queries appear ONLY in the failed array, never as map values
+      assert(!line.contains("-1"), "no negative durations on the line")
     }
+  }
+
+  test("failed queries are named in failed[] and absent from the map") {
+    val rs = Seq("ok" -> 1.5, "boom" -> -1.0)
+    val line = Bench.report(rs, Seq("boom"), "sf0.1")
+    assert(line.contains(""""failed":["boom"]"""))
+    assert(!line.contains(""""boom":-"""))
+    val full = Bench.fullJson(rs, Seq("boom"), "sf0.1")
+    assert(full.contains(""""failed":["boom"]"""))
+    assert(!full.contains(""""boom":-"""))
   }
 
   test("slowest queries are the ones kept, worst-first") {
