@@ -175,23 +175,38 @@ object DedupOps {
   /** Incremental near-dup detection — the daily-growth shape of a 100 TB
     * corpus: a NEW batch of documents (modeled as the doc_id % 5 == 0
     * slice) is deduped against the EXISTING corpus without re-shingling
-    * it, by probing the corpus's STORED (band, sig, doc_id) index (modeled
-    * as the materialized band frame — in production a bucketed table
-    * maintained across increments, so the daily job's only shuffle is the
-    * delta side). New docs are also checked against EARLIER new docs
-    * (doc_id order within the batch), so an all-new duplicate group keeps
-    * exactly one representative. Emits, per new doc with any candidate,
-    * the distinct-partner count and the minimum matching partner — the
+    * it, by probing the corpus's STORED (band, sig, doc_id) index. The
+    * index is an actual catalog table BUCKETED on the probe key
+    * (band, sig): maintenance pays the index shuffle once at write time,
+    * so the daily probe job's ONLY Exchange is on the delta side — the
+    * bucketed scan arrives at the join already hash-partitioned
+    * (PlanSpec locks zero shuffle between the stored scan and its join).
+    * New docs are also checked against EARLIER new docs (doc_id order
+    * within the batch), so an all-new duplicate group keeps exactly one
+    * representative. Emits, per new doc with any candidate, the
+    * distinct-partner count and the minimum matching partner — the
     * keep-list complement an ingest pipeline drops before appending.
     *
     * Scale shape: signatures are computed ONCE for the increment (and in
     * production read from storage for the old side); both probe joins key
-    * on (band, sig); nothing ever compares all pairs. */
+    * on (band, sig); nothing ever compares all pairs. 8 buckets at
+    * fixture scale — a real corpus sizes the bucket count so one bucket's
+    * postings fit a task (thousands at 100 TB), and appends each day's
+    * survivors to the same bucket spec so tomorrow's probe stays
+    * co-located. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(shingleArrays(spark, dir))
-    // the stored-index stand-in: materialized so the probe joins replan
-    // from its blocks, never from the corpus scan
-    val oldIdx = bands.filter(col("doc_id") % 5L =!= 0L).materialized
+    // the stored index: bucketed on BOTH probe-key columns — (band, sig)
+    // covers the join's clustering requirement exactly, and sig carries
+    // the cardinality (band alone has 4 values: bucketing on it would
+    // concentrate a quarter of the corpus per reducer)
+    val wh = java.nio.file.Files.createTempDirectory("graft_incr_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_incr LOCATION '$wh'")
+    bands.filter(col("doc_id") % 5L =!= 0L)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "band", "sig").sortBy("band", "sig")
+      .saveAsTable("graft_incr.band_idx")
+    val oldIdx = spark.table("graft_incr.band_idx")
     val fresh = bands.filter(col("doc_id") % 5L === 0L)
     val vsOld = fresh.as("x").join(oldIdx.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))

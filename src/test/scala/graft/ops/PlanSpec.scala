@@ -402,15 +402,57 @@ class PlanSpec extends SparkSpec {
       s"islands window must partition by (a,b,d):\n$p")
   }
 
-  test("dedup_incr: probes replan from the materialized index, not the corpus") {
-    // both probe joins (new-vs-stored, new-vs-new) must derive from the
-    // checkpointed band frame: zero parquet scans in the final plan, and
-    // candidates come from equality joins — never a cartesian
-    val p = plan(DedupOps.dedupIncremental(spark, dir))
-    assert("Scan parquet".r.findAllMatchIn(p).isEmpty,
-      s"incremental probe must not rescan the corpus:\n$p")
-    assert(p.contains("Scan ExistingRDD"), s"stored index must back the probes:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"candidates must come from keyed equality joins:\n$p")
+  test("dedup_incr: stored band index is bucketed — probes shuffle ONLY the delta") {
+    // the 100 TB daily-dedup plan: the stored (band, sig, doc_id) index is
+    // a catalog table bucketed on the probe key, so it arrives at the
+    // probe join already hash-partitioned — the join's only Exchange is on
+    // the delta side. AQE/broadcast are pinned off so the co-located
+    // sort-merge shape is the one asserted (broadcast would trivially hide
+    // the stored side's partitioning on a fixture-sized delta).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val exec = DedupOps.dedupIncremental(spark, dir).queryExecution.executedPlan
+      val p = exec.toString
+      // the ONLY parquet scan is the stored index (the corpus is never
+      // rescanned — signatures replan from the materialized band frame),
+      // and it reads bucket-aware
+      assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+        s"exactly one parquet scan (the stored index):\n$p")
+      assert(p.contains("band_idx"), s"the parquet scan must be the index:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"stored index must be read as a bucketed scan:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"delta side must replan from the materialized band frame:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"candidates must come from keyed equality joins:\n$p")
+      // structural lock: no ShuffleExchange anywhere between the stored
+      // scan and the probe join that consumes it
+      def stored(n: SparkPlan): Boolean = n.collectLeaves().exists {
+        case s: FileSourceScanExec => s.tableIdentifier.exists(_.table == "band_idx")
+        case _ => false
+      }
+      val probes = exec.collect {
+        case j: SortMergeJoinExec if stored(j) => j: SparkPlan
+        case j: ShuffledHashJoinExec if stored(j) => j: SparkPlan
+      }
+      assert(probes.nonEmpty, s"expected a probe join over the stored index:\n$p")
+      probes.foreach { j =>
+        val storedChildren = j.children.filter(stored)
+        assert(storedChildren.nonEmpty, s"stored side lost under $j:\n$p")
+        storedChildren.foreach { c =>
+          assert(c.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"stored side must arrive pre-partitioned — zero Exchange:\n$p")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 }
