@@ -134,6 +134,49 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("probe: streaming candles at 10x — stream output equals the batch plan's") {
+    // batch/stream candle parity, measured at the batch probe's scale: the
+    // SAME 10x-replicated events flow once through the batch plan and once
+    // through the watermarked streaming twin (shared candleAggs
+    // expressions), and the emitted candle sets must be IDENTICAL. A
+    // far-future sentinel event advances the watermark past every real
+    // hour so append mode closes all of them; all files land in one
+    // micro-batch (watermark still epoch-0 while data arrives), so nothing
+    // is late-dropped and the comparison is exact, not watermark-lucky.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val ev = table(spark, dir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val out = java.nio.file.Files.createTempDirectory("scale10s").toString
+    (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+    Seq((999999999999L, far, "zz", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(s"$out/events.parquet")
+    val schema = spark.read.parquet(s"$out/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$out/events.parquet")
+    val t0 = System.nanoTime()
+    val q = TimeWindows.candlesStream(stream).writeStream
+      .format("memory").queryName("candles_scale10").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val tStream = (System.nanoTime() - t0) / 1e9
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") =!= "zz").collect().map(_.toSeq).toSet
+    val streamed = rows(spark.table("candles_scale10"))
+    val (batch, tBatch) = {
+      val b0 = System.nanoTime()
+      val r = rows(TimeWindows.candles(spark, out))
+      (r, (System.nanoTime() - b0) / 1e9)
+    }
+    info(f"10x candles: batch ${batch.size} rows $tBatch%.2fs; stream ${streamed.size} rows $tStream%.2fs")
+    assert(streamed.nonEmpty, "no candles emitted - watermark never closed")
+    assert(streamed == batch,
+      s"stream/batch candle sets diverged: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("probe: kmeans at 1x vs 10x embeddings — replication-invariant centroids") {
     // replicating every vector 10x (seeds stay replica-0's vec_id < 8)
     // multiplies each cluster's quantized element sums AND its count by
