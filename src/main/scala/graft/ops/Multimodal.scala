@@ -21,10 +21,17 @@ import org.apache.spark.sql.types._
   * row's `kind` tag. The DuckDB oracle re-derives the same values
   * arithmetically (header lengths, content sizes, the rolling checksum over
   * content bytes), so a mis-parsed header or a wrong content offset is a
-  * hash mismatch, not a silent pass. No media libraries exist in this
-  * environment; uncompressed containers are exactly the formats a pure-JVM
-  * decoder can handle for real, and a libjpeg-style codec would swap in
-  * behind the same `Codec.decode` seam without touching the pipeline shape.
+  * hash mismatch, not a silent pass.
+  *
+  * COMPRESSED formats ride the same seam via the JDK's own codecs: PNG
+  * (DEFLATE) and JPEG (DCT, lossy) through `javax.imageio` — part of
+  * `java.desktop`, zero external dependency, headless-safe — exercised by
+  * the `mm_png` / `mm_jpeg` round-trip queries. PNG is lossless, so its
+  * round-trip is hash-checked against the same arithmetic oracle as the
+  * raw raster; JPEG's decoded pixels are encoder-dependent, so only its
+  * decoder-independent outputs (container dims) are oracle-checked and the
+  * error bound is spec-asserted. FLAC stays out (no JDK codec); a libflac
+  * binding would swap in behind the same seam.
   */
 object Multimodal {
 
@@ -311,6 +318,84 @@ object Multimodal {
       }
       out
     }
+
+    // ---- compressed image codecs (JDK ImageIO: PNG, JPEG) -------------
+
+    // Executor-safe ImageIO setup, once per JVM at first Codec use:
+    // headless (no display on an executor), and NO disk-backed stream
+    // cache — the default writes every encode through a temp file, which
+    // at 100 TB turns a CPU-bound codec stage into small-file IO.
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Split a P6 PPM into (width, height, packed RGB triples). */
+    def rgbFromPpm(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, off) = ppmHeader(b)
+      (w, h, java.util.Arrays.copyOfRange(b, off, off + w * h * 3))
+    }
+
+    /** Packed RGB triples → BufferedImage, writing the raster's backing
+      * byte array directly (TYPE_3BYTE_BGR stores B,G,R per pixel). */
+    private def toImage(w: Int, h: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var p = 0
+      while (p < w * h) {
+        data(3 * p) = rgb(3 * p + 2)
+        data(3 * p + 1) = rgb(3 * p + 1)
+        data(3 * p + 2) = rgb(3 * p)
+        p += 1
+      }
+      img
+    }
+
+    /** Encode packed RGB as PNG (DEFLATE; lossless). */
+    def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(w * h + 64)
+      javax.imageio.ImageIO.write(toImage(w, h, rgb), "png", out)
+      out.toByteArray
+    }
+
+    /** Encode packed RGB as JPEG at the given quality (DCT; lossy). */
+    def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Float = 0.85f): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val out = new java.io.ByteArrayOutputStream(w * h + 64)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(toImage(w, h, rgb), null, null), param)
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported container (PNG/JPEG here) back to
+      * (width, height, packed RGB). Per-pixel getRGB keeps this
+      * colormodel-agnostic; a production hot path would bulk-copy the
+      * raster per format — same seam, different inner loop. */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image container")
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0; var p = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          rgb(p) = ((px >> 16) & 0xff).toByte
+          rgb(p + 1) = ((px >> 8) & 0xff).toByte
+          rgb(p + 2) = (px & 0xff).toByte
+          p += 3; x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
   }
 
   /** Per-asset image channel stats. */
@@ -467,6 +552,74 @@ object Multimodal {
           .cast(LongType).as("out_h"))
       .orderBy("media_id")
 
+  /** PNG round-trip output: dims + channel means over the DECODED raster,
+    * plus the measured (not assumed) losslessness of the round-trip. */
+  final case class PngRow(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      lossless: Boolean)
+
+  /** JPEG round-trip output: decoder-independent fields only (dims survive
+    * lossy coding; pixel values are encoder-dependent → spec, not oracle). */
+  final case class JpegRow(
+      media_id: Long,
+      width: Int,
+      height: Int)
+
+  /** Compressed-image round-trip, PNG: each image asset's RGB raster is
+    * encoded to a real PNG (DEFLATE, via the JDK's ImageIO — no external
+    * dependency) and decoded back, and the channel means are computed over
+    * the DECODED raster. PNG is lossless, so the oracle is the same
+    * arithmetic twin as `mm_pixel_stats`: a hash match proves the
+    * compressed encode→decode chain reproduced every raster byte. The
+    * `lossless` column is measured by comparing the decoded bytes to the
+    * source raster, never assumed. Partition-local like every decode
+    * stage; the codec context costs nothing per row beyond the DEFLATE
+    * work itself (stream cache disabled at Codec init). */
+  def mmPngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, rgb) = Codec.rgbFromPpm(r.payload)
+          val png = Codec.encodePng(w, h, rgb)
+          val (w2, h2, back) = Codec.decodeImage(png)
+          val np = w2 * h2
+          val sums = new Array[Long](3)
+          var p = 0
+          while (p < np * 3) { sums(p % 3) += back(p) & 0xff; p += 1 }
+          PngRow(r.media_id, w2, h2,
+            r4(sums(0).toDouble / np), r4(sums(1).toDouble / np),
+            r4(sums(2).toDouble / np),
+            lossless = w2 == w && h2 == h && java.util.Arrays.equals(back, rgb))
+        }
+      }.toDF().orderBy("media_id")
+  }
+
+  /** Compressed-image round-trip, JPEG: encode each raster at quality 0.85
+    * and decode back. Only the decoder-independent outputs (container
+    * dims) are oracle-checked — decoded pixel values vary by encoder
+    * implementation, so the reconstruction-error bound lives in
+    * CodecPropertySpec instead, where it can state a tolerance. */
+  def mmJpegRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, rgb) = Codec.rgbFromPpm(r.payload)
+          val (w2, h2, _) = Codec.decodeImage(Codec.encodeJpeg(w, h, rgb))
+          JpegRow(r.media_id, w2, h2)
+        }
+      }.toDF().orderBy("media_id")
+  }
+
   /** One frame-to-frame luminance delta. */
   final case class CutRow(
       media_id: Long,
@@ -617,6 +770,39 @@ object Multimodal {
              floor(g0 * 1e4 + 0.5) / 1e4 AS mean_g,
              floor(b0 * 1e4 + 0.5) / 1e4 AS mean_b
       FROM ch ORDER BY media_id""",
+    // PNG is lossless: the decoded raster must equal the source raster, so
+    // the oracle is the raw-raster arithmetic twin (same as mm_pixel_stats)
+    // with lossless pinned TRUE — a decoder that perturbed any byte, or an
+    // unmeasured "lossless" claim, hash-mismatches
+    "mm_png" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 16) + 4 AS width,
+               (doc_id % 12) + 3 AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (SELECT media_id, width, height, text, len,
+                    width * height AS np FROM m),
+      ch AS (
+        SELECT media_id, width, height, np,
+               list_sum(list_transform(range(0, np), p ->
+                 ascii(text[(((3*p) % len) + 1):(((3*p) % len) + 1)])))::DOUBLE / np AS r0,
+               list_sum(list_transform(range(0, np), p ->
+                 ascii(text[(((3*p+1) % len) + 1):(((3*p+1) % len) + 1)])))::DOUBLE / np AS g0,
+               list_sum(list_transform(range(0, np), p ->
+                 ascii(text[(((3*p+2) % len) + 1):(((3*p+2) % len) + 1)])))::DOUBLE / np AS b0
+        FROM px)
+      SELECT media_id, width::INT AS width, height::INT AS height,
+             floor(r0 * 1e4 + 0.5) / 1e4 AS mean_r,
+             floor(g0 * 1e4 + 0.5) / 1e4 AS mean_g,
+             floor(b0 * 1e4 + 0.5) / 1e4 AS mean_b,
+             TRUE AS lossless
+      FROM ch ORDER BY media_id""",
+    // JPEG: dims survive lossy coding and are decoder-independent
+    "mm_jpeg" -> """
+      SELECT doc_id AS media_id,
+             ((length(text) % 16) + 4)::INT AS width,
+             ((doc_id % 12) + 3)::INT AS height
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
     // sample k of the WAV data chunk is byte pair (2k, 2k+1) of the text
     // cycled to 2n bytes: val = lo + hi*256 (ASCII bytes < 128, so the
     // signed int16 decode is the same value)
@@ -658,5 +844,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
     "mm_cuts" -> ((s, d) => mmSceneCuts(s, d)),
+    "mm_png" -> mmPngRoundtrip _,
+    "mm_jpeg" -> mmJpegRoundtrip _,
   )
 }

@@ -82,6 +82,43 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG: encode→decode is byte-lossless for arbitrary rasters") {
+    val cases = Gen.listOfN(20, dims).sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { case (w, h) =>
+      val px = bytes(w * h * 3).sample.getOrElse(Array.fill[Byte](w * h * 3)(7))
+      val png = Codec.encodePng(w, h, px)
+      // a real PNG container, not a renamed raster
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val (w2, h2, back) = Codec.decodeImage(png)
+      assert(w2 == w && h2 == h)
+      assert(java.util.Arrays.equals(back, px), s"PNG round-trip lost bytes at ($w,$h)")
+    }
+  }
+
+  test("JPEG: dims survive; reconstruction error is bounded; quality monotone in size") {
+    val cases = Gen.listOfN(10, dims.suchThat { case (w, h) => w >= 8 && h >= 8 })
+      .sample.getOrElse(List((16, 12)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (w, h) =>
+      val px = bytes(w * h * 3).sample.getOrElse(Array.fill[Byte](w * h * 3)(7))
+      val jpg = Codec.encodeJpeg(w, h, px)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "JPEG SOI marker")
+      val (w2, h2, back) = Codec.decodeImage(jpg)
+      assert(w2 == w && h2 == h)
+      // random rasters are JPEG's worst case (no spatial coherence to keep
+      // after DCT quantization) — the mean abs error bound is accordingly
+      // loose; it guards "decoded the right image", not codec quality
+      val mae = (0 until w * h * 3)
+        .map(i => math.abs((back(i) & 0xff) - (px(i) & 0xff))).sum.toDouble / (w * h * 3)
+      assert(mae < 64.0, s"JPEG mean abs error $mae implausibly large at ($w,$h)")
+      // higher quality must not produce a smaller file on the same raster
+      val lo = Codec.encodeJpeg(w, h, px, 0.3f)
+      val hi = Codec.encodeJpeg(w, h, px, 0.95f)
+      assert(hi.length >= lo.length, s"quality 0.95 (${hi.length}B) < 0.3 (${lo.length}B)")
+    }
+  }
+
   test("corrupt containers fail loudly, never decode to plausible garbage") {
     // truncated PPM raster
     val ppm = Codec.encodePpm(4, 3, Array.fill[Byte](36)(1))
