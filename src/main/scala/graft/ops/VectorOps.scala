@@ -281,6 +281,55 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Output dimensionality of the random projection. */
+  val rpOutDims = 8
+
+  /** Deterministic ±1 entry of the projection matrix for (in-dim i,
+    * out-dim j). Plan-time Scala, so the SAME values land as literals in
+    * both the Spark expression tree and the generated DuckDB oracle — the
+    * two engines cannot disagree about the matrix. A production pipeline
+    * would derive signs from a seeded hash (same shape, conf-able seed). */
+  private def rpSign(i: Int, j: Int): Double =
+    if (((i * 1103515245 + j * 12345) % 97) % 2 == 0) 1.0 else -1.0
+
+  /** Random projection (Johnson-Lindenstrauss, Achlioptas ±1 form): reduce
+    * the 64-dim embeddings to [[rpOutDims]] dims as y_j = (1/√k)·Σ_i
+    * s_ij·x_i — the dimensionality-reduction step a 100 TB pipeline runs
+    * before storing/serving ANN candidates (8x less vector IO per probe at
+    * a distance-distortion cost the JL lemma bounds).
+    *
+    * Scale shape: strictly map-side — the matrix is k·d literals folded
+    * into the plan (a broadcast at real scale), each output dim one fused
+    * codegen'd [[graft.functions.DotProduct]] pass; no shuffle before the
+    * presentation sort. Output dims are scalar columns so the oracle
+    * compare stays scalar-typed (the [[vecQuantize]] rationale). */
+  def vecRandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val invSqrtK = 1.0 / math.sqrt(rpOutDims.toDouble)
+    val projCols = (0 until rpOutDims).map { j =>
+      val signs = (0 until dims).map(i => rpSign(i, j)).toArray
+      roundD(dot(col("embedding"), lit(signs)) * invSqrtK, 6).as(s"p$j")
+    }
+    table(spark, dir, "embeddings")
+      .select(col("vec_id") +: projCols: _*)
+      .orderBy("vec_id")
+  }
+
+  /** The DuckDB twin of [[vecRandomProjection]], generated from the same
+    * [[rpSign]] matrix and fold order (left-to-right sum of s·x with a 0.0
+    * init, then ·1/√k, then the 6-dp round) so every double matches
+    * bit-for-bit. */
+  private def rpOracle: String = {
+    val invSqrtK = (1.0 / math.sqrt(rpOutDims.toDouble)).toString
+    val cols = (0 until rpOutDims).map { j =>
+      val signs = (0 until dims).map(i => rpSign(i, j).toString)
+        .mkString("[", ", ", "]")
+      s"""floor((list_reduce(list_concat([0.0], list_transform(range(1, 65),
+            i -> embedding[i]::DOUBLE * ($signs)[i])), (a, x) -> a + x)
+            * $invSqrtK) * 1e6 + 0.5) / 1e6 AS p$j"""
+    }.mkString(",\n               ")
+    s"SELECT vec_id,\n               $cols\n         FROM embeddings ORDER BY vec_id"
+  }
+
   /** Deterministic spherical k-means — two Lloyd passes over K=8 seeds —
     * the SemDeDup-style semantic clustering primitive: cluster the corpus
     * by embedding, then dedup / curate WITHIN clusters (the coarse
@@ -355,6 +404,7 @@ object VectorOps {
           THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
     Map(
+      "vec_rp" -> rpOracle,
       "sim_topk" -> s"""
         WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
         scored AS (SELECT a.query_id, b.vec_id,
@@ -505,6 +555,7 @@ object VectorOps {
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,
+    "vec_rp" -> vecRandomProjection _,
     "kmeans" -> ((s, d) => simKmeans(s, d)),
   )
 }

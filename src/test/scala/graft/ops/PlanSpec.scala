@@ -402,6 +402,18 @@ class PlanSpec extends SparkSpec {
       s"islands window must partition by (a,b,d):\n$p")
   }
 
+  test("vec_rp: projection is map-side codegen — no shuffle before the output sort") {
+    // the JL matrix folds into the plan as literals; each output dim is
+    // one fused dot_product pass — a shuffle or a SortAggregate here means
+    // the projection stopped being a pure map stage
+    val p = plan(VectorOps.vecRandomProjection(spark, dir))
+    assert(p.contains("dot_product"), s"expected fused dot_product terms:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle (only the ORDER BY range exchange):\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("HashAggregate"),
+      s"projection has no aggregation at all:\n$p")
+  }
+
   test("dedup_incr: stored band index is bucketed — probes shuffle ONLY the delta") {
     // the 100 TB daily-dedup plan: the stored (band, sig, doc_id) index is
     // a catalog table bucketed on the probe key, so it arrives at the
