@@ -463,6 +463,52 @@ object Relational {
       .orderBy("k")
   }
 
+  /** MERGE / upsert, SCD type 2 — the HISTORY-preserving merge: applying a
+    * change batch never rewrites an attribute in place; it CLOSES the
+    * current version row (valid_to = batch id, is_current = false) and —
+    * for updates and inserts — opens a new version. Deletes close without
+    * replacement. This is how a warehouse dim table keeps
+    * point-in-time-correct joins ("what was this customer's balance when
+    * the order shipped").
+    *
+    * Plan shape: the base table is scanned ONCE on the big-table path and
+    * never shuffled — a single broadcast LEFT join against the (tiny by
+    * definition) change batch classifies every base row as untouched
+    * (stays current) or closed (valid_to stamped), and the new versions
+    * are a union of the change rows themselves; the only sort is
+    * presentation. Same change-batch synthesis as [[upsert]] (disjoint
+    * key-residue op classes), so the DuckDB oracle rebuilds the identical
+    * history with a LEFT JOIN + UNION ALL. */
+  def upsertScd2(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val changes = base.select(col("k"), col("name"), col("bal"),
+        when(col("k") % 31 === 0, "D")
+          .when(col("k") % 10 === 0, "U")
+          .otherwise("-").as("op"))
+      .filter(col("op") =!= "-")
+      .select(col("k"), col("name").as("cname"),
+        (col("bal") + 100.0).as("nbal"), col("op"))
+      .unionByName(
+        base.filter(col("k") % 97 === 0)
+          .select((col("k") + 1000000L).as("k"),
+            concat(col("name"), lit("+new")).as("cname"),
+            col("bal").as("nbal"), lit("I").as("op")))
+    val hist = base.join(broadcast(changes.select(col("k"), col("op"))),
+        Seq("k"), "left")
+      .select(col("k"), col("name"), col("bal"),
+        lit(0L).as("valid_from"),
+        when(col("op").isNull, lit(null).cast(LongType))
+          .otherwise(lit(1L)).as("valid_to"),
+        col("op").isNull.as("is_current"))
+    hist.unionByName(changes.filter(col("op") =!= "D")
+        .select(col("k"), col("cname").as("name"), col("nbal").as("bal"),
+          lit(1L).as("valid_from"), lit(null).cast(LongType).as("valid_to"),
+          lit(true).as("is_current")))
+      .orderBy("k", "valid_from")
+  }
+
   /** Two-pass anomaly detection: per-group exact moment sums (the
     * [[aggStats]] DECIMAL technique) broadcast back onto the stream, rows
     * more than 3 sigma from their group mean flagged. This is the 100 TB
@@ -828,6 +874,27 @@ object Relational {
          FROM base b FULL OUTER JOIN ch c ON b.k = c.k
          WHERE COALESCE(c.op, '') <> 'D'
          ORDER BY k""",
+    // same change-batch synthesis; history = base LEFT JOIN changes
+    // (close-or-keep) UNION ALL the new versions
+    "upsert_scd2" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+           FROM customer),
+         ch AS (
+           SELECT k, name AS cname, bal + 100.0 AS nbal,
+                  CASE WHEN k % 31 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM base WHERE k % 31 = 0 OR k % 10 = 0
+           UNION ALL
+           SELECT k + 1000000, name || '+new', bal, 'I'
+           FROM base WHERE k % 97 = 0)
+         SELECT b.k, b.name, b.bal, 0::BIGINT AS valid_from,
+                (CASE WHEN c.op IS NULL THEN NULL ELSE 1 END)::BIGINT AS valid_to,
+                c.op IS NULL AS is_current
+         FROM base b LEFT JOIN ch c ON b.k = c.k
+         UNION ALL
+         SELECT k, cname, nbal, 1::BIGINT, NULL::BIGINT, TRUE
+         FROM ch WHERE op <> 'D'
+         ORDER BY k, valid_from""",
     // the oracle is the PLAIN join — salting must be invisible in the result
     "join_salt" ->
       """SELECT s.s_name AS s_name, count(*) AS cnt,
@@ -888,6 +955,7 @@ object Relational {
     "join_salt" -> joinSalted _,
     "zscore" -> anomalyZscore _,
     "upsert" -> upsert _,
+    "upsert_scd2" -> upsertScd2 _,
     "topk" -> topk _,
     "set_ops" -> setOps _,
     "union_all" -> unionAllStreams _,

@@ -335,6 +335,18 @@ class PlanSpec extends SparkSpec {
       s"the full-outer encoding shuffles the base at any scale:\n$p")
   }
 
+  test("upsert_scd2: history merge is one broadcast left join — base never shuffles") {
+    // close-or-keep classification of every base row must come from ONE
+    // broadcast left join (the change batch is tiny by definition); a
+    // sort-merge or a hash exchange on the base branch is the
+    // full-outer-shaped plan this op exists to avoid
+    val p = plan(Relational.upsertScd2(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"change batch must broadcast into a left join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("FullOuter"),
+      s"base must not shuffle for the merge:\n$p")
+  }
+
   test("bpe: bounded top-k over a map-side-combined pair count, one scan") {
     val p = plan(TextOps.textBpe(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must be bounded:\n$p")
