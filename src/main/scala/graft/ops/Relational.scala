@@ -463,6 +463,38 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Runtime bloom-filter join — Catalyst's InjectRuntimeFilter feature,
+    * the shuffle-reducing big-big join shape: when one side of a shuffle
+    * join carries a selective filter, the optimizer builds a bloom filter
+    * of its join keys at runtime and pushes a `might_contain` predicate
+    * into the OTHER side's scan, so rows that cannot match are dropped
+    * BEFORE they pay the shuffle. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~1% that survives
+    * the semi-join — and it happens with default confs there (the
+    * application side exceeds the 10 GB scan threshold naturally).
+    *
+    * At fixture scale the feature would be invisible: the dim side is
+    * broadcast-small and the probe side under every threshold. The query
+    * therefore runs in a conf-pinned CHILD session (`newSession` — own
+    * conf, shared context and catalog; the pipeline-scoped-conf pattern) that
+    * disables broadcast and zeroes the application-side threshold, pinning
+    * the big-big regime so the injected filter is observable and
+    * plan-locked (PlanSpec asserts `might_contain` on the probe side).
+    * Semantics are conf-independent: the oracle is the plain join. */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = table(s, dir, "lineitem")
+    val sel = table(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** MERGE / upsert, SCD type 2 — the HISTORY-preserving merge: applying a
     * change batch never rewrites an attribute in place; it CLOSES the
     * current version row (valid_to = batch id, is_current = false) and —
@@ -874,6 +906,14 @@ object Relational {
          FROM base b FULL OUTER JOIN ch c ON b.k = c.k
          WHERE COALESCE(c.op, '') <> 'D'
          ORDER BY k""",
+    // the bloom filter is a pure pruning optimization — the oracle is the
+    // plain selective join
+    "join_bloom" ->
+      """SELECT o.o_orderpriority, count(*) AS cnt,
+                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_totalprice > 400000.0
+         GROUP BY 1 ORDER BY o_orderpriority""",
     // same change-batch synthesis; history = base LEFT JOIN changes
     // (close-or-keep) UNION ALL the new versions
     "upsert_scd2" ->
@@ -956,6 +996,7 @@ object Relational {
     "zscore" -> anomalyZscore _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,
+    "join_bloom" -> joinBloom _,
     "topk" -> topk _,
     "set_ops" -> setOps _,
     "union_all" -> unionAllStreams _,

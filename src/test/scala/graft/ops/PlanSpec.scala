@@ -335,6 +335,19 @@ class PlanSpec extends SparkSpec {
       s"the full-outer encoding shuffles the base at any scale:\n$p")
   }
 
+  test("join_bloom: runtime bloom filter prunes the probe side before the shuffle") {
+    // the injected semi-join filter must reach the fact side as a
+    // might_contain predicate — rows that cannot match are dropped before
+    // paying the exchange (the big-big join shape at 100 TB)
+    val df = Relational.joinBloom(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"expected an injected runtime bloom filter on the probe side:\n$opt")
+    assert(df.queryExecution.executedPlan.toString.contains("SortMergeJoin")
+      || df.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "the conf-pinned session must plan the shuffle-join regime")
+  }
+
   test("upsert_scd2: history merge is one broadcast left join — base never shuffles") {
     // close-or-keep classification of every base row must come from ONE
     // broadcast left join (the change batch is tiny by definition); a
