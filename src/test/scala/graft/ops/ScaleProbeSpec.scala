@@ -134,6 +134,45 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("probe: join_bloom MEASURABLY prunes the probe side before the shuffle") {
+    // the runtime bloom filter's scale claim, measured with the actual
+    // shuffle-write metrics rather than asserted from the plan: ~20% of
+    // sf0.1 lineitem rows match a >400k order, so the injected
+    // might_contain must stop most of the other 80% from ever being
+    // shuffled (bloom FPP adds a few percent back). AQE off so the
+    // executed plan is a plain walkable tree; child sessions keep the
+    // shared spec session's confs untouched.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = "/root/testdata/sf0.1"
+    def shuffledProbeRows(bloom: Boolean): Long = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloom.toString)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = table(s, dir, "lineitem")
+      val sel = table(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      val df = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .filter(_.collectLeaves().exists {
+          case f: FileSourceScanExec => f.toString.contains("lineitem")
+          case _ => false
+        })
+        .map(_.metrics("shuffleRecordsWritten").value).sum
+    }
+    val pruned = shuffledProbeRows(bloom = true)
+    val full = shuffledProbeRows(bloom = false)
+    info(s"probe-side shuffled records: bloom=$pruned plain=$full " +
+      f"(${100.0 * pruned / full}%.1f%% of the unfiltered shuffle)")
+    assert(full >= 500000, s"fixture lost its volume ($full) - probe is vacuous")
+    assert(pruned <= full / 2,
+      s"bloom filter failed to prune the probe-side shuffle: $pruned vs $full")
+  }
+
   test("probe: streaming candles at 10x — stream output equals the batch plan's") {
     // batch/stream candle parity, measured at the batch probe's scale: the
     // SAME 10x-replicated events flow once through the batch plan and once
