@@ -142,11 +142,18 @@ object DedupOps {
     * sides, old/new splits) would otherwise re-plan the whole
     * tokenize+signature subtree (plan-probed: 2 scans; AQE's broadcast
     * conversion defeats exchange reuse). */
-  private def minhashBands(docs: DataFrame): DataFrame = {
-    val sigs = docs
+  private def minhashBands(docs: DataFrame): DataFrame =
+    bandRows(docs
       .select(col("doc_id"),
         pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
-      .materialized
+      .materialized)
+
+  /** (doc_id, ms) signature rows → exploded (doc_id, band, sig) band rows.
+    * Pure map-side expressions (no materialization, no shuffle), so the
+    * same banding runs over a STREAMING frame — [[dedupStreamProbe]] —
+    * where localCheckpoint is unavailable and each row is consumed once
+    * anyway. */
+  private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array(
       (0 until 4).map { bi =>
         struct(lit(bi).as("band"),
@@ -154,7 +161,6 @@ object DedupOps {
             element_at(col("ms"), 2 * bi + 2)).as("sig"))
       }: _*)).as("bnd"))
       .select(col("doc_id"), col("bnd.band").as("band"), col("bnd.sig").as("sig"))
-  }
 
   /** MinHash signatures (8 permutations) per doc, banded 4×2; candidate
     * pairs = docs sharing any band. Signatures come from the codegen'd
@@ -219,6 +225,57 @@ object DedupOps {
       .groupBy(col("a").as("doc_id"))
       .agg(count(lit(1)).as("n_dup"), min(col("b")).as("dup_of"))
       .orderBy("doc_id")
+  }
+
+  /** STREAMING incremental dedup — the ONLINE ingest filter: a document
+    * stream (doc_id, text) is shingled, signed, and banded with pure
+    * map-side expressions (the same [[bandRows]] pipeline the batch index
+    * build uses — batch/stream share one expression set), then probed
+    * against the STORED band index via a stream-static LEFT SEMI join.
+    * The output stream is the doc_ids that near-duplicate the existing
+    * corpus — the drop decision an ingest pipeline applies BEFORE a
+    * document ever lands in the corpus, closing the loop with
+    * [[dedupIncremental]] (the nightly batch form over the same stored
+    * index).
+    *
+    * State shape: the banding is stateless; the semi join re-probes the
+    * static index per micro-batch (in production the bucketed table, so
+    * the probe is a co-located lookup); the only streaming state is the
+    * final `dropDuplicates` collapsing a doc's ≤4 band matches — i.e. it
+    * grows with FLAGGED docs only, the set an ingest pipeline must
+    * remember anyway. For bounded retention swap in
+    * `dropDuplicatesWithinWatermark` keyed on the ingest timestamp
+    * (machinery proven in graft.streaming.StreamAssembly). */
+  def dedupStreamProbe(docs: DataFrame, storedIdx: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        pinned(graft.functions.ShingleHashes(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(col("doc_id"),
+      pinned(graft.functions.MinHashSig(col("sh"), perms, prime)).as("ms"))
+    bandRows(sigs)
+      .join(storedIdx, Seq("band", "sig"), "left_semi")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
+  /** The stored band index of the existing-corpus slice (doc_id % 5 != 0)
+    * as a static frame — the spec-level stand-in for the bucketed table
+    * [[dedupIncremental]] maintains; materialized, so the stream-static
+    * join probes its blocks instead of replaying the corpus scan per
+    * micro-batch. */
+  private[graft] def bandIndexOldSlice(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(shingleArrays(spark, dir)).filter(col("doc_id") % 5L =!= 0L)
+
+  /** Batch twin of [[dedupStreamProbe]]'s expected output for a given
+    * corpus split — used by the parity spec; exercises the identical index
+    * but an INDEPENDENT formulation (inner join + distinct, not semi). */
+  private[graft] def streamProbeExpected(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(shingleArrays(spark, dir))
+    val oldIdx = bands.filter(col("doc_id") % 5L =!= 0L)
+    bands.filter(col("doc_id") % 5L === 0L).as("x")
+      .join(oldIdx.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("doc_id")).distinct()
   }
 
   /** Minimum matched-alignment run (in 8-gram windows) for

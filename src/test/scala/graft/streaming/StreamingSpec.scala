@@ -265,6 +265,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup probe: stream flags exactly the docs the batch probe flags") {
+    // the online ingest filter: the %5==0 slice of the real sf0.001
+    // documents arrives as a 3-micro-batch stream and is probed against
+    // the band index of the REST of the corpus; the flagged set must equal
+    // the batch formulation's (computed inner-join+distinct — an
+    // independent plan over the same index), and carry no duplicate flags
+    // even though a doc can match in up to 4 bands across batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.table(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val fresh = docs.filter(_._1 % 5 == 0)
+    val storedIdx = graft.ops.DedupOps.bandIndexOldSlice(spark, dir)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.DedupOps.dedupStreamProbe(
+        mem.toDF().toDF("doc_id", "text"), storedIdx)
+      .writeStream.format("memory").queryName("dedup_probe_stream")
+      .outputMode("append").start()
+    try {
+      fresh.grouped(math.max(1, fresh.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val flagged = spark.table("dedup_probe_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(flagged.distinct.size == flagged.size, "duplicate flags emitted")
+      val expected = graft.ops.DedupOps.streamProbeExpected(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged.toSet == expected,
+        s"stream/batch flag sets diverged: stream-only=${flagged.toSet -- expected} batch-only=${expected -- flagged.toSet}")
+      assert(expected.nonEmpty, "no duplicates in fixture - parity is vacuous")
+    } finally q.stop()
+  }
+
   test("streaming candles: batch and stream emit identical OHLCV per closed hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
