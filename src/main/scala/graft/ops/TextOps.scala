@@ -179,6 +179,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-level Shannon entropy per document — "bits per char", the
+    * gibberish / compressed-junk quality signal (natural English sits
+    * ≈4.1 bits over its char distribution; base64 blobs and random bytes
+    * push toward log2(alphabet), repeated filler collapses toward 0).
+    * Complements [[textQuality]]'s ratio heuristics and [[textPpl]]'s
+    * corpus-LM score with a corpus-independent per-doc measure.
+    *
+    * Parity: the [[textPpl]] quantized-log2 technique verbatim — log2 is
+    * taken only on INTEGER character counts, rounded once onto the 1e-6
+    * grid, so H = (n·qlog(n) − Σ c·qlog(c)) / (n·1e6) is exact integer
+    * arithmetic (|terms| ≤ n·qlog(n) < 2^40 at any document size the
+    * corpus holds) until one final division. Power-of-two counts land
+    * exactly on the grid in both engines (the +0.5 rationale there).
+    *
+    * Scale shape: char explode is map-side and immediately partial-
+    * aggregated; the shuffled grain is (doc, char) ≤ docs × alphabet —
+    * bounded by construction, no skew (keyed by doc_id). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("qlog_c",
+        floor(log2(col("c").cast(DoubleType)) * 1e6 + 0.5).cast(LongType))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("qlog_c")).as("s"))
+      .withColumn("qlog_n",
+        floor(log2(col("n").cast(DoubleType)) * 1e6 + 0.5).cast(LongType))
+      .select(col("doc_id"), col("n").cast(LongType).as("n_chars"),
+        roundD((col("n") * col("qlog_n") - col("s")).cast(DoubleType) /
+          (col("n").cast(DoubleType) * 1e6), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+
   /** Email / phone regexes for [[textPii]] — kept to syntax Java regex and
     * RE2 (DuckDB) interpret identically: character classes, bounded
     * quantifiers, \b word boundaries; no backrefs or lookaround. */
@@ -607,6 +642,23 @@ object TextOps {
                 floor((qn.qlog_n * n_tokens - s)::DOUBLE
                       / (n_tokens::DOUBLE * 1e6) * 1e4 + 0.5) / 1e4 AS bits_per_token
          FROM perdoc CROSS JOIN qn ORDER BY doc_id""",
+    // same quantized-log2 grid as ppl, over per-doc char counts
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+                            unnest(list_transform(range(1, length(text) + 1),
+                              i -> text[i:i])) AS ch
+                     FROM documents WHERE length(text) > 0),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         qc AS (SELECT doc_id, c,
+                       CAST(floor(log2(c::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qlog_c
+                FROM cc),
+         pd AS (SELECT doc_id, sum(c)::BIGINT AS n,
+                       sum(c * qlog_c)::BIGINT AS s
+                FROM qc GROUP BY doc_id)
+         SELECT doc_id, n AS n_chars,
+                floor((CAST(floor(log2(n::DOUBLE) * 1e6 + 0.5) AS BIGINT) * n - s)::DOUBLE
+                      / (n::DOUBLE * 1e6) * 1e4 + 0.5) / 1e4 AS entropy_bits
+         FROM pd ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -617,6 +669,7 @@ object TextOps {
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,
     "ppl" -> textPpl _,
+    "text_entropy" -> textEntropy _,
     "text_pii" -> textPii _,
     "text_rep" -> textRep _,
     "chunks" -> textChunks _,
