@@ -175,11 +175,12 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private def duckBucket(suffix: String) =
+  private def duckHash(suffix: String) =
     s"""list_reduce(list_concat([0::BIGINT],
          list_transform(range(1, length(doc_id::VARCHAR || '$suffix') + 1),
            i -> ascii((doc_id::VARCHAR || '$suffix')[i:i]))),
-         (acc, c) -> (acc * 31 + c) % 1000000007) % 1000"""
+         (acc, c) -> (acc * 31 + c) % 1000000007)"""
+  private def duckBucket(suffix: String) = duckHash(suffix) + " % 1000"
   private val duckStratBucket = duckBucket("#strat")
 
   private val duckMixWeight = {
@@ -188,7 +189,46 @@ object Curation {
     s"(CASE $cases ELSE $mixDefault END)::BIGINT"
   }
 
+  /** Deterministic per-group reservoir: keep EXACTLY k documents per
+    * source, chosen by hash order — the per-domain cap a curation pipeline
+    * applies so no one domain dominates the corpus (cap pages per site in
+    * a web dump). Different contract from [[sampleStratified]] (fraction
+    * per stratum) — the bound here is exact-k; and unlike a rand()
+    * reservoir it is stable across runs, partitionings, and growth in
+    * OTHER groups (a group's sample changes only when its own membership
+    * does).
+    *
+    * Scale shape: the bounded-heap [[graft.functions.TopKStructs]]
+    * aggregate — map-side partial heaps of size k, the shuffle carries ≤ k
+    * rows per (group, task), nothing sorts beyond k (the winfnRank
+    * argument; a row_number window would sort whole groups inside
+    * #groups reducer partitions — the web-dump domain count makes that a
+    * long tail of giant sorts at 100 TB). */
+  def sampleGroup(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val hk = DedupOps.polyHash(
+      concat(col("doc_id").cast(StringType), lit("#grp")))
+    val item = struct(hk.as("hk"), col("doc_id").as("id"))
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .groupBy("source")
+      .agg(graft.functions.TopKStructs(item, k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("source"), col("t.id").as("doc_id"),
+        (col("p") + 1).cast(LongType).as("rk"))
+      .orderBy("source", "rk")
+  }
+
   val oracles: Map[String, String] = Map(
+    // row_number over the same (hash, doc_id) order; ties broken by id
+    "sample_group" -> s"""
+      WITH h AS (SELECT source, doc_id, ${duckHash("#grp")} AS hk
+                 FROM documents),
+      r AS (SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY hk, doc_id) AS rk
+            FROM h)
+      SELECT source, doc_id, rk FROM r WHERE rk <= 25
+      ORDER BY source, rk""",
     "pack_seq" ->
       """WITH d AS (
            SELECT doc_id, doc_id % 32 AS shard,
@@ -256,6 +296,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified _,
+    "sample_group" -> ((s, d) => sampleGroup(s, d)),
     "mix" -> sampleWeighted _,
     "decon" -> textDecontam _,
     "curate_corpus" -> curateCorpus _,

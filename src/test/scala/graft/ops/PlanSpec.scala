@@ -335,6 +335,16 @@ class PlanSpec extends SparkSpec {
       s"the full-outer encoding shuffles the base at any scale:\n$p")
   }
 
+  test("sample_group: bounded heap per group — groups are never sorted") {
+    // exact-k per-domain cap: map-side partial TopKStructs heaps, shuffle
+    // carries ≤ k rows per (group, task); a row_number window formulation
+    // would sort whole groups inside #groups reducers
+    val p = plan(Curation.sampleGroup(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"expected the typed aggregate:\n$p")
+    assert(p.contains("partial_top_k_structs"), s"expected map-side partials:\n$p")
+    assert(!p.contains("Window"), s"no window machinery over full groups:\n$p")
+  }
+
   test("join_bloom: runtime bloom filter prunes the probe side before the shuffle") {
     // the injected semi-join filter must reach the fact side as a
     // might_contain predicate — rows that cannot match are dropped before
