@@ -83,7 +83,42 @@ object Formats {
       .orderBy("event_type")
   }
 
+  /** Schema-evolution read (`mergeSchema`): a 100 TB table's schema widens
+    * mid-history — files written before a column existed must still read,
+    * with the missing column as null. Modeled for real: an early batch
+    * (even keys) lands WITHOUT `o_orderpriority`, a later batch (odd keys)
+    * with it; the merged read unions the footers into one schema and
+    * back-fills nulls. mergeSchema is opt-in because it reads every file
+    * footer up front — at millions of files that is the expensive step,
+    * which is why production lakes persist the merged schema in a
+    * catalog/table format and why the DEFAULT read trusts one footer. The
+    * null back-fill itself is free at scan time. */
+  def scanEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_evolve")
+    val ord = table(spark, dir, "orders")
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    ord.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", out).parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+        .as("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    // early-batch rows (even keys) predate the column: they aggregate
+    // under the null back-fill bucket
+    "scan_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                count(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     // the round-trip must be lossless, so the oracle aggregates the SOURCE
     // table directly — any write/read corruption shows up as a hash mismatch
     "pq_days" ->
@@ -110,5 +145,6 @@ object Formats {
     "pq_days" -> sinkParquetPartitioned _,
     "sink_orc" -> sinkOrcRoundtrip _,
     "jsonl" -> jsonlRoundtrip _,
+    "scan_evolve" -> scanEvolve _,
   )
 }
