@@ -300,6 +300,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup probe: checkpoint restart neither loses nor re-flags docs") {
+    // the ingest filter's exactly-once claim, measured across a real
+    // stop/restart: day-1 files are drained to completion (AvailableNow,
+    // one file per micro-batch), the query STOPS, day-2 files arrive, and
+    // a restarted query with the same checkpoint must process only the new
+    // files — the final flagged set equals the batch formulation's over
+    // the whole corpus, with no doc flagged twice across the restart
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docsDir = tmp("dedup_probe_docs")
+    val outDir = tmp("dedup_probe_out")
+    val ckpt = tmp("dedup_probe_ckpt")
+    val fresh = graft.ops.table(spark, dir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") % 5 === 0)
+    val Array(day1, day2) = fresh.randomSplit(Array(0.5, 0.5), seed = 7)
+    val storedIdx = graft.ops.DedupOps.bandIndexOldSlice(spark, dir)
+    def drain(): Unit = {
+      val sch = spark.read.parquet(docsDir).schema
+      val q = graft.ops.DedupOps.dedupStreamProbe(
+          spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1").parquet(docsDir),
+          storedIdx)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination(120000)
+    }
+    day1.repartition(3).write.mode("append").parquet(docsDir)
+    drain()
+    val afterDay1 = spark.read.parquet(outDir).count()
+    day2.repartition(3).write.mode("append").parquet(docsDir)
+    drain()
+    val flagged = spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged.size > afterDay1, "restart processed no new files")
+    assert(flagged.distinct.size == flagged.size,
+      "a doc was re-flagged across the restart")
+    val expected = graft.ops.DedupOps.streamProbeExpected(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.toSet == expected,
+      s"restart lost or invented flags: missing=${expected -- flagged.toSet} extra=${flagged.toSet -- expected}")
+  }
+
   test("streaming candles: batch and stream emit identical OHLCV per closed hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
