@@ -352,4 +352,21 @@ class LlmOpsSpec extends SparkSpec {
         assert(nonAscii == 0, s"non-ASCII documents in $d would desync the oracles")
       }
   }
+
+  test("text_entropy: closed-form values on known distributions") {
+    // uniform over 2^k symbols → exactly k bits; single symbol → 0 bits;
+    // quantization (1e-6 log grid, 4 dp round) must not perturb exact cases
+    val fix = java.nio.file.Files.createTempDirectory("entropy_fix").toString
+    import spark.implicits._
+    Seq(
+      (1L, "aaaaaaaa"),                 // 0 bits
+      (2L, "abababab"),                 // 1 bit
+      (3L, "abcdabcdabcdabcd"),         // 2 bits
+      (4L, "abcdefgh"))                 // 3 bits
+      .toDF("doc_id", "text")
+      .write.parquet(s"$fix/documents.parquet")
+    val got = TextOps.textEntropy(spark, fix)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0), got.toString)
+  }
 }
