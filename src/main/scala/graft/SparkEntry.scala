@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ TimeWindows.queries ++ JsonOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
       Multimodal.queries ++ Extended.queries ++ Curation.queries ++
-      Formats.queries ++ Bucketing.queries ++
+      Formats.queries ++ Bucketing.queries ++ DataQuality.queries ++
       graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -32,6 +32,6 @@ object SparkEntry {
     Relational.oracles ++ TimeWindows.oracles ++ JsonOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
-      Formats.oracles ++ Bucketing.oracles ++
+      Formats.oracles ++ Bucketing.oracles ++ DataQuality.oracles ++
       graft.normalize.NormalizeOps.oracles
 }
