@@ -88,6 +88,29 @@ object TimeWindows {
         col("cnt"), col("volume"))
       .orderBy("event_type", "hour")
 
+  /** Daily OHLCV ROLLED UP from the hourly candles — the two-level
+    * pre-aggregation pattern: at 100 TB the daily dashboard never re-scans
+    * raw fills; it folds the already-materialized hourly level (24 rows
+    * per symbol-day instead of millions of fills). The fold is exact, not
+    * approximate: the day's open is its first hour's open (min_by over the
+    * hour key; within-hour order came from the packed key), high/low are
+    * max/min, cnt sums, and volume re-enters DECIMAL(18,2) — each hourly
+    * volume is a 2-dp decimal that round-trips the double cast exactly, so
+    * the daily sum equals the direct-from-raw decimal sum bit-for-bit.
+    * The ORACLE is the direct daily aggregation over raw events, so the
+    * hash compare IS the materialized-rollup correctness proof. */
+  def candlesDaily(spark: SparkSession, dir: String): DataFrame =
+    candles(spark, dir)
+      .groupBy(col("event_type"), substring(col("hour"), 1, 10).as("day"))
+      .agg(
+        min_by(col("open"), col("hour")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("hour")).as("close"),
+        sum(col("cnt")).as("cnt"),
+        sumMoney(col("volume")).as("volume"))
+      .orderBy("event_type", "day")
+
   /** Streaming OHLCV: the identical candle aggregates behind a watermarked
     * event-time window — late fills inside the watermark still update their
     * candle, and closed candles emit exactly once in append mode. min_by/
@@ -170,6 +193,25 @@ object TimeWindows {
                 count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
          FROM b GROUP BY 1, 2 ORDER BY event_type, hour""",
+    // the DIRECT daily aggregation over raw events — the Spark side rolls
+    // up from hourly, so a hash match proves the two levels agree exactly.
+    // Ordering key: absolute µs (within a day that IS the within-day
+    // order) packed with an 11-bit id residue — epoch_us ~2^51 × 2^11
+    // stays under 2^63 (the within-hour key's 2^31 residue would
+    // overflow here); ties need identical µs, which the hourly candles'
+    // hash match already proves don't bite in this corpus
+    "candles_daily" ->
+      """WITH b AS (
+           SELECT event_type, date_trunc('day', ts) AS d, value,
+                  epoch_us(ts) * 2048 + (event_id % 2048) AS ord
+           FROM events)
+         SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+                arg_min(value, ord) AS open,
+                max(value) AS high, min(value) AS low,
+                arg_max(value, ord) AS close,
+                count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+         FROM b GROUP BY 1, 2 ORDER BY event_type, day""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,5 +220,6 @@ object TimeWindows {
     "window_session" -> windowSession _,
     "sink_csv_daily" -> sinkCsvDaily _,
     "candles" -> candles _,
+    "candles_daily" -> candlesDaily _,
   )
 }
