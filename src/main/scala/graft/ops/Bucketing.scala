@@ -45,8 +45,13 @@ object Bucketing {
     * changes is WHERE the shuffle happens: once at write time, never at
     * read time (BucketingSpec asserts the zero-Exchange plan). */
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bktq LOCATION '$wh'")
+    // dir created only on first need — IF NOT EXISTS ignores LOCATION on
+    // later calls, so creating unconditionally would leak a temp dir per
+    // invocation (the dedupIncremental rationale)
+    if (!spark.catalog.databaseExists("graft_bktq")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bktq LOCATION '$wh'")
+    }
     writeBucketed(table(spark, dir, "orders").select("o_custkey", "o_totalprice"),
       "graft_bktq.orders_by_cust", buckets = 8, key = "o_custkey")
     writeBucketed(table(spark, dir, "customer").select("c_custkey", "c_mktsegment"),

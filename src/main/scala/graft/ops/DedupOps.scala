@@ -205,9 +205,18 @@ object DedupOps {
     // the stored index: bucketed on BOTH probe-key columns — (band, sig)
     // covers the join's clustering requirement exactly, and sig carries
     // the cardinality (band alone has 4 values: bucketing on it would
-    // concentrate a quarter of the corpus per reducer)
-    val wh = java.nio.file.Files.createTempDirectory("graft_incr_wh").toString
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_incr LOCATION '$wh'")
+    // concentrate a quarter of the corpus per reducer).
+    // The warehouse dir is created only when the database doesn't exist
+    // yet: CREATE DATABASE IF NOT EXISTS ignores LOCATION on later calls,
+    // so an unconditional createTempDirectory would leak one dir per
+    // invocation while the data kept landing in the first one. Repeated
+    // calls overwrite the one table SEQUENTIALLY (bench passes, verify) —
+    // concurrent invocation would race the shared name, which mirrors
+    // production: one maintenance job owns an index table.
+    if (!spark.catalog.databaseExists("graft_incr")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft_incr_wh").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_incr LOCATION '$wh'")
+    }
     bands.filter(col("doc_id") % 5L =!= 0L)
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "band", "sig").sortBy("band", "sig")

@@ -96,14 +96,19 @@ object Formats {
   def scanEvolve(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("graft_evolve")
     val ord = table(spark, dir, "orders")
+    // neutral dir names: a key=value name (batch=1) would be inferred as
+    // an implicit partition COLUMN by directory discovery — a different
+    // mechanism than the footer-schema merging this op models
     ord.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice")
-      .write.mode("overwrite").parquet(s"$out/batch=1")
+      .write.mode("overwrite").parquet(s"$out/b1")
     ord.filter(col("o_orderkey") % 2 =!= 0)
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
-      .write.mode("overwrite").parquet(s"$out/batch=2")
+      .write.mode("overwrite").parquet(s"$out/b2")
+    // both batch dirs listed explicitly: plain (non key=value) subdirs
+    // are invisible to partition discovery from the root, by design
     spark.read.option("mergeSchema", "true")
-      .option("basePath", out).parquet(out)
+      .parquet(s"$out/b1", s"$out/b2")
       .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
         .as("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("sum_price"))

@@ -480,12 +480,21 @@ object Relational {
     * disables broadcast and zeroes the application-side threshold, pinning
     * the big-big regime so the injected filter is observable and
     * plan-locked (PlanSpec asserts `might_contain` on the probe side).
-    * Semantics are conf-independent: the oracle is the plain join. */
+    * Semantics are conf-independent: the oracle is the plain join.
+    *
+    * The child session is cached per parent (a SessionState is not free —
+    * building one per invocation would grow unbounded with bench passes). */
+  private val bloomSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   def joinBloom(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val s = bloomSessions.computeIfAbsent(spark, parent => {
+      val ns = parent.newSession()
+      ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ns
+    })
     val li = table(s, dir, "lineitem")
     val sel = table(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
     li.join(sel, col("l_orderkey") === col("o_orderkey"))

@@ -97,8 +97,11 @@ object TimeWindows {
     * max/min, cnt sums, and volume re-enters DECIMAL(18,2) — each hourly
     * volume is a 2-dp decimal that round-trips the double cast exactly, so
     * the daily sum equals the direct-from-raw decimal sum bit-for-bit.
-    * The ORACLE is the direct daily aggregation over raw events, so the
-    * hash compare IS the materialized-rollup correctness proof. */
+    * The ORACLE is the direct daily aggregation over raw events with the
+    * rollup's exact effective ordering — lexicographic (hour, within-hour
+    * packed key) = (absolute µs, id mod 2^31), in HUGEINT — so the hash
+    * compare IS the materialized-rollup correctness proof, tie cases
+    * included. */
   def candlesDaily(spark: SparkSession, dir: String): DataFrame =
     candles(spark, dir)
       .groupBy(col("event_type"), substring(col("hour"), 1, 10).as("day"))
@@ -195,15 +198,16 @@ object TimeWindows {
          FROM b GROUP BY 1, 2 ORDER BY event_type, hour""",
     // the DIRECT daily aggregation over raw events — the Spark side rolls
     // up from hourly, so a hash match proves the two levels agree exactly.
-    // Ordering key: absolute µs (within a day that IS the within-day
-    // order) packed with an 11-bit id residue — epoch_us ~2^51 × 2^11
-    // stays under 2^63 (the within-hour key's 2^31 residue would
-    // overflow here); ties need identical µs, which the hourly candles'
-    // hash match already proves don't bite in this corpus
+    // Tie semantics are IDENTICAL by construction, not assumed away: the
+    // rollup's effective daily order is lexicographic (hour, within-hour
+    // packed key) = (absolute µs, event_id % 2^31), and the oracle uses
+    // exactly that key — HUGEINT (int128) arithmetic, since µs × 2^31
+    // overflows BIGINT at day scale
     "candles_daily" ->
       """WITH b AS (
            SELECT event_type, date_trunc('day', ts) AS d, value,
-                  epoch_us(ts) * 2048 + (event_id % 2048) AS ord
+                  epoch_us(ts)::HUGEINT * 2147483648
+                    + (event_id % 2147483648) AS ord
            FROM events)
          SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
                 arg_min(value, ord) AS open,

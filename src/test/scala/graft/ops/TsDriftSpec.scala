@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   * with `events.ts` rewritten in both physical shapes (LTZ-annotated and
   * NTZ) and requires each to construct — DataFrame construction is eager
   * analysis in Spark, so a `table()` normalization gap surfaces here as
-  * one red test naming the query and mode, not as a lost round. Results
+  * one red test naming the query and mode, not as a lost round. NOTE:
+  * for the sink-shaped ops (pq_days, sink_*, jsonl, scan_evolve,
+  * join_bkt, dedup_incr) construction also EXECUTES their writes — this
+  * is accepted: at sf0.001 the cost is seconds, and it makes the check
+  * strictly stronger than analysis for exactly the ops whose failure
+  * mode is execution-time (a ts-typed partitionBy column). Results
   * must also AGREE across modes for the events-reading queries (the
   * NTZ→LTZ cast is value-identical under the pinned UTC session): a pair
   * of representative ts-consuming queries (candles packs unix_micros into

@@ -325,7 +325,8 @@ class StreamingSpec extends SparkSpec {
         .writeStream.option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000),
+        "AvailableNow drain timed out - query still running")
     }
     day1.repartition(3).write.mode("append").parquet(docsDir)
     drain()
