@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Event-time window aggregations: tumbling, sliding, session.
   *
@@ -104,12 +105,17 @@ object TimeWindows {
     * included. */
   def candlesDaily(spark: SparkSession, dir: String): DataFrame =
     candles(spark, dir)
+      // within a day, hour order IS hour-of-day — a fixed-width INT
+      // ordering key keeps min_by/max_by in HashAggregate (the candles
+      // packed-key rationale: a var-width string key forces SortAggregate,
+      // observed via explain)
+      .withColumn("h", substring(col("hour"), 12, 2).cast(IntegerType))
       .groupBy(col("event_type"), substring(col("hour"), 1, 10).as("day"))
       .agg(
-        min_by(col("open"), col("hour")).as("open"),
+        min_by(col("open"), col("h")).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("hour")).as("close"),
+        max_by(col("close"), col("h")).as("close"),
         sum(col("cnt")).as("cnt"),
         sumMoney(col("volume")).as("volume"))
       .orderBy("event_type", "day")

@@ -335,6 +335,15 @@ class PlanSpec extends SparkSpec {
       s"the full-outer encoding shuffles the base at any scale:\n$p")
   }
 
+  test("candles_daily: both aggregation levels stay hash — rollup never sorts") {
+    // the daily min_by/max_by order by an INT hour-of-day key; the string
+    // hour key would push the rollup level into SortAggregate (observed)
+    val p = plan(TimeWindows.candlesDaily(spark, dir))
+    assert(!p.contains("SortAggregate"),
+      s"rollup must hash-aggregate at both levels:\n$p")
+    assert(p.contains("partial_min_by"), s"expected map-side partials:\n$p")
+  }
+
   test("sample_group: bounded heap per group — groups are never sorted") {
     // exact-k per-domain cap: map-side partial TopKStructs heaps, shuffle
     // carries ≤ k rows per (group, task); a row_number window formulation
