@@ -30,8 +30,11 @@ import org.apache.spark.sql.types._
   * round-trip is hash-checked against the same arithmetic oracle as the
   * raw raster; JPEG's decoded pixels are encoder-dependent, so only its
   * decoder-independent outputs (container dims) are oracle-checked and the
-  * error bound is spec-asserted. FLAC stays out (no JDK codec); a libflac
-  * binding would swap in behind the same seam.
+  * error bound is spec-asserted. FLAC is a pure-JVM implementation of the
+  * published container (magic, STREAMINFO + sample MD5, synced/CRC'd
+  * frames) with VERBATIM subframes — a valid uncompressed stream; LPC/Rice
+  * coding (the compression) is the one omission, and a libflac binding
+  * would swap in behind the same seam for it.
   */
 object Multimodal {
 
@@ -317,6 +320,188 @@ object Multimodal {
         k += 1
       }
       out
+    }
+
+    // ---- FLAC (pure-JVM subset: 16-bit mono, VERBATIM subframes) ------
+    //
+    // A real FLAC container, bit-exact to the published format: fLaC
+    // magic, STREAMINFO metadata block (incl. the MD5 of the unencoded
+    // samples), frames with the 14-bit sync code, UTF-8-coded frame
+    // numbers, CRC-8 header and CRC-16 frame checksums. The encoder
+    // emits VERBATIM subframes only — a valid (if uncompressed) stream
+    // any conforming decoder plays; the decoder additionally handles
+    // CONSTANT subframes. 16-bit mono keeps every field byte-aligned, so
+    // no bit-cursor is needed. LPC/Rice coding is the one omission —
+    // the compression, not the container.
+
+    private def crc8(b: Array[Byte], until: Int): Int = {
+      var crc = 0; var i = 0
+      while (i < until) {
+        crc ^= (b(i) & 0xff)
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0; var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xff) << 8
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private val flacBlockSize = 4096
+
+    /** Encode 16-bit mono samples as a FLAC stream (VERBATIM subframes). */
+    def encodeFlac(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+      require(samples.nonEmpty, "empty FLAC stream")
+      require(sampleRate > 0 && sampleRate < (1 << 20), "sample rate range")
+      val out = new java.io.ByteArrayOutputStream(64 + samples.length * 2)
+      out.write('f'); out.write('L'); out.write('a'); out.write('C')
+      // metadata block header: last-block flag | type 0 (STREAMINFO), len 34
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val si = new Array[Byte](34)
+      def put16(o: Int, v: Int): Unit = {
+        si(o) = ((v >> 8) & 0xff).toByte; si(o + 1) = (v & 0xff).toByte
+      }
+      put16(0, flacBlockSize); put16(2, flacBlockSize) // min/max block size
+      // bytes 4..9: min/max frame size = 0 (unknown, allowed)
+      val total = samples.length.toLong
+      // 20 bits rate | 3 bits channels-1 (=0) | 5 bits bps-1 (=15) | 36 bits total
+      si(10) = ((sampleRate >> 12) & 0xff).toByte
+      si(11) = ((sampleRate >> 4) & 0xff).toByte
+      si(12) = (((sampleRate & 0xf) << 4) | (0 << 1) | (15 >> 4)).toByte
+      si(13) = (((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+      si(14) = ((total >> 24) & 0xff).toByte
+      si(15) = ((total >> 16) & 0xff).toByte
+      si(16) = ((total >> 8) & 0xff).toByte
+      si(17) = (total & 0xff).toByte
+      val md = java.security.MessageDigest.getInstance("MD5")
+      samples.foreach { v =>
+        md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte)
+      }
+      System.arraycopy(md.digest(), 0, si, 18, 16)
+      out.write(si)
+      var off = 0; var frameNo = 0
+      while (off < samples.length) {
+        val n = math.min(flacBlockSize, samples.length - off)
+        require(frameNo < 128, "frame number beyond 1-byte UTF-8 range")
+        val fr = new java.io.ByteArrayOutputStream(8 + n * 2)
+        fr.write(0xff); fr.write(0xf8) // sync 11111111_111110, rsvd 0, fixed-bs 0
+        fr.write(0x70)                 // bs code 0111 (16-bit at end) | rate code 0000
+        fr.write(0x08)                 // channel 0000 | bps 100 (16-bit) | rsvd 0
+        fr.write(frameNo)              // UTF-8 frame number (single byte)
+        fr.write(((n - 1) >> 8) & 0xff); fr.write((n - 1) & 0xff)
+        val hb = fr.toByteArray
+        fr.write(crc8(hb, hb.length))
+        fr.write(0x02)                 // subframe: 0 | 000001 VERBATIM | wasted 0
+        var i = 0
+        while (i < n) {
+          val v = samples(off + i)
+          fr.write((v >> 8) & 0xff); fr.write(v & 0xff) // big-endian 16-bit
+          i += 1
+        }
+        val fb = fr.toByteArray
+        val c16 = crc16(fb, 0, fb.length)
+        out.write(fb); out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+        off += n; frameNo += 1
+      }
+      out.toByteArray
+    }
+
+    /** Decode a FLAC stream produced by a verbatim/constant 16-bit mono
+      * encoder: walks metadata blocks, validates every frame's sync,
+      * CRC-8 and CRC-16, and finally the STREAMINFO MD5 against the
+      * decoded samples — losslessness is CHECKED, not assumed. Returns
+      * (sampleRate, samples). */
+    def decodeFlac(b: Array[Byte]): (Int, Array[Int]) = {
+      require(b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C',
+        "not a FLAC stream")
+      var o = 4
+      var sampleRate = 0; var total = 0L
+      var md5 = new Array[Byte](16)
+      var last = false
+      while (!last) {
+        val hdr = b(o) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        if (typ == 0) {
+          val s = o + 4
+          require(len == 34, "bad STREAMINFO length")
+          sampleRate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+            ((b(s + 12) & 0xff) >> 4)
+          require(((b(s + 12) >> 1) & 0x7) == 0, "mono only")
+          require((((b(s + 12) & 1) << 4) | ((b(s + 13) & 0xff) >> 4)) == 15, "16-bit only")
+          total = ((b(s + 13) & 0xfL) << 32) | ((b(s + 14) & 0xffL) << 24) |
+            ((b(s + 15) & 0xffL) << 16) | ((b(s + 16) & 0xffL) << 8) | (b(s + 17) & 0xffL)
+          System.arraycopy(b, s + 18, md5, 0, 16)
+        }
+        o += 4 + len
+      }
+      val outSamples = new Array[Int](total.toInt)
+      var got = 0
+      while (o < b.length) {
+        val start = o
+        require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xfe) == 0xf8, "bad frame sync")
+        val bsCode = (b(o + 2) & 0xf0) >> 4
+        require((b(o + 2) & 0x0f) == 0, "rate must come from STREAMINFO")
+        require((b(o + 3) & 0xff) == 0x08, "mono 16-bit frames only")
+        o += 4
+        // UTF-8-coded frame number (general multi-byte walk)
+        val lead = b(o) & 0xff; o += 1
+        if (lead >= 0x80) {
+          var cont = { var c = 0; var m = lead; while ((m & 0x40) != 0) { c += 1; m <<= 1 }; c }
+          while (cont > 0) { require((b(o) & 0xc0) == 0x80, "bad UTF-8 number"); o += 1; cont -= 1 }
+        }
+        val n = bsCode match {
+          case 0x6 => val v = (b(o) & 0xff) + 1; o += 1; v
+          case 0x7 => val v = (((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)) + 1; o += 2; v
+          case c => throw new IllegalArgumentException(s"unsupported blocksize code $c")
+        }
+        require(crc8(java.util.Arrays.copyOfRange(b, start, o), o - start) == (b(o) & 0xff),
+          "frame header CRC-8 mismatch")
+        o += 1
+        val sub = b(o) & 0xff; o += 1
+        require((sub & 1) == 0, "wasted bits unsupported")
+        (sub >> 1) & 0x3f match {
+          case 0x00 => // CONSTANT: one 16-bit value replicated
+            val v = ((b(o) << 8) | (b(o + 1) & 0xff)); o += 2
+            var i = 0; while (i < n) { outSamples(got + i) = v; i += 1 }
+          case 0x01 => // VERBATIM
+            var i = 0
+            while (i < n) {
+              outSamples(got + i) = (b(o) << 8) | (b(o + 1) & 0xff) // sign-extends through b(o)
+              o += 2; i += 1
+            }
+          case t => throw new IllegalArgumentException(s"unsupported subframe type $t")
+        }
+        got += n
+        val c16 = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        require(crc16(b, start, o) == c16, "frame CRC-16 mismatch")
+        o += 2
+      }
+      require(got == total, s"sample count mismatch: $got vs $total")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      outSamples.foreach { v =>
+        md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte)
+      }
+      require(java.util.Arrays.equals(md.digest(), md5), "STREAMINFO MD5 mismatch")
+      (sampleRate, outSamples)
     }
 
     // ---- compressed image codecs (JDK ImageIO: PNG, JPEG) -------------
@@ -620,6 +805,53 @@ object Multimodal {
       }.toDF().orderBy("media_id")
   }
 
+  /** FLAC round-trip output: amplitude stats over the DECODED samples,
+    * the exact container size, and the measured losslessness. */
+  final case class FlacRow(
+      media_id: Long,
+      n_samples: Long,
+      peak: Long,
+      mean_amp: Double,
+      rms: Double,
+      flac_bytes: Long,
+      lossless: Boolean)
+
+  /** Compressed-audio round-trip, FLAC: each audio asset's PCM samples are
+    * encoded into a real FLAC container (pure-JVM [[Codec.encodeFlac]] —
+    * fLaC magic, STREAMINFO with sample MD5, synced/CRC'd frames,
+    * VERBATIM subframes) and decoded back; amplitude stats run over the
+    * DECODED samples. The oracle is the WAV-samples arithmetic twin plus
+    * the container-size formula (53 + 2·n for a single-frame stream —
+    * wrong layout arithmetic anywhere shows as a hash mismatch), and
+    * `lossless` is measured: the decoder verifies frame CRCs and the
+    * STREAMINFO MD5, and the row compares decoded samples to the source. */
+  def mmFlacRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.map { r =>
+          val src = Codec.wavSamples(r.payload)
+          val flac = Codec.encodeFlac(8000, src)
+          val (rate, s) = Codec.decodeFlac(flac)
+          val n = s.length
+          var sum = 0L; var sumSq = 0L; var peak = 0L
+          var k = 0
+          while (k < n) {
+            val v = s(k)
+            sum += v; sumSq += v.toLong * v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            k += 1
+          }
+          FlacRow(r.media_id, n.toLong, peak,
+            r4(sum.toDouble / n), r4(math.sqrt(sumSq.toDouble / n)),
+            flac.length.toLong,
+            lossless = rate == 8000 && java.util.Arrays.equals(s, src))
+        }
+      }.toDF().orderBy("media_id")
+  }
+
   /** One frame-to-frame luminance delta. */
   final case class CutRow(
       media_id: Long,
@@ -797,6 +1029,34 @@ object Multimodal {
              floor(b0 * 1e4 + 0.5) / 1e4 AS mean_b,
              TRUE AS lossless
       FROM ch ORDER BY media_id""",
+    // the same WAV-sample synthesis arithmetic as mm_audio_stats, plus
+    // the single-frame FLAC container-size formula (magic 4 + block
+    // header 4 + STREAMINFO 34 + frame header 7 + CRC8 1 + subframe
+    // header 1 + 2n sample bytes + CRC16 2 = 53 + 2n) and the measured
+    // lossless flag pinned TRUE
+    "mm_flac" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 500) + 50 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), k ->
+                 ascii(text[(((2*k) % len) + 1):(((2*k) % len) + 1)]) +
+                 ascii(text[(((2*k+1) % len) + 1):(((2*k+1) % len) + 1)]) * 256) AS vals
+        FROM m),
+      a AS (
+        SELECT media_id, n::BIGINT AS n_samples,
+               list_max(list_transform(vals, v -> abs(v)))::BIGINT AS peak,
+               list_sum(vals)::DOUBLE / n AS mean0,
+               sqrt(list_sum(list_transform(vals, v -> v::DOUBLE * v)) / n) AS rms0
+        FROM s)
+      SELECT media_id, n_samples, peak,
+             floor(mean0 * 1e4 + 0.5) / 1e4 AS mean_amp,
+             floor(rms0 * 1e4 + 0.5) / 1e4 AS rms,
+             (53 + 2 * n_samples)::BIGINT AS flac_bytes,
+             TRUE AS lossless
+      FROM a ORDER BY media_id""",
     // JPEG: dims survive lossy coding and are decoder-independent
     "mm_jpeg" -> """
       SELECT doc_id AS media_id,
@@ -846,5 +1106,6 @@ object Multimodal {
     "mm_cuts" -> ((s, d) => mmSceneCuts(s, d)),
     "mm_png" -> mmPngRoundtrip _,
     "mm_jpeg" -> mmJpegRoundtrip _,
+    "mm_flac" -> mmFlacRoundtrip _,
   )
 }

@@ -119,6 +119,35 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("FLAC: encode→decode round-trips the full signed 16-bit range, multi-frame") {
+    val cases = Gen.listOfN(15,
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    // multi-frame case: longer than one 4096-sample FLAC frame
+    val long = (0 until 10000).map(i => ((i * 7919) % 65536) - 32768).toList
+    (long :: cases).foreach { vals =>
+      val flac = Codec.encodeFlac(8000, vals.toArray)
+      assert(flac(0) == 'f' && flac(1) == 'L' && flac(2) == 'a' && flac(3) == 'C')
+      val (rate, back) = Codec.decodeFlac(flac)
+      assert(rate == 8000)
+      assert(back.toSeq == vals, s"FLAC round-trip lost samples (n=${vals.length})")
+    }
+  }
+
+  test("FLAC: corrupted frames and checksums fail loudly") {
+    val vals = (0 until 600).map(i => (i * 31) % 1000 - 500).toArray
+    val flac = Codec.encodeFlac(8000, vals)
+    // flip a sample byte: frame CRC-16 must catch it
+    val c1 = flac.clone(); c1(60) = (c1(60) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Codec.decodeFlac(c1))
+    // corrupt the frame header: CRC-8 (or the sync check) must catch it
+    val c2 = flac.clone(); c2(46) = (c2(46) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Codec.decodeFlac(c2))
+    // truncate the magic
+    intercept[IllegalArgumentException](Codec.decodeFlac(flac.drop(1)))
+  }
+
   test("corrupt containers fail loudly, never decode to plausible garbage") {
     // truncated PPM raster
     val ppm = Codec.encodePpm(4, 3, Array.fill[Byte](36)(1))
