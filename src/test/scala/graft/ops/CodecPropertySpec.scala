@@ -135,6 +135,34 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("FLAC compressed: fixed+Rice round-trips exactly and beats verbatim on structure") {
+    // smooth signal: a ramp with small wiggle — order-1/2 predictors
+    // should code it far below 16 bits/sample
+    val smooth = (0 until 5000).map(i => (i / 3) % 20000 - 10000 + (i % 3)).toArray
+    val comp = Codec.encodeFlacCompressed(8000, smooth)
+    val verb = Codec.encodeFlac(8000, smooth)
+    val (_, back) = Codec.decodeFlac(comp)
+    assert(back.toSeq == smooth.toSeq, "compressed FLAC round-trip lost samples")
+    assert(comp.length * 2 < verb.length,
+      s"fixed+Rice should beat verbatim >2x on a ramp: ${comp.length} vs ${verb.length}")
+    // uncorrelated noise: fixed predictors cannot win; fallback to verbatim
+    // keeps the stream no larger than the verbatim form (equal layout)
+    val noise = (0 until 3000).map(i => ((i * 2654435761L) % 65536).toInt - 32768).toArray
+    val compN = Codec.encodeFlacCompressed(8000, noise)
+    val (_, backN) = Codec.decodeFlac(compN)
+    assert(backN.toSeq == noise.toSeq)
+    assert(compN.length <= Codec.encodeFlac(8000, noise).length)
+    // randomized round-trips through the compressed path
+    val cases = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    cases.foreach { vals =>
+      val (_, b2) = Codec.decodeFlac(Codec.encodeFlacCompressed(8000, vals.toArray))
+      assert(b2.toSeq == vals, s"compressed round-trip lost samples (n=${vals.length})")
+    }
+  }
+
   test("FLAC: corrupted frames and checksums fail loudly") {
     val vals = (0 until 600).map(i => (i * 31) % 1000 - 500).toArray
     val flac = Codec.encodeFlac(8000, vals)
