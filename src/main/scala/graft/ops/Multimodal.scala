@@ -416,7 +416,6 @@ object Multimodal {
       }
       def alignByte(): Unit = if (nbits != 0) writeBits(0, 8 - nbits)
       def toBytes: Array[Byte] = { alignByte(); out.toByteArray }
-      def bitLength: Long = out.size().toLong * 8 + nbits
     }
 
     /** Byte-aligned VERBATIM subframe: header byte + big-endian samples. */
@@ -496,6 +495,11 @@ object Multimodal {
         subframe: (Array[Int], Int, Int) => Array[Byte]): Array[Byte] = {
       require(samples.nonEmpty, "empty FLAC stream")
       require(sampleRate > 0 && sampleRate < (1 << 20), "sample rate range")
+      // out-of-range samples would encode mod 2^16 into a stream whose
+      // CRCs and MD5 all pass (both sides hash the low 16 bits) — the one
+      // corruption the container checks cannot catch, so refuse it here
+      require(samples.forall(v => v >= Short.MinValue && v <= Short.MaxValue),
+        "sample out of 16-bit range")
       val out = new java.io.ByteArrayOutputStream(64 + samples.length * 2)
       out.write('f'); out.write('L'); out.write('a'); out.write('C')
       // metadata block header: last-block flag | type 0 (STREAMINFO), len 34
@@ -557,10 +561,13 @@ object Multimodal {
     def encodeFlacCompressed(sampleRate: Int, samples: Array[Int]): Array[Byte] =
       flacStream(sampleRate, samples, bestSubframe)
 
-    /** Decode a FLAC stream produced by a verbatim/constant 16-bit mono
-      * encoder: walks metadata blocks, validates every frame's sync,
-      * CRC-8 and CRC-16, and finally the STREAMINFO MD5 against the
-      * decoded samples — losslessness is CHECKED, not assumed. Returns
+    /** Decode a 16-bit mono FLAC stream — CONSTANT, VERBATIM, and
+      * FIXED(0-4)+Rice subframes at any equal-size partition order (both
+      * [[encodeFlac]] and [[encodeFlacCompressed]] output, plus
+      * fast-mode streams from any conforming encoder): walks metadata
+      * blocks, validates every frame's sync, CRC-8 and CRC-16, and
+      * finally the STREAMINFO MD5 against the decoded samples —
+      * losslessness is CHECKED, not assumed. Returns
       * (sampleRate, samples). */
     def decodeFlac(b: Array[Byte]): (Int, Array[Int]) = {
       require(b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C',
@@ -636,6 +643,8 @@ object Multimodal {
             val po = br.readBits(4).toInt
             val parts = 1 << po
             require(n % parts == 0, "partition size must divide blocksize")
+            require(order <= (n >> po),
+              "warm-up exceeds the first partition") // else cnt goes negative
             var p = 0
             var idx = order
             while (p < parts) {
@@ -991,17 +1000,21 @@ object Multimodal {
       mean_amp: Double,
       rms: Double,
       flac_bytes: Long,
+      compressed: Boolean,
       lossless: Boolean)
 
-  /** Compressed-audio round-trip, FLAC: each audio asset's PCM samples are
-    * encoded into a real FLAC container (pure-JVM [[Codec.encodeFlac]] —
-    * fLaC magic, STREAMINFO with sample MD5, synced/CRC'd frames,
-    * VERBATIM subframes) and decoded back; amplitude stats run over the
-    * DECODED samples. The oracle is the WAV-samples arithmetic twin plus
-    * the container-size formula (53 + 2·n for a single-frame stream —
-    * wrong layout arithmetic anywhere shows as a hash mismatch), and
-    * `lossless` is measured: the decoder verifies frame CRCs and the
-    * STREAMINFO MD5, and the row compares decoded samples to the source. */
+  /** Compressed-audio round-trip, FLAC: each audio asset's PCM samples
+    * run through the COMPRESSING encoder ([[Codec.encodeFlacCompressed]]
+    * — per-frame best of verbatim and fixed-predictor+Rice) and are
+    * decoded back; amplitude stats run over the DECODED samples. The
+    * oracle is the WAV-samples arithmetic twin plus the VERBATIM
+    * container-size formula (53 + 2·n, deterministic — wrong layout
+    * arithmetic anywhere shows as a hash mismatch); the compressed size
+    * is encoder-choice-dependent, so it enters the oracle only as the
+    * measured `compressed` constraint (≤ verbatim, guaranteed by the
+    * per-frame fallback rule). `lossless` is measured: the decoder
+    * verifies frame CRCs and the STREAMINFO MD5, and the row compares
+    * decoded samples to the source. */
   def mmFlacRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
@@ -1010,7 +1023,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val src = Codec.wavSamples(r.payload)
-          val flac = Codec.encodeFlac(8000, src)
+          val verbatim = Codec.encodeFlac(8000, src)
+          val flac = Codec.encodeFlacCompressed(8000, src)
           val (rate, s) = Codec.decodeFlac(flac)
           val n = s.length
           var sum = 0L; var sumSq = 0L; var peak = 0L
@@ -1023,7 +1037,8 @@ object Multimodal {
           }
           FlacRow(r.media_id, n.toLong, peak,
             r4(sum.toDouble / n), r4(math.sqrt(sumSq.toDouble / n)),
-            flac.length.toLong,
+            verbatim.length.toLong,
+            compressed = flac.length <= verbatim.length,
             lossless = rate == 8000 && java.util.Arrays.equals(s, src))
         }
       }.toDF().orderBy("media_id")
@@ -1232,6 +1247,7 @@ object Multimodal {
              floor(mean0 * 1e4 + 0.5) / 1e4 AS mean_amp,
              floor(rms0 * 1e4 + 0.5) / 1e4 AS rms,
              (53 + 2 * n_samples)::BIGINT AS flac_bytes,
+             TRUE AS compressed,
              TRUE AS lossless
       FROM a ORDER BY media_id""",
     // JPEG: dims survive lossy coding and are decoder-independent
