@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * into MEASURED counts a gate can threshold.
   *
   * Scale shape: each check is an independent aggregate over one scan —
-  * count-shaped (map-side partials, a one-row result), the anti-join check
-  * broadcasts the key side it probes; the final frame is a 5-row union of
-  * one-row aggregates. At 100 TB the checks share the snapshot scan via
+  * count-shaped (map-side partials, a one-row result); the orphan check is
+  * a keyed anti-join with no broadcast hint (both sides are fact-sized at
+  * scale — AQE picks broadcast when the key side is actually small); the
+  * final frame is a 5-row union of one-row aggregates. At 100 TB the checks share the snapshot scan via
   * the usual multi-aggregate rewrite if co-scheduled; they are expressed
   * independently here so each stays individually pruneable. */
 object DataQuality {
@@ -25,8 +26,12 @@ object DataQuality {
     val ev = table(spark, dir, "events")
     def check(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("check"), count(lit(1)).as("violations"))
+    // no broadcast hint: o_orderkey scales with the snapshot (orders is a
+    // fact table, not a bounded dim) — a forced hint would encode an OOM
+    // at 100 TB; AQE converts to broadcast at fixture scale on its own
+    // (the dedupNgramJaccard rationale)
     val orphans = li.select("l_orderkey")
-      .join(broadcast(ord.select("o_orderkey")),
+      .join(ord.select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
     val nullValues = ev.filter(col("value").isNull)
     val nonPositiveQty = li.filter(col("l_quantity") <= 0.0)

@@ -554,6 +554,16 @@ object Multimodal {
     def encodeFlac(sampleRate: Int, samples: Array[Int]): Array[Byte] =
       flacStream(sampleRate, samples, verbatimSubframe)
 
+    /** Closed-form [[encodeFlac]] output size: 42 stream/STREAMINFO bytes
+      * + 11 overhead bytes per frame + 2 bytes per sample. Spec-locked
+      * against the actual encoder (CodecPropertySpec), used by
+      * [[mmFlacRoundtrip]] so the hot path never runs a second encode
+      * just to learn its length. */
+    def verbatimFlacBytes(nSamples: Int): Long = {
+      val frames = (nSamples + flacBlockSize - 1) / flacBlockSize
+      42L + 11L * frames + 2L * nSamples
+    }
+
     /** Encode with REAL compression: per frame, the smaller of VERBATIM
       * and FIXED-predictor(0-4) + Rice-coded residuals. Correlated
       * signals (anything with local structure) code well below 16 bits
@@ -577,10 +587,12 @@ object Multimodal {
       var md5 = new Array[Byte](16)
       var last = false
       while (!last) {
+        require(o + 4 <= b.length, "truncated metadata block header")
         val hdr = b(o) & 0xff
         last = (hdr & 0x80) != 0
         val typ = hdr & 0x7f
         val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        require(o + 4 + len <= b.length, "truncated metadata block body")
         if (typ == 0) {
           val s = o + 4
           require(len == 34, "bad STREAMINFO length")
@@ -596,7 +608,11 @@ object Multimodal {
       }
       val outSamples = new Array[Int](total.toInt)
       var got = 0
-      while (o < b.length) {
+      // a truncated frame surfaces as an out-of-bounds read somewhere in
+      // the bit walk — the catch below rethrows it as the decoder's
+      // loud-failure contract (sibling decoders use explicit truncation
+      // requires; per-read bounds checks would lard the bit-level loop)
+      try while (o < b.length) {
         val start = o
         require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xfe) == 0xf8, "bad frame sync")
         val bsCode = (b(o + 2) & 0xf0) >> 4
@@ -680,6 +696,9 @@ object Multimodal {
         val c16 = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
         require(crc16(b, start, o) == c16, "frame CRC-16 mismatch")
         o += 2
+      } catch {
+        case e: ArrayIndexOutOfBoundsException =>
+          throw new IllegalArgumentException("truncated FLAC stream", e)
       }
       require(got == total, s"sample count mismatch: $got vs $total")
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -1023,7 +1042,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val src = Codec.wavSamples(r.payload)
-          val verbatim = Codec.encodeFlac(8000, src)
+          val verbatimBytes = Codec.verbatimFlacBytes(src.length)
           val flac = Codec.encodeFlacCompressed(8000, src)
           val (rate, s) = Codec.decodeFlac(flac)
           val n = s.length
@@ -1037,8 +1056,8 @@ object Multimodal {
           }
           FlacRow(r.media_id, n.toLong, peak,
             r4(sum.toDouble / n), r4(math.sqrt(sumSq.toDouble / n)),
-            verbatim.length.toLong,
-            compressed = flac.length <= verbatim.length,
+            verbatimBytes,
+            compressed = flac.length <= verbatimBytes,
             lossless = rate == 8000 && java.util.Arrays.equals(s, src))
         }
       }.toDF().orderBy("media_id")

@@ -204,12 +204,14 @@ object TextOps {
       .filter(length(col("text")) > 0)
       // split("") is codegen'd and builds the char array in one pass —
       // an interpreted transform(sequence, i -> substr) costs a lambda
-      // dispatch per character (measured ~2x the whole query); the empty
-      // trailing element split emits is dropped by the ascii > 0 filter
+      // dispatch per character (measured ~2x the whole query). The empty
+      // trailing element split emits is dropped by STRING emptiness, not
+      // by ascii==0 — a real NUL character also has ascii 0 and must stay
+      // a counted symbol (the oracle's per-position walk counts it)
       .select(col("doc_id"),
         explode(split(col("text"), "")).as("c0"))
+      .filter(col("c0") =!= "")
       .select(col("doc_id"), ascii(col("c0")).as("ch"))
-      .filter(col("ch") > 0)
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .withColumn("qlog_c",
         floor(log2(col("c").cast(DoubleType)) * 1e6 + 0.5).cast(LongType))

@@ -129,6 +129,9 @@ class CodecPropertySpec extends SparkSpec {
     (long :: cases).foreach { vals =>
       val flac = Codec.encodeFlac(8000, vals.toArray)
       assert(flac(0) == 'f' && flac(1) == 'L' && flac(2) == 'a' && flac(3) == 'C')
+      // the closed-form size the mm_flac oracle depends on
+      assert(flac.length.toLong == Codec.verbatimFlacBytes(vals.length),
+        s"verbatim size formula diverged at n=${vals.length}")
       val (rate, back) = Codec.decodeFlac(flac)
       assert(rate == 8000)
       assert(back.toSeq == vals, s"FLAC round-trip lost samples (n=${vals.length})")
@@ -174,6 +177,18 @@ class CodecPropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](Codec.decodeFlac(c2))
     // truncate the magic
     intercept[IllegalArgumentException](Codec.decodeFlac(flac.drop(1)))
+    // truncate mid-frame and mid-metadata: loud failure, not a raw AIOOBE
+    intercept[IllegalArgumentException](Codec.decodeFlac(flac.dropRight(3)))
+    intercept[IllegalArgumentException](
+      Codec.decodeFlac(java.util.Arrays.copyOfRange(flac, 0, 20)))
+    // compressed path truncation too (bit-level reads)
+    val comp = Codec.encodeFlacCompressed(8000,
+      (0 until 600).map(i => i % 100).toArray)
+    intercept[IllegalArgumentException](Codec.decodeFlac(comp.dropRight(2)))
+    // out-of-16-bit-range samples are refused at encode time: they would
+    // alias mod 2^16 into a stream every checksum accepts
+    intercept[IllegalArgumentException](Codec.encodeFlac(8000, Array(40000)))
+    intercept[IllegalArgumentException](Codec.encodeFlacCompressed(8000, Array(-40000)))
   }
 
   test("corrupt containers fail loudly, never decode to plausible garbage") {

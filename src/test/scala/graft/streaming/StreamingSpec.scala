@@ -312,9 +312,23 @@ class StreamingSpec extends SparkSpec {
     val docsDir = tmp("dedup_probe_docs")
     val outDir = tmp("dedup_probe_out")
     val ckpt = tmp("dedup_probe_ckpt")
-    val fresh = graft.ops.table(spark, dir, "documents")
+    // day split is constructed, not sampled: day 2 MUST contain at least
+    // one doc the batch formulation flags, or the progress assertion
+    // below would report a phantom regression on a regenerated corpus
+    // whose few near-dups all landed day-1 by chance
+    val expected = graft.ops.DedupOps.streamProbeExpected(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.size >= 2, "fixture has <2 near-dup docs - split is degenerate")
+    val freshRows = graft.ops.table(spark, dir, "documents")
       .select("doc_id", "text").filter(col("doc_id") % 5 === 0)
-    val Array(day1, day2) = fresh.randomSplit(Array(0.5, 0.5), seed = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (flaggedRows, plainRows) = freshRows.partition(r => expected(r._1))
+    import spark.implicits._
+    // half the flagged docs (at least one) and half the rest per day
+    val day1 = (flaggedRows.take(flaggedRows.length / 2) ++
+      plainRows.take(plainRows.length / 2)).toSeq.toDF("doc_id", "text")
+    val day2 = (flaggedRows.drop(flaggedRows.length / 2) ++
+      plainRows.drop(plainRows.length / 2)).toSeq.toDF("doc_id", "text")
     val storedIdx = graft.ops.DedupOps.bandIndexOldSlice(spark, dir)
     def drain(): Unit = {
       val sch = spark.read.parquet(docsDir).schema
@@ -338,8 +352,6 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.size > afterDay1, "restart processed no new files")
     assert(flagged.distinct.size == flagged.size,
       "a doc was re-flagged across the restart")
-    val expected = graft.ops.DedupOps.streamProbeExpected(spark, dir)
-      .collect().map(_.getLong(0)).toSet
     assert(flagged.toSet == expected,
       s"restart lost or invented flags: missing=${expected -- flagged.toSet} extra=${flagged.toSet -- expected}")
   }
