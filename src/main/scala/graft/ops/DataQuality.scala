@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * before publishing a snapshot (and fails the publish when violations
   * exceed budget): referential orphans, null rates on required columns,
   * domain-range violations, and primary-key duplicates. The reference's
-  * analog is its per-row try/except tolerance (liq-stream
-  * `normalize.py:21-66` drops malformed rows silently); this op turns that
-  * into MEASURED counts a gate can threshold.
+  * analog is its per-row try/except tolerance — the adapters swallow
+  * malformed frames row by row (liq-stream `adapters/binance_adapter.py:93-94`,
+  * `adapters/hyperliquid_adapter.py:167-170`) and the CSV writer silently
+  * drops unknown keys (`writer_csv.py:36`); this op turns those silent
+  * drops into MEASURED counts a gate can threshold.
   *
   * Scale shape: each check is an independent aggregate over one scan —
   * count-shaped (map-side partials, a one-row result); the orphan check is

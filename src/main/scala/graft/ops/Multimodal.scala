@@ -369,6 +369,25 @@ object Multimodal {
 
     private val flacBlockSize = 4096
 
+    /** Byte length of FLAC's UTF-8-style number coding (standard UTF-8
+      * boundaries, extended to 7 bytes / 36 bits by the FLAC format). */
+    private def utf8NumBytes(v: Long): Int =
+      if (v < 0x80L) 1 else if (v < 0x800L) 2 else if (v < 0x10000L) 3
+      else if (v < 0x200000L) 4 else if (v < 0x4000000L) 5
+      else if (v < 0x80000000L) 6 else 7
+
+    /** Write a FLAC UTF-8-coded number: nb-byte form = a lead byte with
+      * nb one-bits then a zero, then (nb-1) 10xxxxxx continuation bytes —
+      * the decoder's multi-byte walk and the CRC paths already handle it. */
+    private def writeUtf8Num(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      val nb = utf8NumBytes(v)
+      if (nb == 1) { out.write(v.toInt); return }
+      out.write(((0xff << (8 - nb)) & 0xff) |
+        ((v >> (6 * (nb - 1))) & ((1 << (7 - nb)) - 1)).toInt)
+      var i = nb - 2
+      while (i >= 0) { out.write(0x80 | ((v >> (6 * i)) & 0x3f).toInt); i -= 1 }
+    }
+
     /** MSB-first bit reader over a byte array (FLAC's bit order). */
     private[ops] final class BitReader(b: Array[Byte], var pos: Long) {
       def readBits(n: Int): Long = {
@@ -529,12 +548,11 @@ object Multimodal {
       var off = 0; var frameNo = 0
       while (off < samples.length) {
         val n = math.min(flacBlockSize, samples.length - off)
-        require(frameNo < 128, "frame number beyond 1-byte UTF-8 range")
         val fr = new java.io.ByteArrayOutputStream(8 + n * 2)
         fr.write(0xff); fr.write(0xf8) // sync 11111111_111110, rsvd 0, fixed-bs 0
         fr.write(0x70)                 // bs code 0111 (16-bit at end) | rate code 0000
         fr.write(0x08)                 // channel 0000 | bps 100 (16-bit) | rsvd 0
-        fr.write(frameNo)              // UTF-8 frame number (single byte)
+        writeUtf8Num(fr, frameNo)      // UTF-8 frame number (multi-byte past 127)
         fr.write(((n - 1) >> 8) & 0xff); fr.write((n - 1) & 0xff)
         val hb = fr.toByteArray
         fr.write(crc8(hb, hb.length))
@@ -555,13 +573,21 @@ object Multimodal {
       flacStream(sampleRate, samples, verbatimSubframe)
 
     /** Closed-form [[encodeFlac]] output size: 42 stream/STREAMINFO bytes
-      * + 11 overhead bytes per frame + 2 bytes per sample. Spec-locked
-      * against the actual encoder (CodecPropertySpec), used by
+      * + 10 fixed overhead bytes per frame + the frame's UTF-8-coded
+      * number + 2 bytes per sample. Spec-locked against the actual
+      * encoder (CodecPropertySpec, incl. a >128-frame stream), used by
       * [[mmFlacRoundtrip]] so the hot path never runs a second encode
       * just to learn its length. */
     def verbatimFlacBytes(nSamples: Int): Long = {
       val frames = (nSamples + flacBlockSize - 1) / flacBlockSize
-      42L + 11L * frames + 2L * nSamples
+      // sum of utf8NumBytes(0 .. frames-1), by byte-width band
+      val bands = Seq(0x80L, 0x800L, 0x10000L, 0x200000L, 0x4000000L, 0x80000000L)
+      var numBytes = 0L; var lo = 0L
+      bands.zipWithIndex.foreach { case (hi, i) =>
+        if (frames > lo) numBytes += (math.min(frames.toLong, hi) - lo) * (i + 1)
+        lo = hi
+      }
+      42L + 10L * frames + numBytes + 2L * nSamples
     }
 
     /** Encode with REAL compression: per frame, the smaller of VERBATIM
@@ -570,6 +596,25 @@ object Multimodal {
       * per sample; uncorrelated noise falls back to verbatim. */
     def encodeFlacCompressed(sampleRate: Int, samples: Array[Int]): Array[Byte] =
       flacStream(sampleRate, samples, bestSubframe)
+
+    /** TEST-ONLY encoder exercising the Rice ESCAPE path (k=15): FIXED
+      * order-0 subframes whose single partition stores residuals verbatim
+      * at a fixed 16-bit width. The size-optimal encoder never emits the
+      * escape (its parameter search stops at 14), but a stream from a real
+      * external encoder may — this keeps the decoder branch covered by a
+      * genuine CRC'd, MD5'd stream rather than left untested. */
+    private[ops] def encodeFlacEscape(sampleRate: Int, samples: Array[Int]): Array[Byte] =
+      flacStream(sampleRate, samples, (s, off, n) => {
+        val bw = new BitWriter
+        bw.writeBits(8 << 1, 8) // 0 | 001000 FIXED order 0 | wasted 0
+        bw.writeBits(0, 2)      // residual method: 4-bit Rice
+        bw.writeBits(0, 4)      // partition order 0 = one partition
+        bw.writeBits(15, 4)     // ESCAPE
+        bw.writeBits(16, 5)     // raw residual width: 16-bit two's complement
+        var i = 0
+        while (i < n) { bw.writeBits(s(off + i).toLong & 0xffff, 16); i += 1 }
+        bw.toBytes
+      })
 
     /** Decode a 16-bit mono FLAC stream — CONSTANT, VERBATIM, and
       * FIXED(0-4)+Rice subframes at any equal-size partition order (both
@@ -606,6 +651,11 @@ object Multimodal {
         }
         o += 4 + len
       }
+      // STREAMINFO total is a 36-bit field: a corrupt header can carry a
+      // count a JVM array cannot hold — refuse loudly instead of letting
+      // .toInt alias it into a NegativeArraySizeException (or worse, a
+      // small positive size the sample-count check only catches later)
+      require(total <= Int.MaxValue, s"stream too long: $total samples")
       val outSamples = new Array[Int](total.toInt)
       var got = 0
       // a truncated frame surfaces as an out-of-bounds read somewhere in
@@ -665,14 +715,27 @@ object Multimodal {
             var idx = order
             while (p < parts) {
               val k = br.readBits(4).toInt
-              require(k != 15, "Rice escape code unsupported")
+              // k == 15 is the ESCAPE code: a 5-bit raw width follows and
+              // the partition's residuals are stored VERBATIM in two's
+              // complement (no zigzag) — a conforming encoder emits it
+              // when Rice coding would expand (pathological noise). Our
+              // encoder's parameter search stops at 14, so only external
+              // streams exercise this branch (CodecPropertySpec covers it
+              // via the test-only escape encoder).
+              val esc = k == 15
+              val escBits = if (esc) br.readBits(5).toInt else 0
               val cnt = (n / parts) - (if (p == 0) order else 0)
               var j = 0
               while (j < cnt) {
-                val q = br.readUnary()
-                val u = (q.toLong << k) | br.readBits(k)
-                // unzigzag: even → u/2, odd → -(u+1)/2
-                val r = ((u >>> 1) ^ -(u & 1L)).toInt
+                val r = if (esc) {
+                  if (escBits == 0) 0
+                  else ((br.readBits(escBits) << (64 - escBits)) >> (64 - escBits)).toInt
+                } else {
+                  val q = br.readUnary()
+                  val u = (q.toLong << k) | br.readBits(k)
+                  // unzigzag: even → u/2, odd → -(u+1)/2
+                  ((u >>> 1) ^ -(u & 1L)).toInt
+                }
                 // fixed-predictor reconstruction
                 val s0 = got + idx
                 val pred = order match {
@@ -712,10 +775,16 @@ object Multimodal {
     // ---- compressed image codecs (JDK ImageIO: PNG, JPEG) -------------
 
     // Executor-safe ImageIO setup, once per JVM at first Codec use:
-    // headless (no display on an executor), and NO disk-backed stream
-    // cache — the default writes every encode through a temp file, which
-    // at 100 TB turns a CPU-bound codec stage into small-file IO.
-    System.setProperty("java.awt.headless", "true")
+    // headless (no display on an executor — but only when the embedding
+    // app hasn't already chosen, so a co-resident toolkit keeps its
+    // setting), and NO disk-backed stream cache — the default writes
+    // every encode through a temp file, which at 100 TB turns a
+    // CPU-bound codec stage into small-file IO. setUseCache is
+    // deliberately process-global: every ImageIO user in this JVM gets
+    // the in-memory path (strictly faster; the disk cache exists for
+    // memory-constrained desktop apps, not executors).
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
     javax.imageio.ImageIO.setUseCache(false)
 
     /** Split a P6 PPM into (width, height, packed RGB triples). */

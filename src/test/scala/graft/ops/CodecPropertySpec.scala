@@ -166,6 +166,44 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("FLAC: Rice escape partitions (k=15, verbatim residuals) decode exactly") {
+    // the size-optimal encoder never emits the escape (search stops at 14);
+    // a conforming external stream may — decode it, full signed range
+    val cases = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    (List(0, 0, 0) :: List(Short.MinValue.toInt, Short.MaxValue.toInt) :: cases)
+      .foreach { vals =>
+        val flac = Codec.encodeFlacEscape(8000, vals.toArray)
+        val (rate, back) = Codec.decodeFlac(flac)
+        assert(rate == 8000)
+        assert(back.toSeq == vals, s"escape round-trip lost samples (n=${vals.length})")
+      }
+  }
+
+  test("FLAC: streams past 128 frames carry multi-byte UTF-8 frame numbers") {
+    // 130 frames: frame numbers 128+ take the 2-byte UTF-8 form on both
+    // the encode and size-formula paths
+    val n = 130 * 4096 + 7
+    val vals = Array.tabulate(n)(i => ((i.toLong * 7919) % 65536).toInt - 32768)
+    val flac = Codec.encodeFlac(8000, vals)
+    assert(flac.length.toLong == Codec.verbatimFlacBytes(n),
+      "size formula diverged on the multi-byte frame-number band")
+    val (_, back) = Codec.decodeFlac(flac)
+    assert(back.length == n && back.toSeq == vals.toSeq,
+      "multi-byte frame numbers broke the round-trip")
+  }
+
+  test("FLAC: corrupt STREAMINFO total-samples fails loudly, not as a JVM error") {
+    val flac = Codec.encodeFlac(8000, Array(1, 2, 3))
+    // STREAMINFO total is bytes 13(low nibble)..17 of the block at offset 8
+    val c = flac.clone()
+    c(8 + 13) = ((c(8 + 13) & 0xf0) | 0x0f).toByte // total >= 2^32 > Int.MaxValue
+    val e = intercept[IllegalArgumentException](Codec.decodeFlac(c))
+    assert(e.getMessage.contains("stream too long"))
+  }
+
   test("FLAC: corrupted frames and checksums fail loudly") {
     val vals = (0 until 600).map(i => (i * 31) % 1000 - 500).toArray
     val flac = Codec.encodeFlac(8000, vals)
