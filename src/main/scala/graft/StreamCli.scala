@@ -50,6 +50,7 @@ object StreamCli {
       pgBatch: Int = sys.env.get("PG_BATCH").map(_.toInt).getOrElse(500),
       hlNoCatchup: Boolean = false,
       candles: Boolean = false,
+      candlesDaily: Boolean = false,
       vwap: Boolean = false)
 
   /** The `--all` roster (`stream.py:93-99`). */
@@ -82,6 +83,7 @@ object StreamCli {
       case "--pg-batch" :: v :: t => loop(t, a.copy(pgBatch = v.toInt))
       case "--hl-no-catchup" :: t => loop(t, a.copy(hlNoCatchup = true))
       case "--candles" :: t => loop(t, a.copy(candles = true))
+      case "--candles-daily" :: t => loop(t, a.copy(candlesDaily = true))
       case "--vwap" :: t => loop(t, a.copy(vwap = true))
       case Nil => a
       case other :: _ =>
@@ -232,6 +234,18 @@ object StreamCli {
       try cq.processAllAvailable() finally cq.stop()
       println(s"[cli] candle rows=${spark.read.parquet(s"$root/candles").count()} " +
         s"-> $root/candles")
+    }
+    if (args.candlesDaily) {
+      // two-level rollup: hourly candles stream into an incremental daily
+      // fold (foreachBatch re-folds only the affected days from the
+      // hourly store — see StreamAssembly.candlesDailyStream)
+      val dq = StreamAssembly.candlesDailyStream(unified,
+        s"$root/candles_hourly", s"$root/candles_daily",
+        s"$root/ckpt_candles_daily", args.triggerMs)
+      try dq.processAllAvailable() finally dq.stop()
+      println(s"[cli] daily candle rows=" +
+        s"${spark.read.parquet(s"$root/candles_daily").count()} " +
+        s"-> $root/candles_daily")
     }
     if (args.vwap) {
       val prev = StreamAssembly.useRocksDbStateStore(spark)

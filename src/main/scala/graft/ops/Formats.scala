@@ -115,6 +115,73 @@ object Formats {
       .orderBy("o_orderpriority")
   }
 
+  /** Everything [[scanManifest]] needs to be probed: the full file count,
+    * the manifest-surviving subset, and the final pruned-read result. */
+  private[graft] final case class ManifestScan(
+      allFiles: Long, survivors: Array[String], result: DataFrame)
+
+  /** Manifest-pruned scan — file-level min/max statistics consulted at
+    * PLANNING time so execution never opens a file the predicate rules
+    * out. This is the lake analog of the reference's composite index
+    * (liq-stream `writer_pg.py:38-57` exists precisely to serve selective
+    * lookups without a full scan) and the piece [[scanEvolve]]'s scaladoc
+    * names as missing: production lakes persist schema + per-file zone
+    * maps in a catalog/manifest (Iceberg manifests, Delta add-file stats)
+    * so planning skips files without reading footers.
+    *
+    * Modeled end to end: (1) the writer CLUSTERS rows on the stat column
+    * (`repartitionByRange(user_id)` → each file holds a contiguous,
+    * disjoint user_id range — stats only prune when the layout gives them
+    * narrow ranges, which is the same insight as [[graft.ops.Extended]]'s
+    * z-order); (2) a one-pass stats collection builds the manifest —
+    * file → row count + min/max user_id, grouped by `input_file_name()`,
+    * the OPTIMIZE-style maintenance job — and persists it as its own
+    * parquet table; (3) a selective range predicate filters the MANIFEST
+    * first, and only surviving files are listed to the real read, with
+    * the predicate re-applied as the residual (stats prune whole files;
+    * rows inside a surviving file still need the filter).
+    *
+    * The manifest consult is a driver-side collect BY DESIGN: planning in
+    * Spark is a driver activity (every file index does its listing there)
+    * and the collected frame is O(#files) — at 100 TB the manifest is
+    * thousands of rows, not billions; for a multi-million-file lake the
+    * manifest itself is partitioned and this becomes a filtered scan of
+    * it, same principle. The predicate bounds are derived from the
+    * manifest's own global min/max (min + 10% of span) so the query is
+    * deterministic and proportionally selective at every SF; the oracle
+    * re-derives the same bounds with a scalar subquery. FormatsSpec
+    * asserts the probe: files-read < files-exist, and pruned == unpruned. */
+  private[graft] def scanManifestPlan(spark: SparkSession, dir: String): ManifestScan = {
+    val out = tmp("graft_manifest")
+    table(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/data")
+    spark.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min("user_id").as("lo"), max("user_id").as("hi"))
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    val manifest = spark.read.parquet(s"$out/manifest")
+    // planning step 1: global bounds from the manifest (never the data)
+    val g = manifest.agg(min("lo").as("glo"), max("hi").as("ghi")).head()
+    val (glo, ghi) = (g.getLong(0), g.getLong(1))
+    val hiB = glo + (ghi - glo) / 10
+    // planning step 2: survivors = files whose [lo, hi] intersects the
+    // predicate range [glo, hiB] — O(#files), driver-side like any file
+    // index listing
+    val survivors = manifest.filter(col("lo") <= hiB)
+      .select("file").collect().map(_.getString(0)).sorted
+    val pruned = spark.read.parquet(survivors.toIndexedSeq: _*)
+      .filter(col("user_id") <= hiB) // residual: stats prune files, not rows
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    ManifestScan(manifest.count(), survivors, pruned)
+  }
+
+  def scanManifest(spark: SparkSession, dir: String): DataFrame =
+    scanManifestPlan(spark, dir).result
+
   val oracles: Map[String, String] = Map(
     // early-batch rows (even keys) predate the column: they aggregate
     // under the null back-fill bucket
@@ -144,6 +211,18 @@ object Formats {
       """SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // the round-trip + manifest pruning must be lossless/filter-exact, so
+    // the oracle is the plain filtered aggregate over the SOURCE table,
+    // re-deriving the same min+10%-of-span bound with a scalar subquery
+    // (// is DuckDB integer division, matching Scala's Long truncation)
+    "scan_manifest" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id <= (SELECT min(user_id)
+                                  + (max(user_id) - min(user_id)) // 10
+                           FROM events)
+         GROUP BY 1 ORDER BY event_type""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,5 +230,6 @@ object Formats {
     "sink_orc" -> sinkOrcRoundtrip _,
     "jsonl" -> jsonlRoundtrip _,
     "scan_evolve" -> scanEvolve _,
+    "scan_manifest" -> scanManifest _,
   )
 }

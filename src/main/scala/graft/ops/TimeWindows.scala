@@ -103,14 +103,19 @@ object TimeWindows {
     * packed key) = (absolute µs, id mod 2^31), in HUGEINT — so the hash
     * compare IS the materialized-rollup correctness proof, tie cases
     * included. */
-  def candlesDaily(spark: SparkSession, dir: String): DataFrame =
-    candles(spark, dir)
+  /** The hourly→daily fold itself, shared verbatim by [[candlesDaily]]
+    * and the streaming incremental rollup
+    * ([[graft.streaming.StreamAssembly.candlesDailyStream]]). `keyCol`
+    * names the hourly level's grouping column (`event_type` for the
+    * batch events query, `symbol` for the liquidation stream). */
+  private[graft] def dailyFold(hourly: DataFrame, keyCol: String): DataFrame =
+    hourly
       // within a day, hour order IS hour-of-day — a fixed-width INT
       // ordering key keeps min_by/max_by in HashAggregate (the candles
       // packed-key rationale: a var-width string key forces SortAggregate,
       // observed via explain)
       .withColumn("h", substring(col("hour"), 12, 2).cast(IntegerType))
-      .groupBy(col("event_type"), substring(col("hour"), 1, 10).as("day"))
+      .groupBy(col(keyCol), substring(col("hour"), 1, 10).as("day"))
       .agg(
         min_by(col("open"), col("h")).as("open"),
         max(col("high")).as("high"),
@@ -118,6 +123,9 @@ object TimeWindows {
         max_by(col("close"), col("h")).as("close"),
         sum(col("cnt")).as("cnt"),
         sumMoney(col("volume")).as("volume"))
+
+  def candlesDaily(spark: SparkSession, dir: String): DataFrame =
+    dailyFold(candles(spark, dir), "event_type")
       .orderBy("event_type", "day")
 
   /** Streaming OHLCV: the identical candle aggregates behind a watermarked

@@ -396,6 +396,43 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup — semantic near-duplicate pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by embedding ([[simKmeans]]),
+    * compare pairs ONLY within a cluster, and drop every vector with a
+    * close-enough (cosine ≥ τ) lower-id neighbor in its cluster — one
+    * representative survives per tight semantic group. This is the prune
+    * step the kmeans scaladoc motivates; together they are the full
+    * SemDeDup pipeline over the embeddings table.
+    *
+    * Scale shape: the clustering is what bounds the work — candidates are
+    * Σ nᵢ² over cluster sizes, never corpus² (the centroids act as a
+    * learned coarse quantizer). The assignment is MATERIALIZED once; the
+    * within-cluster self-join is a keyed equi-join on cluster id whose
+    * only shuffle ships (cluster, id, vector) rows. At 100 TB two more
+    * knobs apply, documented not faked: oversized clusters split
+    * (recursive k-means) to cap nᵢ, and the in-cluster join adds
+    * [[dedupEmbedding]]'s signature bands as a second key — fixture
+    * clusters are small enough that the plain in-cluster join IS the
+    * honest shape. */
+  def dedupSemantic(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    // materialized: the self-join below would otherwise re-run both Lloyd
+    // passes (crossJoin + two aggregations) once per side
+    val assign = materialize(simKmeans(spark, dir).select("vec_id", "cluster"))
+    val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val m = assign.join(emb, "vec_id")
+    val left = m.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val right = m.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val dups = left.join(right, Seq("cluster"))
+      .filter(col("a") < col("b") && roundD(dot(col("ea"), col("eb")), 5) >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"))
+    m.select("vec_id", "cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = {
     val annBits = (0 until 8).map { j =>
       val ws = (0 until 64).map(i => s"${weight(i, j)}.0").mkString("[", ", ", "]")
@@ -511,7 +548,33 @@ object VectorOps {
       // the two argmax stages mirror the Spark max_by(cid, struct(aff, -cid))
       // tie-break as (aff DESC, cid ASC) row_number windows; centroid means
       // re-derive the same quantized integer sums
-      "kmeans" -> """
+      "kmeans" -> s"""
+        $kmeansCtes
+        SELECT vec_id, cluster, floor(aff * 1e5 + 0.5) / 1e5 AS affinity
+        FROM a2 ORDER BY vec_id""",
+      // within-cluster pairwise prune over the SAME clustering CTEs; the
+      // min(a) keep-rule mirrors Spark's groupBy(b).agg(min(a))
+      "dedup_sem" -> s"""
+        $kmeansCtes,
+        m AS (SELECT a2.vec_id, a2.cluster, e.embedding
+              FROM a2 JOIN e ON a2.vec_id = e.vec_id),
+        p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+              FROM m a JOIN m b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE floor($duckDot * 1e5 + 0.5) / 1e5 >= 0.4
+              GROUP BY 1)
+        SELECT m.vec_id AS vec_id, m.cluster AS cluster, p.dup_of AS dup_of,
+               p.dup_of IS NULL AS keep
+        FROM m LEFT JOIN p ON m.vec_id = p.vec_id
+        ORDER BY vec_id""",
+    )
+  }
+
+  /** Shared oracle CTE chain for the two Lloyd passes, ending in
+    * `a2(vec_id, cluster, aff)` — the pass-2 assignment both [[simKmeans]]
+    * and [[dedupSemantic]] build on. (A def, not a val: `oracles` above
+    * initializes first and a val here would still be null then.) */
+  private def kmeansCtes: String = """
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
         s1 AS (SELECT e.vec_id, e.embedding, s.cid,
@@ -539,13 +602,11 @@ object VectorOps {
                       list_reduce(list_concat([0.0], list_transform(range(1, 65),
                         i -> e.embedding[i]::DOUBLE * c.cvec[i])),
                         (acc, x) -> acc + x) AS aff
-               FROM e CROSS JOIN cent c)
-        SELECT vec_id, cluster, floor(aff * 1e5 + 0.5) / 1e5 AS affinity FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-            ORDER BY aff DESC, cluster) AS rn FROM s2)
-        WHERE rn = 1 ORDER BY vec_id""",
-    )
-  }
+               FROM e CROSS JOIN cent c),
+        a2 AS (SELECT vec_id, cluster, aff FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY aff DESC, cluster) AS rn FROM s2)
+               WHERE rn = 1)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
@@ -557,5 +618,6 @@ object VectorOps {
     "vec_q8" -> vecQuantize _,
     "vec_rp" -> vecRandomProjection _,
     "kmeans" -> ((s, d) => simKmeans(s, d)),
+    "dedup_sem" -> ((s, d) => dedupSemantic(s, d)),
   )
 }

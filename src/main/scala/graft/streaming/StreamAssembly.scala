@@ -124,6 +124,60 @@ object StreamAssembly {
       watermark)
       .withColumnRenamed("event_type", "symbol")
 
+  /** Streaming DAILY candle rollup — the two-level pre-aggregation pattern
+    * ([[graft.ops.TimeWindows.candlesDaily]]) on the streaming path. The
+    * watermark closes hourly candles ([[candlesOverUnified]], append
+    * mode); each micro-batch of closed hours is appended to the hourly
+    * store, and ONLY the days those hours touch are re-folded from the
+    * hourly level — 24 rows per affected symbol-day, never the raw fills.
+    * That is incremental-view maintenance: per batch the work is O(closed
+    * hours in the batch + 24 × affected days), independent of stream
+    * history. Replay safety: the hourly append is at-least-once, but a
+    * watermark-closed candle is FINAL and deterministic, so a replayed
+    * batch appends exact copies — the fold dedupes (symbol, hour) first
+    * and dynamic partition overwrite replaces just the re-folded day
+    * partitions, so the daily store converges instead of double-counting
+    * (the same idempotent-sink contract as the JDBC batch-id replacement).
+    *
+    * Returns the started query; daily candles land at `dailyDir`
+    * partitioned by day, hourly at `hourlyDir`. */
+  def candlesDailyStream(unified: DataFrame, hourlyDir: String,
+      dailyDir: String, checkpointDir: String, triggerMs: Long = 500L,
+      watermark: String = "1 minute"): StreamingQuery =
+    candlesOverUnified(unified, watermark).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.persist()
+        try {
+          if (!batch.isEmpty) {
+            batch.write.mode("append").parquet(hourlyDir)
+            val spark = batch.sparkSession
+            val days = batch.select(substring(col("hour"), 1, 10).as("day"))
+              .distinct().collect().map(_.getString(0))
+            // re-fold affected days from the hourly level (bounded: ≤24
+            // rows per symbol-day) and replace just those day partitions
+            val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try graft.ops.TimeWindows.dailyFold(
+                spark.read.parquet(hourlyDir)
+                  .filter(substring(col("hour"), 1, 10).isin(days.toIndexedSeq: _*))
+                  // closed candles are final: replayed appends are exact
+                  // copies, deduped here so the fold is replay-idempotent
+                  .dropDuplicates("symbol", "hour"),
+                "symbol")
+              .write.mode("overwrite").partitionBy("day").parquet(dailyDir)
+            finally prev match {
+              case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+              case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            }
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
   /** Fan-out sink: one micro-batch → daily-partitioned CSV (the rotating
     * CSVWriter, `writer_csv.py:12-39`) + parquet append (the batched PG
     * insert path, `writer_pg.py:174-215`; swap for .jdbc on a real cluster).

@@ -34,6 +34,26 @@ object PlanAudit {
     ("sim_ivf", "SortAggregate"),
   )
 
+  /** Sweep every registered query's executed plan for the anti-pattern
+    * list; returns the FLAG lines (known-benign hits are reported via
+    * `onKnown`, not returned). Shared by the CLI main and the gating
+    * `PlanAuditSpec`, so every `sbt test` re-checks the whole surface. */
+  def sweep(spark: SparkSession, dir: String,
+      onKnown: String => Unit = _ => ()): Seq[String] = {
+    val patterns = Seq("SortAggregate", "CartesianProduct", "BroadcastNestedLoopJoin")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        patterns.filter(p.contains).flatMap { pat =>
+          if (accepted((name, pat))) { onKnown(s"$name: $pat"); None }
+          else Some(s"$name: $pat")
+        }
+      } catch {
+        case e: Throwable => Seq(s"$name: construction failed: ${e.getMessage}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -42,23 +62,10 @@ object PlanAudit {
       .config("spark.sql.caseSensitive", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val patterns = Seq("SortAggregate", "CartesianProduct", "BroadcastNestedLoopJoin")
-    var flagged = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
-        patterns.filter(p.contains).foreach { pat =>
-          if (accepted((name, pat))) println(s"[audit] ok(known) $name: $pat")
-          else { flagged += 1; println(s"[audit] FLAG $name: $pat") }
-        }
-      } catch {
-        case e: Throwable =>
-          flagged += 1
-          println(s"[audit] FLAG $name: construction failed: ${e.getMessage}")
-      }
-    }
-    println(s"[audit] flagged=$flagged")
+    val flags = sweep(spark, "/root/testdata/sf0.001",
+      known => println(s"[audit] ok(known) $known"))
+    flags.foreach(f => println(s"[audit] FLAG $f"))
+    println(s"[audit] flagged=${flags.size}")
     spark.stop()
   }
 }

@@ -164,7 +164,8 @@ class StreamCliSpec extends SparkSpec {
     val out = tmp("cli_dash_out")
     StreamCli.run(spark, StreamCli.CliArgs(
       streams = "binance:usdt", framesRoot = framesRoot, outdirRoot = out,
-      triggerMs = 100L, noWrite = true, candles = true, vwap = true))
+      triggerMs = 100L, noWrite = true, candles = true, candlesDaily = true,
+      vwap = true))
     // two closed hourly candles, with the right OHLC shape
     val candles = spark.read.parquet(s"$out/candles")
     assert(candles.count() == 2, "expected the two watermark-closed candles")
@@ -173,6 +174,28 @@ class StreamCliSpec extends SparkSpec {
     assert(h0.getAs[Double]("high") == 62100.0 &&
       h0.getAs[Double]("low") == 61900.0 && h0.getAs[Double]("close") == 61900.0)
     assert(h0.getAs[Long]("cnt") == 3L)
+    // streaming daily rollup: both closed hours land in one UTC day, so
+    // ONE daily candle folds them — open from hour 0, close from hour 1
+    // (hour 2 never closed), cnt/volume summed across both
+    val daily = spark.read.parquet(s"$out/candles_daily")
+      .withColumn("day", col("day").cast("string"))
+    assert(daily.count() == 1, "expected one folded symbol-day")
+    val d0 = daily.head()
+    assert(d0.getAs[String]("symbol") == "BTCUSDT")
+    assert(d0.getAs[Double]("open") == 62000.0 &&
+      d0.getAs[Double]("high") == 63000.0 &&
+      d0.getAs[Double]("low") == 61900.0 &&
+      d0.getAs[Double]("close") == 62500.0)
+    assert(d0.getAs[Long]("cnt") == 5L)
+    // batch/stream parity: folding the hourly store in one batch pass
+    // must give exactly what the incremental per-micro-batch fold built
+    val batchFold = graft.ops.TimeWindows.dailyFold(
+      spark.read.parquet(s"$out/candles_hourly").dropDuplicates("symbol", "hour"),
+      "symbol")
+    val cols = Seq("symbol", "day", "open", "high", "low", "close", "cnt", "volume")
+    assert(daily.select(cols.head, cols.tail: _*).collect().toSet ==
+      batchFold.select(cols.head, cols.tail: _*).collect().toSet,
+      "incremental daily fold diverged from the one-shot batch fold")
     // VWAP updates emitted (one per micro-batch that touched the symbol);
     // the LAST update carries the full running aggregate over all 6 fills
     val vwap = spark.read.parquet(s"$out/vwap")
