@@ -218,7 +218,42 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** Deterministic train/val/test assignment: every document lands in
+    * exactly one named split, decided by a salted MD5 of its id — 90/5/5
+    * by hash bucket. The split is a pure function of the document id, so
+    * it is reproducible across runs, engines, partitionings, and corpus
+    * growth (a new document never moves an old one between splits —
+    * the property that keeps the eval set uncontaminated as the corpus
+    * is re-crawled; `rand()`-based splitting silently reshuffles
+    * membership on every re-run). MD5 rather than [[DedupOps.polyHash]]
+    * on purpose: the assignment must be portable to OTHER engines in the
+    * pipeline (the eval harness, the dataloader) and md5 is the one hash
+    * both Spark and DuckDB (and everything else) compute identically.
+    * Map-side only — the sole shuffle is the final count aggregate. */
+  def splitHash(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#split"))), 1, 8), 16, 10).cast(LongType)
+    val bucket = h % 1000L
+    val split = when(bucket < 900L, "train")
+      .when(bucket < 950L, "val").otherwise("test")
+    table(spark, dir, "documents")
+      .select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
   val oracles: Map[String, String] = Map(
+    "split_hash" ->
+      """WITH b AS (SELECT lang, n_chars,
+                ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT
+                  % 1000 AS bucket
+              FROM documents)
+         SELECT CASE WHEN bucket < 900 THEN 'train'
+                     WHEN bucket < 950 THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM b GROUP BY 1, 2 ORDER BY split, lang""",
     // row_number over the same (hash, doc_id) order; ties broken by id
     "sample_group" -> s"""
       WITH h AS (SELECT source, doc_id, ${duckHash("#grp")} AS hk
@@ -301,5 +336,6 @@ object Curation {
     "decon" -> textDecontam _,
     "curate_corpus" -> curateCorpus _,
     "pack_seq" -> packSequences _,
+    "split_hash" -> splitHash _,
   )
 }

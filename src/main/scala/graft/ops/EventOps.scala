@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-sequence analytics over the `events` stream — the questions a
+  * product/ops team asks of the same firehose the reference ingests
+  * (liq-stream's unified rows are exactly such an event stream:
+  * `stream.py:24-36` fans every exchange into one (ts, key, payload)
+  * shape): ordered funnel conversion and cohort retention.
+  *
+  * Both are implemented as aggregate→join chains keyed on `user_id`
+  * rather than as one giant per-user window:
+  *   - each funnel step is a conditional MIN — partial aggregation makes
+  *     the shuffle carry at most one row per (user, map task), so the
+  *     shuffled bytes are proportional to #users, not #events;
+  *   - a WindowExec over `partitionBy(user_id)` would buffer every event
+  *     of a user in executor memory — a power user with 10^7 events is an
+  *     OOM at 100 TB, while the agg chain never holds more than a running
+  *     min per user;
+  *   - every step's shuffle is keyed on the same `user_id`, so AQE/
+  *     exchange reuse lines the steps up without re-partitioning, and the
+  *     per-step `event_type` filter is pushed into the parquet scan
+  *     (PushedFilters), so each pass reads only its slice.
+  */
+object EventOps {
+
+  /** Strictly-ordered 3-step funnel (signup → view → purchase): a user
+    * counts for step N only with an event of that type strictly LATER
+    * than their step-N-1 time (min-after-min semantics — the standard
+    * definition, robust to users who viewed before ever signing up).
+    * Returns one row per stage with the surviving-user count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(table(spark, dir, "events").select("user_id", "event_type", "ts"))
+
+  /** [[funnel]] over any (user_id, event_type, ts) frame — split out so the
+    * ordering edge cases (purchase-before-view must not count) are
+    * spec-testable on hand-built inputs. */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    // step 1: first signup per user. Filter pushes to the scan; the agg's
+    // map-side partial min means the shuffle is ≤ one row per user per task.
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    // step 2: first view strictly after t1. Shuffle join keyed user_id —
+    // the same key as s1's agg, so the s1 side is already partitioned.
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    // step 3: first purchase strictly after t2.
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("users"))
+    stage(s1, 1, "signup")
+      .unionByName(stage(s2, 2, "view"))
+      .unionByName(stage(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users are cohorted by their first-active day; the
+    * cell (cohort, offset) counts users of that cohort active `offset`
+    * days later. The (user, day) activity set is `distinct`-ed FIRST —
+    * map-side partial dedup shrinks the shuffle from #events rows to
+    * #user-days rows before the cohort join ever runs. Each user
+    * contributes at most one row per (cohort, offset) by construction
+    * (offset is a function of day for a fixed user), so the final count
+    * needs no second distinct. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val act = ev.distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(cohort, "user_id")
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).cast(LongType).as("offset"))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort", "offset")
+  }
+
+  val oracles: Map[String, String] = Map(
+    // same min-after-min chain as the Spark plan, as explicit CTE steps
+    "funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                     FROM events e JOIN s1 USING (user_id)
+                     WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                     FROM events e JOIN s2 USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT 1 AS step, 'signup' AS stage, count(*) AS users FROM s1
+         UNION ALL
+         SELECT 2 AS step, 'view' AS stage, count(*) AS users FROM s2
+         UNION ALL
+         SELECT 3 AS step, 'purchase' AS stage, count(*) AS users FROM s3
+         ORDER BY step""",
+    "retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('day', ts) AS DATE) AS day
+                      FROM events),
+              c AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+                date_diff('day', cohort_day, day) AS "offset",
+                count(*) AS active_users
+         FROM act JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort, "offset"""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> funnel _,
+    "retention" -> retention _,
+  )
+}

@@ -182,6 +182,206 @@ object Formats {
   def scanManifest(spark: SparkSession, dir: String): DataFrame =
     scanManifestPlan(spark, dir).result
 
+  /** Everything the copy-on-write probes need: total file count, how many
+    * were rewritten, and the post-delete readback. */
+  private[graft] final case class CowPlan(
+      allFiles: Long, rewritten: Long, result: DataFrame)
+
+  /** Copy-on-write DELETE with manifest pruning — the GDPR/right-to-be-
+    * forgotten primitive every lake needs: remove all rows of a small id
+    * set WITHOUT rewriting the table. Min/max file stats make equality
+    * deletes prunable: a file whose [lo, hi] range excludes every target
+    * id provably holds none of its rows, so the new snapshot simply
+    * re-references it; only intersecting files are rewritten (filtered).
+    * This is Delta/Iceberg COW DELETE's exact shape — rewrite cost scales
+    * with the ids' file footprint, not table size; on a range-clustered
+    * 100 TB table a user-id delete touches a handful of files.
+    *
+    * The delete set is derived deterministically from the manifest's own
+    * global bounds (min, min+1, max user_id) so it provably straddles few
+    * files at every SF; the oracle re-derives the same ids with scalar
+    * subqueries and takes the complement on the SOURCE table — proving
+    * pruned rewrite ≡ full NOT-IN. FormatsSpec asserts rewritten < all. */
+  private[graft] def deleteCowPlan(spark: SparkSession, dir: String): CowPlan = {
+    val out = tmp("graft_cow")
+    table(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/data")
+    val manifest = spark.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .cache()
+    val g = manifest.agg(min("lo"), max("hi")).head()
+    val ids = Seq(g.getLong(0), g.getLong(0) + 1, g.getLong(1))
+    // planning: files whose range intersects ANY target id get rewritten;
+    // the rest are carried into the new snapshot by reference (zero IO)
+    val hit = manifest.filter(ids.map(i => col("lo") <= i && col("hi") >= i)
+        .reduce(_ || _)).select("file").collect().map(_.getString(0))
+    val untouched = manifest.select("file").collect().map(_.getString(0))
+      .filterNot(hit.contains)
+    spark.read.parquet(hit.toIndexedSeq: _*)
+      .filter(!col("user_id").isin(ids: _*))
+      .write.mode("overwrite").parquet(s"$out/rewrite")
+    val snapshot = spark.read.parquet(
+      (untouched.toIndexedSeq :+ s"$out/rewrite"): _*)
+    val res = snapshot.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    CowPlan(manifest.count(), hit.length.toLong, res)
+  }
+
+  def deleteCow(spark: SparkSession, dir: String): DataFrame =
+    deleteCowPlan(spark, dir).result
+
+  /** File counts before/after plus the readback for the compaction probe. */
+  private[graft] final case class CompactPlan(
+      smallFiles: Long, compactedFiles: Long, result: DataFrame)
+
+  /** Small-file compaction — the OPTIMIZE maintenance job. Streaming
+    * ingest and over-parallel writes leave thousands of kilobyte files;
+    * at 100 TB that layout dies on open cost and driver listing, so lakes
+    * periodically bin-pack small files into target-size ones. The packing
+    * here is Spark's own size-aware split planner, not a shuffle:
+    * `files.maxPartitionBytes` (bin capacity) + `files.openCostInBytes`
+    * (per-file padding) make the read-side coalesce small files into
+    * ~target-size partitions, and writing one file per partition yields
+    * the compacted layout — zero shuffle, each task streams its bin
+    * sequentially, embarrassingly parallel across bins. (A `repartition`
+    * would shuffle every byte of the table to achieve the same file
+    * count.) Confs are set/restored around the one read that needs them.
+    * The oracle aggregates the SOURCE table: compaction must be lossless. */
+  private[graft] def compactPlan(spark: SparkSession, dir: String): CompactPlan = {
+    val out = tmp("graft_compact")
+    table(spark, dir, "events").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/small")
+    def count(p: String): Long = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet")).toLong
+    val conf = spark.conf
+    val saved = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+      conf.set("spark.sql.files.openCostInBytes", (16L << 10).toString)
+      spark.read.parquet(s"$out/small")
+        .write.mode("overwrite").parquet(s"$out/compact")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+    val res = spark.read.parquet(s"$out/compact")
+      .groupBy("event_type")
+      .agg(count_distinct(col("event_id")).as("ids"),
+        sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    CompactPlan(count(s"$out/small"), count(s"$out/compact"), res)
+  }
+
+  def compactFiles(spark: SparkSession, dir: String): DataFrame =
+    compactPlan(spark, dir).result
+
+  /** Manifest scan + survivor count for the bloom point-lookup probe. */
+  private[graft] final case class BloomScan(
+      allFiles: Long, survivors: Long, result: DataFrame)
+
+  /** Membership-sketch file skipping — the pruning move when min/max
+    * CAN'T help: this table is range-clustered on `user_id`, so every
+    * file spans nearly the full `event_id` range and zone maps on
+    * event_id prune nothing. A per-file membership sketch over the
+    * lookup column (here: the set of `hash(event_id) mod m` values —
+    * same contract as the Bloom filters parquet/Iceberg attach per
+    * column chunk: false positives possible, false negatives never)
+    * restores point-lookup pruning on the SECONDARY key. Planning
+    * consults the manifest sketch; only files whose sketch contains the
+    * key's hash are read, with the equality re-applied as the residual
+    * (a false-positive file is read and filtered — correctness never
+    * depends on the sketch). Lookup keys are derived from the manifest's
+    * own event_id bounds (min, midpoint, max — the midpoint may not
+    * exist, which both engines agree yields nothing), so the query is
+    * deterministic at every SF. FormatsSpec asserts survivors < all. */
+  private[graft] def scanBloomPlan(spark: SparkSession, dir: String): BloomScan = {
+    val out = tmp("graft_bloom")
+    val m = 1 << 18
+    table(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/data")
+    spark.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"),
+        collect_set(pmod(hash(col("event_id")), lit(m))).as("sketch"))
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    val manifest = spark.read.parquet(s"$out/manifest").cache()
+    val g = manifest.agg(min("lo"), max("hi")).head()
+    val (glo, ghi) = (g.getLong(0), g.getLong(1))
+    val keys = Seq(glo, glo + (ghi - glo) / 2, ghi)
+    val survivors = manifest.filter(keys
+        .map(k => array_contains(col("sketch"), pmod(hash(lit(k)), lit(m))))
+        .reduce(_ || _))
+      .select("file").collect().map(_.getString(0)).sorted
+    val res = spark.read.parquet(survivors.toIndexedSeq: _*)
+      .filter(col("event_id").isin(keys: _*)) // residual: sketches prune files
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id", "user_id", "event_type", "value")
+    BloomScan(manifest.count(), survivors.length.toLong, res)
+  }
+
+  def scanBloom(spark: SparkSession, dir: String): DataFrame =
+    scanBloomPlan(spark, dir).result
+
+  /** Partition paths rewritten by the delta apply, for the probe. */
+  private[graft] final case class IncrPlan(
+      baseMtimes: Map[String, Long], deltaDays: Seq[String], result: DataFrame)
+
+  /** Incremental aggregate maintenance — the daily-ETL primitive: a
+    * day-partitioned aggregate table is maintained by recomputing ONLY
+    * the partitions a new delta touches, under dynamic partition
+    * overwrite (`partitionOverwriteMode=dynamic`: an overwrite replaces
+    * just the partitions present in the written frame — the idempotent
+    * re-run/backfill contract). At 100 TB the full-history recompute is
+    * the job you can never run daily; the incremental apply reads one
+    * day of raw data and rewrites one partition, cost O(delta) instead
+    * of O(table). The aggregate is decomposable (count/decimal-sum), so
+    * delta-local recomputation is exact; the oracle IS the full-history
+    * recompute, proving the two converge bit-for-bit. FormatsSpec
+    * asserts untouched partition files keep their identity (no rewrite). */
+  private[graft] def aggIncrPlan(spark: SparkSession, dir: String): IncrPlan = {
+    val out = tmp("graft_incr")
+    val ev = table(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    def daily(df: DataFrame): DataFrame = df
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+    val maxDay = ev.agg(max("day")).head().getString(0)
+    // bootstrap: full history EXCEPT the newest day, static write
+    daily(ev.filter(col("day") < maxDay)).repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    def files(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files(out)
+    // delta apply: one day of raw events in, one partition out
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      daily(ev.filter(col("day") === maxDay)).repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val res = spark.read.parquet(out)
+      .select(col("day").cast(StringType).as("day"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("day", "event_type")
+    IncrPlan(before, Seq(maxDay), res)
+  }
+
+  def aggIncr(spark: SparkSession, dir: String): DataFrame =
+    aggIncrPlan(spark, dir).result
+
   val oracles: Map[String, String] = Map(
     // early-batch rows (even keys) predate the column: they aggregate
     // under the null back-fill bucket
@@ -223,6 +423,36 @@ object Formats {
                                   + (max(user_id) - min(user_id)) // 10
                            FROM events)
          GROUP BY 1 ORDER BY event_type""",
+    // the complement on the SOURCE table with the same derived ids — the
+    // pruned COW rewrite must equal the plain NOT-IN
+    "delete_cow" ->
+      """WITH b AS (SELECT min(user_id) AS glo, max(user_id) AS ghi
+                    FROM events)
+         SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events, b
+         WHERE user_id <> b.glo AND user_id <> b.glo + 1 AND user_id <> b.ghi
+         GROUP BY 1 ORDER BY event_type""",
+    // compaction must be lossless: aggregate the SOURCE, distinct ids catch
+    // any dropped or duplicated row
+    "compact_files" ->
+      """SELECT event_type, count(DISTINCT event_id) AS ids,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // same derived keys (min, integer midpoint, max); the midpoint may hit
+    // nothing — both engines then agree on its absence
+    "scan_manifest_bloom" ->
+      """WITH b AS (SELECT min(event_id) AS glo, max(event_id) AS ghi
+                    FROM events)
+         SELECT event_id, user_id, event_type, value FROM events, b
+         WHERE event_id IN (b.glo, b.glo + (b.ghi - b.glo) // 2, b.ghi)
+         ORDER BY event_id, user_id, event_type, value""",
+    // the oracle IS the full-history recompute the incremental apply avoids
+    "agg_incr" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,5 +461,9 @@ object Formats {
     "jsonl" -> jsonlRoundtrip _,
     "scan_evolve" -> scanEvolve _,
     "scan_manifest" -> scanManifest _,
+    "delete_cow" -> deleteCow _,
+    "compact_files" -> compactFiles _,
+    "scan_manifest_bloom" -> scanBloom _,
+    "agg_incr" -> aggIncr _,
   )
 }

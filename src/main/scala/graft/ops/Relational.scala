@@ -423,6 +423,46 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** Fuzzy (edit-distance) self-join via q-gram blocking — entity
+    * resolution's workhorse: find name pairs within Levenshtein distance 2
+    * WITHOUT the all-pairs compare. The blocking theorem makes it exact:
+    * an edit operation destroys at most q positional q-grams, so two
+    * strings with min length ≥ 6 and lev ≤ 2 (k·q = 4 < 5 surviving
+    * bigrams) MUST share at least one bigram — the equi-join on exploded
+    * bigrams is therefore a lossless candidate generator, and the cheap
+    * `levenshtein` verify runs only on candidates. The oracle is the
+    * brute-force all-pairs lev join over the same (distinct, length ≥ 6)
+    * names, proving blocking loses nothing.
+    *
+    * Scale shape: `distinct` FIRST (names dedupe map-side before any
+    * pairwise work — the 2000-row part table carries 64 distinct names;
+    * a web-scale entity table dedupes similarly); the only shuffles are
+    * the distincts and the bigram equi-join — never a CartesianProduct
+    * (PlanSpec-locked). A hot bigram ("sm" in every 'small …' name) makes
+    * one join key quadratic at 100 TB; production mitigation is positional
+    * prefix-filtering (keep each string's rarest grams, ordered by global
+    * df — same heavy-hitter move as dedup_jac's df-cap), noted here and
+    * applied there. */
+  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val names = table(spark, dir, "part")
+      .select(col("p_name").as("name"))
+      .filter(length(col("name")) >= 6).distinct()
+    // exploded positional bigrams, deduped per name (sharing ANY positional
+    // bigram implies sharing a distinct one, so distinct grams suffice)
+    val grams = names.select(col("name"), explode(expr(
+      "transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))"
+    )).as("g")).distinct()
+    val cand = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") &&
+        col("a.name") < col("b.name"))
+      .select(col("a.name").as("a_name"), col("b.name").as("b_name"))
+      .distinct()
+    cand.withColumn("dist",
+        levenshtein(col("a_name"), col("b_name")).cast(LongType))
+      .filter(col("dist") <= 2L)
+      .orderBy("a_name", "b_name")
+  }
+
   /** MERGE / upsert — the incremental-refresh primitive (SCD type 1): apply
     * a change batch of updates (U), inserts (I), and delete tombstones (D)
     * to a base table. The naive encoding is a FULL OUTER join on the key —
@@ -965,6 +1005,16 @@ object Relational {
                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          GROUP BY 1 ORDER BY s_name""",
+    // brute-force all-pairs over the same distinct names: q-gram blocking
+    // must be invisible in the result (the losslessness proof)
+    "join_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE length(p_name) >= 6)
+         SELECT a.name AS a_name, b.name AS b_name,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY a_name, b_name""",
     // same exact-decimal moment sums as agg_stats; the 3-sigma filter and z
     // reuse the identical double expression tree the Spark side evaluates
     "zscore" ->
@@ -1017,6 +1067,7 @@ object Relational {
     "winfn_lag_runsum" -> winfnLagRunsum _,
     "winfn_nth" -> winfnFirstLast _,
     "join_salt" -> joinSalted _,
+    "join_fuzzy" -> joinFuzzy _,
     "zscore" -> anomalyZscore _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,

@@ -147,4 +147,24 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("split_hash: splits are exhaustive, disjoint, and growth-stable") {
+    // the aggregate must account for every document exactly once
+    val total = Curation.splitHash(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("docs")).head().getLong(0)
+    assert(total == table(spark, dir, "documents").count(),
+      "split assignment lost or double-counted documents")
+    // growth stability: the split of a document is a pure function of its
+    // id — recomputing on a SUBSET must give every surviving doc the same
+    // split (rand()-based splitting fails exactly this)
+    import org.apache.spark.sql.functions._
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#split"))), 1, 8), 16, 10).cast("long") % 1000L
+    val full = table(spark, dir, "documents").select(col("doc_id"), h.as("b"))
+    val sub = table(spark, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), h.as("b"))
+    val joined = full.as("f").join(sub.as("s"), "doc_id")
+      .filter(col("f.b") =!= col("s.b")).count()
+    assert(joined == 0L, "hash split unstable under corpus change")
+  }
 }

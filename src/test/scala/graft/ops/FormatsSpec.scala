@@ -35,4 +35,56 @@ class FormatsSpec extends SparkSpec {
     assert(ms.result.collect().toSeq == unpruned.collect().toSeq,
       "manifest-pruned aggregate diverged from the unpruned one")
   }
+
+  test("delete_cow: rewrites only the files holding target ids") {
+    val cow = Formats.deleteCowPlan(spark, "/root/testdata/sf0.01")
+    assert(cow.rewritten >= 1L, "the delete must touch at least one file")
+    assert(cow.rewritten < cow.allFiles,
+      s"COW rewrote the whole table: ${cow.rewritten} of ${cow.allFiles}")
+    // the new snapshot must hold exactly the complement
+    val bounds = table(spark, "/root/testdata/sf0.01", "events")
+      .agg(min("user_id"), max("user_id")).head()
+    val ids = Seq(bounds.getLong(0), bounds.getLong(0) + 1, bounds.getLong(1))
+    val expect = table(spark, "/root/testdata/sf0.01", "events")
+      .filter(!col("user_id").isin(ids: _*)).count()
+    val got = cow.result.agg(sum("cnt")).head().getLong(0)
+    assert(got == expect, s"post-delete row count $got != $expect")
+  }
+
+  test("compact_files: bin-packs small files losslessly, no shuffle") {
+    val cp = Formats.compactPlan(spark, "/root/testdata/sf0.01")
+    assert(cp.smallFiles == 64L, s"writer should emit 64 small files, got ${cp.smallFiles}")
+    assert(cp.compactedFiles * 4 <= cp.smallFiles,
+      s"compaction barely packed: ${cp.smallFiles} -> ${cp.compactedFiles}")
+    val total = cp.result.agg(sum("ids")).head().getLong(0)
+    assert(total == table(spark, "/root/testdata/sf0.01", "events").count(),
+      "compaction dropped or duplicated rows")
+  }
+
+  test("scan_manifest_bloom: secondary-key point lookup skips files") {
+    val bs = Formats.scanBloomPlan(spark, "/root/testdata/sf0.01")
+    assert(bs.survivors >= 1L)
+    // 3 point keys against 8 range-clustered files: the sketch must rule
+    // out most files even though every file spans the full event_id range
+    assert(bs.survivors < bs.allFiles,
+      s"sketch pruned nothing: ${bs.survivors} of ${bs.allFiles} files")
+    assert(bs.result.count() >= 2L, "min/max keys must both resolve")
+  }
+
+  test("agg_incr: delta apply leaves historical partitions untouched") {
+    val ip = Formats.aggIncrPlan(spark, "/root/testdata/sf0.01")
+    // force the readback (the delta write already ran inside the plan call)
+    val days = ip.result.select("day").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(days.nonEmpty && ip.deltaDays.forall(days.contains),
+      "delta day missing from the maintained table")
+    // every pre-delta file must survive the dynamic-overwrite apply with
+    // identical path and mtime — O(delta) cost means zero historical IO
+    ip.baseMtimes.foreach { case (path, mtime) =>
+      val f = new java.io.File(path)
+      assert(f.exists, s"dynamic overwrite deleted historical file $path")
+      assert(f.lastModified() == mtime,
+        s"dynamic overwrite rewrote historical file $path")
+    }
+  }
 }

@@ -511,4 +511,23 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("join_fuzzy: q-gram blocking keeps the pairwise compare out of a cartesian") {
+    val p = plan(Relational.joinFuzzy(spark, dir))
+    // the candidate generator is an EQUI join on the exploded bigram — an
+    // all-pairs levenshtein would surface as CartesianProduct/BNLJ
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to all-pairs:\n$p")
+    // the verify predicate runs post-join on candidates only
+    assert(p.contains("levenshtein"), s"missing the verify stage:\n$p")
+  }
+
+  test("funnel: per-step filters are pushed to the parquet scan") {
+    val p = plan(EventOps.funnel(spark, dir))
+    // each funnel step reads only its event_type slice — three scans, each
+    // with the step's equality pushed down
+    assert(p.contains("EqualTo(event_type,signup)"), s"step-1 filter not pushed:\n$p")
+    assert(p.contains("EqualTo(event_type,view)"), s"step-2 filter not pushed:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"), s"step-3 filter not pushed:\n$p")
+  }
 }
