@@ -24,7 +24,8 @@ object SparkEntry {
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
       Multimodal.queries ++ Extended.queries ++ Curation.queries ++
       Formats.queries ++ Bucketing.queries ++ DataQuality.queries ++
-      EventOps.queries ++ graft.normalize.NormalizeOps.queries
+      EventOps.queries ++ GraphOps.queries ++
+      graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
       Formats.oracles ++ Bucketing.oracles ++ DataQuality.oracles ++
-      EventOps.oracles ++ graft.normalize.NormalizeOps.oracles
+      EventOps.oracles ++ GraphOps.oracles ++
+      graft.normalize.NormalizeOps.oracles
 }

@@ -327,6 +327,69 @@ object Formats {
   def scanBloom(spark: SparkSession, dir: String): DataFrame =
     scanBloomPlan(spark, dir).result
 
+  /** Snapshot file lists + the as-of readbacks for the time-travel probe. */
+  private[graft] final case class TimeTravelPlan(
+      v1Files: Long, v2Files: Long, carried: Long,
+      v1: DataFrame, result: DataFrame)
+
+  /** Snapshot-versioned reads (time travel) — the manifest generalized
+    * into a commit log: every table version is an immutable LIST OF FILES,
+    * and a write commits a new list that shares every untouched file with
+    * its parent (no data is ever copied between versions). Version 2 here
+    * applies a realistic mixed commit to version 1: a copy-on-write
+    * DELETE of one user's rows (only intersecting files rewritten — same
+    * pruning as [[deleteCowPlan]]) plus an APPEND of a correction batch.
+    * Reading "as of v1" afterwards still returns the ORIGINAL table
+    * bit-for-bit, because v1's file list still references the pre-delete
+    * files — that immutability is what gives a lake reproducible training
+    * runs ("the corpus as of the day we trained") and safe concurrent
+    * readers during rewrites; storage cost is one manifest row per file
+    * per version plus only the rewritten bytes.
+    *
+    * The delete target (min user) and the appended batch (a re-ingest of
+    * the max user's rows, the "late correction" shape) are derived from
+    * the data so the oracle can rebuild v2 relationally: complement UNION
+    * ALL the correction. The spec drives the v1 readback and asserts it
+    * matches the source exactly, and that v2 CARRIES (not copies) most of
+    * v1's files. */
+  private[graft] def timeTravelPlan(spark: SparkSession, dir: String): TimeTravelPlan = {
+    val out = tmp("graft_travel")
+    table(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/data")
+    val stats = spark.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect()
+    val v1 = stats.map(_.getString(0)).sorted
+    val g = (stats.map(_.getLong(1)).min, stats.map(_.getLong(2)).max)
+    val (glo, ghi) = g
+    // commit v2a: COW delete of user `glo` — rewrite only intersecting files
+    val hit = stats.filter(r => r.getLong(1) <= glo && r.getLong(2) >= glo)
+      .map(_.getString(0))
+    spark.read.parquet(hit.toIndexedSeq: _*)
+      .filter(col("user_id") =!= glo)
+      .write.mode("overwrite").parquet(s"$out/rewrite")
+    // commit v2b: append a correction batch (the max user re-ingested)
+    table(spark, dir, "events").filter(col("user_id") === ghi)
+      .write.mode("overwrite").parquet(s"$out/append")
+    def parts(p: String): Seq[String] = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    val carried = v1.filterNot(hit.contains)
+    val v2 = carried.toSeq ++ parts(s"$out/rewrite") ++ parts(s"$out/append")
+    // the "commit log": one manifest per version, file lists only
+    def asOf(files: Seq[String]): DataFrame =
+      spark.read.parquet(files: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    TimeTravelPlan(v1.length.toLong, v2.length.toLong, carried.length.toLong,
+      asOf(v1.toIndexedSeq), asOf(v2))
+  }
+
+  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    timeTravelPlan(spark, dir).result
+
   /** Partition paths rewritten by the delta apply, for the probe. */
   private[graft] final case class IncrPlan(
       baseMtimes: Map[String, Long], deltaDays: Seq[String], result: DataFrame)
@@ -447,6 +510,19 @@ object Formats {
          SELECT event_id, user_id, event_type, value FROM events, b
          WHERE event_id IN (b.glo, b.glo + (b.ghi - b.glo) // 2, b.ghi)
          ORDER BY event_id, user_id, event_type, value""",
+    // v2 rebuilt relationally: the delete's complement UNION ALL the
+    // appended correction batch — snapshot arithmetic must match exactly
+    "scan_timetravel" ->
+      """WITH b AS (SELECT min(user_id) AS glo, max(user_id) AS ghi
+                    FROM events),
+              v2 AS (SELECT e.event_type, e.value FROM events e, b
+                     WHERE e.user_id <> b.glo
+                     UNION ALL
+                     SELECT e.event_type, e.value FROM events e, b
+                     WHERE e.user_id = b.ghi)
+         SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM v2 GROUP BY 1 ORDER BY event_type""",
     // the oracle IS the full-history recompute the incremental apply avoids
     "agg_incr" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -465,5 +541,6 @@ object Formats {
     "compact_files" -> compactFiles _,
     "scan_manifest_bloom" -> scanBloom _,
     "agg_incr" -> aggIncr _,
+    "scan_timetravel" -> scanTimeTravel _,
   )
 }

@@ -855,6 +855,163 @@ object Multimodal {
       }
       (w, h, rgb)
     }
+
+    /** Per-frame Y planes out of a C444 Y4M container — same header and
+      * FRAME-marker walk as [[y4mFrameMeans]], returning the raw bytes so
+      * a downstream codec (MJPEG) can re-encode each frame. */
+    def y4mFrames(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      var eol = 0
+      while (b(eol) != '\n') eol += 1
+      val params = new String(b, 0, eol, Ascii).split(' ')
+      require(params(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      var w = 0; var h = 0
+      params.tail.foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case _   => ()
+        }
+      }
+      require(w > 0 && h > 0, "missing Y4M dimensions")
+      val np = w * h
+      val fsz = np * 3
+      val marker = "FRAME\n".getBytes(Ascii)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var o = eol + 1
+      while (o < b.length) {
+        require(o + marker.length <= b.length &&
+          (0 until marker.length).forall(k => b(o + k) == marker(k)),
+          "bad FRAME marker")
+        o += marker.length
+        require(o + fsz <= b.length, "truncated Y4M frame body")
+        out += java.util.Arrays.copyOfRange(b, o, o + np)
+        o += fsz
+      }
+      (w, h, out.toArray)
+    }
+
+    // ---- AVI / MJPEG (compressed video container) --------------------
+
+    /** Minimal RIFF/AVI muxer carrying Motion-JPEG: the honest compressed
+      * -video path this environment can support — every frame is a real
+      * DCT-compressed JPEG ([[encodeJpeg]]), and the container is the
+      * standard AVI layout (hdrl with avih/strh/strf, a movi LIST of
+      * `00dc` chunks, and an idx1 index) that any MJPEG-aware player
+      * accepts. Inter-frame (H.264-class) codecs need a native decoder
+      * this sandbox doesn't have; MJPEG is the classic intra-only
+      * trade-off — larger files, but every frame independently seekable,
+      * which is also why curation pipelines like it for frame sampling.
+      * All sizes little-endian; odd chunks padded per RIFF. */
+    def encodeAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(fps > 0 && frames.nonEmpty, "AVI needs fps > 0 and >= 1 frame")
+      val out = new java.io.ByteArrayOutputStream(frames.map(_.length + 24).sum + 512)
+      def fourcc(s: String): Unit = out.write(s.getBytes(Ascii), 0, 4)
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val n = frames.length
+      def pad(len: Int): Int = len + (len & 1)
+      val moviBody = 4 + frames.map(f => 8 + pad(f.length)).sum // "movi" + chunks
+      val idxBytes = 16 * n
+      val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody) + (8 + idxBytes)
+      fourcc("RIFF"); le32(riffBody); fourcc("AVI ")
+      fourcc("LIST"); le32(hdrlBody); fourcc("hdrl")
+      fourcc("avih"); le32(56)
+      le32(1000000 / fps); le32(0); le32(0); le32(0x10 /* AVIF_HASINDEX */)
+      le32(n); le32(0); le32(1); le32(0); le32(w); le32(h)
+      le32(0); le32(0); le32(0); le32(0)
+      fourcc("LIST"); le32(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+      fourcc("strh"); le32(56)
+      fourcc("vids"); fourcc("MJPG"); le32(0); le16(0); le16(0); le32(0)
+      le32(1); le32(fps); le32(0); le32(n); le32(0); le32(0); le32(0)
+      le16(0); le16(0); le16(w); le16(h) // rcFrame
+      fourcc("strf"); le32(40)
+      le32(40); le32(w); le32(h); le16(1); le16(24); fourcc("MJPG")
+      le32(w * h * 3); le32(0); le32(0); le32(0); le32(0)
+      fourcc("LIST"); le32(moviBody); fourcc("movi")
+      val offsets = new Array[Int](n)
+      var rel = 4 // idx1 offsets are relative to the 'movi' fourcc
+      var i = 0
+      while (i < n) {
+        offsets(i) = rel
+        fourcc("00dc"); le32(frames(i).length)
+        out.write(frames(i), 0, frames(i).length)
+        if ((frames(i).length & 1) == 1) out.write(0)
+        rel += 8 + pad(frames(i).length)
+        i += 1
+      }
+      fourcc("idx1"); le32(idxBytes)
+      i = 0
+      while (i < n) {
+        fourcc("00dc"); le32(0x10 /* AVIIF_KEYFRAME */)
+        le32(offsets(i)); le32(frames(i).length)
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** Demux an MJPEG AVI: verify the RIFF/AVI magic, read dims + declared
+      * frame count from avih, collect the movi `00dc` payloads, and check
+      * the idx1 entries point at the chunks they claim. Structural
+      * corruption fails loudly (require), matching every other decoder in
+      * this Codec. Returns (width, height, declaredFrames, frames, idxOk). */
+    def decodeAvi(b: Array[Byte]): (Int, Int, Int, Array[Array[Byte]], Boolean) = {
+      def le32(o: Int): Int =
+        (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+      def tag(o: Int): String = new String(b, o, 4, Ascii)
+      require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ", "not an AVI")
+      require(8 + le32(4) <= b.length, "truncated RIFF body")
+      var w = 0; var h = 0; var declared = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var idx: Array[(Int, Int)] = null
+      var moviStart = -1
+      var o = 12
+      val end = 8 + le32(4)
+      while (o + 8 <= end) {
+        val id = tag(o); val sz = le32(o + 4)
+        require(o + 8 + sz <= b.length, s"truncated chunk $id")
+        id match {
+          case "LIST" =>
+            tag(o + 8) match {
+              case "hdrl" => // descend: avih is its first child
+                require(tag(o + 12) == "avih" && le32(o + 16) >= 40, "missing avih")
+                val a = o + 20
+                declared = le32(a + 16); w = le32(a + 32); h = le32(a + 36)
+              case "movi" =>
+                moviStart = o + 8
+                var c = o + 12
+                while (c + 8 <= o + 8 + sz) {
+                  val cid = tag(c); val csz = le32(c + 4)
+                  require(c + 8 + csz <= b.length, s"truncated movi chunk $cid")
+                  if (cid == "00dc")
+                    frames += java.util.Arrays.copyOfRange(b, c + 8, c + 8 + csz)
+                  c += 8 + csz + (csz & 1)
+                }
+              case _ => ()
+            }
+          case "idx1" =>
+            idx = (0 until sz / 16).map { k =>
+              val e = o + 8 + 16 * k
+              require(tag(e) == "00dc", "unexpected idx1 stream id")
+              (le32(e + 8), le32(e + 12))
+            }.toArray
+          case _ => ()
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      require(w > 0 && h > 0 && declared >= 0, "missing avih header")
+      require(moviStart >= 0 && frames.nonEmpty, "missing movi data")
+      // index audit: every entry must name a chunk where it says it is
+      val idxOk = idx != null && idx.length == frames.length &&
+        idx.zipWithIndex.forall { case ((off, csz), k) =>
+          val c = moviStart + off
+          tag(c) == "00dc" && le32(c + 4) == csz && csz == frames(k).length
+        }
+      (w, h, declared, frames.toArray, idxOk)
+    }
   }
 
   /** Per-asset image channel stats. */
@@ -1132,6 +1289,55 @@ object Multimodal {
       }.toDF().orderBy("media_id")
   }
 
+  /** MJPEG/AVI round-trip outputs — container-level facts only (decoded
+    * pixel values are JPEG-encoder-dependent; the reconstruction bound
+    * lives in CodecPropertySpec where it can state a tolerance). */
+  final case class AviRow(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      idx_ok: Boolean,
+      dims_ok: Boolean)
+
+  /** Compressed-video round-trip, MJPEG-in-AVI: each Y4M asset's frames
+    * re-encode as real DCT JPEGs (grayscale from the Y plane), mux into a
+    * standard AVI container ([[Codec.encodeAvi]]), demux, and decode each
+    * frame back. Oracle-checked columns are the decoder-independent
+    * container facts — dims and frame count re-derived arithmetically
+    * from the source document by the DuckDB twin, plus the measured idx1
+    * consistency and per-frame dimension agreement. Batched partition-
+    * local decode like every codec stage: embarrassingly parallel, no
+    * shuffle before the presentation sort. */
+  def mmAviRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, ys) = Codec.y4mFrames(r.payload)
+          val jpegs = ys.map { y =>
+            val rgb = new Array[Byte](y.length * 3)
+            var i = 0
+            while (i < y.length) {
+              rgb(3 * i) = y(i); rgb(3 * i + 1) = y(i); rgb(3 * i + 2) = y(i)
+              i += 1
+            }
+            Codec.encodeJpeg(w, h, rgb)
+          }
+          val (w2, h2, declared, back, idxOk) =
+            Codec.decodeAvi(Codec.encodeAvi(w, h, 25, jpegs.toSeq))
+          val dimsOk = back.forall { jb =>
+            val (jw, jh, _) = Codec.decodeImage(jb)
+            jw == w && jh == h
+          }
+          AviRow(r.media_id, w2.toLong, h2.toLong, back.length.toLong,
+            idx_ok = idxOk && declared == back.length,
+            dims_ok = dimsOk)
+        }
+      }.toDF().orderBy("media_id")
+  }
+
   /** One frame-to-frame luminance delta. */
   final case class CutRow(
       media_id: Long,
@@ -1220,6 +1426,15 @@ object Multimodal {
     // f*w*h*3 — the same synthesis arithmetic as mm_pixel_stats, plus a lag
     // diff per frame; the cut predicate runs on the UNROUNDED delta exactly
     // like the Spark side
+    // container facts re-derived from the synthesis arithmetic; the two
+    // booleans are the measured structural audits (index + frame dims)
+    "mm_avi" ->
+      """SELECT doc_id AS media_id,
+                (length(text) % 8) + 4 AS width,
+                (doc_id % 6) + 3 AS height,
+                (doc_id % 8) + 2 AS n_frames,
+                TRUE AS idx_ok, TRUE AS dims_ok
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""",
     "mm_cuts" ->
       """WITH m AS (
            SELECT doc_id AS media_id, text, length(text) AS len,
@@ -1385,6 +1600,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
     "mm_cuts" -> ((s, d) => mmSceneCuts(s, d)),
+    "mm_avi" -> mmAviRoundtrip _,
     "mm_png" -> mmPngRoundtrip _,
     "mm_jpeg" -> mmJpegRoundtrip _,
     "mm_flac" -> mmFlacRoundtrip _,

@@ -463,6 +463,43 @@ object Relational {
       .orderBy("a_name", "b_name")
   }
 
+  /** Interval-overlap join via grid bucketing — the two-sided
+    * generalization of [[joinRange]] (point-in-interval): find all pairs
+    * of intervals that overlap, WITHOUT the quadratic theta-join. Both
+    * sides map each interval to the grid cells it touches (cell width =
+    * the max interval width, so an interval touches ≤ 2 cells); the join
+    * is then an EQUI join on the cell with the exact overlap predicate as
+    * the residual. Duplicate pairs (two intervals can share two cells)
+    * are eliminated for free by the canonical-cell rule: a pair is
+    * reported only from the cell containing the overlap's START
+    * (`cell == floor(max(lo_a, lo_b) / W)`) — no distinct, no second
+    * shuffle. This is how spatial/temporal engines do interval joins at
+    * scale: shuffle is keyed on O(domain/W) cells, each cell joins only
+    * its local intervals, and skew follows the data's temporal density
+    * (a hot cell salts like any hot key). The oracle is the brute-force
+    * theta-join — bucketing must be invisible. Intervals here: half-open
+    * account-balance bands [bal, bal+50) from the supplier and customer
+    * dims; DOUBLE endpoints on purpose (the grid floor-divides doubles,
+    * the residual compares them exactly — both engines agree bitwise). */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val w = 50.0
+    def side(df: DataFrame, key: String, bal: String): DataFrame = df
+      .select(col(key), col(bal).as("lo"), (col(bal) + w).as("hi"))
+      .withColumn("cell", explode(sequence(
+        floor(col("lo") / w).cast(LongType),
+        floor(col("hi") / w).cast(LongType))))
+    val a = side(table(spark, dir, "supplier"), "s_suppkey", "s_acctbal")
+      .withColumnsRenamed(Map("lo" -> "a_lo", "hi" -> "a_hi"))
+    val b = side(table(spark, dir, "customer"), "c_custkey", "c_acctbal")
+      .withColumnsRenamed(Map("lo" -> "b_lo", "hi" -> "b_hi"))
+    a.join(b, "cell")
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .filter(col("cell") ===
+        floor(greatest(col("a_lo"), col("b_lo")) / w).cast(LongType))
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** MERGE / upsert — the incremental-refresh primitive (SCD type 1): apply
     * a change batch of updates (U), inserts (I), and delete tombstones (D)
     * to a base table. The naive encoding is a FULL OUTER join on the key —
@@ -708,6 +745,46 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Distribution-position window functions — percent_rank / cume_dist
+    * per event_type, the analytic pair [[winfnFirstLast]] doesn't cover
+    * (where does this event sit in its type's value distribution — the
+    * percentile-feature move in feature engineering). ANSI tie semantics
+    * are identical in both engines: ties share a rank, so double-valued
+    * ties stay deterministic; the (rank-1)/(n-1) and rows/n divisions are
+    * single IEEE ops on identical integers. One user-invisible shuffle on
+    * event_type; the output is thinned AFTER the window (every row still
+    * ranks against the full partition) to keep the compare surface small. */
+  def winfnCumeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        roundD(col("pr"), 8).as("pr"), roundD(col("cd"), 8).as("cd"))
+      .orderBy("event_id")
+  }
+
+  /** Exact per-group mode (most frequent value, tie → smallest) written
+    * declaratively: count per (group, value), per-group max count, then
+    * min value among the tied — three hash aggregates and one equi-join,
+    * every stage map-side-combinable, nothing sorts, nothing buffers a
+    * group in memory (the naive collect-and-scan UDAF shape would).
+    * This "argmax by join-back" decomposition is the same scale move as
+    * [[joinBloom]]'s two-phase shape: at 100 TB the (group, value) count
+    * frame is the only large intermediate and it reduces before the
+    * tiny per-group max frame joins back. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val m = c.groupBy("event_type").agg(max("cnt").as("mx"))
+    c.join(m, "event_type").filter(col("cnt") === col("mx"))
+      .groupBy("event_type")
+      .agg(min("user_id").as("mode_user"), max("cnt").as("cnt"))
+      .orderBy("event_type")
+  }
+
   /** Top-k with deterministic tiebreak — "largest liquidations". TakeOrdered
     * physical op: per-partition top-k then merge, never a full global sort at
     * scale. */
@@ -917,6 +994,23 @@ object Relational {
            WINDOW w AS (PARTITION BY l_returnflag
              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
          WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "winfn_cume" ->
+      """WITH w AS (SELECT event_id, event_type, value,
+                percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+                cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+              FROM events)
+         SELECT event_id, event_type, value,
+                floor(pr * 1e8 + 0.5) / 1e8 AS pr,
+                floor(cd * 1e8 + 0.5) / 1e8 AS cd
+         FROM w WHERE event_id % 97 = 0 ORDER BY event_id""",
+    "agg_mode" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, max(cnt) AS mx FROM c GROUP BY 1)
+         SELECT c.event_type AS event_type,
+                min(c.user_id) AS mode_user, max(c.cnt) AS cnt
+         FROM c JOIN m ON c.event_type = m.event_type AND c.cnt = m.mx
+         GROUP BY c.event_type ORDER BY event_type""",
     "winfn_lag_runsum" ->
       """SELECT event_id, user_id,
                 lag(value, 1) OVER w AS prev_value,
@@ -1005,6 +1099,13 @@ object Relational {
                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          GROUP BY 1 ORDER BY s_name""",
+    // the brute-force theta-join: grid bucketing must be invisible
+    "join_interval" ->
+      """SELECT s.s_suppkey, c.c_custkey
+         FROM supplier s JOIN customer c
+           ON s.s_acctbal < c.c_acctbal + 50
+          AND c.c_acctbal < s.s_acctbal + 50
+         ORDER BY s_suppkey, c_custkey""",
     // brute-force all-pairs over the same distinct names: q-gram blocking
     // must be invisible in the result (the losslessness proof)
     "join_fuzzy" ->
@@ -1066,8 +1167,11 @@ object Relational {
     "winfn_rank" -> winfnRank _,
     "winfn_lag_runsum" -> winfnLagRunsum _,
     "winfn_nth" -> winfnFirstLast _,
+    "winfn_cume" -> winfnCumeDist _,
+    "agg_mode" -> aggMode _,
     "join_salt" -> joinSalted _,
     "join_fuzzy" -> joinFuzzy _,
+    "join_interval" -> joinInterval _,
     "zscore" -> anomalyZscore _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,

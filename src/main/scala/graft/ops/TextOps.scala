@@ -466,9 +466,51 @@ object TextOps {
           .cast(BinaryType)).as("postings_md5"))
       .orderBy("token", "seg")
 
+  /** Support denominator for [[freqTopk]]: report every token with
+    * frequency strictly above total/k. */
+  val freqK = 50L
+
+  /** Heavy hitters with an exactness guarantee — the sketch-then-verify
+    * pattern: phase 1 runs Spark's distributed frequent-items sketch
+    * (per-partition Misra-Gries summaries merged at the driver — space
+    * O(1/support) per partition, one pass, NO global shuffle of the token
+    * stream) to get a CANDIDATE set that provably contains every token
+    * with frequency > total/k (the sketch can over-report, never
+    * under-report); phase 2 exactly counts ONLY the candidates (the
+    * filter prunes the explode output to a handful of tokens before the
+    * aggregate) and keeps the true heavy hitters. The result is EXACT —
+    * the sketch only decides what gets the expensive exact pass — which
+    * is why a plain GROUP BY/HAVING oracle can check it. At 100 TB this
+    * is the vocabulary-pruning / hot-key-detection move: a full token
+    * groupBy shuffles billions of distinct keys, the sketch pass shuffles
+    * nothing and the verify pass shuffles only candidate rows. */
+  def freqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    // the sketch pass: candidates ⊇ all tokens with freq > total * support
+    val candidates = toks.stat.freqItems(Seq("tok"), 1.0 / freqK)
+      .head().getSeq[String](0)
+    val total = toks.count()
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * freqK > total)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   private val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    // plain exact GROUP BY/HAVING — the sketch must be invisible in the
+    // result (it only nominates candidates for the exact pass)
+    "freq_topk" ->
+      s"""WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS tok
+                     FROM documents),
+               n AS (SELECT count(*) AS total FROM t)
+          SELECT tok, count(*) AS cnt FROM t, n
+          GROUP BY tok, n.total
+          HAVING count(*) * $freqK > n.total
+          ORDER BY cnt DESC, tok""",
     "chunks" ->
       """WITH e AS (
            SELECT doc_id, text,
@@ -688,5 +730,6 @@ object TextOps {
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
     "invidx_seg" -> invIndexSeg _,
+    "freq_topk" -> freqTopk _,
   )
 }

@@ -396,6 +396,119 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Squared L2 distance as a strict left-to-right fold — bit-identical
+    * to the oracle's sequential list_reduce over the same squared diffs.
+    * Interpreted (aggregate∘zip_with), acceptable here because PQ
+    * evaluates it on SUBVECTORS against tiny codebooks (32 sixteen-dim
+    * folds per vector); if it ever became the hot loop the upgrade path
+    * is a codegen'd expression exactly like [[graft.functions.DotProduct]]. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Subspace count / width / codebook size / result depth for [[simPq]]. */
+  val pqM = 4; val pqS = 16; val pqK = 8; val pqTopK = 5
+
+  /** Product quantization + asymmetric-distance search (Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search") — the memory side
+    * of the ANN stack ([[simIvfTopk]] is the routing side; IVF-PQ is their
+    * composition): each 64-d vector splits into M=4 disjoint 16-d
+    * subvectors, each subspace trains its own K=8-centroid codebook (one
+    * deterministic Lloyd pass from vec_id<8 seeds, the [[simKmeans]]
+    * convention), and a vector is stored as just M code bytes — a 64×
+    * compression of the corpus representation. A query is answered with
+    * ADC: per subspace, a K-entry table of exact distances from the RAW
+    * query subvector to the codebook (M·K = 32 cells, computed once per
+    * query); a database vector's approximate distance is then a table
+    * lookup-and-add per subspace, never touching the original vectors.
+    *
+    * Scale shape: codebooks are M·K·S doubles — broadcast everywhere,
+    * trained with the same quantized-integer-sum tree aggregates as
+    * [[simKmeans]] (shuffles carry M·K·S cells, bytes, regardless of
+    * corpus size); encoding is map-side against the broadcast codebook;
+    * the search's per-vector work is the (m, code) equi-join against the
+    * 32-row broadcast distance table plus a quantized-long sum (exact in
+    * any partition order — doubles summed across m would be order-
+    * sensitive), with the bounded-heap [[graft.functions.TopKStructs]]
+    * keeping only top-k per query through the shuffle. At 100 TB this is
+    * how a trillion-vector index fits a cluster: 4 bytes/vector here, one
+    * broadcast join + partial top-k per query batch.
+    *
+    * The DuckDB oracle replays the identical arithmetic (slices, strict
+    * folds, quantized sums, tie-breaks) — the compare is bit-exact, so
+    * the oracle checks the PQ pipeline itself, not a looser recall bound
+    * (recall vs exact search is [[simAnnTopk]]'s probe pattern). */
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // subvector grid: one row per (vector, subspace)
+    val sv = emb.withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * pqS + 1, lit(pqS)).as("sub"))
+    val seeds = sv.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").cast(IntegerType).as("code"),
+        col("sub").as("cvec"))
+    // packed argmin key: squared distance quantized to the 1e-9 grid and
+    // packed with the code into ONE long (subvector L2 ≤ 64 here, so the
+    // product stays far under 2^63) — a plain min() then stays in
+    // HashAggregate with a fixed-width buffer, where a min_by over a
+    // struct ordering key would fall to SortAggregate on the per-vector
+    // grain (the candles packed-key trick; tie on the grid → smaller
+    // code, mirrored exactly by the oracle's ORDER BY on the same pack)
+    def packed: Column =
+      floor(col("d") * 1e9 + 0.5).cast(LongType) * pqK + col("code")
+    // Lloyd assign: nearest seed per (vector, subspace)
+    val assign = sv.join(broadcast(seeds), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sub"), col("code"),
+        l2(col("sub"), col("cvec")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(packed).as("pk"), first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("m"),
+        pmod(col("pk"), lit(pqK.toLong)).cast(IntegerType).as("code"),
+        col("sub"))
+    // centroid update: quantized integer sums per (m, code, pos) — exact
+    // in any partition order; plain means (PQ is L2, not spherical)
+    val codebook = assign
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos")
+      .agg(sum(floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType)).as("qsum"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("code"), col("pos"),
+        (col("qsum").cast(DoubleType) / (col("cnt").cast(DoubleType) * 1e6)).as("c"))
+      .groupBy("m", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    // encode: every vector becomes M small codes against the broadcast
+    // book — same packed argmin, same HashAggregate shape
+    val codes = sv.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), l2(col("sub"), col("cvec")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(packed).as("pk"))
+      .select(col("vec_id"), col("m"),
+        pmod(col("pk"), lit(pqK.toLong)).cast(IntegerType).as("code"))
+    // ADC tables: exact distance from each RAW query subvector to each
+    // codebook entry, quantized to the 1e-9 grid so the cross-subspace
+    // sum is an exact long in any order
+    val dt = sv.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        floor(l2(col("sub"), col("cvec")) * 1e9 + 0.5).cast(LongType).as("qd"))
+    val item = struct(col("qdist"), col("vec_id").as("id"))
+    codes.join(broadcast(dt), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("qdist"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKStructs(item, pqTopK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("q_id"), (col("p") + 1).cast(LongType).as("rk"),
+        col("t.id").as("vec_id"),
+        (col("t.qdist").cast(DoubleType) / 1e9).as("dist"))
+      .orderBy("q_id", "rk")
+  }
+
   /** SemDeDup — semantic near-duplicate pruning (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by embedding ([[simKmeans]]),
     * compare pairs ONLY within a cluster, and drop every vector with a
@@ -440,8 +553,55 @@ object VectorOps {
           i -> embedding[i]::DOUBLE * ($ws)[i])), (acc, x) -> acc + x) > 0
           THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
+    // the identical PQ arithmetic replayed relationally: same slices,
+    // same strict folds, same quantized sums, same tie-breaks — bit-exact
+    val pqL2 = (a: String, b: String) =>
+      s"""list_reduce(list_concat([0.0], list_transform(range(1, ${pqS + 1}),
+            i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))),
+            (acc, x) -> acc + x)"""
+    val pqOracle = s"""
+      WITH sv AS (SELECT vec_id, t.m,
+                         embedding[(t.m*$pqS+1):(t.m*$pqS+$pqS)] AS sub
+                  FROM embeddings
+                  CROSS JOIN (SELECT unnest(range(0, $pqM)) AS m) t),
+      seeds AS (SELECT m, vec_id::INTEGER AS code, sub AS cvec
+                FROM sv WHERE vec_id < $pqK),
+      asg0 AS (SELECT s.vec_id, s.m, s.sub, d.code,
+                      ${pqL2("s.sub", "d.cvec")} AS d
+               FROM sv s JOIN seeds d USING (m)),
+      asg AS (SELECT vec_id, m, sub, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY CAST(floor(d*1e9 + 0.5) AS BIGINT) * $pqK + code)
+                  AS rn FROM asg0) WHERE rn = 1),
+      cq AS (SELECT m, code, t.i AS pos,
+                    sum(CAST(floor(sub[t.i]::DOUBLE * 1e6 + 0.5) AS BIGINT)) AS qsum,
+                    count(*) AS cnt
+             FROM asg CROSS JOIN (SELECT unnest(range(1, ${pqS + 1})) AS i) t
+             GROUP BY 1, 2, 3),
+      cb AS (SELECT m, code,
+                    list(qsum::DOUBLE / (cnt::DOUBLE * 1e6) ORDER BY pos) AS cvec
+             FROM cq GROUP BY 1, 2),
+      enc0 AS (SELECT s.vec_id, s.m, c.code, ${pqL2("s.sub", "c.cvec")} AS d
+               FROM sv s JOIN cb c USING (m)),
+      enc AS (SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY CAST(floor(d*1e9 + 0.5) AS BIGINT) * $pqK + code)
+                  AS rn FROM enc0) WHERE rn = 1),
+      dt AS (SELECT s.vec_id AS q_id, s.m, c.code,
+                    CAST(floor(${pqL2("s.sub", "c.cvec")} * 1e9 + 0.5) AS BIGINT) AS qd
+             FROM sv s JOIN cb c USING (m) WHERE s.vec_id < 3),
+      ad AS (SELECT d.q_id, e2.vec_id, sum(d.qd) AS qdist
+             FROM enc e2 JOIN dt d ON e2.m = d.m AND e2.code = d.code
+             GROUP BY 1, 2),
+      r AS (SELECT q_id, vec_id, qdist,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY qdist, vec_id) AS rk
+            FROM ad)
+      SELECT q_id, rk::BIGINT AS rk, vec_id, qdist::DOUBLE / 1e9 AS dist
+      FROM r WHERE rk <= $pqTopK ORDER BY q_id, rk"""
     Map(
       "vec_rp" -> rpOracle,
+      "vec_pq" -> pqOracle,
       "sim_topk" -> s"""
         WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
         scored AS (SELECT a.query_id, b.vec_id,
@@ -618,6 +778,7 @@ object VectorOps {
     "vec_q8" -> vecQuantize _,
     "vec_rp" -> vecRandomProjection _,
     "kmeans" -> ((s, d) => simKmeans(s, d)),
+    "vec_pq" -> simPq _,
     "dedup_sem" -> ((s, d) => dedupSemantic(s, d)),
   )
 }

@@ -32,6 +32,10 @@ object PlanAudit {
     // of a constant-size frame, not the data:
     ("kmeans", "SortAggregate"),
     ("sim_ivf", "SortAggregate"),
+    // same bounded codebook assembly: collect_list over the M·K·S cell
+    // frame (512 rows at M=4,K=8,S=16) — the per-vector argmin itself is
+    // the packed-long min() in HashAggregate:
+    ("vec_pq", "SortAggregate"),
   )
 
   /** Sweep every registered query's executed plan for the anti-pattern

@@ -229,6 +229,60 @@ class CodecPropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](Codec.encodeFlacCompressed(8000, Array(-40000)))
   }
 
+  test("AVI/MJPEG: mux→demux round-trips frames, index, and dims") {
+    val cases = Gen.listOfN(8,
+      for { (w, h) <- dims.suchThat { case (w, h) => w >= 8 && h >= 8 }
+            f <- Gen.choose(1, 6) } yield (w, h, f))
+      .sample.getOrElse(List((16, 12, 3)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (w, h, f) =>
+      val frames = (0 until f).map { k =>
+        val y = Array.tabulate[Byte](w * h)(i => ((i * 7 + k * 31) % 256).toByte)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(3 * i) = y(i); rgb(3 * i + 1) = y(i); rgb(3 * i + 2) = y(i); i += 1
+        }
+        Codec.encodeJpeg(w, h, rgb)
+      }
+      val avi = Codec.encodeAvi(w, h, 25, frames)
+      assert(avi(0) == 'R' && avi(1) == 'I' && avi(2) == 'F' && avi(3) == 'F')
+      val (w2, h2, declared, back, idxOk) = Codec.decodeAvi(avi)
+      assert(w2 == w && h2 == h && declared == f && back.length == f)
+      assert(idxOk, s"idx1 inconsistent at ($w,$h,$f)")
+      // the demuxed payloads are the EXACT jpeg bytes that went in
+      back.zip(frames).zipWithIndex.foreach { case ((b, orig), k) =>
+        assert(java.util.Arrays.equals(b, orig), s"frame $k bytes differ")
+      }
+      // grayscale smooth ramps survive the lossy hop within tolerance
+      back.zipWithIndex.foreach { case (jb, k) =>
+        val (jw, jh, rgb) = Codec.decodeImage(jb)
+        assert(jw == w && jh == h)
+        val mae = (0 until w * h).map { i =>
+          val want = (i * 7 + k * 31) % 256
+          math.abs((rgb(3 * i) & 0xff) - want)
+        }.sum.toDouble / (w * h)
+        assert(mae < 16.0, s"frame $k reconstruction error $mae too large")
+      }
+    }
+  }
+
+  test("AVI: corrupt containers fail loudly") {
+    val rgb = Array.fill[Byte](16 * 12 * 3)(42)
+    val avi = Codec.encodeAvi(16, 12, 25, Seq(Codec.encodeJpeg(16, 12, rgb)))
+    // wrong magic
+    val c1 = avi.clone(); c1(9) = 'X'
+    intercept[IllegalArgumentException](Codec.decodeAvi(c1))
+    // truncated movi chunk
+    intercept[IllegalArgumentException](Codec.decodeAvi(avi.dropRight(40)))
+    // a lying idx1 offset is REPORTED (idxOk=false), not trusted
+    val idxPos = avi.length - 16 * 1 // single idx entry at the tail
+    val c2 = avi.clone()
+    c2(idxPos + 8) = (c2(idxPos + 8) + 4).toByte
+    val (_, _, _, _, ok) = Codec.decodeAvi(c2)
+    assert(!ok, "corrupted idx1 offset must flag idxOk=false")
+  }
+
   test("corrupt containers fail loudly, never decode to plausible garbage") {
     // truncated PPM raster
     val ppm = Codec.encodePpm(4, 3, Array.fill[Byte](36)(1))

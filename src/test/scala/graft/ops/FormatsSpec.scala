@@ -71,6 +71,26 @@ class FormatsSpec extends SparkSpec {
     assert(bs.result.count() >= 2L, "min/max keys must both resolve")
   }
 
+  test("scan_timetravel: v1 stays readable and bit-identical after v2 commits") {
+    val dir = "/root/testdata/sf0.01"
+    val tt = Formats.timeTravelPlan(spark, dir)
+    // structural sharing: most of v1's files must be REFERENCED by v2,
+    // not copied — the whole point of a file-list commit log
+    assert(tt.carried >= 1L && tt.carried < tt.v1Files,
+      s"v2 shares ${tt.carried} of ${tt.v1Files} v1 files")
+    // time travel: reading as-of v1 AFTER the v2 commits reproduces the
+    // original table exactly (the delete/append never touched v1's files)
+    val original = table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    assert(tt.v1.collect().toSeq == original.collect().toSeq,
+      "as-of-v1 readback diverged from the original table")
+    // and v2 differs (the commits actually did something)
+    assert(tt.result.collect().toSeq != original.collect().toSeq,
+      "v2 should differ from v1 after delete+append")
+  }
+
   test("agg_incr: delta apply leaves historical partitions untouched") {
     val ip = Formats.aggIncrPlan(spark, "/root/testdata/sf0.01")
     // force the readback (the delta write already ran inside the plan call)
