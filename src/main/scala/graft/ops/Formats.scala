@@ -390,6 +390,86 @@ object Formats {
   def scanTimeTravel(spark: SparkSession, dir: String): DataFrame =
     timeTravelPlan(spark, dir).result
 
+  /** Pointer states + readbacks for the atomic-publish probes. */
+  private[graft] final case class PublishPlan(
+      rejectedPointer: String, finalPointer: String,
+      v1Intact: Boolean, preCommit: DataFrame, result: DataFrame)
+
+  /** Atomic snapshot publish — the commit protocol that makes every other
+    * maintenance op here safe to run against live readers: a writer never
+    * mutates the current snapshot; it stages a FULL new snapshot
+    * directory, runs a validation gate over the staged files (the
+    * [[DataQuality.dqAudit]] move: counts, nulls, budget), and only then
+    * flips a tiny POINTER file to the new version with an atomic rename
+    * (`Files.move(..., ATOMIC_MOVE)` — the same primitive behind Delta's
+    * `_last_checkpoint` / Hive's directory swap). Readers resolve the
+    * pointer first, so they see the old snapshot or the new one, never a
+    * half-written directory; a FAILED validation leaves the pointer — and
+    * every v1 byte — untouched (asserted). At 100 TB the pointer flip is
+    * O(1) regardless of snapshot size, and combined with
+    * [[timeTravelPlan]]'s structural sharing the "full new snapshot" is
+    * mostly re-referenced files, not rewritten bytes.
+    *
+    * Modeled end to end: v1 = history minus the newest day; a BAD staged
+    * snapshot (emptied by a deliberately wrong filter) fails the
+    * validation row-count gate and must not publish; the GOOD staged
+    * snapshot (full history) passes and flips the pointer. The oracle
+    * checks the post-publish read-through-pointer; the spec checks the
+    * rejected path and v1 immutability. */
+  private[graft] def publishPlan(spark: SparkSession, dir: String): PublishPlan = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val out = tmp("graft_publish")
+    val ev = table(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    def agg(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+    val maxDay = ev.agg(max("day")).head().getString(0)
+    val pointer = Paths.get(s"$out/CURRENT")
+    def commit(version: String): Unit = {
+      val tmpPtr = Paths.get(s"$out/CURRENT.tmp")
+      Files.writeString(tmpPtr, version)
+      Files.move(tmpPtr, pointer, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def current(): String = Files.readString(pointer).trim
+    def readCurrent(): DataFrame =
+      spark.read.parquet(s"$out/${current()}")
+    // v1: bootstrap snapshot
+    ev.filter(col("day") < maxDay).drop("day")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    commit("v1")
+    def filesOf(p: String): Map[String, Long] = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified())
+      .toMap
+    val v1Files = filesOf(s"$out/v1")
+    // publish attempt A: a broken staged snapshot (wrong filter empties
+    // it) — the validation gate must reject and leave the pointer alone
+    def publish(staged: DataFrame, version: String): Boolean = {
+      staged.write.mode("overwrite").parquet(s"$out/$version-staging")
+      val rows = spark.read.parquet(s"$out/$version-staging").count()
+      val valid = rows >= spark.read.parquet(s"$out/${current()}").count()
+      if (valid) {
+        Files.move(Paths.get(s"$out/$version-staging"), Paths.get(s"$out/$version"),
+          StandardCopyOption.ATOMIC_MOVE)
+        commit(version)
+      }
+      valid
+    }
+    publish(ev.filter(col("day") > maxDay).drop("day"), "v2bad")
+    val rejected = current()
+    val preCommit = agg(readCurrent()).orderBy("event_type")
+    // publish attempt B: the real refreshed snapshot
+    publish(ev.drop("day"), "v2")
+    val v1Intact = filesOf(s"$out/v1") == v1Files
+    PublishPlan(rejected, current(), v1Intact,
+      preCommit, agg(readCurrent())
+        .select(lit("v2").as("version"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("event_type"))
+  }
+
+  def publishAtomic(spark: SparkSession, dir: String): DataFrame =
+    publishPlan(spark, dir).result
+
   /** Partition paths rewritten by the delta apply, for the probe. */
   private[graft] final case class IncrPlan(
       baseMtimes: Map[String, Long], deltaDays: Seq[String], result: DataFrame)
@@ -523,6 +603,12 @@ object Formats {
          SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM v2 GROUP BY 1 ORDER BY event_type""",
+    // read-through-pointer after the good publish = the full snapshot;
+    // the rejected-publish and immutability paths live in FormatsSpec
+    "publish_atomic" ->
+      """SELECT 'v2' AS version, event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type""",
     // the oracle IS the full-history recompute the incremental apply avoids
     "agg_incr" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -542,5 +628,6 @@ object Formats {
     "scan_manifest_bloom" -> scanBloom _,
     "agg_incr" -> aggIncr _,
     "scan_timetravel" -> scanTimeTravel _,
+    "publish_atomic" -> publishAtomic _,
   )
 }

@@ -440,8 +440,13 @@ object VectorOps {
     * The DuckDB oracle replays the identical arithmetic (slices, strict
     * folds, quantized sums, tie-breaks) — the compare is bit-exact, so
     * the oracle checks the PQ pipeline itself, not a looser recall bound
-    * (recall vs exact search is [[simAnnTopk]]'s probe pattern). */
-  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    * (recall vs exact search is [[simAnnTopk]]'s probe pattern).
+    *
+    * This method trains the model and returns the pieces shared by
+    * [[simPq]] (whole-corpus ADC scan) and [[simIvfPq]] (IVF-routed ADC):
+    * (codes, dt) — every vector's M codes, and the per-query ADC distance
+    * tables for the vec_id<3 query batch (quantized-long cells). */
+  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     // subvector grid: one row per (vector, subspace)
     val sv = emb.withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
@@ -496,6 +501,11 @@ object VectorOps {
       .join(broadcast(codebook), Seq("m"))
       .select(col("q_id"), col("m"), col("code"),
         floor(l2(col("sub"), col("cvec")) * 1e9 + 0.5).cast(LongType).as("qd"))
+    (codes, dt)
+  }
+
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, dt) = pqModel(spark, dir)
     val item = struct(col("qdist"), col("vec_id").as("id"))
     codes.join(broadcast(dt), Seq("m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -507,6 +517,59 @@ object VectorOps {
         col("t.id").as("vec_id"),
         (col("t.qdist").cast(DoubleType) / 1e9).as("dist"))
       .orderBy("q_id", "rk")
+  }
+
+  /** IVF-PQ — the full production ANN stack, composed from the two halves
+    * this library already proves separately: [[simIvfTopk]]'s inverted-
+    * file ROUTING (queries probe only the top-nprobe cells by
+    * representative affinity — the partition-pruning move) and [[simPq]]'s
+    * MEMORY layout (candidates are scored by ADC table lookups over M-byte
+    * codes, never touching the original vectors). At 100 TB this is the
+    * trillion-vector serving shape: the corpus is stored as codes
+    * partitioned by cell; a query broadcasts its probe list + its 32-row
+    * distance table, reads only the probed cells, and the per-candidate
+    * work is M lookups and an exact long sum. Every stage is the already-
+    * locked shape: broadcast routing frame, equality join on the cell id,
+    * bounded-heap top-k. The oracle composes the identical CTE families
+    * (routing + quantized ADC) so the compare stays bit-exact. */
+  def simIvfPq(spark: SparkSession, dir: String,
+      nprobe: Int = 3, k: Int = pqTopK): DataFrame = {
+    val (codes, dt) = pqModel(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    // routing: identical representative/probe scheme to simIvfTopk
+    val reps = emb.groupBy(col("label"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("rep_emb"))
+      .select(col("label").as("plabel"), col("rep_emb"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = queries.crossJoin(broadcast(reps))
+      .select(col("query_id"), col("plabel"),
+        roundD(dot(col("qv"), col("rep_emb")), 5).as("rep_cos"))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rep_cos").desc, col("plabel"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("plabel"))
+    // candidates: only vectors living in a probed cell (self excluded)
+    val cand = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(probes),
+        col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val item = struct(col("qdist"), col("vec_id").as("id"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt),
+        col("q_id") === col("query_id") &&
+          dt("m") === codes("m") && dt("code") === codes("code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("qdist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKStructs(item, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), (col("p") + 1).cast(LongType).as("rk"),
+        col("t.id").as("vec_id"),
+        (col("t.qdist").cast(DoubleType) / 1e9).as("dist"))
+      .orderBy("query_id", "rk")
   }
 
   /** SemDeDup — semantic near-duplicate pruning (Abbas et al. 2023,
@@ -559,8 +622,8 @@ object VectorOps {
       s"""list_reduce(list_concat([0.0], list_transform(range(1, ${pqS + 1}),
             i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))),
             (acc, x) -> acc + x)"""
-    val pqOracle = s"""
-      WITH sv AS (SELECT vec_id, t.m,
+    val pqCtes = s"""
+      sv AS (SELECT vec_id, t.m,
                          embedding[(t.m*$pqS+1):(t.m*$pqS+$pqS)] AS sub
                   FROM embeddings
                   CROSS JOIN (SELECT unnest(range(0, $pqM)) AS m) t),
@@ -589,7 +652,9 @@ object VectorOps {
                   AS rn FROM enc0) WHERE rn = 1),
       dt AS (SELECT s.vec_id AS q_id, s.m, c.code,
                     CAST(floor(${pqL2("s.sub", "c.cvec")} * 1e9 + 0.5) AS BIGINT) AS qd
-             FROM sv s JOIN cb c USING (m) WHERE s.vec_id < 3),
+             FROM sv s JOIN cb c USING (m) WHERE s.vec_id < 3)"""
+    val pqOracle = s"""
+      WITH $pqCtes,
       ad AS (SELECT d.q_id, e2.vec_id, sum(d.qd) AS qdist
              FROM enc e2 JOIN dt d ON e2.m = d.m AND e2.code = d.code
              GROUP BY 1, 2),
@@ -599,9 +664,45 @@ object VectorOps {
             FROM ad)
       SELECT q_id, rk::BIGINT AS rk, vec_id, qdist::DOUBLE / 1e9 AS dist
       FROM r WHERE rk <= $pqTopK ORDER BY q_id, rk"""
+    // routing CTEs identical to sim_ivf's scheme, ADC identical to vec_pq's
+    val ivfpqOracle = s"""
+      WITH $pqCtes,
+      reps AS (SELECT label AS plabel, embedding AS rep_emb FROM (
+                 SELECT label, embedding,
+                        row_number() OVER (PARTITION BY label
+                          ORDER BY vec_id) AS rn
+                 FROM embeddings) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 3),
+      pr0 AS (SELECT q.query_id, r.plabel,
+                     floor(list_reduce(list_concat([0.0],
+                         list_transform(range(1, 65),
+                           i -> q.qv[i]::DOUBLE * r.rep_emb[i]::DOUBLE)),
+                         (acc, x) -> acc + x) * 1e5 + 0.5) / 1e5 AS rep_cos
+              FROM q CROSS JOIN reps r),
+      probes AS (SELECT query_id, plabel FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rep_cos DESC, plabel) AS prk FROM pr0)
+                 WHERE prk <= 3),
+      cand AS (SELECT p.query_id, e.vec_id
+               FROM embeddings e JOIN probes p
+                 ON e.label = p.plabel AND e.vec_id <> p.query_id),
+      ad2 AS (SELECT c.query_id, c.vec_id, sum(d.qd) AS qdist
+              FROM cand c
+              JOIN enc en ON en.vec_id = c.vec_id
+              JOIN dt d ON d.q_id = c.query_id
+                       AND d.m = en.m AND d.code = en.code
+              GROUP BY 1, 2),
+      r2 AS (SELECT query_id, vec_id, qdist,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY qdist, vec_id) AS rk
+             FROM ad2)
+      SELECT query_id, rk::BIGINT AS rk, vec_id, qdist::DOUBLE / 1e9 AS dist
+      FROM r2 WHERE rk <= $pqTopK ORDER BY query_id, rk"""
     Map(
       "vec_rp" -> rpOracle,
       "vec_pq" -> pqOracle,
+      "sim_ivfpq" -> ivfpqOracle,
       "sim_topk" -> s"""
         WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
         scored AS (SELECT a.query_id, b.vec_id,
@@ -779,6 +880,7 @@ object VectorOps {
     "vec_rp" -> vecRandomProjection _,
     "kmeans" -> ((s, d) => simKmeans(s, d)),
     "vec_pq" -> simPq _,
+    "sim_ivfpq" -> ((s, d) => simIvfPq(s, d)),
     "dedup_sem" -> ((s, d) => dedupSemantic(s, d)),
   )
 }

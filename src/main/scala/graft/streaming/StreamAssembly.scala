@@ -288,6 +288,64 @@ object StreamAssembly {
       }
   }
 
+  /** Per-user funnel progress (epoch-millis per stage; -1 = not reached). */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** One stage advancement: user reached `stage` at event-time `ts_ms`. */
+  final case class FunnelUpdate(user_id: Long, stage: Int, ts_ms: Long)
+
+  /** Streaming funnel — [[graft.ops.EventOps.funnel]]'s strict
+    * signup→view→purchase machine as keyed state, emitting an update the
+    * moment a user ADVANCES a stage (the real-time form of the batch
+    * conversion report: live activation dashboards, drop-off alerting).
+    * Per-user state is three epoch-millis — O(1) per user regardless of
+    * event volume, sharded by the state store like every keyed state here,
+    * and expired via event-time timeout once a user goes idle past the
+    * horizon (the funnel-window contract; an unbounded funnel would pin
+    * every user forever at 100 TB). Rows are applied in event-time order
+    * WITHIN each micro-batch (the sort below); across batches the machine
+    * is monotone, so parity with the batch funnel holds when delivery is
+    * watermark-ordered — StreamingSpec feeds the real events table in ts
+    * order and asserts stage counts match the batch query exactly. The
+    * strict `>` comparisons mirror the batch min-after-min semantics
+    * (same-instant events never advance two stages). */
+  def funnelStages(events: DataFrame, watermark: String = "10 minutes",
+      idleTimeout: String = "30 minutes"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("timestamp").as("ts_event"))
+      .withWatermark("ts_event", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+            var lastTs = 0L
+            rows.toSeq.sortBy(_._3.getTime).foreach { case (_, typ, tsEvent) =>
+              val t = tsEvent.getTime
+              lastTs = math.max(lastTs, t)
+              typ match {
+                case "signup" if s.t1 < 0 =>
+                  s = s.copy(t1 = t); out += FunnelUpdate(uid, 1, t)
+                case "view" if s.t1 >= 0 && s.t2 < 0 && t > s.t1 =>
+                  s = s.copy(t2 = t); out += FunnelUpdate(uid, 2, t)
+                case "purchase" if s.t2 >= 0 && s.t3 < 0 && t > s.t2 =>
+                  s = s.copy(t3 = t); out += FunnelUpdate(uid, 3, t)
+                case _ => ()
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(lastTs, idleTimeout)
+            out.iterator
+          }
+      }
+  }
+
   /** Switch the session's streaming state store to RocksDB and return the
     * previous provider setting (pass it back to restore).
     *

@@ -24,6 +24,10 @@ object PlanAudit {
     ("sim_topk", "CartesianProduct"), ("sim_topk", "BroadcastNestedLoopJoin"),
     ("kmeans", "CartesianProduct"), ("kmeans", "BroadcastNestedLoopJoin"),
     ("sim_ivf", "CartesianProduct"), ("sim_ivf", "BroadcastNestedLoopJoin"),
+    // same routing shape as sim_ivf (tiny query x cell-representative
+    // frame broadcast) + the same bounded frames on the PQ side:
+    ("sim_ivfpq", "CartesianProduct"), ("sim_ivfpq", "BroadcastNestedLoopJoin"),
+    ("sim_ivfpq", "SortAggregate"),
     ("ppl", "BroadcastNestedLoopJoin"), // one-row total-count frame
     ("colloc", "BroadcastNestedLoopJoin"), // one-row total-count frame
     ("text_tfidf", "BroadcastNestedLoopJoin"), // one-row corpus-N frame

@@ -91,6 +91,27 @@ class FormatsSpec extends SparkSpec {
       "v2 should differ from v1 after delete+append")
   }
 
+  test("publish_atomic: failed validation never flips the pointer; v1 stays intact") {
+    val dir = "/root/testdata/sf0.01"
+    val pp = Formats.publishPlan(spark, dir)
+    // the broken staged snapshot must have been rejected: pointer still v1
+    assert(pp.rejectedPointer == "v1",
+      s"bad publish flipped the pointer to ${pp.rejectedPointer}")
+    // readers between the attempts see exactly the v1 snapshot
+    val v1Expect = table(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("day") < table(spark, dir, "events")
+        .agg(max(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    assert(pp.preCommit.collect().toSeq == v1Expect.collect().toSeq,
+      "reader between publishes must see the untouched v1 snapshot")
+    // the good publish landed, without mutating a single v1 byte
+    assert(pp.finalPointer == "v2")
+    assert(pp.v1Intact, "publish must never rewrite the previous snapshot")
+  }
+
   test("agg_incr: delta apply leaves historical partitions untouched") {
     val ip = Formats.aggIncrPlan(spark, "/root/testdata/sf0.01")
     // force the readback (the delta write already ran inside the plan call)

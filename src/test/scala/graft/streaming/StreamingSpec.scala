@@ -390,4 +390,38 @@ class StreamingSpec extends SparkSpec {
       assert((got(1).getDouble(1), got(1).getLong(5)) == ((75.0, 1L)))
     } finally q.stop()
   }
+
+  test("streaming funnel: stage counts match the batch funnel on the real table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the SAME rows the batch funnel reads, delivered in event-time order
+    // across two micro-batches (mid-stream cut), timeout far past the span
+    val rows = graft.ops.table(spark, dir, "events")
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .collect().sortBy(_._3.getTime).toIndexedSeq
+    assert(rows.length > 100)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_type", "ts")
+    val q = StreamAssembly
+      .funnelStages(events, watermark = "10 minutes", idleTimeout = "60 days")
+      .toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // each stage fires at most once per user, so user counts per stage
+      // are direct; they must equal the batch aggregate-join chain exactly
+      val got = spark.sql(
+        """SELECT stage, count(DISTINCT user_id) AS users
+           FROM funnel_stream GROUP BY stage ORDER BY stage""").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = graft.ops.EventOps.funnel(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got == want.filter(_._2 > 0L),
+        s"stream stages $got diverged from batch funnel $want")
+    } finally q.stop()
+  }
 }
