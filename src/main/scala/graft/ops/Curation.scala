@@ -243,7 +243,54 @@ object Curation {
       .orderBy("split", "lang")
   }
 
+  /** WEIGHTED sampling without replacement — priority sampling
+    * (Duffield/Lund/Thorup, JACM'07): give every document the priority
+    * w/u with u a per-doc uniform, take the k highest. Longer documents
+    * (weight = n_chars) are proportionally more likely to make the
+    * sample — the length-biased pick a token-budgeted curation pass
+    * wants — yet any single sample is still a fixed top-k: fully
+    * distributed (`TakeOrderedAndProject` — map-side heaps, ≤ k rows per
+    * task to the driver-side merge, nothing global ever sorts), stable
+    * across runs and partitionings, and portable across engines.
+    *
+    * Determinism is INTEGER-exact, not float-trusted: u is 52 salted-MD5
+    * bits (the [[splitHash]] portability argument), and the priority is
+    * the integer division (w·2⁴⁰) div u — order-equivalent to w/u but
+    * bit-identical in any engine with 64-bit integer division, where
+    * float w/u could tie-break differently in the last ulp. Ties broken
+    * by doc_id. */
+  def samplePriority(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#wt"))), 1, 13), 16, 10).cast(LongType) + lit(1L)
+    val top = table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), u.as("u"))
+      // SQL `div`: exact 64-bit integral division (Column./ would go
+      // through double and lose low bits above 2^53)
+      .select(col("doc_id"), col("n_chars"),
+        expr("(n_chars * CAST(1099511627776 AS BIGINT)) div u").as("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k)
+    // rank assignment runs on the ≤k surviving rows only
+    top.select(col("doc_id"), col("n_chars"),
+        row_number().over(Window.orderBy(col("pri").desc, col("doc_id")))
+          .cast(LongType).as("rk"))
+      .orderBy("rk")
+  }
+
   val oracles: Map[String, String] = Map(
+    // the identical integer priority ((w·2^40) // u, u = 52 md5 bits + 1):
+    // BIGINT arithmetic reproduces Spark's `div` bit-for-bit
+    "sample_weighted" ->
+      """WITH p AS (
+           SELECT doc_id, n_chars,
+                  (n_chars * 1099511627776)
+                    // (('0x' || substr(md5(doc_id::VARCHAR || '#wt'),
+                                        1, 13))::BIGINT + 1) AS pri
+           FROM documents)
+         SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY pri DESC, doc_id) AS rk
+         FROM p ORDER BY pri DESC, doc_id LIMIT 50""",
     "split_hash" ->
       """WITH b AS (SELECT lang, n_chars,
                 ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT
@@ -337,5 +384,6 @@ object Curation {
     "curate_corpus" -> curateCorpus _,
     "pack_seq" -> packSequences _,
     "split_hash" -> splitHash _,
+    "sample_weighted" -> ((s, d) => samplePriority(s, d)),
   )
 }

@@ -330,7 +330,9 @@ object Formats {
   /** Snapshot file lists + the as-of readbacks for the time-travel probe. */
   private[graft] final case class TimeTravelPlan(
       v1Files: Long, v2Files: Long, carried: Long,
-      v1: DataFrame, result: DataFrame)
+      v1: DataFrame, result: DataFrame,
+      hitFiles: Seq[String], rewriteFiles: Seq[String],
+      appendFiles: Seq[String])
 
   /** Snapshot-versioned reads (time travel) — the manifest generalized
     * into a commit log: every table version is an immutable LIST OF FILES,
@@ -384,11 +386,42 @@ object Formats {
         .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
         .orderBy("event_type")
     TimeTravelPlan(v1.length.toLong, v2.length.toLong, carried.length.toLong,
-      asOf(v1.toIndexedSeq), asOf(v2))
+      asOf(v1.toIndexedSeq), asOf(v2),
+      hit.toIndexedSeq, parts(s"$out/rewrite"), parts(s"$out/append"))
   }
 
   def scanTimeTravel(spark: SparkSession, dir: String): DataFrame =
     timeTravelPlan(spark, dir).result
+
+  /** CHANGE DATA FEED between two table versions — "what changed since
+    * v1?", answered from the COMMIT LOG alone. Given [[timeTravelPlan]]'s
+    * copy-on-write layout, the v1→v2 delta is fully determined by the
+    * files the commits touched: rows present in the REWRITTEN-away files
+    * but absent from their replacements were deleted (`exceptAll` — a
+    * multiset diff, so duplicate rows subtract correctly), and rows in the
+    * appended files were inserted. CARRIED files — the overwhelming
+    * majority of a 100 TB table under a small commit — are never opened:
+    * they appear in both versions' file lists and cancel symbolically at
+    * planning time. That file-list cancellation is the whole point of a
+    * lake CDF: the cost scales with the COMMIT (hit + rewrite + append
+    * bytes), not the table, where a naive v2-EXCEPT-v1 diff would scan
+    * both full versions. FormatsSpec locks the property: the feed's input
+    * files are exactly the touched lists, never a carried file.
+    *
+    * The oracle rebuilds the same feed relationally (the commits are
+    * data-derived: delete = min user, insert = max user's re-ingest). */
+  def scanCdf(spark: SparkSession, dir: String): DataFrame = {
+    val tt = timeTravelPlan(spark, dir)
+    val deletes = spark.read.parquet(tt.hitFiles: _*)
+      .exceptAll(spark.read.parquet(tt.rewriteFiles: _*))
+      .withColumn("change_type", lit("delete"))
+    val inserts = spark.read.parquet(tt.appendFiles: _*)
+      .withColumn("change_type", lit("insert"))
+    deletes.unionByName(inserts)
+      .groupBy("change_type", "event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("change_type", "event_type")
+  }
 
   /** Pointer states + readbacks for the atomic-publish probes. */
   private[graft] final case class PublishPlan(
@@ -603,6 +636,20 @@ object Formats {
          SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM v2 GROUP BY 1 ORDER BY event_type""",
+    // the same feed rebuilt relationally from the commits' definitions:
+    // v2a deleted the min user's rows, v2b appended the max user's re-ingest
+    "scan_cdf" ->
+      """WITH b AS (SELECT min(user_id) AS glo, max(user_id) AS ghi
+                    FROM events),
+              feed AS (
+                SELECT 'delete' AS change_type, e.event_type, e.value
+                FROM events e, b WHERE e.user_id = b.glo
+                UNION ALL
+                SELECT 'insert' AS change_type, e.event_type, e.value
+                FROM events e, b WHERE e.user_id = b.ghi)
+         SELECT change_type, event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM feed GROUP BY 1, 2 ORDER BY change_type, event_type""",
     // read-through-pointer after the good publish = the full snapshot;
     // the rejected-publish and immutability paths live in FormatsSpec
     "publish_atomic" ->
@@ -628,6 +675,7 @@ object Formats {
     "scan_manifest_bloom" -> scanBloom _,
     "agg_incr" -> aggIncr _,
     "scan_timetravel" -> scanTimeTravel _,
+    "scan_cdf" -> scanCdf _,
     "publish_atomic" -> publishAtomic _,
   )
 }

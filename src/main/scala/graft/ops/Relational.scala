@@ -265,6 +265,46 @@ object Relational {
       .agg(approx_count_distinct(col("event_type")).as("n_types"))
       .orderBy("user_id")
 
+  /** MERGEABLE-sketch pre-aggregation — the pattern that makes "distinct
+    * users per week/month/quarter" answerable at 100 TB without ever
+    * re-scanning raw data: materialize one Datasketches HLL sketch per day
+    * (`hll_sketch_agg`, a few KB each), then answer ANY coarser grain by
+    * UNIONING the stored sketches (`hll_union_agg`) — the union costs
+    * O(days·4KB), not O(raw rows), and unlike exact `count(DISTINCT)` the
+    * daily level is re-aggregable (exact distinct counts do not add across
+    * days; register-wise max does). This is the lake analog of serving the
+    * reference feed's "unique liquidated accounts this week" without a
+    * weekly raw scan.
+    *
+    * The oracle checks the exact weekly distinct + row counts; the sketch
+    * columns are Spark-internal invariants surfaced as flags — `merged_ok`
+    * (union-of-daily estimate within 5% of exact) and `direct_ok` (one-shot
+    * weekly sketch within 5%) — constant-true columns the hash compare
+    * still covers. LlmOpsSpec additionally asserts the merged and direct
+    * estimates agree with each other (sketch mergeability). */
+  def aggHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val daily = ev
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    val merged = daily.groupBy("wk")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("merged"))
+    val direct = ev.groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("direct"),
+        count_distinct(col("user_id")).as("exact"),
+        count(lit(1)).as("n_rows"))
+    direct.join(broadcast(merged), "wk")
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("exact"), col("n_rows"),
+        (abs(col("merged") - col("exact")) <= col("exact") * 0.05)
+          .cast(IntegerType).as("merged_ok"),
+        (abs(col("direct") - col("exact")) <= col("exact") * 0.05)
+          .cast(IntegerType).as("direct_ok"))
+      .orderBy("week")
+  }
+
   // ── joins ────────────────────────────────────────────────────────────────
 
   /** Equi hash join fact⋈dim, aggregated. Catalyst broadcasts the dim side
@@ -668,6 +708,71 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"),
         roundD((col("value") - mean) / std, 4).as("z"))
       .orderBy("event_id")
+  }
+
+  /** Robust anomaly detection via MEDIAN + MAD — the heavy-tail companion
+    * to [[anomalyZscore]]: a liquidation cascade drags the mean and
+    * inflates sigma enough to mask its own outliers (the z-score's known
+    * failure mode), while the median and the median-absolute-deviation
+    * are 50%-breakdown estimators the cascade cannot move. Flags rows with
+    * |x − med| > 3·1.4826·MAD (1.4826 rescales MAD to sigma under
+    * normality).
+    *
+    * Shape at scale: two tiny keyed aggregates (exact `median` — a
+    * per-group single-pass selection, grouped on the low-cardinality key)
+    * each broadcast back onto the stream — the fact table itself never
+    * shuffles, same contract as zscore. Absolute deviations are rounded
+    * to 6 dp before the MAD pass so both engines feed bit-identical
+    * inputs into the second median. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select("event_type", "value")
+    val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", roundD(abs(col("value") - col("med")), 6))
+    val mad = dev.groupBy("event_type").agg(median(col("ad")).as("madv"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ad") > lit(3.0 * 1.4826) * col("madv"), 1L)
+          .otherwise(0L)).as("outliers"),
+        roundD(max(col("med")), 6).as("med"),
+        roundD(max(col("madv")), 6).as("mad"))
+      .orderBy("event_type")
+  }
+
+  /** 2-D SKYLINE (pareto frontier): the parts no other part beats on BOTH
+    * price (lower better) and size (higher better) — the multi-objective
+    * "best tradeoffs" query (Börzsönyi et al., ICDE'01). The naive
+    * formulation is an O(n²) dominance anti-join (the oracle runs exactly
+    * that); this plan is the sort-based linear scan: collapse to distinct
+    * (price, size) points, keep only the max size per price (anything else
+    * is dominated at its own price), then one ordered pass — a point
+    * survives iff its size exceeds the running max over all cheaper
+    * points. Equal-price/equal-size ties collapse into one frontier point
+    * carrying its part count, and strictness is exact: the per-price max
+    * removes same-price dominance, the strict `>` removes cheaper-or-equal
+    * dominance.
+    *
+    * Scale: the two keyed aggregates shuffle on price (map-side partials);
+    * only the FINAL cummax pass is a single-partition window — bounded by
+    * |distinct prices|, which the per-price reduction already made ≪ n.
+    * At 100 TB you'd insert one more partition-local prune (each task's
+    * local skyline) before the global pass; the global sort input is then
+    * ≤ frontier-size per task. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = table(spark, dir, "part")
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val perPrice = pairs.groupBy("price")
+      .agg(max_by(col("n_parts"), col("size")).as("n_parts"),
+        max(col("size")).as("size"))
+    val w = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perPrice.withColumn("mx", max(col("size")).over(w))
+      .filter(col("mx").isNull || col("size") > col("mx"))
+      .select(col("price"), col("size"), col("n_parts"))
+      .orderBy("price")
   }
 
   // ── window functions ─────────────────────────────────────────────────────
@@ -1134,6 +1239,48 @@ object Relational {
                3.0 * sqrt((st.n * st.sxx - st.sx * st.sx) /
                           (st.n * (st.n - 1.0)))
          ORDER BY event_id""",
+    // medians interpolate identically (lower + (upper-lower)·frac in both
+    // engines); deviations are 6-dp rounded before the MAD pass so the
+    // second median sees bit-identical inputs
+    "anomaly_mad" ->
+      """WITH med AS (
+           SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+         dev AS (
+           SELECT e.event_type,
+                  floor(abs(e.value - m.med) * 1e6 + 0.5) / 1e6 AS ad,
+                  m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, median(ad) AS madv FROM dev GROUP BY 1)
+         SELECT d.event_type, count(*) AS n,
+                CAST(SUM(CASE WHEN d.ad > (3.0 * 1.4826) * m.madv
+                              THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+                floor(max(d.med) * 1e6 + 0.5) / 1e6 AS med,
+                floor(max(m.madv) * 1e6 + 0.5) / 1e6 AS mad
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY 1 ORDER BY event_type""",
+    // the O(n²) dominance definition verbatim — a frontier point is one no
+    // other point weakly beats on both axes with a strict win somewhere;
+    // the Spark side's sort-scan must reproduce it exactly
+    "skyline" ->
+      """WITH pairs AS (
+           SELECT p_retailprice AS price, p_size AS size,
+                  count(*) AS n_parts
+           FROM part GROUP BY 1, 2)
+         SELECT p.price, p.size, p.n_parts
+         FROM pairs p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pairs q
+           WHERE q.price <= p.price AND q.size >= p.size
+             AND (q.price < p.price OR q.size > p.size))
+         ORDER BY price""",
+    // exact weekly distincts + row counts; the sketch columns are
+    // Spark-side invariants surfaced as constant-true flags
+    "agg_hll_merge" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                count(DISTINCT user_id) AS exact, count(*) AS n_rows,
+                1 AS merged_ok, 1 AS direct_ok
+         FROM events GROUP BY 1 ORDER BY week""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1173,6 +1320,9 @@ object Relational {
     "join_fuzzy" -> joinFuzzy _,
     "join_interval" -> joinInterval _,
     "zscore" -> anomalyZscore _,
+    "anomaly_mad" -> anomalyMad _,
+    "skyline" -> skyline _,
+    "agg_hll_merge" -> aggHllMerge _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,
     "join_bloom" -> joinBloom _,

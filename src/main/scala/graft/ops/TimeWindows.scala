@@ -160,7 +160,128 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** Time-series RESAMPLE + gap fill: snap each series (per event_type) to a
+    * regular hourly grid and forward-fill missing hours with the last
+    * observation (LOCF) — the step every downstream model/dashboard needs
+    * before it can difference, lag, or join two feeds on time. The
+    * liquidation stream is bursty by nature (cascades, then silence;
+    * liq-stream `CHANGELOG.md:12-14`'s "last 6h" views hit exactly these
+    * holes), so the raw feed has empty hours that a naive window join
+    * would silently drop.
+    *
+    * Scale shape: the expensive input (raw events) is reduced FIRST by the
+    * keyed hourly aggregate — everything after runs on |keys|·|hours| rows,
+    * independent of raw volume. The grid is generated per key from its own
+    * min/max hour (`sequence` + explode — map-side, no driver loop), the
+    * grid⋈observed join shuffles on the same (key, hour) the aggregate
+    * just produced, and the LOCF window sorts only each key's grid rows,
+    * never raw events. Last-fill-wins within an hour uses the candles
+    * packed ordering key so batch ties are deterministic. */
+  def tsFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = (unix_micros(col("ts")) % 3600000000L) * 2147483648L +
+      pmod(col("event_id"), lit(2147483648L))
+    val obs = table(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max_by(col("value"), ord).as("v"))
+    val grid = obs.groupBy("event_type")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), tsStr(col("h")).as("hour"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        col("v").isNull.cast(IntegerType).as("gap"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Bounded-window EWMA (k=8 taps, decay 0.75) per series — the standard
+    * smoothing line under every candle chart, truncated to a FIXED number
+    * of lags so it is expressible as a plain window aggregate. The exact
+    * recursive EWMA needs unbounded running state (a scan, not a window);
+    * with decay d the terms beyond lag k carry weight d^k/(1-d) ≤ 10% at
+    * k=8 — the truncation is the classic bounded approximation and, unlike
+    * the recursion, it parallelizes: one per-key sort, then every row's
+    * smoothed value is a codegen'd fold over 8 `lag`s in ONE window frame
+    * (no self-joins, no per-tap passes). Head-of-series rows normalize by
+    * the weights actually present instead of padding with zeros.
+    *
+    * Output is folded to day grain (close + exact-decimal mean of the
+    * rounded EWMA) so the check stays O(keys·days) while still covering
+    * every per-row smoothed value through the hash. */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = 0.75
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val taps = 0 until 8
+    val num = taps.map(j => coalesce(lag(col("value"), j).over(w), lit(0.0)) *
+      lit(math.pow(d, j))).reduce(_ + _)
+    val den = taps.map(j => when(lag(col("value"), j).over(w).isNotNull,
+      lit(math.pow(d, j))).otherwise(lit(0.0))).reduce(_ + _)
+    // day-grain packed key: µs-in-day needs 37 bits, so the id residue
+    // shrinks to 20 (2^37 · 2^20 < 2^63 — the hour-grain key's 31-bit
+    // residue would overflow at day scale)
+    val ordDay = (unix_micros(col("ts")) % 86400000000L) * 1048576L +
+      pmod(col("event_id"), lit(1048576L))
+    table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("e", roundD(num / den, 6))
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(max_by(col("e"), ordDay).as("ewma_close"),
+        (sum(col("e").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1))).as("ewma_mean"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The DuckDB twin of [[tsEwma]], assembled from the same tap count and
+    * decay so the two sides can never drift: each 0.75^j literal is a dyadic
+    * rational (3^j/4^j — exactly representable), so the shortest-round-trip
+    * decimal Scala prints parses back to the identical double in DuckDB. */
+  private val ewmaOracle: String = {
+    val over = "OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+    val num = (0 until 8).map(j =>
+      s"coalesce(lag(value, $j) $over, 0.0) * ${math.pow(0.75, j)}")
+      .mkString(" + ")
+    val den = (0 until 8).map(j =>
+      s"CASE WHEN lag(value, $j) $over IS NOT NULL THEN ${math.pow(0.75, j)} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH e AS (
+          SELECT event_type, ts, event_id,
+                 floor(($num) / ($den) * 1e6 + 0.5) / 1e6 AS e
+          FROM events)
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               arg_max(e, (epoch_us(ts) % 86400000000) * 1048576
+                          + (event_id % 1048576)) AS ewma_close,
+               CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 AS ewma_mean
+        FROM e GROUP BY 1, 2 ORDER BY event_type, day"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts_fill" ->
+      """WITH obs AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  arg_max(value, (epoch_us(ts) % 3600000000) * 2147483648
+                                 + (event_id % 2147483648)) AS v
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+                    FROM obs GROUP BY 1),
+         grid AS (SELECT event_type,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+         f AS (SELECT g.event_type, g.h, o.v
+               FROM grid g LEFT JOIN obs o
+                 ON g.event_type = o.event_type AND g.h = o.h)
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                CAST(v IS NULL AS INTEGER) AS gap
+         FROM f ORDER BY event_type, hour""",
+    "ts_ewma" -> ewmaOracle,
     "win_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS cnt,
@@ -239,5 +360,7 @@ object TimeWindows {
     "sink_csv_daily" -> sinkCsvDaily _,
     "candles" -> candles _,
     "candles_daily" -> candlesDaily _,
+    "ts_fill" -> tsFill _,
+    "ts_ewma" -> tsEwma _,
   )
 }

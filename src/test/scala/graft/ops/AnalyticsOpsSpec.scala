@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property probes for the analytics additions: time-series resample/EWMA,
+  * robust outliers, the skyline scan, priority sampling, and mergeable-
+  * sketch pre-aggregation. The oracle gate proves each query's values; the
+  * probes here assert the CLAIMS behind the plans — the invariants a hash
+  * compare alone cannot express (dominance, bias direction, sketch
+  * mergeability, grid completeness). */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("ts_fill: grid is complete per key, LOCF fills every gap, real hours survive") {
+    val f = TimeWindows.tsFill(spark, dir).cache()
+    try {
+      // no hole on the filled grid: every row carries a value
+      assert(f.filter(col("value").isNull).count() == 0L,
+        "LOCF left a null on the grid")
+      // per key the grid is contiguous: row count == span-in-hours + 1
+      val spans = f.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("hour").as("lo"), max("hour").as("hi"))
+        .withColumn("want",
+          (unix_seconds(to_timestamp(col("hi"))) -
+            unix_seconds(to_timestamp(col("lo")))) / 3600L + 1L)
+      assert(spans.filter(col("n") =!= col("want")).count() == 0L,
+        "hourly grid has holes or duplicates")
+      // observed hours agree with the raw hourly aggregate count
+      val observed = f.filter(col("gap") === 0).count()
+      val raw = table(spark, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .distinct().count()
+      assert(observed == raw, s"observed-hour count drifted: $observed vs $raw")
+    } finally f.unpersist()
+  }
+
+  test("ts_ewma: smoothing stays inside the window's value envelope") {
+    // the EWMA is a convex combination of the last 8 observations, so every
+    // smoothed value must lie within the per-key global [min,max] envelope
+    val e = TimeWindows.tsEwma(spark, dir)
+    val env = table(spark, dir, "events").groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val out = e.join(env, "event_type")
+      .filter(col("ewma_close") < col("lo") - 1e-6 ||
+        col("ewma_close") > col("hi") + 1e-6 ||
+        col("ewma_mean") < col("lo") - 1e-6 ||
+        col("ewma_mean") > col("hi") + 1e-6)
+    assert(out.count() == 0L, "EWMA escaped the observed value envelope")
+  }
+
+  test("anomaly_mad: flags are a subset of generous-z candidates and MAD is robust") {
+    val m = Relational.anomalyMad(spark, dir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (n, outliers) = (r.getAs[Long]("n"), r.getAs[Long]("outliers"))
+      // a 50%-breakdown estimator can never flag the majority
+      assert(outliers * 2 <= n, s"${r.getString(0)}: MAD flagged a majority")
+      assert(r.getAs[Double]("mad") >= 0.0)
+    }
+  }
+
+  test("skyline: sort-scan output is exactly the brute-force pareto frontier") {
+    val sky = Relational.skyline(spark, dir)
+      .select("price", "size").collect().map(r => (r.getDouble(0), r.getInt(1))).toSet
+    val pts = table(spark, dir, "part")
+      .select(col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSet
+    def dominated(p: (Double, Int)) = pts.exists(q =>
+      q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2))
+    val brute = pts.filterNot(dominated)
+    assert(sky == brute,
+      s"skyline mismatch: scan=${sky.size} brute=${brute.size}")
+  }
+
+  test("sample_weighted: priority sampling is length-biased and deterministic") {
+    val s1 = Curation.samplePriority(spark, dir).collect()
+    val s2 = Curation.samplePriority(spark, dir).collect()
+    assert(s1.toSeq == s2.toSeq, "weighted sample not reproducible")
+    // bias direction: the weight IS n_chars, so the sample's mean length
+    // must exceed the corpus mean (the whole point of weighting)
+    val sampleMean = s1.map(_.getAs[Long]("n_chars")).sum.toDouble / s1.length
+    val corpusMean = table(spark, dir, "documents")
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"no length bias: sample $sampleMean%.0f vs corpus $corpusMean%.0f")
+  }
+
+  test("agg_hll_merge: union-of-daily sketches equals the one-shot weekly sketch") {
+    val ev = table(spark, dir, "events")
+    val daily = ev
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    val merged = daily.groupBy("wk")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("m"))
+    val direct = ev.groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("d"),
+        count_distinct(col("user_id")).as("exact"))
+    val rows = direct.join(merged, "wk").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, d, exact) = (r.getAs[Long]("m"), r.getAs[Long]("d"),
+        r.getAs[Long]("exact"))
+      // mergeability: union-of-parts must estimate like the whole
+      assert(m == d, s"merged $m != direct $d — sketch union drifted")
+      assert(math.abs(m - exact) <= exact * 0.05,
+        s"estimate $m strayed >5% from exact $exact")
+    }
+  }
+}

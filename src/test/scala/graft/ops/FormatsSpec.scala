@@ -91,6 +91,32 @@ class FormatsSpec extends SparkSpec {
       "v2 should differ from v1 after delete+append")
   }
 
+  test("scan_cdf: the change feed opens only commit-touched files, never carried ones") {
+    val dir = "/root/testdata/sf0.01"
+    val tt = Formats.timeTravelPlan(spark, dir)
+    // input_file_name()/inputFiles report file: URIs; writes use plain paths
+    def norm(p: String) =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val touched = (tt.hitFiles ++ tt.rewriteFiles ++ tt.appendFiles)
+      .map(norm).toSet
+    val deletes = spark.read.parquet(tt.hitFiles: _*)
+      .exceptAll(spark.read.parquet(tt.rewriteFiles: _*))
+    val inserts = spark.read.parquet(tt.appendFiles: _*)
+    val feedInputs =
+      (deletes.inputFiles.toSet ++ inserts.inputFiles.toSet).map(norm)
+    // the 100 TB contract: CDF cost scales with the commit, not the table —
+    // carried files (in both versions' lists) are never opened
+    assert(feedInputs.subsetOf(touched),
+      "change feed opened a file outside the touched commits")
+    assert(tt.carried >= 1L,
+      "probe needs carried files to prove they are skipped")
+    val carriedSet = deletes.inputFiles.length + inserts.inputFiles.length
+    assert(carriedSet <= touched.size, "feed read more files than touched")
+    // and the feed itself is non-trivial on both sides
+    assert(deletes.count() >= 1L && inserts.count() >= 1L,
+      "both commits must contribute changes")
+  }
+
   test("publish_atomic: failed validation never flips the pointer; v1 stays intact") {
     val dir = "/root/testdata/sf0.01"
     val pp = Formats.publishPlan(spark, dir)
