@@ -52,7 +52,70 @@ object DataQuality {
       .orderBy("check")
   }
 
+  /** JOIN-KEY SKEW audit — the "do I need to salt this join?" diagnostic,
+    * run BEFORE the 100 TB job instead of discovered from its straggler:
+    * for each candidate shuffle key, the row count, distinct-key count,
+    * and the share (permille, integer-exact) of the hottest 1 and hottest
+    * 10 keys. A `skewed` flag fires when the top key carries >10× its
+    * fair share (top1·n_keys > 10·n_rows) — the threshold at which
+    * [[Relational.joinSalted]]'s salting or AQE skew-join splitting pays
+    * for itself. Per key this is one keyed count (map-side partials) plus
+    * two one-row reductions over the count frame — the count frame, not
+    * the data, is everything downstream, so the audit costs one scan per
+    * key column. The top-10 sum is well-defined under ties (any tie-break
+    * at the boundary picks an equal count, so the SUM is unique) — that
+    * is what makes it oracle-checkable where a "top-10 list" would not
+    * be. The one-row stats⋈top10 cross joins are bounded frames (the
+    * zscore/ppl pattern, PlanAudit-allowlisted). */
+  def dqSkew(spark: SparkSession, dir: String): DataFrame = {
+    def skewOf(df: DataFrame, tag: String, key: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"), max(col("c")).as("top1"))
+      val top10 = counts.orderBy(col("c").desc, col("k"))
+        .limit(10).agg(sum(col("c")).as("top10"))
+      stats.crossJoin(top10).select(lit(tag).as("key_col"),
+        col("n_rows"), col("n_keys"),
+        expr("top1 * 1000 div n_rows").as("top1_permille"),
+        expr("top10 * 1000 div n_rows").as("top10_permille"),
+        expr("CAST(top1 * n_keys > 10 * n_rows AS INT)").as("skewed"))
+    }
+    skewOf(table(spark, dir, "lineitem"), "lineitem.l_orderkey", "l_orderkey")
+      .unionByName(skewOf(table(spark, dir, "orders"),
+        "orders.o_custkey", "o_custkey"))
+      .unionByName(skewOf(table(spark, dir, "events"),
+        "events.user_id", "user_id"))
+      .unionByName(skewOf(table(spark, dir, "events"),
+        "events.event_type", "event_type"))
+      .orderBy("key_col")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_skew" -> {
+      def one(tbl: String, key: String) =
+        s"""SELECT '$tbl.$key' AS key_col,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(max(c) * 1000 AS BIGINT) // CAST(sum(c) AS BIGINT)
+                     AS top1_permille,
+                   CAST((SELECT sum(c) FROM
+                          (SELECT c FROM (SELECT $key AS k, count(*) AS c
+                                          FROM $tbl GROUP BY 1)
+                           ORDER BY c DESC, k LIMIT 10)) * 1000 AS BIGINT)
+                     // CAST(sum(c) AS BIGINT) AS top10_permille,
+                   CAST(max(c) * count(*) > 10 * CAST(sum(c) AS BIGINT)
+                        AS INTEGER) AS skewed
+            FROM (SELECT $key AS k, count(*) AS c FROM $tbl GROUP BY 1)"""
+      s"""SELECT * FROM (
+            ${one("lineitem", "l_orderkey")}
+            UNION ALL
+            ${one("orders", "o_custkey")}
+            UNION ALL
+            ${one("events", "user_id")}
+            UNION ALL
+            ${one("events", "event_type")})
+          ORDER BY key_col"""
+    },
     "dq_audit" ->
       """SELECT * FROM (
            SELECT 'lineitem_orphan_orderkey' AS check, count(*) AS violations
@@ -75,5 +138,6 @@ object DataQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> dqAudit _,
+    "dq_skew" -> dqSkew _,
   )
 }

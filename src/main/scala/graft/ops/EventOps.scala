@@ -82,7 +82,58 @@ object EventOps {
       .orderBy("cohort", "offset")
   }
 
+  /** LAST-TOUCH attribution: credit every purchase to the user's most
+    * recent STRICTLY-PRIOR view — the standard marketing-attribution
+    * query, and the in-sequence as-of join [[graft.ops.Relational.joinAsOf]]
+    * solves across two tables. Unlike the funnel (pure aggregates), this
+    * genuinely needs sequence context, so it is the one EventOps query
+    * that runs a per-user window — but the frame is a running
+    * `last(ignoreNulls)` over `(UNBOUNDED PRECEDING, 1 PRECEDING)`: the
+    * carried state is ONE (event_id, ts) pair per user, rows stream
+    * through WindowExec's spill-backed buffer (a power user spills to
+    * disk, never OOMs), and the strictly-prior frame + the (ts, event_id)
+    * tie-break make a same-timestamp view/purchase pair deterministic.
+    * Output is one row per purchase: the attributed view (nullable — a
+    * purchase with no prior view is an organic conversion) and the
+    * click-to-buy gap in whole seconds. */
+  def attrLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("attr_id",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("attr_ts",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("attr_id"),
+        expr("(unix_micros(ts) - unix_micros(attr_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "attr_last_touch" ->
+      """WITH a AS (
+           SELECT user_id, event_id, event_type, ts,
+                  last_value(CASE WHEN event_type = 'view'
+                                  THEN event_id END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS attr_id,
+                  last_value(CASE WHEN event_type = 'view'
+                                  THEN ts END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS attr_ts
+           FROM events)
+         SELECT user_id, event_id AS purchase_id, attr_id,
+                (epoch_us(ts) - epoch_us(attr_ts)) // 1000000 AS gap_s
+         FROM a WHERE event_type = 'purchase' ORDER BY purchase_id""",
     // same min-after-min chain as the Spark plan, as explicit CTE steps
     "funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -114,5 +165,6 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> funnel _,
     "retention" -> retention _,
+    "attr_last_touch" -> attrLastTouch _,
   )
 }

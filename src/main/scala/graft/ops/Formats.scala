@@ -423,6 +423,46 @@ object Formats {
       .orderBy("change_type", "event_type")
   }
 
+  /** File dispositions + post-vacuum readback for the vacuum probes. */
+  private[graft] final case class VacuumPlan(
+      expired: Seq[String], removed: Seq[String], result: DataFrame)
+
+  /** SNAPSHOT VACUUM — the storage-reclamation half of the commit log:
+    * files referenced ONLY by expired versions (here: v1's rewritten-away
+    * files — v2 carries everything else forward) are physically deleted
+    * once they out-age the retention window. Retention is the safety
+    * contract, not a nicety: a reader that resolved v1 BEFORE the vacuum
+    * may still be mid-scan, and time travel to v1 is only possible while
+    * its exclusive files exist — so vacuum(retention=∞) must remove
+    * nothing, and vacuum(0) removes exactly the v1-only set and nothing
+    * the live version references (both asserted in FormatsSpec; the
+    * post-vacuum live read must be byte-identical to the pre-vacuum one).
+    * Candidate discovery is pure file-list set arithmetic on the commit
+    * log (v1 ∖ v2) — no data file is ever opened to decide its fate, so
+    * at 100 TB the vacuum plan costs manifest rows, not table bytes. */
+  private[graft] def vacuumPlan(spark: SparkSession, dir: String,
+      retentionMs: Long = 0L): VacuumPlan = {
+    import java.nio.file.{Files, Paths}
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val tt = timeTravelPlan(spark, dir)
+    // v1 = carried ∪ hit, v2 = carried ∪ rewrite ∪ append ⇒ v1 ∖ v2 = hit
+    val expired = tt.hitFiles
+    val now = System.currentTimeMillis()
+    val removed = expired.filter { f =>
+      val p = Paths.get(localPath(f))
+      now - Files.getLastModifiedTime(p).toMillis >= retentionMs &&
+        Files.deleteIfExists(p)
+    }
+    val live = tt.result // v2 readback — planned over v2's file list only
+    VacuumPlan(expired, removed,
+      live.withColumn("vacuum_ok",
+        lit(if (removed.sizeIs == expired.size) 1 else 0)))
+  }
+
+  def vacuumFiles(spark: SparkSession, dir: String): DataFrame =
+    vacuumPlan(spark, dir).result
+
   /** Pointer states + readbacks for the atomic-publish probes. */
   private[graft] final case class PublishPlan(
       rejectedPointer: String, finalPointer: String,
@@ -636,6 +676,20 @@ object Formats {
          SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM v2 GROUP BY 1 ORDER BY event_type""",
+    // post-vacuum live read = the v2 rebuild (vacuum must not change the
+    // live version); vacuum_ok is the removed-all-expired flag
+    "vacuum_files" ->
+      """WITH b AS (SELECT min(user_id) AS glo, max(user_id) AS ghi
+                    FROM events),
+              v2 AS (SELECT e.event_type, e.value FROM events e, b
+                     WHERE e.user_id <> b.glo
+                     UNION ALL
+                     SELECT e.event_type, e.value FROM events e, b
+                     WHERE e.user_id = b.ghi)
+         SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                1 AS vacuum_ok
+         FROM v2 GROUP BY 1 ORDER BY event_type""",
     // the same feed rebuilt relationally from the commits' definitions:
     // v2a deleted the min user's rows, v2b appended the max user's re-ingest
     "scan_cdf" ->
@@ -676,6 +730,7 @@ object Formats {
     "agg_incr" -> aggIncr _,
     "scan_timetravel" -> scanTimeTravel _,
     "scan_cdf" -> scanCdf _,
+    "vacuum_files" -> vacuumFiles _,
     "publish_atomic" -> publishAtomic _,
   )
 }

@@ -305,6 +305,57 @@ object Relational {
       .orderBy("week")
   }
 
+  /** COUNT-MIN SKETCH point-frequency estimates (Cormode/Muthukrishnan,
+    * 2005) — the other mergeable frequency summary next to
+    * [[aggHllMerge]]'s HLL: a d×w counter grid answers "how often did key
+    * x occur?" in O(d) lookups with one-sided error (estimate ≥ truth,
+    * always — each of x's d cells counts every one of x's occurrences
+    * plus collisions). The grid is built RELATIONALLY so the whole thing
+    * is plans, not driver state: explode each row into its d (row,
+    * bucket) cells map-side, then one keyed count — the grid (d·w rows,
+    * constant in data size) is the only shuffle output, and grids from
+    * different days/partitions merge by cell-wise addition, which is
+    * exactly what the count aggregate already does. Probes are 5
+    * data-derived keys (min/quartiles/max — the tiny driver bootstrap,
+    * same shape as [[Formats.scanBloomPlan]]); estimate = min over the
+    * probe's d cells, checked against the exact count and the ≥ guarantee.
+    * Hashes are [[DedupOps.polyHash]] with a per-row salt, replayed
+    * byte-for-byte by the oracle. */
+  def freqCms(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 256L
+    def cell(id: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+      struct(lit(j).as("j"),
+      (DedupOps.polyHash(concat(id.cast(StringType), lit(s"#cms$j"))) %
+        width).as("b"))
+    val ev = table(spark, dir, "events").select(col("user_id"))
+    val cells = ev
+      .select(explode(array((0 until depth).map(j =>
+        cell(col("user_id"), j)): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = ev.agg(min("user_id"), max("user_id")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val probes = (0 to 4).map(k => lo + (hi - lo) * k / 4).distinct
+    import spark.implicits._
+    val probeDf = probes.toDF("user_id")
+    val est = probeDf
+      .select(col("user_id"), explode(array((0 until depth).map(j =>
+        cell(col("user_id"), j)): _*)).as("c"))
+      .select(col("user_id"), col("c.j").as("j"), col("c.b").as("b"))
+      .join(cells, Seq("j", "b"), "left")
+      .groupBy("user_id")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = probeDf
+      .join(ev.filter(col("user_id").isin(probes: _*))
+        .groupBy("user_id").agg(count(lit(1)).as("x")), Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("x"), lit(0L)).as("exact"))
+    exact.join(est, "user_id")
+      .select(col("user_id"), col("exact"), col("est"),
+        (col("est") >= col("exact")).cast(IntegerType).as("over_ok"))
+      .orderBy("user_id")
+  }
+
   // ── joins ────────────────────────────────────────────────────────────────
 
   /** Equi hash join fact⋈dim, aggregated. Catalyst broadcasts the dim side
@@ -1281,6 +1332,38 @@ object Relational {
                 count(DISTINCT user_id) AS exact, count(*) AS n_rows,
                 1 AS merged_ok, 1 AS direct_ok
          FROM events GROUP BY 1 ORDER BY week""",
+    // the full CMS build + probe replayed relationally: the same salted
+    // acc*31+byte (mod 1e9+7) hash, the same d=4 / w=256 grid
+    "freq_cms" -> {
+      def poly(e: String) =
+        s"""list_reduce(list_concat([0::BIGINT],
+             list_transform(range(1, length($e) + 1),
+               i -> ascii(($e)[i:i]))),
+             (acc, c) -> (acc * 31 + c) % 1000000007)"""
+      s"""WITH b AS (SELECT min(user_id) AS lo, max(user_id) AS hi
+                     FROM events),
+          probes AS (SELECT DISTINCT lo + ((hi - lo) * k) // 4 AS user_id
+                     FROM b, unnest(range(0, 5)) t(k)),
+          cellsrc AS (SELECT t.j,
+                             (user_id::VARCHAR || '#cms' || t.j::VARCHAR) AS s
+                      FROM events, unnest(range(0, 4)) t(j)),
+          cells AS (SELECT j, ${poly("s")} % 256 AS b2, count(*) AS cnt
+                    FROM cellsrc GROUP BY 1, 2),
+          pjsrc AS (SELECT p.user_id, t.j,
+                           (p.user_id::VARCHAR || '#cms' || t.j::VARCHAR) AS s
+                    FROM probes p, unnest(range(0, 4)) t(j)),
+          pj AS (SELECT user_id, j, ${poly("s")} % 256 AS b2 FROM pjsrc),
+          est AS (SELECT pj.user_id,
+                         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+                  FROM pj LEFT JOIN cells c ON c.j = pj.j AND c.b2 = pj.b2
+                  GROUP BY 1),
+          ex AS (SELECT p.user_id, count(e.user_id) AS exact
+                 FROM probes p LEFT JOIN events e ON e.user_id = p.user_id
+                 GROUP BY 1)
+          SELECT ex.user_id, ex.exact, est.est,
+                 CAST(est.est >= ex.exact AS INTEGER) AS over_ok
+          FROM ex JOIN est USING (user_id) ORDER BY user_id"""
+    },
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1323,6 +1406,7 @@ object Relational {
     "anomaly_mad" -> anomalyMad _,
     "skyline" -> skyline _,
     "agg_hll_merge" -> aggHllMerge _,
+    "freq_cms" -> freqCms _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,
     "join_bloom" -> joinBloom _,

@@ -29,6 +29,8 @@ object PlanAudit {
     ("sim_ivfpq", "CartesianProduct"), ("sim_ivfpq", "BroadcastNestedLoopJoin"),
     ("sim_ivfpq", "SortAggregate"),
     ("ppl", "BroadcastNestedLoopJoin"), // one-row total-count frame
+    // per key column: one-row stats frame x one-row top10 frame BY DESIGN
+    ("dq_skew", "BroadcastNestedLoopJoin"),
     ("colloc", "BroadcastNestedLoopJoin"), // one-row total-count frame
     ("text_tfidf", "BroadcastNestedLoopJoin"), // one-row corpus-N frame
     // centroid-vector assembly: collect_list over the K·dims cell frame

@@ -87,6 +87,81 @@ class AnalyticsOpsSpec extends SparkSpec {
       f"no length bias: sample $sampleMean%.0f vs corpus $corpusMean%.0f")
   }
 
+  test("freq_cms: estimates never under-count, any key, and the grid is tiny") {
+    // rebuild the grid and probe EVERY user: the one-sided error guarantee
+    // (est >= exact) must hold for all keys, not just the query's 5 probes
+    val depth = 4
+    val width = 256L
+    def cellArr(id: org.apache.spark.sql.Column) = array((0 until depth).map(j =>
+      struct(lit(j).as("j"),
+        (graft.ops.DedupOps.polyHash(concat(id.cast("string"),
+          lit(s"#cms$j"))) % width).as("b"))): _*)
+    val ev = table(spark, dir, "events").select("user_id")
+    val cells = ev.select(explode(cellArr(col("user_id"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(cells.count() <= depth * width, "grid exceeded its fixed size")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+    val est = exact.select(col("user_id"), col("exact"),
+        explode(cellArr(col("user_id"))).as("c"))
+      .select(col("user_id"), col("exact"),
+        col("c.j").as("j"), col("c.b").as("b"))
+      .join(cells, Seq("j", "b"), "left")
+      .groupBy("user_id", "exact")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    assert(est.filter(col("est") < col("exact")).count() == 0L,
+      "CMS under-counted — the one-sided guarantee is broken")
+  }
+
+  test("attr_last_touch: attribution is the latest prior view, gaps non-negative") {
+    val a = EventOps.attrLastTouch(spark, dir).cache()
+    try {
+      assert(a.count() > 0L)
+      // every attributed pair must be real: (user, attr_id) is a view of
+      // that user strictly before the purchase, with no later view between
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val joined = a.filter(col("attr_id").isNotNull)
+        .join(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("attr_id"),
+            col("ts").as("vts")), Seq("user_id", "attr_id"))
+        .join(ev.select(col("event_id").as("purchase_id"),
+          col("ts").as("pts")), "purchase_id")
+      assert(joined.count() ==
+        a.filter(col("attr_id").isNotNull).count(),
+        "an attributed id is not a view of that user")
+      assert(joined.filter(col("vts") > col("pts")).count() == 0L,
+        "attributed a view AFTER the purchase")
+      assert(a.filter(col("gap_s") < 0L).count() == 0L, "negative gap")
+      // no view of the same user sits strictly between attr and purchase
+      val between = joined.join(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("bts")), "user_id")
+        .filter(col("bts") > col("vts") && col("bts") < col("pts"))
+      assert(between.count() == 0L, "attribution is not the LATEST prior view")
+    } finally a.unpersist()
+  }
+
+  test("dq_skew: permille shares are consistent and a synthetic hot key trips the flag") {
+    val out = DataQuality.dqSkew(spark, dir).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val (t1, t10) = (r.getAs[Long]("top1_permille"),
+        r.getAs[Long]("top10_permille"))
+      assert(t1 >= 0 && t1 <= 1000 && t10 >= t1 && t10 <= 1000,
+        s"${r.getString(0)}: inconsistent shares $t1/$t10")
+    }
+    // a deliberately skewed frame (half the rows on one key) must flag
+    import spark.implicits._
+    val hot = (Seq.fill(500)(1L) ++ (2L to 501L)).toDF("k")
+    val counts = hot.groupBy("k").agg(count(lit(1)).as("c"))
+    val st = counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+      max("c").as("top1")).head()
+    assert(st.getAs[Long]("top1") * st.getAs[Long]("n_keys") >
+      10L * st.getAs[Long]("n_rows"),
+      "the flag formula failed to trip on a 50%-hot key")
+  }
+
   test("agg_hll_merge: union-of-daily sketches equals the one-shot weekly sketch") {
     val ev = table(spark, dir, "events")
     val daily = ev

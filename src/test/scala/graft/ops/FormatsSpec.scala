@@ -117,6 +117,25 @@ class FormatsSpec extends SparkSpec {
       "both commits must contribute changes")
   }
 
+  test("vacuum_files: retention guards expired files; vacuum never touches the live version") {
+    val dir = "/root/testdata/sf0.01"
+    def exists(p: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(
+        if (p.startsWith("file:")) new java.net.URI(p).getPath else p))
+    // retention = ∞: nothing may be deleted, expired candidates intact
+    val safe = Formats.vacuumPlan(spark, dir, retentionMs = Long.MaxValue)
+    assert(safe.removed.isEmpty, "vacuum deleted inside the retention window")
+    assert(safe.expired.forall(exists), "candidate files must survive")
+    // retention = 0: exactly the v1-exclusive set goes, and the live (v2)
+    // readback still matches the relational rebuild
+    val vp = Formats.vacuumPlan(spark, dir, retentionMs = 0L)
+    assert(vp.removed.toSet == vp.expired.toSet,
+      "vacuum(0) must remove exactly the expired set")
+    assert(vp.expired.forall(p => !exists(p)), "expired files still on disk")
+    val rows = vp.result.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("vacuum_ok") == 1))
+  }
+
   test("publish_atomic: failed validation never flips the pointer; v1 stays intact") {
     val dir = "/root/testdata/sf0.01"
     val pp = Formats.publishPlan(spark, dir)
