@@ -90,7 +90,70 @@ object DataQuality {
       .orderBy("key_col")
   }
 
+  /** JOIN-CARDINALITY pre-flight — [[dqSkew]]'s companion: the EXACT output
+    * row count of a prospective equi-join, computed from the two sides'
+    * per-key count frames (Σ_k c₁(k)·c₂(k)) without running the join.
+    * `blowup_permille` (output rows vs the larger input, integer-exact)
+    * is the number that separates a benign FK join (≤1000‰) from a
+    * many-to-many explosion that will OOM a shuffle at 100 TB — the
+    * check a pipeline runs on a NEW join key before scheduling it. The
+    * count frames are keyed aggregates with map-side partials; their join
+    * carries one row per shared key, so the audit's cost is the key
+    * cardinality, never the would-be join output. */
+  def dqCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def est(name: String, l: DataFrame, lk: String,
+        r: DataFrame, rk: String): DataFrame = {
+      val lc = l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("c1"))
+      val rc = r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("c2"))
+      lc.join(rc, "k")
+        .agg(sum(col("c1") * col("c2")).as("out_rows"))
+        .select(lit(name).as("join_key"),
+          coalesce(col("out_rows"), lit(0L)).as("out_rows"))
+    }
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    val ev = table(spark, dir, "events")
+    val sizes = Map(
+      "lineitem*orders.orderkey" -> (li.count(), ord.count()),
+      "orders*customer.custkey" ->
+        (ord.count(), table(spark, dir, "customer").count()),
+      "events*events.user_id" -> (ev.count(), ev.count()))
+    est("lineitem*orders.orderkey", li, "l_orderkey", ord, "o_orderkey")
+      .unionByName(est("orders*customer.custkey", ord, "o_custkey",
+        table(spark, dir, "customer"), "c_custkey"))
+      .unionByName(est("events*events.user_id", ev, "user_id", ev, "user_id"))
+      .withColumn("bigger_side",
+        coalesce(sizes.foldLeft(lit(null).cast("long")) {
+          case (acc, (n, (a, b))) =>
+            when(col("join_key") === n, lit(math.max(a, b))).otherwise(acc)
+        }, lit(0L)))
+      .select(col("join_key"), col("out_rows"),
+        expr("out_rows * 1000 div bigger_side").as("blowup_permille"))
+      .orderBy("join_key")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_cardinality" -> {
+      def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+        s"""SELECT '$name' AS join_key,
+                   CAST(coalesce(SUM(c1 * c2), 0) AS BIGINT) AS out_rows,
+                   CAST(coalesce(SUM(c1 * c2), 0) * 1000 AS BIGINT)
+                     // greatest((SELECT count(*) FROM $lt),
+                               (SELECT count(*) FROM $rt)) AS blowup_permille
+            FROM (SELECT $lk AS k, count(*) AS c1 FROM $lt GROUP BY 1) a
+            JOIN (SELECT $rk AS k, count(*) AS c2 FROM $rt GROUP BY 1) b
+            USING (k)"""
+      s"""SELECT * FROM (
+            ${one("lineitem*orders.orderkey",
+              "lineitem", "l_orderkey", "orders", "o_orderkey")}
+            UNION ALL
+            ${one("orders*customer.custkey",
+              "orders", "o_custkey", "customer", "c_custkey")}
+            UNION ALL
+            ${one("events*events.user_id",
+              "events", "user_id", "events", "user_id")})
+          ORDER BY join_key"""
+    },
     "dq_skew" -> {
       def one(tbl: String, key: String) =
         s"""SELECT '$tbl.$key' AS key_col,
@@ -139,5 +202,6 @@ object DataQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
+    "dq_cardinality" -> dqCardinality _,
   )
 }

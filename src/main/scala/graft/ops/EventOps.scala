@@ -116,7 +116,50 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** PATH TRANSITIONS — the first-order Markov view of user behavior:
+    * count every consecutive (from → to) event-type pair within a user's
+    * timeline, plus each edge's permille share of its from-state's
+    * outgoing mass (integer-exact, so the "transition matrix" is
+    * hash-comparable). This is "what do users do right before/after X" —
+    * the navigation question funnels answer only for one fixed path.
+    *
+    * Plan: ONE `lead` window per user (the carried state is a single
+    * column, rows stream through the spill-backed buffer like
+    * [[attrLastTouch]]) feeding a hash aggregate on the (from, to) pair —
+    * at most |types|² output rows — then the share join is against the
+    * tiny from-state margin frame (broadcast). */
+  def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val margins = edges.groupBy("from_type")
+      .agg(sum("transitions").as("out_total"))
+    edges.join(broadcast(margins), "from_type")
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        expr("transitions * 1000 div out_total").as("share_permille"))
+      .orderBy("from_type", "to_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "path_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type, 1) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         t AS (SELECT from_type, to_type, count(*) AS transitions
+               FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT from_type, CAST(sum(transitions) AS BIGINT) AS out_total
+               FROM t GROUP BY 1)
+         SELECT t.from_type, t.to_type, t.transitions,
+                (t.transitions * 1000) // m.out_total AS share_permille
+         FROM t JOIN m USING (from_type)
+         ORDER BY from_type, to_type""",
     "attr_last_touch" ->
       """WITH a AS (
            SELECT user_id, event_id, event_type, ts,
@@ -166,5 +209,6 @@ object EventOps {
     "funnel" -> funnel _,
     "retention" -> retention _,
     "attr_last_touch" -> attrLastTouch _,
+    "path_transitions" -> pathTransitions _,
   )
 }

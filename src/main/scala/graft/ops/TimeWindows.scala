@@ -236,6 +236,45 @@ object TimeWindows {
       .orderBy("event_type", "day")
   }
 
+  /** TWAP — TIME-weighted average price per series-day, the execution-
+    * quality benchmark next to VWAP (volume-weighted, the streaming CLI's
+    * `--vwap`): each observation holds its value until the next one, so
+    * the day's average integrates the piecewise-constant curve from first
+    * to last tick and a 1-second spike no longer counts like an hour-long
+    * level (the failure of the plain mean on irregular feeds).
+    *
+    * Exactness: each rectangle is value·Δµs in DECIMAL(18,2)·BIGINT — an
+    * exact decimal product, summed exactly, so the integral is partition-
+    * order independent; the single final division (integral/total-span)
+    * happens in doubles on bit-identical inputs in both engines, then 6-dp
+    * rounds. Plan: one `lead` window per (key, day) — per-group sorts of
+    * day-sized slices, the same shuffle grain the candles queries use —
+    * then a plain hash aggregate. Single-tick days fall back to the tick's
+    * own value. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy("ts", "event_id")
+    table(spark, dir, "events")
+      .select(col("event_type"), day.as("day"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("dur_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          col("dur_us")).as("integral"),
+        sum(col("dur_us")).as("span_us"),
+        min(col("value")).as("first_fallback"))
+      .select(col("event_type"), col("day"), col("n_ticks"),
+        when(col("span_us") > 0L,
+          roundD(col("integral").cast(org.apache.spark.sql.types.DoubleType) /
+            col("span_us").cast(org.apache.spark.sql.types.DoubleType), 6))
+          .otherwise(col("first_fallback")).as("twap"))
+      .orderBy("event_type", "day")
+  }
+
   /** The DuckDB twin of [[tsEwma]], assembled from the same tap count and
     * decay so the two sides can never drift: each 0.75^j literal is a dyadic
     * rational (3^j/4^j — exactly representable), so the shortest-round-trip
@@ -261,6 +300,22 @@ object TimeWindows {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical rectangle integral: exact DECIMAL(18,2)·Δµs products, one
+    // double division at the end on bit-identical inputs
+    "twap" ->
+      """WITH t AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+                  epoch_us(lead(ts, 1) OVER (
+                    PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                    ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+           FROM events)
+         SELECT event_type, day, count(*) AS n_ticks,
+                CASE WHEN sum(dur_us) > 0
+                     THEN floor(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us)
+                                     AS DOUBLE)
+                                / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                     ELSE min(value) END AS twap
+         FROM t GROUP BY 1, 2 ORDER BY event_type, day""",
     "ts_fill" ->
       """WITH obs AS (
            SELECT event_type, date_trunc('hour', ts) AS h,
@@ -362,5 +417,6 @@ object TimeWindows {
     "candles_daily" -> candlesDaily _,
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
+    "twap" -> twap _,
   )
 }

@@ -288,6 +288,70 @@ object StreamAssembly {
       }
   }
 
+  /** Per-user last seen view (-1 = none yet): id + event-time MICROS
+    * (micros, not millis — the batch query's gap is a µs-exact integer
+    * division, and a ms truncation here would round a 999.8 ms gap the
+    * other way). */
+  final case class AttrState(viewId: Long, viewUs: Long)
+
+  /** One attributed purchase (attrId/gapS = -1 for organic conversions —
+    * the streaming row is non-nullable where the batch query used NULL). */
+  final case class AttrTouch(user_id: Long, purchase_id: Long,
+      attr_id: Long, gap_s: Long)
+
+  /** Streaming last-touch attribution —
+    * [[graft.ops.EventOps.attrLastTouch]]'s running-window semantics as
+    * keyed state, emitting the credited view the moment a purchase
+    * arrives (live campaign dashboards want the credit in seconds, not
+    * after the nightly batch). Per-user state is ONE (view id, ts) pair —
+    * the same O(1) the batch plan carries through its window frame — and
+    * idles out via event-time timeout. Rows are applied in event-time
+    * order within each micro-batch; across batches the fold is monotone
+    * under watermark-ordered delivery, so StreamingSpec asserts row-exact
+    * parity with the batch query on the real events table (organic
+    * purchases included, via the -1 encoding). Same-instant view/purchase
+    * pairs resolve by the strict `<` on (ts, id) — a view at the
+    * purchase's exact timestamp never gets credit, matching the batch
+    * frame's `1 PRECEDING` bound. */
+  def attrStream(events: DataFrame, watermark: String = "10 minutes",
+      idleTimeout: String = "60 days"): Dataset[AttrTouch] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts").cast("timestamp").as("ts_event"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withWatermark("ts_event", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttrTouch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(AttrState(-1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttrTouch]
+            var lastMs = 0L
+            // event-time order within the batch; (ts, id) breaks ties the
+            // same way the batch window's orderBy does
+            rows.toSeq.sortBy(r => (r._5, r._2)).foreach {
+              case (_, eid, typ, tsEvent, tUs) =>
+                lastMs = math.max(lastMs, tsEvent.getTime)
+                typ match {
+                  case "view" => s = AttrState(eid, tUs)
+                  case "purchase" =>
+                    out += (if (s.viewId >= 0L)
+                      AttrTouch(uid, eid, s.viewId, (tUs - s.viewUs) / 1000000L)
+                    else AttrTouch(uid, eid, -1L, -1L))
+                  case _ => ()
+                }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(lastMs, idleTimeout)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user funnel progress (epoch-millis per stage; -1 = not reached). */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
 

@@ -162,6 +162,51 @@ class AnalyticsOpsSpec extends SparkSpec {
       "the flag formula failed to trip on a 50%-hot key")
   }
 
+  test("twap: integral average stays inside each day's value envelope") {
+    val t = TimeWindows.twap(spark, dir)
+    val env = table(spark, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val out = t.join(env, Seq("event_type", "day"))
+      .filter(col("twap") < col("lo") - 1e-6 || col("twap") > col("hi") + 1e-6)
+    assert(out.count() == 0L, "TWAP escaped the day's observed range")
+    assert(t.filter(col("n_ticks") <= 0L).count() == 0L)
+  }
+
+  test("path_transitions: edges conserve mass and shares sum to ~1000 permille") {
+    val p = EventOps.pathTransitions(spark, dir).cache()
+    try {
+      // every non-final event contributes exactly one outgoing edge
+      val totalEdges = p.agg(sum("transitions")).head().getLong(0)
+      val ev = table(spark, dir, "events")
+      val want = ev.count() - ev.select("user_id").distinct().count()
+      assert(totalEdges == want,
+        s"edge mass $totalEdges != events-minus-chains $want")
+      // integer shares: per from-state they sum to 1000 minus division dust
+      val shares = p.groupBy("from_type")
+        .agg(sum("share_permille").as("s"), count(lit(1)).as("k")).collect()
+      shares.foreach { r =>
+        val (s, k) = (r.getAs[Long]("s"), r.getAs[Long]("k"))
+        assert(s <= 1000L && s > 1000L - k,
+          s"${r.getString(0)}: share sum $s outside (1000-$k, 1000]")
+      }
+    } finally p.unpersist()
+  }
+
+  test("dq_cardinality: the estimate IS the exact join output size") {
+    val est = DataQuality.dqCardinality(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("out_rows")).toMap
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    val actual = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(est("lineitem*orders.orderkey") == actual,
+      s"estimate ${est("lineitem*orders.orderkey")} != actual join $actual")
+    val ev = table(spark, dir, "events")
+    val selfActual = ev.select("user_id")
+      .join(ev.select(col("user_id")), "user_id").count()
+    assert(est("events*events.user_id") == selfActual)
+  }
+
   test("agg_hll_merge: union-of-daily sketches equals the one-shot weekly sketch") {
     val ev = table(spark, dir, "events")
     val daily = ev

@@ -391,6 +391,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution: row-exact parity with the batch last-touch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._4.getTime, r._2)).toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = StreamAssembly.attrStream(events, idleTimeout = "60 days")
+      .toDF().writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, purchase_id, attr_id, gap_s
+           FROM attr_stream ORDER BY purchase_id""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch result with the stream's -1 encoding for organic purchases
+      val want = graft.ops.EventOps.attrLastTouch(spark, dir).collect()
+        .map { r =>
+          val attr = if (r.isNullAt(2)) -1L else r.getLong(2)
+          val gap = if (r.isNullAt(3)) -1L else r.getLong(3)
+          (r.getLong(0), r.getLong(1), attr, gap)
+        }
+      assert(got.length == want.length,
+        s"purchase count drifted: stream ${got.length} vs batch ${want.length}")
+      assert(got.toSeq == want.toSeq,
+        "streaming attribution diverged from the batch window query")
+    } finally q.stop()
+  }
+
   test("streaming funnel: stage counts match the batch funnel on the real table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
