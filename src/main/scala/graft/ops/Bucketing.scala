@@ -63,7 +63,94 @@ object Bucketing {
       .orderBy("c_mktsegment")
   }
 
+  /** The co-located AND co-SORTED join — bucketing's full payoff: with
+    * both sides bucketed and `sortBy`'d on the join key and ONE file per
+    * bucket, the sort-merge join needs neither an Exchange NOR a Sort —
+    * each task streams bucket i of both sides already ordered, so the
+    * join is a pure merge (zero shuffle, zero sort memory, no spill
+    * path). The one-file-per-bucket condition is load-bearing: Spark only
+    * trusts the on-disk order when a bucket is a single file (several
+    * sorted files would need a merge), which is why the write
+    * `repartition`s on the bucket key first — the same hash both
+    * `repartition` and `bucketBy` use, so each task owns exactly one
+    * bucket. The fact sides here (lineitem⋈orders) are what the pattern
+    * is FOR at 100 TB: two fact tables too big to broadcast, joined
+    * repeatedly on the same key — the `merge` hint pins the plan away
+    * from the broadcast Catalyst would pick at fixture scale (at
+    * production scale neither side fits; the hint models that), and
+    * BucketingSpec asserts the zero-Exchange/zero-Sort plan. */
+  def joinBucketedSorted(spark: SparkSession, dir: String): DataFrame =
+    joinBucketedSortedPlan(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** Conf-pinned child sessions for [[joinBucketedSortedPlan]] (the
+    * [[Relational.joinBloom]] pattern — weak-keyed so stopped parents
+    * collect): Spark 3+ stopped CLAIMING bucket sort order by default
+    * because writers can leave several files per bucket (whose
+    * interleaving would make the claim wrong — SPARK-28632); the legacy
+    * conf restores the claim, and this query makes it TRUE by
+    * construction with the one-file-per-bucket repartition. The conf is
+    * read at planning time, so it must live in a session that keeps it
+    * set (a set/restore around construction would be undone before the
+    * lazy plan materializes). The child shares the parent's catalog
+    * (SharedState), so the bucketed tables written below are visible. */
+  private val sortedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def orderedSession(spark: SparkSession): SparkSession =
+    sortedSessions.synchronized {
+      var ns = sortedSessions.get(spark)
+      if (ns == null) {
+        ns = spark.newSession()
+        val child = ns
+        spark.conf.getAll.foreach { case (k, v) =>
+          try child.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+        ns.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        // two fact sides: model the at-scale reality where neither fits
+        // a broadcast, so the co-sorted merge is the plan under test
+        ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sortedSessions.put(spark, ns)
+      }
+      ns
+    }
+
+  /** The bare co-sorted join (no final orderBy) — split out so the spec
+    * can assert the plan has no Exchange and no Sort below the join. */
+  private[graft] def joinBucketedSortedPlan(spark: SparkSession,
+      dir: String): DataFrame = {
+    if (!spark.catalog.databaseExists("graft_bkts")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bkts").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkts LOCATION '$wh'")
+    }
+    writeBucketed(
+      table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey")),
+      "graft_bkts.lineitem_by_order", buckets = 8, key = "l_orderkey")
+    writeBucketed(
+      table(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey")),
+      "graft_bkts.orders_by_key", buckets = 8, key = "o_orderkey")
+    val s = orderedSession(spark)
+    // the overwrite above ran in the PARENT session — it invalidates the
+    // parent's relation cache, not the child's; a cached child listing
+    // would point at the previous write's deleted files
+    s.catalog.refreshTable("graft_bkts.lineitem_by_order")
+    s.catalog.refreshTable("graft_bkts.orders_by_key")
+    val l = s.table("graft_bkts.lineitem_by_order")
+    val r = s.table("graft_bkts.orders_by_key")
+    l.hint("merge").join(r, l("l_orderkey") === r("o_orderkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "join_bkt_sorted" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the bucketed round-trip must be lossless: aggregate the SOURCE tables
     "join_bkt" ->
       """SELECT c_mktsegment, count(*) AS cnt,
@@ -74,5 +161,6 @@ object Bucketing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bkt" -> joinBucketed _,
+    "join_bkt_sorted" -> joinBucketedSorted _,
   )
 }

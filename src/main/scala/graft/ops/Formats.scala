@@ -83,6 +83,92 @@ object Formats {
       .orderBy("event_type")
   }
 
+  /** FEDERATED multi-format scan — one logical table whose history spans
+    * THREE physical formats (parquet → ORC → JSON-lines), the state every
+    * long-lived lake passes through mid-migration: old generations are
+    * too big to rewrite on a flag day, so the table IS the union of its
+    * format generations until compaction catches up. Each generation
+    * reads with its own datasource (predicate pushdown where the format
+    * supports it — parquet/ORC push, JSON can only prune columns), and
+    * `unionByName` glues them into one frame Catalyst plans through; the
+    * aggregate's map-side partials apply per generation, so the union
+    * never materializes. Day ranges are data-derived thirds; the oracle
+    * is the plain whole-table aggregate — the migration must be invisible
+    * in the result. */
+  def scanFederated(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_fed")
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+    ev.filter(col("day") < d1).write.mode("overwrite").parquet(s"$out/gen1")
+    ev.filter(col("day") >= d1 && col("day") < d2)
+      .write.mode("overwrite").orc(s"$out/gen2")
+    ev.filter(col("day") >= d2).write.mode("overwrite").json(s"$out/gen3")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("day", StringType)))
+    val gen1 = spark.read.parquet(s"$out/gen1")
+    val gen2 = spark.read.orc(s"$out/gen2")
+    val gen3 = spark.read.schema(schema).json(s"$out/gen3")
+    gen1.unionByName(gen2).unionByName(gen3)
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** PARTITION-SPEC evolution — the layout cousin of [[scanEvolve]]'s
+    * schema case: the table's OLD generation predates partitioning (flat
+    * files — every query scans all of them), the NEW generation is
+    * day-partitioned (directory pruning). Real lakes carry both layouts
+    * for as long as a rewrite of the old petabytes doesn't pay, so the
+    * read path must compose them: the partitioned side prunes at planning
+    * time (PartitionFilters — FormatsSpec asserts its input files are
+    * only the selected day directories), the flat side takes the same
+    * predicate as a row filter (parquet min/max row groups still help,
+    * directories cannot). The query spans the boundary on purpose — one
+    * window ending in the flat era and starting in the partitioned one —
+    * and the oracle is the direct range aggregate. */
+  private[graft] final case class PartitionEvolvePlan(
+      flatFiles: Long, totalDays: Int, partSide: DataFrame, result: DataFrame)
+
+  private[graft] def partitionEvolvePlan(spark: SparkSession,
+      dir: String): PartitionEvolvePlan = {
+    val out = tmp("graft_pevolve")
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    val mid = days(days.length / 2)
+    // old generation: flat, no layout to prune on
+    ev.filter(col("day") < mid).write.mode("overwrite")
+      .parquet(s"$out/flat")
+    // new generation: the evolved spec — day directories
+    ev.filter(col("day") >= mid).repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$out/byday")
+    // a window straddling the spec boundary: 3 days each side
+    val (lo, hi) = (days(days.length / 2 - 3), days(days.length / 2 + 2))
+    val flat = spark.read.parquet(s"$out/flat")
+      .filter(col("day") >= lo && col("day") <= hi)
+    val part = spark.read.parquet(s"$out/byday")
+      .filter(col("day") >= lo && col("day") <= hi)
+      .select(col("event_type"), col("value"), col("day").cast(StringType))
+    val res = flat.unionByName(part)
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("day")
+    PartitionEvolvePlan(
+      new java.io.File(s"$out/flat").listFiles()
+        .count(_.getName.endsWith(".parquet")).toLong,
+      days.length, part, res)
+  }
+
+  def scanPartitionEvolve(spark: SparkSession, dir: String): DataFrame =
+    partitionEvolvePlan(spark, dir).result
+
   /** Schema-evolution read (`mergeSchema`): a 100 TB table's schema widens
     * mid-history — files written before a column existed must still read,
     * with the missing column as null. Modeled for real: an early batch
@@ -676,6 +762,30 @@ object Formats {
          SELECT event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM v2 GROUP BY 1 ORDER BY event_type""",
+    // the migration must be invisible: the federated union equals the
+    // plain whole-table aggregate
+    "scan_federated" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY day""",
+    // the straddling window computed directly over the raw table: 3 days
+    // each side of the data-derived median day (same derivation)
+    "scan_partition_evolve" ->
+      """WITH d AS (SELECT DISTINCT strftime(date_trunc('day', ts),
+                                             '%Y-%m-%d') AS day FROM events),
+              o AS (SELECT day, row_number() OVER (ORDER BY day) - 1 AS i,
+                           count(*) OVER () AS n FROM d),
+              b AS (SELECT max(CASE WHEN i = n // 2 - 3 THEN day END) AS lo,
+                           max(CASE WHEN i = n // 2 + 2 THEN day END) AS hi
+                    FROM o)
+         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events, b
+         WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') >= b.lo
+           AND strftime(date_trunc('day', ts), '%Y-%m-%d') <= b.hi
+         GROUP BY 1 ORDER BY day""",
     // post-vacuum live read = the v2 rebuild (vacuum must not change the
     // live version); vacuum_ok is the removed-all-expired flag
     "vacuum_files" ->
@@ -731,6 +841,8 @@ object Formats {
     "scan_timetravel" -> scanTimeTravel _,
     "scan_cdf" -> scanCdf _,
     "vacuum_files" -> vacuumFiles _,
+    "scan_federated" -> scanFederated _,
+    "scan_partition_evolve" -> scanPartitionEvolve _,
     "publish_atomic" -> publishAtomic _,
   )
 }

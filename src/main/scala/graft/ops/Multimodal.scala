@@ -1218,6 +1218,98 @@ object Multimodal {
       }.toDF().orderBy("media_id")
   }
 
+  /** One image's perceptual fingerprint, split into two non-negative
+    * 32-bit halves so the 64th bit can never overflow a signed BIGINT in
+    * either engine. */
+  final case class AHashRow(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** PERCEPTUAL image fingerprint — average-hash (aHash, the integer
+    * member of the pHash family): nearest-neighbor-sample the decoded
+    * raster's integer grayscale onto an 8×8 grid, then one bit per cell —
+    * "brighter than the grid mean" — packed into 64 bits. Visually
+    * similar images (crops, small edits, re-encodes) agree on most bits,
+    * so near-duplicate detection becomes Hamming distance on 8-byte
+    * fingerprints instead of pixel comparison — the image-modality
+    * completion of the dedup family (text MinHash/SimHash, vector LSH).
+    * aHash over DCT-based pHash ON PURPOSE: every step is integer
+    * arithmetic ((r+g+b) div 3, integer grid sampling, g·64 > Σg — the
+    * division-free mean compare), so the DuckDB oracle replays the whole
+    * pipeline bit-for-bit where a float DCT would drift in the last ulp.
+    * Decode is the usual batched partition-local seam; downstream,
+    * candidate pairing reuses the SimHash banding shape (LlmOpsSpec locks
+    * banded candidates == brute-force Hamming pairs — never all-pairs at
+    * scale). */
+  def mmImageHashes(spark: SparkSession, dir: String): Dataset[AHashRow] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, rgb) = Codec.rgbFromPpm(r.payload)
+          val g = new Array[Long](64)
+          var tot = 0L
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              // center-of-cell nearest sample: valid for any w,h >= 1
+              val y = ((2 * i + 1) * h) / 16
+              val x = ((2 * j + 1) * w) / 16
+              val p = (y * w + x) * 3
+              val gray = ((rgb(p) & 0xff) + (rgb(p + 1) & 0xff) +
+                (rgb(p + 2) & 0xff)) / 3
+              g(i * 8 + j) = gray
+              tot += gray
+              j += 1
+            }
+            i += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < 64) {
+            if (g(k) * 64L > tot) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          AHashRow(r.media_id, hi, lo)
+        }
+      }
+  }
+
+  def mmImageDedup(spark: SparkSession, dir: String): DataFrame =
+    mmImageHashes(spark, dir).toDF().orderBy("media_id")
+
+  /** Banded near-dup candidate pairs over [[mmImageHashes]] — the SimHash
+    * move on the image fingerprint: four 16-bit bands; a pair is compared
+    * only when at least one band matches exactly (any pair within Hamming
+    * distance 3 differs in ≤3 bands, so it MUST share one — lossless for
+    * the verify threshold), then the in-join Hamming predicate keeps real
+    * near-dups. Never all-pairs: the only shuffle is the band-value
+    * equality join. */
+  private[graft] def imageNearDupPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hs = materialize(mmImageHashes(spark, dir).toDF())
+    val banded = hs.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        pmod(col("hash_lo"), lit(65536L)),
+        pmod(shiftright(col("hash_lo"), 16), lit(65536L)),
+        pmod(col("hash_hi"), lit(65536L)),
+        pmod(shiftright(col("hash_hi"), 16), lit(65536L)))).as(Seq("band", "v")))
+    val a = banded.select(col("media_id").as("a"), col("hash_hi").as("ah"),
+      col("hash_lo").as("al"), col("band"), col("v"))
+    val b = banded.select(col("media_id").as("b"), col("hash_hi").as("bh"),
+      col("hash_lo").as("bl"), col("band"), col("v"))
+    a.join(b, Seq("band", "v")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+          bit_count(col("al").bitwiseXOR(col("bl")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   /** Compressed-image round-trip, JPEG: encode each raster at quality 0.85
     * and decode back. Only the decoder-independent outputs (container
     * dims) are oracle-checked — decoded pixel values vary by encoder
@@ -1501,6 +1593,37 @@ object Multimodal {
     // the oracle is the raw-raster arithmetic twin (same as mm_pixel_stats)
     // with lossless pinned TRUE — a decoder that perturbed any byte, or an
     // unmeasured "lossless" claim, hash-mismatches
+    // the whole aHash pipeline replayed in integer arithmetic: cyclic
+    // text-byte raster → (r+g+b)//3 grayscale → center-of-cell 8x8
+    // nearest sample → division-free mean compare → two 32-bit halves
+    "mm_imgdup" -> {
+      // byte at raster position p, channel c (the mm_pixel_stats raster)
+      def byteAt(p: String, c: Int) =
+        s"ascii(text[((3*($p) + $c) % len) + 1 : ((3*($p) + $c) % len) + 1])"
+      // grid cell k (0..63) -> sampled raster position
+      val p = "((((2*(k//8)+1)*h)//16) * w + (((2*(k%8)+1)*w)//16))"
+      val gray = s"((${byteAt(p, 0)} + ${byteAt(p, 1)} + ${byteAt(p, 2)}) // 3)"
+      s"""WITH m AS (
+            SELECT doc_id AS media_id, text, length(text) AS len,
+                   (length(text) % 16) + 4 AS w, (doc_id % 12) + 3 AS h
+            FROM documents WHERE doc_id % 3 = 0),
+          g AS (
+            SELECT media_id,
+                   list_transform(range(0, 64), k -> $gray) AS gl
+            FROM m),
+          t AS (SELECT media_id, gl,
+                       CAST(list_sum(gl) AS BIGINT) AS tot FROM g)
+          SELECT media_id,
+                 CAST(list_sum(list_transform(range(32, 64), k ->
+                   CASE WHEN gl[k + 1] * 64 > tot
+                        THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT)
+                   AS hash_hi,
+                 CAST(list_sum(list_transform(range(0, 32), k ->
+                   CASE WHEN gl[k + 1] * 64 > tot
+                        THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT)
+                   AS hash_lo
+          FROM t ORDER BY media_id"""
+    },
     "mm_png" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -1602,6 +1725,7 @@ object Multimodal {
     "mm_cuts" -> ((s, d) => mmSceneCuts(s, d)),
     "mm_avi" -> mmAviRoundtrip _,
     "mm_png" -> mmPngRoundtrip _,
+    "mm_imgdup" -> mmImageDedup _,
     "mm_jpeg" -> mmJpegRoundtrip _,
     "mm_flac" -> mmFlacRoundtrip _,
   )

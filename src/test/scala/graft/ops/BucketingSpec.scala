@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Bucketed co-located join: pay the shuffle at write time, then joins on
   * the bucket key plan with zero Exchange — the storage-level scale lever
@@ -35,5 +36,22 @@ class BucketingSpec extends SparkSpec {
       val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
       assert(j.count() == expected && expected > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("co-sorted single-file buckets merge-join with no Exchange AND no Sort") {
+    val j = Bucketing.joinBucketedSortedPlan(spark, dir)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"),
+      s"co-located join must not shuffle:\n$p")
+    // the full payoff: one sorted file per bucket means the merge trusts
+    // the on-disk order — no SortExec anywhere under the join
+    assert(!p.contains("Sort ["),
+      s"co-SORTED buckets must not re-sort:\n$p")
+    // and the plan is not a lie: the join result matches the plain join
+    val want = table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(j.count() == want && want > 0)
   }
 }

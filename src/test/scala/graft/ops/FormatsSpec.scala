@@ -117,6 +117,26 @@ class FormatsSpec extends SparkSpec {
       "both commits must contribute changes")
   }
 
+  test("scan_partition_evolve: the evolved generation prunes to the selected day dirs") {
+    val pe = Formats.partitionEvolvePlan(spark, "/root/testdata/sf0.01")
+    assert(pe.flatFiles >= 1L, "flat generation must exist")
+    // execute the partitioned side through ITS OWN physical plan so the
+    // scan's numFiles metric reflects partition pruning (Dataset
+    // .inputFiles lists the unpruned relation and would always show
+    // every day directory)
+    val plan = pe.partSide.queryExecution.executedPlan
+    assert(plan.execute().count() > 0L, "partitioned side must contribute")
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan under the partitioned side"))
+    val numFiles = scan.metrics("numFiles").value
+    // one file per day dir (the repartition(day) write) and a ≤3-day
+    // slice on the evolved generation: pruning must beat the full listing
+    assert(numFiles >= 1L && numFiles <= 3L,
+      s"partition pruning read $numFiles files (of ~${pe.totalDays / 2} days)")
+    assert(pe.result.collect().length == 6, "straddling window must span 6 days")
+  }
+
   test("vacuum_files: retention guards expired files; vacuum never touches the live version") {
     val dir = "/root/testdata/sf0.01"
     def exists(p: String) = java.nio.file.Files.exists(

@@ -8,6 +8,30 @@ class LlmOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("mm_imgdup: banded candidates equal brute-force Hamming pairs; bands are lossless") {
+    val d = "/root/testdata/sf0.01"
+    val hs = Multimodal.mmImageHashes(spark, d).collect()
+    assert(hs.length > 100)
+    def ham(a: Multimodal.AHashRow, b: Multimodal.AHashRow): Int =
+      java.lang.Long.bitCount(a.hash_hi ^ b.hash_hi) +
+        java.lang.Long.bitCount(a.hash_lo ^ b.hash_lo)
+    // brute force over the collected fingerprints (cheap at spec scale;
+    // the production path never does this — that is what the bands prove)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      if ham(hs(i), hs(j)) <= 3
+    } yield {
+      val (x, y) = (hs(i).media_id, hs(j).media_id)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    val banded = Multimodal.imageNearDupPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banding lost or invented pairs: banded=${banded.size} brute=${brute.size}")
+    // fingerprints must discriminate: not all equal, not all distinct bits
+    assert(hs.map(h => (h.hash_hi, h.hash_lo)).distinct.length > 1)
+  }
+
   test("multimodal: binary payload plumbing + batched partition-local decode") {
     val media = Multimodal.mediaFromDocuments(spark, dir)
     val decoded = Multimodal.decodeAll(media, batchSize = 7).collect()
