@@ -243,6 +243,36 @@ object Curation {
       .orderBy("split", "lang")
   }
 
+  /** TOKEN-BUDGET curation — "fill an N-token training budget with the
+    * richest documents": rank by lexical richness (distinct-token count —
+    * an INTEGER, so the cross-engine ordering can't drift in a float
+    * ulp), admit greedily until the budget is spent. The budget is split
+    * evenly across hash shards and each shard fills its slice
+    * independently — the [[graft.ops.TextOps]] pack_seq move: a single
+    * global greedy would funnel the whole corpus through one ordered
+    * pass (one reducer at 100 TB), while per-shard greedy is
+    * embarrassingly parallel, deterministic (shard = doc_id hash), and
+    * approximates the global pick to within one document per shard
+    * boundary. The admission test is a per-shard running sum ≤ slice —
+    * window over shard partitions, integer-exact. */
+  def curateBudget(spark: SparkSession, dir: String,
+      shards: Int = 16, totalBudget: Long = 8000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = totalBudget / shards
+    val toks = TextOps.tokens(col("text"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("richness").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(array_distinct(toks)).cast(LongType).as("richness"),
+        size(toks).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= slice)
+      .select("shard", "doc_id", "richness", "n_tokens", "cum")
+      .orderBy("shard", "cum", "doc_id")
+  }
+
   /** WEIGHTED sampling without replacement — priority sampling
     * (Duffield/Lund/Thorup, JACM'07): give every document the priority
     * w/u with u a per-doc uniform, take the k highest. Longer documents
@@ -279,6 +309,23 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // per-shard greedy with the identical integer ordering and running sum
+    "curate_budget" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 16 AS shard,
+                  CAST(len(list_distinct(list_filter(
+                    string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT)
+                    AS richness,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY richness DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum
+               FROM d)
+         SELECT shard, doc_id, richness, n_tokens, cum
+         FROM c WHERE cum <= 500 ORDER BY shard, cum, doc_id""",
     // the identical integer priority ((w·2^40) // u, u = 52 md5 bits + 1):
     // BIGINT arithmetic reproduces Spark's `div` bit-for-bit
     "sample_weighted" ->
@@ -385,5 +432,6 @@ object Curation {
     "pack_seq" -> packSequences _,
     "split_hash" -> splitHash _,
     "sample_weighted" -> ((s, d) => samplePriority(s, d)),
+    "curate_budget" -> ((s, d) => curateBudget(s, d)),
   )
 }

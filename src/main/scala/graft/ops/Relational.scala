@@ -166,6 +166,51 @@ object Relational {
         col("cnt"), col("sum_qty"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** ROLLUP over the TIME hierarchy — the OLAP dashboard's serving shape:
+    * day, month, and grand totals materialized in ONE pass (each input
+    * row expands into its prefix grouping sets map-side; one shuffle
+    * serves every zoom level), instead of three queries or a re-scan per
+    * drill-out. Month/day are emitted as strings with 'ALL' sentinels so
+    * the three levels coexist in one frame; gid disambiguates a real
+    * 'ALL' from the rolled-up one. This is [[aggRollup]]'s pattern turned
+    * onto the hierarchy every time-series dashboard actually drills:
+    * year→month→day over event time. */
+  def aggTimeRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .rollup("month", "day")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sumMoney(col("value")).as("sum_value"))
+      .select(col("gid"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("cnt"), col("sum_value"))
+      .orderBy("gid", "month", "day")
+
+  /** WEIGHTED percentile — the distribution question where each row
+    * counts `weight` times: the quantity-weighted median price treats a
+    * 50-unit line as 50 observations of its price, which is the
+    * shipment-level (not line-level) median a pricing report wants.
+    * Spark's exact `percentile` takes the frequency inline — one pass, no
+    * expansion; the ORACLE proves the semantics by literally expanding
+    * each row `weight` times in DuckDB and taking the plain interpolated
+    * quantile over the multiset — the definitional twin computed the
+    * expensive way (fine at oracle scale, the thing the frequency
+    * argument exists to avoid at 100 TB). */
+  def aggWeightedPercentile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5, CAST(l_quantity AS INT))")
+          .as("p50"),
+        expr("percentile(l_extendedprice, 0.9, CAST(l_quantity AS INT))")
+          .as("p90"),
+        sum(col("l_quantity").cast(LongType)).as("total_weight"))
+      .select(col("l_returnflag"), roundD(col("p50"), 6).as("wp50"),
+        roundD(col("p90"), 6).as("wp90"), col("total_weight"))
+      .orderBy("l_returnflag")
+
   /** CUBE over both grouping dimensions — all 4 grouping sets in one pass
     * (expand + single keyed shuffle). */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
@@ -303,6 +348,50 @@ object Relational {
         (abs(col("direct") - col("exact")) <= col("exact") * 0.05)
           .cast(IntegerType).as("direct_ok"))
       .orderBy("week")
+  }
+
+  /** Sketch-based SET INTERSECTION — [[aggHllMerge]] extended to the
+    * question unions can't answer directly: "how many users were active
+    * in BOTH consecutive weeks?" (retention's distinct-count form).
+    * HLL sketches support only union natively; the intersection comes
+    * from inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B) —
+    * computed entirely from the per-week sketches, so week-over-week
+    * overlap for ANY pair costs two stored 4KB sketches and one scalar
+    * `hll_union`, never a raw re-scan or an exact-distinct self-join.
+    * The known cost: I–E differences error bounds ADD, so the estimate
+    * flag uses a wider tolerance (20% of the union or ±8 absolute) than
+    * the single-sketch 5%; the exact overlap (the oracle-checked column)
+    * comes from the distinct (week, user) frame's self-join on
+    * consecutive weeks. */
+  def aggHllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val wk = ev.select(date_trunc("week", col("ts")).as("wk"), col("user_id"))
+      .distinct().materialized
+    val sk = wk.groupBy("wk")
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    // consecutive-week pairing as an EQUI join (w2 = w1 + 7d computed on
+    // the build side) — a datediff predicate would plan as a nested loop
+    val pairs = sk.select(col("wk").as("w1"), col("sk").as("s1"),
+        (col("wk") + expr("INTERVAL 7 DAY")).as("wnext"))
+      .join(sk.select(col("wk").as("w2"), col("sk").as("s2")),
+        col("wnext") === col("w2"))
+      .select(col("w1"), col("w2"),
+        (hll_sketch_estimate(col("s1")) + hll_sketch_estimate(col("s2")) -
+          hll_sketch_estimate(hll_union(col("s1"), col("s2"))))
+          .as("est_ix"),
+        hll_sketch_estimate(hll_union(col("s1"), col("s2"))).as("est_u"))
+    val exact = wk.select(col("wk").as("w1"), col("user_id"))
+      .join(wk.select(col("wk").as("w2"), col("user_id")), "user_id")
+      .filter(datediff(col("w2"), col("w1")) === 7)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("exact_ix"))
+    exact.join(broadcast(pairs), Seq("w1", "w2"))
+      .select(date_format(col("w1"), "yyyy-MM-dd").as("week1"),
+        date_format(col("w2"), "yyyy-MM-dd").as("week2"),
+        col("exact_ix"),
+        (abs(col("est_ix") - col("exact_ix")) <=
+          greatest(col("est_u") * 0.2, lit(8.0)))
+          .cast(IntegerType).as("ix_ok"))
+      .orderBy("week1")
   }
 
   /** COUNT-MIN SKETCH point-frequency estimates (Cormode/Muthukrishnan,
@@ -1046,6 +1135,31 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_time_rollup" ->
+      """SELECT GROUPING(month, day) AS gid,
+                COALESCE(month, 'ALL') AS month,
+                COALESCE(day, 'ALL') AS day,
+                count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT strftime(ts, '%Y-%m') AS month,
+                      strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+         GROUP BY ROLLUP(month, day)
+         ORDER BY gid, month, day""",
+    // the definitional twin: expand each line l_quantity times, then the
+    // plain interpolated quantile over the multiset
+    "agg_wpercentile" ->
+      """WITH e AS (
+           SELECT x.l_returnflag, x.l_extendedprice
+           FROM (SELECT l_returnflag, l_extendedprice,
+                        CAST(l_quantity AS BIGINT) AS w FROM lineitem) x,
+                unnest(range(0, x.w)) t(i))
+         SELECT l_returnflag,
+                floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6
+                  AS wp50,
+                floor(quantile_cont(l_extendedprice, 0.9) * 1e6 + 0.5) / 1e6
+                  AS wp90,
+                count(*) AS total_weight
+         FROM e GROUP BY 1 ORDER BY l_returnflag""",
     "agg_cube" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
                 COALESCE(l_returnflag, 'ALL') AS l_returnflag,
@@ -1332,6 +1446,17 @@ object Relational {
                 count(DISTINCT user_id) AS exact, count(*) AS n_rows,
                 1 AS merged_ok, 1 AS direct_ok
          FROM events GROUP BY 1 ORDER BY week""",
+    // exact consecutive-week overlaps; the sketch estimate enters as its
+    // tolerance flag
+    "agg_hll_ix" ->
+      """WITH wk AS (SELECT DISTINCT date_trunc('week', ts) AS wk, user_id
+                     FROM events)
+         SELECT strftime(a.wk, '%Y-%m-%d') AS week1,
+                strftime(b.wk, '%Y-%m-%d') AS week2,
+                count(*) AS exact_ix, 1 AS ix_ok
+         FROM wk a JOIN wk b
+           ON a.user_id = b.user_id AND date_diff('day', a.wk, b.wk) = 7
+         GROUP BY 1, 2 ORDER BY week1""",
     // the full CMS build + probe replayed relationally: the same salted
     // acc*31+byte (mod 1e9+7) hash, the same d=4 / w=256 grid
     "freq_cms" -> {
@@ -1381,6 +1506,8 @@ object Relational {
     "derive_notional" -> deriveNotional _,
     "agg_by_key" -> aggByKey _,
     "agg_rollup" -> aggRollup _,
+    "agg_time_rollup" -> aggTimeRollup _,
+    "agg_wpercentile" -> aggWeightedPercentile _,
     "agg_cube" -> aggCube _,
     "gsets" -> aggGroupingSets _,
     "agg_bool" -> aggBool _,
@@ -1406,6 +1533,7 @@ object Relational {
     "anomaly_mad" -> anomalyMad _,
     "skyline" -> skyline _,
     "agg_hll_merge" -> aggHllMerge _,
+    "agg_hll_ix" -> aggHllIntersect _,
     "freq_cms" -> freqCms _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,

@@ -398,6 +398,50 @@ object TextOps {
       .limit(20)
   }
 
+  /** Interpolated KNESER-NEY bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999's benchmark winner) — the LM-training statistic
+    * beyond [[textColloc]]'s lift and [[textPpl]]'s unigram model:
+    * absolute discounting of the bigram count, with the stolen mass
+    * backing off to the CONTINUATION unigram (how many distinct contexts
+    * a word follows — why "francisco" scores low despite high raw count).
+    *
+    *   P(w|v) = max(c(v,w)−d, 0)/c(v) + d·N₁₊(v,·)/c(v) · N₁₊(·,w)/N₁₊(·,·)
+    *
+    * Every statistic is a keyed integer aggregate off ONE materialized
+    * bigram-count pass: c(v) and N₁₊(v,·) are the left margin (sum +
+    * row-count of the same groupBy), N₁₊(·,w) the right margin, N₁₊(·,·)
+    * a one-row frame. The formula is float but both engines evaluate the
+    * IDENTICAL expression tree on identical integers (d = 0.75 is exactly
+    * representable), then 6-dp round. */
+  def lmKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(tokens(col("text")).as("t"))
+    val big = docs
+      .select(explode(transform(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        (x, i) => struct(x.as("v"), element_at(col("t"), i + lit(2)).as("w"))))
+        .as("bg"))
+      .select(col("bg.v").as("v"), col("bg.w").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+      .materialized
+    val left = big.groupBy("v")
+      .agg(sum("c_vw").cast(LongType).as("c_v"), count(lit(1)).as("n1_v"))
+    val cont = big.groupBy("w").agg(count(lit(1)).as("n1_w"))
+    val n1all = big.agg(count(lit(1)).as("n1_all"))
+    big.join(broadcast(left), "v")
+      .join(broadcast(cont), "w")
+      .crossJoin(broadcast(n1all))
+      .select(col("v"), col("w"), col("c_vw"), col("c_v"),
+        roundD(
+          greatest(col("c_vw").cast(DoubleType) - lit(0.75), lit(0.0)) /
+            col("c_v").cast(DoubleType) +
+            lit(0.75) * col("n1_v").cast(DoubleType) /
+              col("c_v").cast(DoubleType) *
+              (col("n1_w").cast(DoubleType) / col("n1_all").cast(DoubleType)),
+          6).as("p_kn"))
+      .orderBy(col("c_vw").desc, col("v"), col("w"))
+      .limit(20)
+  }
+
   /** BPE merge-pair counting — the inner loop of tokenizer training: count
     * every adjacent character pair across all token occurrences and rank
     * the merge candidates (the top pair is what a BPE trainer would merge
@@ -568,6 +612,30 @@ object TextOps {
          CROSS JOIN n
          WHERE b.c_ab >= 5
          ORDER BY lift DESC, w1, w2 LIMIT 20""",
+    // the same margins off the same bigram counts; the probability is the
+    // identical left-associated float expression, 6-dp rounded
+    "lm_kn" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents),
+         big AS (
+           SELECT t[CAST(i AS INT)] AS v, t[CAST(i AS INT) + 1] AS w,
+                  count(*) AS c_vw
+           FROM toks, unnest(range(1, len(t))) AS r(i)
+           GROUP BY 1, 2),
+         l AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+                      count(*) AS n1_v FROM big GROUP BY 1),
+         c AS (SELECT w, count(*) AS n1_w FROM big GROUP BY 1),
+         n AS (SELECT count(*) AS n1_all FROM big)
+         SELECT b.v, b.w, b.c_vw, l.c_v,
+                floor((greatest(CAST(b.c_vw AS DOUBLE) - 0.75, 0.0)
+                         / CAST(l.c_v AS DOUBLE)
+                       + 0.75 * CAST(l.n1_v AS DOUBLE)
+                         / CAST(l.c_v AS DOUBLE)
+                         * (CAST(c.n1_w AS DOUBLE) / CAST(n.n1_all AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS p_kn
+         FROM big b JOIN l USING (v) JOIN c USING (w) CROSS JOIN n
+         ORDER BY b.c_vw DESC, v, w LIMIT 20""",
     "bpe" ->
       """WITH tk AS (
            SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -727,6 +795,7 @@ object TextOps {
     "chunks" -> textChunks _,
     "cdc" -> chunksCdc _,
     "colloc" -> textColloc _,
+    "lm_kn" -> lmKneserNey _,
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
     "invidx_seg" -> invIndexSeg _,

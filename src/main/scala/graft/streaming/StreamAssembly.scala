@@ -288,6 +288,93 @@ object StreamAssembly {
       }
   }
 
+  /** One in-progress candle per key (hourMs = -1 before the first event).
+    * Volume accumulates in integer CENTS so the stream's sum is exact and
+    * partition/batch-cut independent, like the batch side's DECIMAL. */
+  final case class CandleFillState(hourMs: Long, open: Double, high: Double,
+      low: Double, close: Double, cnt: Long, volCents: Long)
+
+  /** One emitted hourly candle; `gap = 1` rows are synthesized for silent
+    * hours (OHLC pinned to the previous close, zero cnt/volume). */
+  final case class FilledCandle(event_type: String, hour_ms: Long,
+      open: Double, high: Double, low: Double, close: Double,
+      cnt: Long, volume: Double, gap: Int)
+
+  /** Streaming GAP-FILLED candles — the stream-side twin of
+    * [[graft.ops.TimeWindows.tsFill]]'s contract: every hour between a
+    * key's first and latest activity gets a candle, including SILENT
+    * hours (dashboards and downstream joins break on missing rows; a
+    * plain windowed aggregate simply never emits them). Keyed state holds
+    * ONE in-progress candle; when an event arrives for a LATER hour the
+    * current candle is finalized and emitted, every intermediate silent
+    * hour emits a zero-volume candle carrying the last close forward
+    * (LOCF), and the new hour's candle opens. O(1) state per key, emits
+    * bounded by hours-elapsed — not by event volume.
+    *
+    * Ordering contract (the [[funnelStages]] caveat, stated not assumed):
+    * rows apply in (event-time, id) order within each micro-batch, which
+    * equals the batch candles' packed-key order inside an hour, so open/
+    * close tie semantics match; across batches the fold is monotone under
+    * watermark-ordered delivery. A key's LAST candle stays in state until
+    * a later event or timeout closes it — the price of append-mode
+    * exactness (StreamingSpec accounts for it in the parity compare). */
+  def candlesFilledStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[FilledCandle] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id").cast("long"),
+        col("ts").cast("timestamp").as("ts_event"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value").cast("double"))
+      .withWatermark("ts_event", watermark)
+      .as[(String, Long, java.sql.Timestamp, Long, Double)]
+    val hourUs = 3600L * 1000000L
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CandleFillState, FilledCandle](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[CandleFillState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              CandleFillState(-1L, 0, 0, 0, 0, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FilledCandle]
+            def emit(st: CandleFillState, gap: Int): Unit =
+              out += FilledCandle(key, st.hourMs, st.open, st.high, st.low,
+                st.close, st.cnt, st.volCents / 100.0, gap)
+            var lastMs = 0L
+            rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
+              case (_, _, tsEvent, tUs, v) =>
+                lastMs = math.max(lastMs, tsEvent.getTime)
+                val hourMs = (tUs / hourUs) * 3600000L
+                val cents = math.round(v * 100.0)
+                if (s.hourMs < 0L) {
+                  s = CandleFillState(hourMs, v, v, v, v, 1L, cents)
+                } else if (hourMs == s.hourMs) {
+                  s = s.copy(high = math.max(s.high, v),
+                    low = math.min(s.low, v), close = v,
+                    cnt = s.cnt + 1L, volCents = s.volCents + cents)
+                } else if (hourMs > s.hourMs) {
+                  emit(s, gap = 0)
+                  var gh = s.hourMs + 3600000L
+                  val c = s.close
+                  while (gh < hourMs) {
+                    out += FilledCandle(key, gh, c, c, c, c, 0L, 0.0, 1)
+                    gh += 3600000L
+                  }
+                  s = CandleFillState(hourMs, v, v, v, v, 1L, cents)
+                }
+                // hourMs < s.hourMs: cross-hour-late row beyond the open
+                // candle — outside the ordering contract, dropped loudly
+                // by the watermark upstream in production
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(lastMs, idleTimeout)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user last seen view (-1 = none yet): id + event-time MICROS
     * (micros, not millis — the batch query's gap is a µs-exact integer
     * division, and a ms truncation here would round a 999.8 ms gap the

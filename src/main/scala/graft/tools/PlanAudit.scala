@@ -32,6 +32,7 @@ object PlanAudit {
     // per key column: one-row stats frame x one-row top10 frame BY DESIGN
     ("dq_skew", "BroadcastNestedLoopJoin"),
     ("colloc", "BroadcastNestedLoopJoin"), // one-row total-count frame
+    ("lm_kn", "BroadcastNestedLoopJoin"), // one-row N1+(.,.) frame
     ("text_tfidf", "BroadcastNestedLoopJoin"), // one-row corpus-N frame
     // centroid-vector assembly: collect_list over the K·dims cell frame
     // (512 rows at K=8, BOUNDED regardless of corpus size) — the sort is

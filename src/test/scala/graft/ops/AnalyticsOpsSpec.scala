@@ -207,6 +207,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(est("events*events.user_id") == selfActual)
   }
 
+  test("lm_kn: probabilities are a proper conditional distribution per context") {
+    // sum over emitted w of P(w|v) <= 1 for any v, and every P in (0, 1]
+    val rows = TextOps.lmKneserNey(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_kn")
+      assert(p > 0.0 && p <= 1.0, s"P out of range: $r")
+    }
+    // discount sanity: a bigram's KN prob never exceeds its raw MLE + the
+    // full backoff mass (d * n1_v/c_v <= 1)
+    rows.foreach { r =>
+      val mle = r.getAs[Long]("c_vw").toDouble / r.getAs[Long]("c_v")
+      assert(r.getAs[Double]("p_kn") <= mle + 1.0, s"mass blowup: $r")
+    }
+  }
+
+  test("curate_budget: every shard respects its slice and picks richest-first") {
+    val out = Curation.curateBudget(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum <= 500L,
+        s"shard $s blew its token slice")
+      // greedy order: richness is non-increasing along the admission order
+      val rich = rows.sortBy(_.getAs[Long]("cum")).map(_.getAs[Long]("richness"))
+      assert(rich.zip(rich.tail).forall { case (a, b) => a >= b },
+        s"shard $s admitted a richer doc after a poorer one")
+    }
+  }
+
   test("agg_hll_merge: union-of-daily sketches equals the one-shot weekly sketch") {
     val ev = table(spark, dir, "events")
     val daily = ev

@@ -391,6 +391,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap-filled candles: real hours match batch candles, gaps carry the close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._2)).toIndexedSeq
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.candlesFilledStream(events)
+      .toDF().writeStream.format("memory").queryName("filled_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM filled_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getDouble(7), r.getInt(8))).toMap
+      // batch truth: candles per (key, hour); expected emitted set = every
+      // hour in [first, last) per key — the last candle legitimately stays
+      // open in state
+      val batch = graft.ops.TimeWindows.candles(spark, dir).collect()
+        .map(r => (r.getString(0),
+          java.time.Instant.parse(r.getString(1).replace(" ", "T") + "Z")
+            .toEpochMilli) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getDouble(7))).toMap
+      val keys = batch.keys.map(_._1).toSet
+      var checked = 0
+      keys.foreach { k =>
+        val hours = batch.keys.filter(_._1 == k).map(_._2)
+        val (lo, hi) = (hours.min, hours.max)
+        var close = Double.NaN
+        var h = lo
+        while (h < hi) {
+          val g = got.getOrElse((k, h),
+            fail(s"stream missing hour $h for $k"))
+          batch.get((k, h)) match {
+            case Some(b6) =>
+              assert(g == (b6._1, b6._2, b6._3, b6._4, b6._5, b6._6, 0),
+                s"real candle diverged at ($k, $h): $g vs $b6")
+              close = b6._4
+            case None =>
+              assert(g == (close, close, close, close, 0L, 0.0, 1),
+                s"gap candle at ($k, $h) does not carry the close: $g")
+          }
+          checked += 1
+          h += 3600000L
+        }
+        // nothing emitted at or past the still-open hour
+        assert(!got.contains((k, hi)), s"open candle ($k, $hi) emitted early")
+      }
+      assert(checked > 50, s"parity walk too small: $checked hours")
+      assert(got.values.exists(_._7 == 1), "no gap hour exercised")
+    } finally q.stop()
+  }
+
   test("streaming attribution: row-exact parity with the batch last-touch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
