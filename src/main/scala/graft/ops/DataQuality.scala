@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Data-quality audit gate — the conformance checks an ingest pipeline runs
   * before publishing a snapshot (and fails the publish when violations
@@ -90,6 +91,83 @@ object DataQuality {
       .orderBy("key_col")
   }
 
+  /** ANALYZE TABLE — the stats-collection verb behind every cost-based
+    * decision the rest of this library leans on (broadcast-vs-shuffle,
+    * join order, AQE thresholds): per column, the distinct-value count,
+    * null count, and numeric min/max, emitted one row per column from a
+    * SINGLE pass over the table (the per-column frame is assembled with
+    * one multi-aggregate and exploded — never a scan per column).
+    * Exact `count_distinct` here because ANALYZE runs rarely and the
+    * oracle must match; the Spark plan pays one expand for the multiple
+    * distincts — at 100 TB you would flip the ndv aggregates to
+    * `approx_count_distinct` (one pass, no expand, the documented
+    * [[graft.ops.Relational.aggApproxDistinct]] trade). */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val li = table(spark, dir, "lineitem")
+    val aggs = cols.flatMap { c =>
+      Seq(count_distinct(col(c)).as(s"${c}_ndv"),
+        sum(col(c).isNull.cast(LongType)).as(s"${c}_nulls"),
+        min(col(c)).cast(DoubleType).as(s"${c}_min"),
+        max(col(c)).cast(DoubleType).as(s"${c}_max"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col(s"${c}_ndv").as("ndv"),
+        col(s"${c}_nulls").as("nulls"),
+        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"))): _*))
+        .as("s"))
+      .select("s.column", "s.ndv", "s.nulls", "s.min_v", "s.max_v")
+      .orderBy("column")
+  }
+
+  /** Distribution DRIFT detection — the day-over-day feature-drift check
+    * an ML training pipeline runs before trusting new data: histogram
+    * each day's value distribution into 10 fixed equal-width bins (edges
+    * from the global max, so every day bins identically) and score each
+    * consecutive-day pair with the chi-square distance
+    * Σ (pᵢ−qᵢ)²/(pᵢ+qᵢ) over Laplace-smoothed bin shares. Chi-square
+    * rather than the PSI's log ON PURPOSE: it is transcendental-free, so
+    * both engines evaluate the identical rational arithmetic on identical
+    * bits (ln differs in the last ulp across libm implementations).
+    * Shape: one keyed (day, bin) count, pivoted to a fixed 10-wide row
+    * per day, consecutive days paired by an equi join on day+1 — the
+    * drift scan costs one aggregate over the data plus day-count rows of
+    * join, nothing quadratic. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+    val maxv = ev.agg(max("value")).head().getDouble(0)
+    val bin = least(floor(col("value") * 10.0 / maxv), lit(9.0))
+      .cast(IntegerType)
+    val binAggs = (0 to 9).map(k =>
+      sum(when(col("bin") === k, 1L).otherwise(0L)).as(s"b$k")) :+
+      count(lit(1)).as("n")
+    // both sides of the day-pair join derive from this one aggregate —
+    // materialize so the events scan runs once (the multi-consumer rule)
+    val wide = ev.withColumn("bin", bin)
+      .groupBy("day")
+      .agg(binAggs.head, binAggs.tail: _*)
+      .materialized
+    def share(pfx: String, k: Int): org.apache.spark.sql.Column =
+      (col(s"$pfx.b$k") + lit(1L)).cast(DoubleType) /
+        (col(s"$pfx.n") + lit(10L)).cast(DoubleType)
+    val chi2 = (0 to 9).map { k =>
+      val (p, q) = (share("a", k), share("b", k))
+      (p - q) * (p - q) / (p + q)
+    }.reduce(_ + _)
+    wide.as("a")
+      .withColumn("next_day",
+        date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd"))
+      .join(wide.as("b"), col("next_day") === col("b.day"))
+      .select(col("a.day").as("day1"), col("b.day").as("day2"),
+        roundD(chi2, 6).as("chi2"),
+        (chi2 > 0.2).cast(IntegerType).as("drift"))
+      .orderBy("day1")
+  }
+
   /** JOIN-CARDINALITY pre-flight — [[dqSkew]]'s companion: the EXACT output
     * row count of a prospective equi-join, computed from the two sides'
     * per-key count frames (Σ_k c₁(k)·c₂(k)) without running the join.
@@ -133,6 +211,45 @@ object DataQuality {
   }
 
   val oracles: Map[String, String] = Map(
+    "analyze_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(DISTINCT $c) AS ndv,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS nulls,
+                   CAST(min($c) AS DOUBLE) AS min_v,
+                   CAST(max($c) AS DOUBLE) AS max_v
+            FROM lineitem"""
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY \"column\"")
+    },
+    // identical fixed-bin histogram + the same left-associated chi-square
+    // term order; Laplace smoothing keeps every term finite
+    "dq_drift" -> {
+      def share(pfx: String, k: Int) =
+        s"(CAST($pfx.b$k + 1 AS DOUBLE) / CAST($pfx.n + 10 AS DOUBLE))"
+      val chi2 = (0 to 9).map { k =>
+        val (p, q) = (share("a", k), share("b", k))
+        s"($p - $q) * ($p - $q) / ($p + $q)"
+      }.mkString(" + ")
+      val bins = (0 to 9).map(k =>
+        s"CAST(SUM(CASE WHEN bin = $k THEN 1 ELSE 0 END) AS BIGINT) AS b$k")
+        .mkString(", ")
+      s"""WITH mx AS (SELECT max(value) AS m FROM events
+                      WHERE value IS NOT NULL),
+          e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(least(floor(value * 10.0 / mx.m), 9.0) AS INT)
+                         AS bin
+                FROM events, mx WHERE value IS NOT NULL),
+          w AS (SELECT day, $bins, count(*) AS n FROM e GROUP BY day)
+          SELECT a.day AS day1, b.day AS day2,
+                 floor(($chi2) * 1e6 + 0.5) / 1e6 AS chi2,
+                 CAST(($chi2) > 0.2 AS INTEGER) AS drift
+          FROM w a JOIN w b
+            ON strftime(CAST(a.day AS DATE) + 1, '%Y-%m-%d') = b.day
+          ORDER BY day1"""
+    },
     "dq_cardinality" -> {
       def one(name: String, lt: String, lk: String, rt: String, rk: String) =
         s"""SELECT '$name' AS join_key,
@@ -203,5 +320,7 @@ object DataQuality {
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
     "dq_cardinality" -> dqCardinality _,
+    "analyze_stats" -> analyzeStats _,
+    "dq_drift" -> dqDrift _,
   )
 }

@@ -288,6 +288,26 @@ object StreamAssembly {
       }
   }
 
+  /** Streaming SESSION windows — [[graft.ops.TimeWindows.windowSession]]'s
+    * gap-based sessionization on the live stream: Spark's native
+    * `session_window` aggregate under a watermark, so sessions GROW while
+    * events keep arriving within the gap, MERGE when a late-but-in-
+    * watermark event bridges two of them, and emit exactly once (append
+    * mode) when the watermark passes session-end + gap. State per key is
+    * the open session's bounds + aggregates — the built-in operator
+    * handles merge/expiry, which is precisely what a hand-rolled
+    * mapGroups sessionizer gets wrong first. Same expressions as the
+    * batch query (the candlesStream unification move); StreamingSpec
+    * closes all sessions with a watermark-advancing sentinel and asserts
+    * the emitted set equals the batch query row-for-row. */
+  def sessionsStream(events: DataFrame, gap: String = "8 hours",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"), graft.ops.sumMoney(col("value")).as("sum_value"))
+      .select(col("user_id"), graft.ops.tsStr(col("w.start")).as("session_start"),
+        col("cnt"), col("sum_value"))
+
   /** One in-progress candle per key (hourMs = -1 before the first event).
     * Volume accumulates in integer CENTS so the stream's sum is exact and
     * partition/batch-cut independent, like the batch side's DECIMAL. */

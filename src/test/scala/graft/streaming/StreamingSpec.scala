@@ -391,6 +391,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: emitted sessions equal the batch query row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._2.getTime).toIndexedSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamAssembly.sessionsStream(events)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real
+      // session's end + gap so append mode flushes them all
+      val lastTs = src.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, session_start, cnt, sum_value
+           FROM sessions_stream WHERE user_id >= 0
+           ORDER BY user_id, session_start""").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val want = graft.ops.TimeWindows.windowSession(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length == want.length,
+        s"session count drifted: stream ${got.length} vs batch ${want.length}")
+      assert(got.toSeq == want.toSeq,
+        "streaming sessions diverged from the batch session_window query")
+    } finally q.stop()
+  }
+
   test("streaming gap-filled candles: real hours match batch candles, gaps carry the close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
