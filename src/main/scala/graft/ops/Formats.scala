@@ -440,7 +440,29 @@ object Formats {
     * ALL the correction. The spec drives the v1 readback and asserts it
     * matches the source exactly, and that v2 CARRIES (not copies) most of
     * v1's files. */
-  private[graft] def timeTravelPlan(spark: SparkSession, dir: String): TimeTravelPlan = {
+  /** The commit-log layout is METADATA — built once per (session, dir)
+    * and shared by every read-only consumer ([[scanTimeTravel]],
+    * [[scanCdf]], their specs): rebuilding the physical snapshot per
+    * query would model a lake that rewrites itself before every read.
+    * [[vacuumPlan]] deliberately bypasses this cache ([[buildTravelPlan]]
+    * direct) because it DELETES its layout's files — each vacuum run gets
+    * a private layout, and cached read-only layouts stay intact. Weak
+    * keys let a stopped session's layouts be collected. */
+  private val travelCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, TimeTravelPlan]]()
+
+  private[graft] def timeTravelPlan(spark: SparkSession,
+      dir: String): TimeTravelPlan = travelCache.synchronized {
+    var m = travelCache.get(spark)
+    if (m == null) {
+      m = scala.collection.mutable.Map.empty[String, TimeTravelPlan]
+      travelCache.put(spark, m)
+    }
+    m.getOrElseUpdate(dir, buildTravelPlan(spark, dir))
+  }
+
+  private def buildTravelPlan(spark: SparkSession, dir: String): TimeTravelPlan = {
     val out = tmp("graft_travel")
     table(spark, dir, "events")
       .repartitionByRange(8, col("user_id"))
@@ -531,7 +553,9 @@ object Formats {
     import java.nio.file.{Files, Paths}
     def localPath(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
-    val tt = timeTravelPlan(spark, dir)
+    // fresh PRIVATE layout — this op deletes files; the shared cached
+    // layout must stay readable for the time-travel/CDF consumers
+    val tt = buildTravelPlan(spark, dir)
     // v1 = carried ∪ hit, v2 = carried ∪ rewrite ∪ append ⇒ v1 ∖ v2 = hit
     val expired = tt.hitFiles
     val now = System.currentTimeMillis()

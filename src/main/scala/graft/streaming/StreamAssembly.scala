@@ -288,6 +288,21 @@ object StreamAssembly {
       }
   }
 
+  /** Stream–static ENRICHMENT join: decorate the live feed with a
+    * reference dimension (symbol → instrument metadata — the lookup the
+    * reference's PG composite index exists to serve, liq-stream
+    * `writer_pg.py:38-57`, done BEFORE the sink instead of at query
+    * time). Structured Streaming joins a static frame per micro-batch
+    * with no state store at all — the static side broadcasts (it is a
+    * dim, bounded by the instrument universe, never fact-sized), and a
+    * LEFT join keeps feed rows whose symbol the dim hasn't caught up
+    * with yet (new listings) rather than silently dropping them.
+    * File-backed static sides are re-planned per batch, so a dim
+    * refreshed in place rolls into the stream without a restart. */
+  def enrichStream(unified: DataFrame, dim: DataFrame,
+      key: String = "symbol"): DataFrame =
+    unified.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming SESSION windows — [[graft.ops.TimeWindows.windowSession]]'s
     * gap-based sessionization on the live stream: Spark's native
     * `session_window` aggregate under a watermark, so sessions GROW while

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.SparkSpec
 import graft.normalize.{Fixtures, Normalizers}
@@ -388,6 +389,36 @@ class StreamingSpec extends SparkSpec {
         got(0).getDouble(4), got(0).getLong(5), got(0).getDouble(6)) ==
         ((100.0, 200.0, 50.0, 50.0, 3L, 350.0)))
       assert((got(1).getDouble(1), got(1).getLong(5)) == ((75.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment: every feed row decorated, new listings survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("signup", "tier1"), ("view", "tier2"), ("purchase", "tier1"))
+      .toDF("event_type", "tier")
+    val src = graft.ops.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type")
+      .as[(Long, String)].collect().toIndexedSeq
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("event_id", "event_type")
+    val q = StreamAssembly.enrichStream(events, dim, key = "event_type")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(src); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT coalesce(tier, 'unknown') AS tier, count(*) AS cnt
+           FROM enrich_stream GROUP BY 1 ORDER BY tier""").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch truth: same left join over the static table
+      val want = graft.ops.table(spark, "/root/testdata/sf0.001", "events")
+        .join(dim, Seq("event_type"), "left")
+        .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"enrichment drifted: $got vs $want")
+      // left-join contract: unmatched types (the 'unknown' bucket) survive
+      assert(got.values.sum == src.length, "enrichment dropped feed rows")
     } finally q.stop()
   }
 
