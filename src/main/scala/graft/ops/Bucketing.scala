@@ -85,38 +85,20 @@ object Bucketing {
       .agg(count(lit(1)).as("cnt"), sumMoney(col("l_quantity")).as("sum_qty"))
       .orderBy("o_orderpriority")
 
-  /** Conf-pinned child sessions for [[joinBucketedSortedPlan]] (the
-    * [[Relational.joinBloom]] pattern — weak-keyed so stopped parents
-    * collect): Spark 3+ stopped CLAIMING bucket sort order by default
-    * because writers can leave several files per bucket (whose
-    * interleaving would make the claim wrong — SPARK-28632); the legacy
-    * conf restores the claim, and this query makes it TRUE by
-    * construction with the one-file-per-bucket repartition. The conf is
-    * read at planning time, so it must live in a session that keeps it
-    * set (a set/restore around construction would be undone before the
-    * lazy plan materializes). The child shares the parent's catalog
-    * (SharedState), so the bucketed tables written below are visible. */
-  private val sortedSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
-
+  /** Conf-pinned child session for [[joinBucketedSortedPlan]] via the
+    * shared [[graft.ops.childSession]] cache: Spark 3+ stopped CLAIMING
+    * bucket sort order by default because writers can leave several files
+    * per bucket (whose interleaving would make the claim wrong —
+    * SPARK-28632); the legacy conf restores the claim, and this query
+    * makes it TRUE by construction with the one-file-per-bucket
+    * repartition. The broadcast threshold is disabled because both sides
+    * are fact tables at scale — the co-sorted merge is the plan under
+    * test. The child shares the parent's catalog (SharedState), so the
+    * bucketed tables written below are visible. */
   private def orderedSession(spark: SparkSession): SparkSession =
-    sortedSessions.synchronized {
-      var ns = sortedSessions.get(spark)
-      if (ns == null) {
-        ns = spark.newSession()
-        val child = ns
-        spark.conf.getAll.foreach { case (k, v) =>
-          try child.conf.set(k, v)
-          catch { case _: org.apache.spark.sql.AnalysisException => () }
-        }
-        ns.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        // two fact sides: model the at-scale reality where neither fits
-        // a broadcast, so the co-sorted merge is the plan under test
-        ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        sortedSessions.put(spark, ns)
-      }
-      ns
-    }
+    childSession(spark, Map(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
 
   /** The bare co-sorted join (no final orderBy) — split out so the spec
     * can assert the plan has no Exchange and no Sort below the join. */

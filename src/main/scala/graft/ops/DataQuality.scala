@@ -191,14 +191,18 @@ object DataQuality {
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
     val ev = table(spark, dir, "events")
+    val cust = table(spark, dir, "customer")
+    // one count job per table (parquet row-group metadata — no data read),
+    // each table counted ONCE and shared across the pairs that use it
+    val (nLi, nOrd, nCust, nEv) =
+      (li.count(), ord.count(), cust.count(), ev.count())
     val sizes = Map(
-      "lineitem*orders.orderkey" -> (li.count(), ord.count()),
-      "orders*customer.custkey" ->
-        (ord.count(), table(spark, dir, "customer").count()),
-      "events*events.user_id" -> (ev.count(), ev.count()))
+      "lineitem*orders.orderkey" -> (nLi, nOrd),
+      "orders*customer.custkey" -> (nOrd, nCust),
+      "events*events.user_id" -> (nEv, nEv))
     est("lineitem*orders.orderkey", li, "l_orderkey", ord, "o_orderkey")
       .unionByName(est("orders*customer.custkey", ord, "o_custkey",
-        table(spark, dir, "customer"), "c_custkey"))
+        cust, "c_custkey"))
       .unionByName(est("events*events.user_id", ev, "user_id", ev, "user_id"))
       .withColumn("bigger_side",
         coalesce(sizes.foldLeft(lit(null).cast("long")) {

@@ -440,29 +440,61 @@ object Formats {
     * ALL the correction. The spec drives the v1 readback and asserts it
     * matches the source exactly, and that v2 CARRIES (not copies) most of
     * v1's files. */
+  /** The on-disk half of a commit log build: pure FILE LISTS, no
+    * DataFrames — cacheable under weak session keys without the
+    * value→key strong reference a cached Dataset would create (a Dataset
+    * pins its SparkSession via QueryExecution, which would defeat
+    * WeakHashMap collection entirely). */
+  private[graft] final case class TravelLayout(
+      v1Files: Seq[String], v2Files: Seq[String], carried: Seq[String],
+      hitFiles: Seq[String], rewriteFiles: Seq[String],
+      appendFiles: Seq[String])
+
   /** The commit-log layout is METADATA — built once per (session, dir)
     * and shared by every read-only consumer ([[scanTimeTravel]],
     * [[scanCdf]], their specs): rebuilding the physical snapshot per
     * query would model a lake that rewrites itself before every read.
-    * [[vacuumPlan]] deliberately bypasses this cache ([[buildTravelPlan]]
-    * direct) because it DELETES its layout's files — each vacuum run gets
-    * a private layout, and cached read-only layouts stay intact. Weak
-    * keys let a stopped session's layouts be collected. */
+    * Only the [[TravelLayout]] (strings) is cached; the DataFrames are
+    * rebuilt per call from the lists (lazy reads — free), so the weak
+    * session keys actually collect. The multi-job physical build runs
+    * under the per-SESSION map's lock, not the global one — one session's
+    * build never blocks another session. [[vacuumPlan]] deliberately
+    * bypasses the cache ([[buildTravelLayout]] direct) because it DELETES
+    * its layout's files — each vacuum run gets a private layout, and
+    * cached read-only layouts stay intact. */
   private val travelCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, TimeTravelPlan]]()
+      scala.collection.mutable.Map[String, TravelLayout]]()
 
   private[graft] def timeTravelPlan(spark: SparkSession,
-      dir: String): TimeTravelPlan = travelCache.synchronized {
-    var m = travelCache.get(spark)
-    if (m == null) {
-      m = scala.collection.mutable.Map.empty[String, TimeTravelPlan]
-      travelCache.put(spark, m)
+      dir: String): TimeTravelPlan = {
+    val m = travelCache.synchronized {
+      var mm = travelCache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty[String, TravelLayout]
+        travelCache.put(spark, mm)
+      }
+      mm
     }
-    m.getOrElseUpdate(dir, buildTravelPlan(spark, dir))
+    val layout = m.synchronized {
+      m.getOrElseUpdate(dir, buildTravelLayout(spark, dir))
+    }
+    planOf(spark, layout)
   }
 
-  private def buildTravelPlan(spark: SparkSession, dir: String): TimeTravelPlan = {
+  /** Assemble the (cheap, lazy) read frames over a layout's file lists. */
+  private def planOf(spark: SparkSession, l: TravelLayout): TimeTravelPlan = {
+    def asOf(files: Seq[String]): DataFrame =
+      spark.read.parquet(files: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    TimeTravelPlan(l.v1Files.length.toLong, l.v2Files.length.toLong,
+      l.carried.length.toLong, asOf(l.v1Files), asOf(l.v2Files),
+      l.hitFiles, l.rewriteFiles, l.appendFiles)
+  }
+
+  private def buildTravelLayout(spark: SparkSession, dir: String): TravelLayout = {
     val out = tmp("graft_travel")
     table(spark, dir, "events")
       .repartitionByRange(8, col("user_id"))
@@ -488,13 +520,7 @@ object Formats {
     val carried = v1.filterNot(hit.contains)
     val v2 = carried.toSeq ++ parts(s"$out/rewrite") ++ parts(s"$out/append")
     // the "commit log": one manifest per version, file lists only
-    def asOf(files: Seq[String]): DataFrame =
-      spark.read.parquet(files: _*)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
-        .orderBy("event_type")
-    TimeTravelPlan(v1.length.toLong, v2.length.toLong, carried.length.toLong,
-      asOf(v1.toIndexedSeq), asOf(v2),
+    TravelLayout(v1.toIndexedSeq, v2, carried.toIndexedSeq,
       hit.toIndexedSeq, parts(s"$out/rewrite"), parts(s"$out/append"))
   }
 
@@ -555,7 +581,7 @@ object Formats {
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
     // fresh PRIVATE layout — this op deletes files; the shared cached
     // layout must stay readable for the time-travel/CDF consumers
-    val tt = buildTravelPlan(spark, dir)
+    val tt = planOf(spark, buildTravelLayout(spark, dir))
     // v1 = carried ∪ hit, v2 = carried ∪ rewrite ∪ append ⇒ v1 ∖ v2 = hit
     val expired = tt.hitFiles
     val now = System.currentTimeMillis()

@@ -963,7 +963,7 @@ object Multimodal {
         (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
       def tag(o: Int): String = new String(b, o, 4, Ascii)
       require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ", "not an AVI")
-      require(8 + le32(4) <= b.length, "truncated RIFF body")
+      require(le32(4) >= 4 && 8L + le32(4) <= b.length, "truncated RIFF body")
       var w = 0; var h = 0; var declared = -1
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var idx: Array[(Int, Int)] = null
@@ -972,11 +972,15 @@ object Multimodal {
       val end = 8 + le32(4)
       while (o + 8 <= end) {
         val id = tag(o); val sz = le32(o + 4)
-        require(o + 8 + sz <= b.length, s"truncated chunk $id")
+        // sz is attacker-controlled: reject negative (high-bit) sizes and
+        // use 64-bit bounds math so a near-2^31 size can't overflow past
+        // the check — the FLAC loud-failure contract applied to RIFF
+        require(sz >= 0 && o + 8L + sz <= b.length, s"truncated chunk $id")
         id match {
           case "LIST" =>
             tag(o + 8) match {
               case "hdrl" => // descend: avih is its first child
+                require(sz >= 52, "hdrl too short for avih")
                 require(tag(o + 12) == "avih" && le32(o + 16) >= 40, "missing avih")
                 val a = o + 20
                 declared = le32(a + 16); w = le32(a + 32); h = le32(a + 36)
@@ -985,7 +989,8 @@ object Multimodal {
                 var c = o + 12
                 while (c + 8 <= o + 8 + sz) {
                   val cid = tag(c); val csz = le32(c + 4)
-                  require(c + 8 + csz <= b.length, s"truncated movi chunk $cid")
+                  require(csz >= 0 && c + 8L + csz <= b.length,
+                    s"truncated movi chunk $cid")
                   if (cid == "00dc")
                     frames += java.util.Arrays.copyOfRange(b, c + 8, c + 8 + csz)
                   c += 8 + csz + (csz & 1)

@@ -739,34 +739,15 @@ object Relational {
     * plan-locked (PlanSpec asserts `might_contain` on the probe side).
     * Semantics are conf-independent: the oracle is the plain join.
     *
-    * The child session is cached per parent (a SessionState is not free —
-    * building one per invocation would grow unbounded with bench passes)
-    * in a WEAK-keyed map: a stopped/dropped parent and its child become
-    * collectable instead of being pinned for the process lifetime (the
-    * child holds no reference back to the parent — only to the shared
-    * SparkContext). `newSession()` inherits builder-time conf only, so
-    * runtime-set parent confs (session timezone etc.) are copied onto the
-    * child at creation; non-modifiable/static entries are skipped. */
-  private val bloomSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
-
+    * The child session comes from the shared weak-keyed
+    * [[graft.ops.childSession]] cache (a SessionState is not free —
+    * building one per invocation would grow unbounded with bench
+    * passes). */
   def joinBloom(spark: SparkSession, dir: String): DataFrame = {
-    val s = bloomSessions.synchronized {
-      var ns = bloomSessions.get(spark)
-      if (ns == null) {
-        ns = spark.newSession()
-        val child = ns
-        spark.conf.getAll.foreach { case (k, v) =>
-          try child.conf.set(k, v)
-          catch { case _: org.apache.spark.sql.AnalysisException => () }
-        }
-        ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-        ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bloomSessions.put(spark, ns)
-      }
-      ns
-    }
+    val s = childSession(spark, Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
     val li = table(s, dir, "lineitem")
     val sel = table(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
     li.join(sel, col("l_orderkey") === col("o_orderkey"))

@@ -94,6 +94,45 @@ package object ops {
     def materialized: DataFrame = materialize(df)
   }
 
+  /** Conf-pinned CHILD session, cached per (parent, overrides) — the
+    * shared helper behind [[Relational.joinBloom]] and
+    * [[Bucketing.joinBucketedSorted]]: some confs are read at PLANNING
+    * time, so a set/restore around construction is undone before the
+    * lazy plan materializes — the conf must live in a session that keeps
+    * it set. The child copies the parent's runtime confs at creation
+    * (static/non-modifiable entries skipped), then applies the overrides.
+    * Cache keys are WEAK on the parent and the child holds no reference
+    * back to it (only to the shared SparkContext/SharedState), so a
+    * stopped parent and its children collect together; the cache is
+    * keyed by override-set too, so two ops' children never collide. */
+  private val childSessions =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[Map[String, String], SparkSession]]()
+
+  private[graft] def childSession(parent: SparkSession,
+      overrides: Map[String, String]): SparkSession = {
+    val m = childSessions.synchronized {
+      var mm = childSessions.get(parent)
+      if (mm == null) {
+        mm = scala.collection.mutable
+          .Map.empty[Map[String, String], SparkSession]
+        childSessions.put(parent, mm)
+      }
+      mm
+    }
+    m.synchronized {
+      m.getOrElseUpdate(overrides, {
+        val ns = parent.newSession()
+        parent.conf.getAll.foreach { case (k, v) =>
+          try ns.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+        overrides.foreach { case (k, v) => ns.conf.set(k, v) }
+        ns
+      })
+    }
+  }
+
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
     * Spark's round() goes through the decimal STRING representation
     * (BigDecimal.valueOf HALF_UP) while DuckDB rounds the BINARY double —

@@ -323,11 +323,20 @@ object StreamAssembly {
       .select(col("user_id"), graft.ops.tsStr(col("w.start")).as("session_start"),
         col("cnt"), col("sum_value"))
 
-  /** One in-progress candle per key (hourMs = -1 before the first event).
-    * Volume accumulates in integer CENTS so the stream's sum is exact and
-    * partition/batch-cut independent, like the batch side's DECIMAL. */
-  final case class CandleFillState(hourMs: Long, open: Double, high: Double,
-      low: Double, close: Double, cnt: Long, volCents: Long)
+  /** One buffered hourly candle. open/close carry their packed ordering
+    * keys (µs-in-hour·2³¹ + id residue — the batch candles key), so folds
+    * are ORDER-INDEPENDENT: a late-but-in-watermark row folds into its
+    * buffered hour and converges to the batch result no matter how
+    * batches cut. Volume accumulates in integer CENTS so the stream's sum
+    * is exact, like the batch side's DECIMAL. */
+  final case class CandleAgg(open: Double, openOrd: Long, high: Double,
+      low: Double, close: Double, closeOrd: Long, cnt: Long, volCents: Long)
+
+  /** Per-key fill state: candles still open (hour → agg, bounded by the
+    * watermark horizon in hours), the last emitted hour, and its close
+    * (the LOCF value for gap candles). */
+  final case class CandleFillState(openHours: Map[Long, CandleAgg],
+      emittedUpTo: Long, lastClose: Double)
 
   /** One emitted hourly candle; `gap = 1` rows are synthesized for silent
     * hours (OHLC pinned to the previous close, zero cnt/volume). */
@@ -337,22 +346,23 @@ object StreamAssembly {
 
   /** Streaming GAP-FILLED candles — the stream-side twin of
     * [[graft.ops.TimeWindows.tsFill]]'s contract: every hour between a
-    * key's first and latest activity gets a candle, including SILENT
-    * hours (dashboards and downstream joins break on missing rows; a
-    * plain windowed aggregate simply never emits them). Keyed state holds
-    * ONE in-progress candle; when an event arrives for a LATER hour the
-    * current candle is finalized and emitted, every intermediate silent
-    * hour emits a zero-volume candle carrying the last close forward
-    * (LOCF), and the new hour's candle opens. O(1) state per key, emits
-    * bounded by hours-elapsed — not by event volume.
+    * key's first and latest WATERMARK-CLOSED activity gets a candle,
+    * including SILENT hours (dashboards and downstream joins break on
+    * missing rows; a plain windowed aggregate simply never emits them).
     *
-    * Ordering contract (the [[funnelStages]] caveat, stated not assumed):
-    * rows apply in (event-time, id) order within each micro-batch, which
-    * equals the batch candles' packed-key order inside an hour, so open/
-    * close tie semantics match; across batches the fold is monotone under
-    * watermark-ordered delivery. A key's LAST candle stays in state until
-    * a later event or timeout closes it — the price of append-mode
-    * exactness (StreamingSpec accounts for it in the parity compare). */
+    * Emission is WATERMARK-driven, not frontier-driven: candles buffer in
+    * keyed state (hour → order-independent [[CandleAgg]]) and an hour
+    * emits only once the watermark passes its end — so a late-but-in-
+    * watermark row still folds into its buffered hour and the emitted
+    * candle equals the batch aggregate regardless of batch cuts or
+    * arrival order (a frontier-driven fold would have emitted the hour
+    * at the first later-hour event and silently lost the late row's
+    * volume). Rows older than an already-emitted hour are beyond the
+    * watermark contract and are dropped — the same rule as every
+    * windowed streaming aggregate. State is bounded by the watermark
+    * horizon in hours per key; emits are bounded by hours elapsed, not
+    * event volume. An event-time timeout flushes whatever the final
+    * watermark already closed and then removes the key's state. */
   def candlesFilledStream(events: DataFrame,
       watermark: String = "2 hours",
       idleTimeout: String = "60 days"): Dataset[FilledCandle] = {
@@ -369,44 +379,57 @@ object StreamAssembly {
       .flatMapGroupsWithState[CandleFillState, FilledCandle](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, rows, state: GroupState[CandleFillState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var s = state.getOption.getOrElse(
-              CandleFillState(-1L, 0, 0, 0, 0, 0L, 0L))
-            val out = scala.collection.mutable.ArrayBuffer.empty[FilledCandle]
-            def emit(st: CandleFillState, gap: Int): Unit =
-              out += FilledCandle(key, st.hourMs, st.open, st.high, st.low,
-                st.close, st.cnt, st.volCents / 100.0, gap)
-            var lastMs = 0L
-            rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
-              case (_, _, tsEvent, tUs, v) =>
-                lastMs = math.max(lastMs, tsEvent.getTime)
-                val hourMs = (tUs / hourUs) * 3600000L
-                val cents = math.round(v * 100.0)
-                if (s.hourMs < 0L) {
-                  s = CandleFillState(hourMs, v, v, v, v, 1L, cents)
-                } else if (hourMs == s.hourMs) {
-                  s = s.copy(high = math.max(s.high, v),
-                    low = math.min(s.low, v), close = v,
-                    cnt = s.cnt + 1L, volCents = s.volCents + cents)
-                } else if (hourMs > s.hourMs) {
-                  emit(s, gap = 0)
-                  var gh = s.hourMs + 3600000L
-                  val c = s.close
-                  while (gh < hourMs) {
-                    out += FilledCandle(key, gh, c, c, c, c, 0L, 0.0, 1)
-                    gh += 3600000L
-                  }
-                  s = CandleFillState(hourMs, v, v, v, v, 1L, cents)
-                }
-                // hourMs < s.hourMs: cross-hour-late row beyond the open
-                // candle — outside the ordering contract, dropped loudly
-                // by the watermark upstream in production
-            }
-            state.update(s)
-            state.setTimeoutTimestamp(lastMs, idleTimeout)
-            out.iterator
+          var s = state.getOption.getOrElse(
+            CandleFillState(Map.empty, -1L, 0.0))
+          var lastMs = 0L
+          // fold this batch's rows into their buffered hours (order-free:
+          // open/close resolve by the packed key, sums commute)
+          rows.foreach { case (_, id, tsEvent, tUs, v) =>
+            lastMs = math.max(lastMs, tsEvent.getTime)
+            val hourMs = (tUs / hourUs) * 3600000L
+            if (s.emittedUpTo < 0L || hourMs > s.emittedUpTo) {
+              val ord = (tUs % hourUs) * 2147483648L + (id % 2147483648L)
+              val cents = math.round(v * 100.0)
+              val next = s.openHours.get(hourMs) match {
+                case None =>
+                  CandleAgg(v, ord, v, v, v, ord, 1L, cents)
+                case Some(a) => CandleAgg(
+                  if (ord < a.openOrd) v else a.open,
+                  math.min(ord, a.openOrd),
+                  math.max(a.high, v), math.min(a.low, v),
+                  if (ord > a.closeOrd) v else a.close,
+                  math.max(ord, a.closeOrd),
+                  a.cnt + 1L, a.volCents + cents)
+              }
+              s = s.copy(openHours = s.openHours + (hourMs -> next))
+            } // else: older than an emitted hour = beyond watermark, drop
           }
+          // emit every buffered hour the watermark has closed, oldest
+          // first, with LOCF gap candles between real ones
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[FilledCandle]
+          s.openHours.keys.toSeq.sorted
+            .takeWhile(h => h + 3600000L <= wm)
+            .foreach { h =>
+              val a = s.openHours(h)
+              if (s.emittedUpTo >= 0L) {
+                var gh = s.emittedUpTo + 3600000L
+                val c = s.lastClose
+                while (gh < h) {
+                  out += FilledCandle(key, gh, c, c, c, c, 0L, 0.0, 1)
+                  gh += 3600000L
+                }
+              }
+              out += FilledCandle(key, h, a.open, a.high, a.low, a.close,
+                a.cnt, a.volCents / 100.0, 0)
+              s = CandleFillState(s.openHours - h, h, a.close)
+            }
+          if (state.hasTimedOut && s.openHours.isEmpty) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
       }
   }
 

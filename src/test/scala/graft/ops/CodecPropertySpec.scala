@@ -281,6 +281,20 @@ class CodecPropertySpec extends SparkSpec {
     c2(idxPos + 8) = (c2(idxPos + 8) + 4).toByte
     val (_, _, _, _, ok) = Codec.decodeAvi(c2)
     assert(!ok, "corrupted idx1 offset must flag idxOk=false")
+    // a NEGATIVE chunk size (high bit set) must raise, not loop forever
+    // on a zero-advance walk or alias past the bounds check
+    val c3 = avi.clone()
+    // first chunk after the RIFF header starts at offset 12; its size
+    // field is at 16..19 — patch to 0xFFFFFFF8 (-8)
+    c3(16) = 0xF8.toByte; c3(17) = 0xFF.toByte
+    c3(18) = 0xFF.toByte; c3(19) = 0xFF.toByte
+    intercept[IllegalArgumentException](Codec.decodeAvi(c3))
+    // a near-Int.MaxValue size must hit the 64-bit bounds check, not
+    // overflow o + 8 + sz to negative and "pass"
+    val c4 = avi.clone()
+    c4(16) = 0xFF.toByte; c4(17) = 0xFF.toByte
+    c4(18) = 0xFF.toByte; c4(19) = 0x7F.toByte
+    intercept[IllegalArgumentException](Codec.decodeAvi(c4))
   }
 
   test("corrupt containers fail loudly, never decode to plausible garbage") {

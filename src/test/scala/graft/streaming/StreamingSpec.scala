@@ -475,13 +475,20 @@ class StreamingSpec extends SparkSpec {
       val (a, b) = src.splitAt(src.length / 2)
       mem.addData(a); q.processAllAvailable()
       mem.addData(b); q.processAllAvailable()
-      val got = spark.sql("SELECT * FROM filled_stream").collect()
+      // emission is watermark-driven: a far-future sentinel (its own key,
+      // excluded below) closes every real hour
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM filled_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
         .map(r => (r.getString(0), r.getLong(1)) ->
           (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
             r.getLong(6), r.getDouble(7), r.getInt(8))).toMap
-      // batch truth: candles per (key, hour); expected emitted set = every
-      // hour in [first, last) per key — the last candle legitimately stays
-      // open in state
+      // batch truth: with the watermark fully advanced, EVERY hour in each
+      // key's [first, last] range must emit exactly once
       val batch = graft.ops.TimeWindows.candles(spark, dir).collect()
         .map(r => (r.getString(0),
           java.time.Instant.parse(r.getString(1).replace(" ", "T") + "Z")
@@ -495,7 +502,7 @@ class StreamingSpec extends SparkSpec {
         val (lo, hi) = (hours.min, hours.max)
         var close = Double.NaN
         var h = lo
-        while (h < hi) {
+        while (h <= hi) {
           val g = got.getOrElse((k, h),
             fail(s"stream missing hour $h for $k"))
           batch.get((k, h)) match {
@@ -510,11 +517,45 @@ class StreamingSpec extends SparkSpec {
           checked += 1
           h += 3600000L
         }
-        // nothing emitted at or past the still-open hour
-        assert(!got.contains((k, hi)), s"open candle ($k, $hi) emitted early")
       }
+      assert(got.size == checked,
+        s"stream emitted ${got.size} candles beyond the ${checked} expected")
       assert(checked > 50, s"parity walk too small: $checked hours")
       assert(got.values.exists(_._7 == 1), "no gap hour exercised")
+    } finally q.stop()
+  }
+
+  test("gap-filled candles: a late-but-in-watermark row folds into its buffered hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h0 = (1700000000000L / 3600000L) * 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.candlesFilledStream(events) // 2h watermark
+      .toDF().writeStream.format("memory").queryName("late_fill")
+      .outputMode("append").start()
+    try {
+      // batch 1: hour h0 and hour h0+2h — the frontier passes h0+1h with
+      // no data, but the watermark (maxTs − 2h) has NOT closed it yet
+      mem.addData(("k", 1L, ts(h0 + 600000L), 10.0),
+        ("k", 2L, ts(h0 + 2L * 3600000L + 300000L), 30.0))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the silent middle hour — legal under the
+      // 2h watermark; the old frontier-driven fold silently dropped it
+      mem.addData(("k", 3L, ts(h0 + 3600000L + 1200000L), 20.0))
+      q.processAllAvailable()
+      mem.addData(("zz", 0L, ts(h0 + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT hour_ms, close, cnt, gap FROM late_fill
+           WHERE event_type = 'k' ORDER BY hour_ms""").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      assert(got.toSeq == Seq(
+        (h0, 10.0, 1L, 0),
+        (h0 + 3600000L, 20.0, 1L, 0), // REAL candle from the late row
+        (h0 + 2L * 3600000L, 30.0, 1L, 0)),
+        s"late row not folded: ${got.toSeq}")
     } finally q.stop()
   }
 
