@@ -374,9 +374,36 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** CROSS-MODAL duplicate scoring — the precision move for multimodal
+    * corpora: every TEXT near-dup candidate pair (MinHash bands) carries
+    * the IMAGE modality's verdict as a feature — the aHash Hamming
+    * distance between the two docs' derived images and an agree flag
+    * (≤ 3), NULL when either doc has no image (doc_id % 3 ≠ 0 in the
+    * media mapping). Downstream curation thresholds on the fused signal:
+    * text-only candidates false-positive on shared boilerplate, and a
+    * second modality agreeing multiplies the error rates down. Shape:
+    * candidates come from the banded generator ([[dedupMinhash]] — bucket
+    * joins, never all-pairs) and the image hashes attach by two
+    * (candidate-id)-keyed equi joins — fingerprints ship only for
+    * candidate docs, never the corpus. */
+  def dedupMultiModal(spark: SparkSession, dir: String): DataFrame = {
+    val ah = Multimodal.mmImageHashes(spark, dir).toDF()
+    val ham = (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+      bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType)
+    dedupMinhash(spark, dir)
+      .join(ah.select(col("media_id").as("a"), col("hash_hi").as("a_hi"),
+        col("hash_lo").as("a_lo")), Seq("a"), "left")
+      .join(ah.select(col("media_id").as("b"), col("hash_hi").as("b_hi"),
+        col("hash_lo").as("b_lo")), Seq("b"), "left")
+      .select(col("a"), col("b"), ham.as("img_hamming"),
+        when(ham <= 3L, 1).when(ham.isNotNull, 0)
+          .otherwise(lit(null)).cast(IntegerType).as("img_agree"))
+      .orderBy("a", "b")
+  }
+
   // ── oracles ──────────────────────────────────────────────────────────────
 
-  private val duckSigs = {
+  private[ops] val duckSigs = {
     val mins = perms.zipWithIndex.map { case ((a, b), j) =>
       s"min((h*$a + $b) % $prime) AS m$j"
     }.mkString(", ")
@@ -413,6 +440,27 @@ object DedupOps {
            ((x.m0=y.m0 AND x.m1=y.m1) OR (x.m2=y.m2 AND x.m3=y.m3) OR
             (x.m4=y.m4 AND x.m5=y.m5) OR (x.m6=y.m6 AND x.m7=y.m7))
       ORDER BY a, b""",
+    // both modality constructions verbatim: MinHash-band candidates LEFT
+    // JOIN the direct aHash fingerprints (nulls where a doc has no image)
+    "dedup_multi" -> s"""
+      WITH $duckSigs,
+      mh AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND
+             ((x.m0=y.m0 AND x.m1=y.m1) OR (x.m2=y.m2 AND x.m3=y.m3) OR
+              (x.m4=y.m4 AND x.m5=y.m5) OR (x.m6=y.m6 AND x.m7=y.m7))),
+      ${Multimodal.duckAHashCtes}
+      SELECT mh.a AS a, mh.b AS b,
+             CAST(bit_count(xor(x.hash_hi, y.hash_hi)) +
+                  bit_count(xor(x.hash_lo, y.hash_lo)) AS BIGINT)
+               AS img_hamming,
+             CASE WHEN x.media_id IS NULL OR y.media_id IS NULL THEN NULL
+                  WHEN bit_count(xor(x.hash_hi, y.hash_hi)) +
+                       bit_count(xor(x.hash_lo, y.hash_lo)) <= 3 THEN 1
+                  ELSE 0 END AS img_agree
+      FROM mh LEFT JOIN ahashes x ON mh.a = x.media_id
+              LEFT JOIN ahashes y ON mh.b = y.media_id
+      ORDER BY mh.a, mh.b""",
     "dedup_substr" -> s"""
       WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
       th AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS th FROM toks),
@@ -476,5 +524,6 @@ object DedupOps {
     "dedup_incr" -> dedupIncremental _,
     "dedup_substr" -> dedupSubstring _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_multi" -> dedupMultiModal _,
   )
 }

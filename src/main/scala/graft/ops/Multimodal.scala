@@ -1518,6 +1518,39 @@ object Multimodal {
                  (acc, ch) -> (acc * 31 + ch) % 1000000007) AS checksum
         FROM s)"""
 
+  /** The aHash pipeline as reusable DuckDB CTEs (ends in `ahashes`
+    * (media_id, hash_hi, hash_lo)) — shared by the `mm_imgdup` oracle and
+    * [[DedupOps]]'s cross-modal fusion oracle. Byte-for-byte the Scala
+    * pipeline: cyclic text-byte raster -> (r+g+b)//3 grayscale ->
+    * center-of-cell 8x8 nearest sample -> division-free mean compare. */
+  private[ops] val duckAHashCtes: String = {
+    def byteAt(p: String, c: Int) =
+      s"ascii(text[((3*($p) + $c) % len) + 1 : ((3*($p) + $c) % len) + 1])"
+    val p = "((((2*(k//8)+1)*h)//16) * w + (((2*(k%8)+1)*w)//16))"
+    val gray = s"((${byteAt(p, 0)} + ${byteAt(p, 1)} + ${byteAt(p, 2)}) // 3)"
+    s"""m AS (
+          SELECT doc_id AS media_id, text, length(text) AS len,
+                 (length(text) % 16) + 4 AS w, (doc_id % 12) + 3 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        g AS (
+          SELECT media_id,
+                 list_transform(range(0, 64), k -> $gray) AS gl
+          FROM m),
+        t AS (SELECT media_id, gl,
+                     CAST(list_sum(gl) AS BIGINT) AS tot FROM g),
+        ahashes AS (
+          SELECT media_id,
+                 CAST(list_sum(list_transform(range(32, 64), k ->
+                   CASE WHEN gl[k + 1] * 64 > tot
+                        THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT)
+                   AS hash_hi,
+                 CAST(list_sum(list_transform(range(0, 32), k ->
+                   CASE WHEN gl[k + 1] * 64 > tot
+                        THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT)
+                   AS hash_lo
+          FROM t)"""
+  }
+
   val oracles: Map[String, String] = Map(
     // frame f's Y plane is the first w*h bytes of the cyclic text at offset
     // f*w*h*3 — the same synthesis arithmetic as mm_pixel_stats, plus a lag
@@ -1601,34 +1634,10 @@ object Multimodal {
     // the whole aHash pipeline replayed in integer arithmetic: cyclic
     // text-byte raster → (r+g+b)//3 grayscale → center-of-cell 8x8
     // nearest sample → division-free mean compare → two 32-bit halves
-    "mm_imgdup" -> {
-      // byte at raster position p, channel c (the mm_pixel_stats raster)
-      def byteAt(p: String, c: Int) =
-        s"ascii(text[((3*($p) + $c) % len) + 1 : ((3*($p) + $c) % len) + 1])"
-      // grid cell k (0..63) -> sampled raster position
-      val p = "((((2*(k//8)+1)*h)//16) * w + (((2*(k%8)+1)*w)//16))"
-      val gray = s"((${byteAt(p, 0)} + ${byteAt(p, 1)} + ${byteAt(p, 2)}) // 3)"
-      s"""WITH m AS (
-            SELECT doc_id AS media_id, text, length(text) AS len,
-                   (length(text) % 16) + 4 AS w, (doc_id % 12) + 3 AS h
-            FROM documents WHERE doc_id % 3 = 0),
-          g AS (
-            SELECT media_id,
-                   list_transform(range(0, 64), k -> $gray) AS gl
-            FROM m),
-          t AS (SELECT media_id, gl,
-                       CAST(list_sum(gl) AS BIGINT) AS tot FROM g)
-          SELECT media_id,
-                 CAST(list_sum(list_transform(range(32, 64), k ->
-                   CASE WHEN gl[k + 1] * 64 > tot
-                        THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT)
-                   AS hash_hi,
-                 CAST(list_sum(list_transform(range(0, 32), k ->
-                   CASE WHEN gl[k + 1] * 64 > tot
-                        THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT)
-                   AS hash_lo
-          FROM t ORDER BY media_id"""
-    },
+    "mm_imgdup" ->
+      s"""WITH $duckAHashCtes
+          SELECT media_id, hash_hi, hash_lo
+          FROM ahashes ORDER BY media_id""",
     "mm_png" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,

@@ -398,6 +398,35 @@ object TextOps {
       .limit(20)
   }
 
+  /** READABILITY scoring — Flesch reading ease from integer text
+    * statistics: word count (the shared [[tokens]] split), sentence count
+    * (terminal-punctuation runs, floored at 1), and syllables
+    * approximated as vowel-group runs (`[aeiouy]+` — the standard
+    * heuristic; spaces break groups, so one regex pass over the whole
+    * text counts per-word groups correctly). The quality-filter family's
+    * readability axis next to [[textQuality]]'s length/stopword axes —
+    * published pipelines band corpora by exactly this score. All three
+    * counts are INTEGERS from regex passes both engines implement
+    * identically (character classes only — no dialect-divergent syntax),
+    * so the one float formula runs on identical inputs. Map-side only;
+    * the output sort is the lone shuffle. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val words = greatest(size(tokens(col("text"))), lit(1))
+      .cast(LongType)
+    val syll = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast(LongType)
+    val sents = greatest(size(regexp_extract_all(col("text"),
+      lit("[.!?]+"), lit(0))), lit(1)).cast(LongType)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), words.as("words"), syll.as("syllables"),
+        sents.as("sentences"),
+        roundD(lit(206.835) -
+          lit(1.015) * (words.cast(DoubleType) / sents.cast(DoubleType)) -
+          lit(84.6) * (syll.cast(DoubleType) / words.cast(DoubleType)), 4)
+          .as("flesch"))
+      .orderBy("doc_id")
+  }
+
   /** Interpolated KNESER-NEY bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1999's benchmark winner) — the LM-training statistic
     * beyond [[textColloc]]'s lift and [[textPpl]]'s unigram model:
@@ -612,6 +641,27 @@ object TextOps {
          CROSS JOIN n
          WHERE b.c_ab >= 5
          ORDER BY lift DESC, w1, w2 LIMIT 20""",
+    // identical integer counts (same regex classes), identical float tree
+    "text_readability" ->
+      """SELECT doc_id,
+                CAST(greatest(len(list_filter(string_split(lower(text), ' '),
+                  x -> x <> '')), 1) AS BIGINT) AS words,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syllables,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS sentences,
+                floor((206.835
+                  - 1.015 * (CAST(greatest(len(list_filter(
+                      string_split(lower(text), ' '), x -> x <> '')), 1)
+                      AS DOUBLE)
+                    / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS DOUBLE))
+                  - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                      '[aeiouy]+')) AS DOUBLE)
+                    / CAST(greatest(len(list_filter(
+                      string_split(lower(text), ' '), x -> x <> '')), 1)
+                      AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS flesch
+         FROM documents ORDER BY doc_id""",
     // the same margins off the same bigram counts; the probability is the
     // identical left-associated float expression, 6-dp rounded
     "lm_kn" ->
@@ -796,6 +846,7 @@ object TextOps {
     "cdc" -> chunksCdc _,
     "colloc" -> textColloc _,
     "lm_kn" -> lmKneserNey _,
+    "text_readability" -> textReadability _,
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
     "invidx_seg" -> invIndexSeg _,

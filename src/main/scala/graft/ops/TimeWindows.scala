@@ -275,6 +275,29 @@ object TimeWindows {
       .orderBy("event_type", "day")
   }
 
+  /** TRENDING — top-2 event types per hour by exact decimal volume: the
+    * live-dashboard leaderboard every feed product ships, composed from
+    * two proven pieces: the hourly keyed aggregate (map-side partials)
+    * and the bounded-heap [[graft.functions.TopKStructs]] per hour — the
+    * shuffle after the hourly level carries ≤ 2 rows per (hour, task),
+    * and nothing sorts beyond the heap (the winfnRank argument: a
+    * row_number window would sort whole hours inside #hour reducer
+    * partitions). Volume ties break by event type via the struct's
+    * lexicographic order (negated volume leads — exact for doubles). */
+  def trending(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(sumMoney(col("value")).as("vol"))
+    val item = struct((-col("vol")).as("nv"), col("event_type").as("et"))
+    hourly.groupBy("h")
+      .agg(graft.functions.TopKStructs(item, 2).as("top"))
+      .select(col("h"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(tsStr(col("h")).as("hour"), col("t.et").as("event_type"),
+        (-col("t.nv")).as("volume"),
+        (col("p") + 1).cast(org.apache.spark.sql.types.LongType).as("rk"))
+      .orderBy("hour", "rk")
+  }
+
   /** The DuckDB twin of [[tsEwma]], assembled from the same tap count and
     * decay so the two sides can never drift: each 0.75^j literal is a dyadic
     * rational (3^j/4^j — exactly representable), so the shortest-round-trip
@@ -300,6 +323,19 @@ object TimeWindows {
   }
 
   val oracles: Map[String, String] = Map(
+    // the heap must be invisible: plain row_number over the hourly level
+    "trending" ->
+      """WITH hv AS (
+           SELECT date_trunc('hour', ts) AS h, event_type,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT h, event_type, volume,
+                      row_number() OVER (PARTITION BY h
+                        ORDER BY volume DESC, event_type) AS rk
+               FROM hv)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hour, event_type,
+                volume, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 2 ORDER BY hour, rk""",
     // identical rectangle integral: exact DECIMAL(18,2)·Δµs products, one
     // double division at the end on bit-identical inputs
     "twap" ->
@@ -418,5 +454,6 @@ object TimeWindows {
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
     "twap" -> twap _,
+    "trending" -> trending _,
   )
 }

@@ -267,6 +267,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(anyDay.nonEmpty)
   }
 
+  test("dedup_multi: image verdict attaches iff both docs carry images") {
+    val rows = DedupOps.dedupMultiModal(spark, dir).collect()
+    assert(rows.nonEmpty, "no text candidates to score")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val bothImages = a % 3 == 0 && b % 3 == 0
+      assert(r.isNullAt(2) != bothImages,
+        s"($a,$b): img_hamming nullability disagrees with the media mapping")
+      assert(r.isNullAt(3) == r.isNullAt(2), "agree flag out of sync")
+      if (!r.isNullAt(2)) {
+        val h = r.getLong(2)
+        assert(h >= 0L && h <= 64L)
+        assert((r.getInt(3) == 1) == (h <= 3L), "agree threshold wrong")
+      }
+    }
+  }
+
   test("agg_hll_merge: union-of-daily sketches equals the one-shot weekly sketch") {
     val ev = table(spark, dir, "events")
     val daily = ev
