@@ -387,7 +387,10 @@ object DedupOps {
     * (candidate-id)-keyed equi joins — fingerprints ship only for
     * candidate docs, never the corpus. */
   def dedupMultiModal(spark: SparkSession, dir: String): DataFrame = {
-    val ah = Multimodal.mmImageHashes(spark, dir).toDF()
+    // materialized: referenced by BOTH candidate-keyed joins — without it
+    // the media-synthesis + decode + aHash subtree plans twice (the
+    // dedupNgramJaccard multi-consumer rationale)
+    val ah = Multimodal.mmImageHashes(spark, dir).toDF().materialized
     val ham = (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
       bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType)
     dedupMinhash(spark, dir)
@@ -397,13 +400,13 @@ object DedupOps {
         col("hash_lo").as("b_lo")), Seq("b"), "left")
       .select(col("a"), col("b"), ham.as("img_hamming"),
         when(ham <= 3L, 1).when(ham.isNotNull, 0)
-          .otherwise(lit(null)).cast(IntegerType).as("img_agree"))
+          .cast(IntegerType).as("img_agree"))
       .orderBy("a", "b")
   }
 
   // ── oracles ──────────────────────────────────────────────────────────────
 
-  private[ops] val duckSigs = {
+  private val duckSigs = {
     val mins = perms.zipWithIndex.map { case ((a, b), j) =>
       s"min((h*$a + $b) % $prime) AS m$j"
     }.mkString(", ")

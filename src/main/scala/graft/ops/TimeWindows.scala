@@ -285,9 +285,13 @@ object TimeWindows {
     * partitions). Volume ties break by event type via the struct's
     * lexicographic order (negated volume leads — exact for doubles). */
   def trending(spark: SparkSession, dir: String): DataFrame = {
+    // drop all-NULL-volume groups BEFORE the heap: the struct ordering is
+    // nulls-first (rank 1) while SQL's volume DESC is nulls-last — a NULL
+    // vol would rank oppositely in the two engines
     val hourly = table(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(sumMoney(col("value")).as("vol"))
+      .filter(col("vol").isNotNull)
     val item = struct((-col("vol")).as("nv"), col("event_type").as("et"))
     hourly.groupBy("h")
       .agg(graft.functions.TopKStructs(item, 2).as("top"))
@@ -332,7 +336,7 @@ object TimeWindows {
          r AS (SELECT h, event_type, volume,
                       row_number() OVER (PARTITION BY h
                         ORDER BY volume DESC, event_type) AS rk
-               FROM hv)
+               FROM hv WHERE volume IS NOT NULL)
          SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hour, event_type,
                 volume, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 2 ORDER BY hour, rk""",
