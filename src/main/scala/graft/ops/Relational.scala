@@ -579,6 +579,58 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST-event join — [[joinAsof]]'s bidirectional completion: match
+    * each event to the temporally CLOSEST order of the same user, looking
+    * BOTH ways (the prior-only as-of answers "state at the time"; nearest
+    * answers "which order does this event belong to" — attribution when
+    * the event can precede its cause by clock skew or pipeline lag).
+    * Same union-merge shape, run twice: one ascending LOCF pass carries
+    * the latest prior order onto each event, one DESCENDING pass carries
+    * the earliest following order, then a pure per-row arbitration picks
+    * the smaller µs gap (ties to prior). Two window sorts per user
+    * partition and nothing else — never a per-event range probe. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ordType = StructType(Seq(
+      StructField("d", TimestampType), StructField("k", LongType)))
+    val e = table(spark, dir, "events")
+      .select(col("user_id").as("u"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast(ordType).as("ord"))
+    val o = table(spark, dir, "orders")
+      .select(col("o_custkey").as("u"),
+        col("o_orderdate").cast(TimestampType).as("t"), lit(0).as("kind"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(col("o_orderdate").cast(TimestampType).as("d"),
+          col("o_orderkey").as("k")).as("ord"))
+    val frame = o.unionByName(e)
+    val wAsc = Window.partitionBy(col("u"))
+      .orderBy(col("t").asc, col("kind").asc, col("ord.k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("u"))
+      .orderBy(col("t").desc, col("kind").desc, col("ord.k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gp = unix_micros(col("t")) - unix_micros(col("prior.d"))
+    val gn = unix_micros(col("next.d")) - unix_micros(col("t"))
+    frame
+      .withColumn("prior", last(col("ord"), ignoreNulls = true).over(wAsc))
+      .withColumn("next", last(col("ord"), ignoreNulls = true).over(wDesc))
+      .filter(col("kind") === 1 &&
+        (col("prior").isNotNull || col("next").isNotNull))
+      .select(col("event_id"), col("u").as("user_id"),
+        when(col("prior").isNull, col("next.k"))
+          .when(col("next").isNull, col("prior.k"))
+          .when(gn < gp, col("next.k")).otherwise(col("prior.k"))
+          .as("o_orderkey"),
+        when(col("prior").isNull, lit("next"))
+          .when(col("next").isNull, lit("prior"))
+          .when(gn < gp, lit("next")).otherwise(lit("prior"))
+          .as("side"),
+        expr("""CAST(least(
+            coalesce(unix_micros(t) - unix_micros(prior.d), 9223372036854775807),
+            coalesce(unix_micros(next.d) - unix_micros(t), 9223372036854775807))
+          div 1000000 AS BIGINT)""").as("gap_s"))
+      .orderBy("event_id")
+  }
+
   /** Manually salted skew join — the technique AQE's skew-join handles
     * reactively, written out proactively for the case where one hot key
     * (a BTCUSDT-style symbol carrying half the feed) would otherwise pin a
@@ -1385,6 +1437,49 @@ object Relational {
                3.0 * sqrt((st.n * st.sxx - st.sx * st.sx) /
                           (st.n * (st.n - 1.0)))
          ORDER BY event_id""",
+    // the same two LOCF passes (asc prior / desc next) + per-row
+    // arbitration; d and k come from the same carried row because both
+    // last_value calls share one window ordering
+    "join_asof_nearest" ->
+      """WITH f AS (
+           SELECT user_id AS u, ts AS t, 1 AS kind, event_id,
+                  NULL::TIMESTAMP AS od, NULL::BIGINT AS ok FROM events
+           UNION ALL
+           SELECT o_custkey, o_orderdate, 0, NULL, o_orderdate, o_orderkey
+           FROM orders),
+         w AS (
+           SELECT *,
+             last_value(od IGNORE NULLS) OVER (PARTITION BY u
+               ORDER BY t ASC, kind ASC, ok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             last_value(ok IGNORE NULLS) OVER (PARTITION BY u
+               ORDER BY t ASC, kind ASC, ok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+             last_value(od IGNORE NULLS) OVER (PARTITION BY u
+               ORDER BY t DESC, kind DESC, ok DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd,
+             last_value(ok IGNORE NULLS) OVER (PARTITION BY u
+               ORDER BY t DESC, kind DESC, ok DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nk
+           FROM f)
+         SELECT event_id, u AS user_id,
+                CASE WHEN pd IS NULL THEN nk
+                     WHEN nd IS NULL THEN pk
+                     WHEN epoch_us(nd) - epoch_us(t)
+                          < epoch_us(t) - epoch_us(pd) THEN nk
+                     ELSE pk END AS o_orderkey,
+                CASE WHEN pd IS NULL THEN 'next'
+                     WHEN nd IS NULL THEN 'prior'
+                     WHEN epoch_us(nd) - epoch_us(t)
+                          < epoch_us(t) - epoch_us(pd) THEN 'next'
+                     ELSE 'prior' END AS side,
+                CAST(least(
+                  coalesce(epoch_us(t) - epoch_us(pd), 9223372036854775807),
+                  coalesce(epoch_us(nd) - epoch_us(t), 9223372036854775807))
+                  // 1000000 AS BIGINT) AS gap_s
+         FROM w
+         WHERE kind = 1 AND (pd IS NOT NULL OR nd IS NOT NULL)
+         ORDER BY event_id""",
     // medians interpolate identically (lower + (upper-lower)·frac in both
     // engines); deviations are 6-dp rounded before the MAD pass so the
     // second median sees bit-identical inputs
@@ -1502,6 +1597,7 @@ object Relational {
     "join_anti" -> joinAnti _,
     "join_range" -> joinRange _,
     "join_asof" -> joinAsof _,
+    "join_asof_nearest" -> joinAsofNearest _,
     "winfn_rank" -> winfnRank _,
     "winfn_lag_runsum" -> winfnLagRunsum _,
     "winfn_nth" -> winfnFirstLast _,

@@ -201,6 +201,37 @@ object StreamAssembly {
       }
       .start()
 
+  /** Quality QUARANTINE split — the dead-letter pattern the reference
+    * approximates with per-row try/except drops (liq-stream
+    * `binance_adapter.py:93-94`, `hyperliquid_adapter.py:167-170`): rows
+    * failing the validity predicate are never silently discarded; they
+    * land in a quarantine sink WITH the machine-readable reason, while
+    * valid rows flow to the main sink — so ingest failures are
+    * re-driveable (fix the bug, replay the quarantine) instead of gone.
+    * One persisted micro-batch feeds both writes (the [[fanOutSinks]]
+    * move: the split costs one pass, not two source reads), and
+    * good ∪ quarantined = input exactly (asserted in StreamingSpec —
+    * conservation is the whole point). */
+  def quarantineSinks(unified: DataFrame, goodDir: String, badDir: String,
+      checkpointDir: String, valid: Column, reason: Column,
+      triggerMs: Long = 1000L): StreamingQuery =
+    unified.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.persist()
+        try {
+          batch.filter(valid).write.mode("append").parquet(goodDir)
+          // !valid alone would DROP null-predicate rows — exactly the rows
+          // a quarantine exists for; route nulls to quarantine explicitly
+          batch.filter(!coalesce(valid, lit(false)))
+            .withColumn("reason", reason)
+            .write.mode("append").parquet(badDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
   /** Stream-STATIC enrichment join: each streaming liquidation picks up
     * reference metadata from a batch dimension table (the lookup the
     * reference serves with its PG index `(exchange,market,symbol,ts)`,
@@ -210,7 +241,7 @@ object StreamAssembly {
     * refresh is picked up without restarting the query). Unmatched rows
     * keep flowing with null metadata — enrichment must never drop events. */
   def enrichJoin(unified: DataFrame, dim: DataFrame): DataFrame =
-    unified.join(broadcast(dim), Seq("exchange", "symbol"), "left")
+    enrichStream(unified, dim, Seq("exchange", "symbol"))
 
   /** Stream-stream interval join: each liquidation matched to liquidations
     * of the OTHER side for the same symbol within the following minute —
@@ -300,8 +331,8 @@ object StreamAssembly {
     * File-backed static sides are re-planned per batch, so a dim
     * refreshed in place rolls into the stream without a restart. */
   def enrichStream(unified: DataFrame, dim: DataFrame,
-      key: String = "symbol"): DataFrame =
-    unified.join(broadcast(dim), Seq(key), "left")
+      keys: Seq[String] = Seq("symbol")): DataFrame =
+    unified.join(broadcast(dim), keys, "left")
 
   /** Streaming SESSION windows — [[graft.ops.TimeWindows.windowSession]]'s
     * gap-based sessionization on the live stream: Spark's native

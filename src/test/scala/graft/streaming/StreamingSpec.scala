@@ -72,6 +72,41 @@ class StreamingSpec extends SparkSpec {
     assert(csv.columns.contains("day"))   // partition column = daily rotation
   }
 
+  test("quarantine split: invalid rows carry a reason, nothing is ever dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goodDir = tmp("q_good"); val badDir = tmp("q_bad"); val ckpt = tmp("q_ckpt")
+    val mem = MemoryStream[String]
+    def ev(sym: String, qty: String, px: String, i: Int) =
+      s"""{"e":"forceOrder","E":${1710000000000L + i},"o":{"s":"$sym","S":"SELL","q":"$qty","p":"$px","l":"$qty","T":${1710000000000L + i}}}"""
+    // 3 valid fills + one zero-qty + one negative-price — two dead-letter
+    // classes that SURVIVE the normalizer's parse tolerance (an unparsable
+    // price is already dropped there; the quarantine guards domain
+    // violations the parser can't see)
+    mem.addData(ev("BTCUSDT", "1", "100", 1), ev("ETHUSDT", "2", "50", 2),
+      ev("BTCUSDT", "3", "99", 3), ev("DOGEUSDT", "0", "1", 4),
+      ev("SOLUSDT", "1", "-5", 5))
+    val unified = Normalizers.binance(
+      mem.toDF().withColumnRenamed("value", "raw"), "usdt")
+    val valid = col("qty") > 0.0 && col("price") > 0.0
+    val q = StreamAssembly.quarantineSinks(unified, goodDir, badDir, ckpt,
+      valid,
+      org.apache.spark.sql.functions.when(!(col("qty") > 0.0), "nonpositive_qty")
+        .otherwise("bad_price"),
+      triggerMs = 100L)
+    try q.processAllAvailable() finally q.stop()
+    val good = spark.read.parquet(goodDir)
+    val bad = spark.read.parquet(badDir)
+    assert(good.count() == 3, s"good=${good.count()}")
+    assert(bad.count() == 2, s"bad=${bad.count()}")
+    // conservation: good ∪ quarantined = input
+    assert(good.count() + bad.count() == 5)
+    val reasons = bad.select("symbol", "reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reasons("DOGEUSDT") == "nonpositive_qty")
+    assert(reasons("SOLUSDT") == "bad_price")
+  }
+
   test("stream-stream interval join: long->short flips within a minute per symbol") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -402,7 +437,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String)].collect().toIndexedSeq
     val mem = MemoryStream[(Long, String)]
     val events = mem.toDF().toDF("event_id", "event_type")
-    val q = StreamAssembly.enrichStream(events, dim, key = "event_type")
+    val q = StreamAssembly.enrichStream(events, dim, Seq("event_type"))
       .writeStream.format("memory").queryName("enrich_stream")
       .outputMode("append").start()
     try {
