@@ -83,6 +83,48 @@ object Extended {
         element_at(col("q"), 3).as("p90"))
       .orderBy("l_returnflag")
 
+  /** STORED-SKETCH percentile rollup — [[aggPercentileApprox]]'s summary
+    * made re-aggregable, completing the mergeable-sketch pair next to
+    * `agg_hll_merge` (distincts): materialize one GK quantile summary per
+    * (week, day) via [[graft.functions.QSketchAgg]], then answer the weekly
+    * p50/p99 by MERGING the stored daily summaries
+    * ([[graft.functions.QMergeAgg]]) — O(days · sketch bytes), never a raw
+    * re-scan. This is the dashboard query exact percentiles cannot serve at
+    * 100 TB: the p99 of daily p99s is NOT the weekly p99, so without a
+    * mergeable summary every coarser grain costs a full re-aggregation of
+    * raw data.
+    *
+    * Oracle: exact weekly `quantile_disc` — bit-for-bit equal in the GK
+    * exact regime (n < accuracy/2, see [[pctlAccuracy]]; insert AND merge
+    * are lossless there, LlmOpsSpec guards the bound and the mergeability
+    * law directly). `merge_ok` surfaces the union-of-parts == one-shot
+    * invariant as a constant-true column the hash compare covers. */
+  def aggQuantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val ps = Seq(0.5, 0.99)
+    val ev = table(spark, dir, "events")
+    val daily = ev
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(QuantileSketch.sketch(col("value"), pctlAccuracy).as("sk"),
+        count(lit(1)).as("n"))
+    val merged = daily.groupBy("wk")
+      .agg(QuantileSketch.merge(col("sk")).as("msk"),
+        sum(col("n")).as("n_rows"))
+    val direct = ev.groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(QuantileSketch.sketch(col("value"), pctlAccuracy).as("dsk"))
+    merged.join(broadcast(direct), "wk")
+      .select(
+        date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n_rows"),
+        element_at(QuantileSketch.values(col("msk"), ps), 1).as("p50"),
+        element_at(QuantileSketch.values(col("msk"), ps), 2).as("p99"),
+        (QuantileSketch.values(col("msk"), ps) ===
+          QuantileSketch.values(col("dsk"), ps))
+          .cast(IntegerType).as("merge_ok"))
+      .orderBy("week")
+  }
+
   /** Histogram binning via floor arithmetic (width 2, 10 bins, clamped) —
     * the binning is map-side; only (bucket, count) shuffles. */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -385,6 +427,15 @@ object Extended {
              min(pk) AS p_min, max(pk) AS p_max,
              min(sk) AS s_min, max(sk) AS s_max
       FROM z GROUP BY 1 ORDER BY zbucket""",
+    // exact weekly percentiles; the mergeability invariant enters as its
+    // constant-true flag (the agg_hll_merge convention)
+    "agg_q_merge" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                count(*) AS n_rows,
+                quantile_disc(value, 0.5) AS p50,
+                quantile_disc(value, 0.99) AS p99,
+                1 AS merge_ok
+         FROM events GROUP BY 1 ORDER BY week""",
     "agg_percentile_approx" ->
       """SELECT l_returnflag,
                 quantile_disc(l_extendedprice, 0.25) AS p25,
@@ -446,6 +497,7 @@ object Extended {
     "agg_unpivot" -> aggUnpivot _,
     "agg_percentile" -> aggPercentile _,
     "agg_percentile_approx" -> aggPercentileApprox _,
+    "agg_q_merge" -> aggQuantileMerge _,
     "zorder_wide" -> zorderWide _,
     "agg_histogram" -> aggHistogram _,
     "winfn_ntile" -> winfnNtile _,

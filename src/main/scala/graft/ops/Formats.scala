@@ -17,8 +17,49 @@ import org.apache.spark.sql.types._
   */
 object Formats {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Every temp layout registers for deletion at JVM exit, so repeated
+    * verify/bench passes across processes never accumulate snapshot copies
+    * in /tmp (the sink ops legitimately write fresh dirs per call — the
+    * write IS the op; the hook bounds their lifetime to the run). */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      tmpDirs.forEach(rm(_))
+    }))
+  }
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.add(d.toFile)
+    d.toString
+  }
+
+  /** Path-only layout cache for the read-only multi-generation scans
+    * ([[scanFederated]], [[scanPartitionEvolve]]) — same weak-session-key
+    * discipline as [[travelCache]]: the physical generation build runs once
+    * per (session, dir); every later call re-plans lazy reads over the same
+    * directories. Values are strings, never Datasets (a cached Dataset pins
+    * its session and defeats the WeakHashMap). */
+  private val layoutCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, AnyRef]]()
+
+  private def cachedLayout[T <: AnyRef](spark: SparkSession, key: String)(
+      build: => T): T = {
+    val m = layoutCache.synchronized {
+      var mm = layoutCache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty[String, AnyRef]
+        layoutCache.put(spark, mm)
+      }
+      mm
+    }
+    m.synchronized { m.getOrElseUpdate(key, build).asInstanceOf[T] }
+  }
 
   /** Day-partitioned parquet sink + partition-pruned readback: events are
     * written `partitionBy(day)` and read back for one week only — the scan
@@ -96,17 +137,20 @@ object Formats {
     * is the plain whole-table aggregate — the migration must be invisible
     * in the result. */
   def scanFederated(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft_fed")
-    val ev = table(spark, dir, "events")
-      .select(col("event_type"), col("value"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    val days = ev.select("day").distinct().orderBy("day")
-      .collect().map(_.getString(0))
-    val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
-    ev.filter(col("day") < d1).write.mode("overwrite").parquet(s"$out/gen1")
-    ev.filter(col("day") >= d1 && col("day") < d2)
-      .write.mode("overwrite").orc(s"$out/gen2")
-    ev.filter(col("day") >= d2).write.mode("overwrite").json(s"$out/gen3")
+    val out = cachedLayout(spark, s"fed:$dir") {
+      val o = tmp("graft_fed")
+      val ev = table(spark, dir, "events")
+        .select(col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getString(0))
+      val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+      ev.filter(col("day") < d1).write.mode("overwrite").parquet(s"$o/gen1")
+      ev.filter(col("day") >= d1 && col("day") < d2)
+        .write.mode("overwrite").orc(s"$o/gen2")
+      ev.filter(col("day") >= d2).write.mode("overwrite").json(s"$o/gen3")
+      o
+    }
     val schema = StructType(Seq(
       StructField("event_type", StringType), StructField("value", DoubleType),
       StructField("day", StringType)))
@@ -134,21 +178,30 @@ object Formats {
   private[graft] final case class PartitionEvolvePlan(
       flatFiles: Long, totalDays: Int, partSide: DataFrame, result: DataFrame)
 
+  /** Cached layout value: generation root + the distinct day list the
+    * window bounds derive from. */
+  private[graft] final case class PevolveLayout(out: String, days: Seq[String])
+
   private[graft] def partitionEvolvePlan(spark: SparkSession,
       dir: String): PartitionEvolvePlan = {
-    val out = tmp("graft_pevolve")
-    val ev = table(spark, dir, "events")
-      .select(col("event_type"), col("value"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    val days = ev.select("day").distinct().orderBy("day")
-      .collect().map(_.getString(0))
-    val mid = days(days.length / 2)
-    // old generation: flat, no layout to prune on
-    ev.filter(col("day") < mid).write.mode("overwrite")
-      .parquet(s"$out/flat")
-    // new generation: the evolved spec — day directories
-    ev.filter(col("day") >= mid).repartition(col("day"))
-      .write.mode("overwrite").partitionBy("day").parquet(s"$out/byday")
+    val layout = cachedLayout(spark, s"pevolve:$dir") {
+      val o = tmp("graft_pevolve")
+      val ev = table(spark, dir, "events")
+        .select(col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val ds = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getString(0)).toSeq
+      val mid = ds(ds.length / 2)
+      // old generation: flat, no layout to prune on
+      ev.filter(col("day") < mid).write.mode("overwrite")
+        .parquet(s"$o/flat")
+      // new generation: the evolved spec — day directories
+      ev.filter(col("day") >= mid).repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$o/byday")
+      PevolveLayout(o, ds)
+    }
+    val out = layout.out
+    val days = layout.days
     // a window straddling the spec boundary: 3 days each side
     val (lo, hi) = (days(days.length / 2 - 3), days(days.length / 2 + 2))
     val flat = spark.read.parquet(s"$out/flat")
@@ -679,6 +732,118 @@ object Formats {
   def publishAtomic(spark: SparkSession, dir: String): DataFrame =
     publishPlan(spark, dir).result
 
+  /** Outcomes + published-byte states for the optimistic-concurrency
+    * probes. */
+  private[graft] final case class ConflictPlan(
+      aCommitted: Boolean, bCommitted: Boolean, cCommitted: Boolean,
+      cConflicts: Seq[String], finalVersion: Int,
+      publishedUntouched: Boolean, result: DataFrame)
+
+  /** OPTIMISTIC CONCURRENCY CONTROL for the commit log — the multi-writer
+    * half [[publishPlan]]'s single-writer pointer flip leaves open: two
+    * commits staged off the SAME base version race; the resolution rule is
+    * write-set arithmetic over the manifest (Delta/Iceberg semantics):
+    * a staged commit replays against every commit that landed after its
+    * base, and lands iff its write-set (the partitions it rewrites) is
+    * DISJOINT from theirs — concurrent writers to disjoint partitions all
+    * succeed without coordination; an overlapping rewrite is rejected with
+    * the conflicting partition list, and every published byte stays
+    * untouched (the loser retries from the new base; blind last-wins would
+    * silently drop the first writer's rewrite). The check costs
+    * O(commits-since-base × write-set) MANIFEST entries — metadata, never
+    * data — so at 100 TB with thousands of concurrent daily writers the
+    * arbitration is microseconds, which is exactly why lakes use
+    * optimistic (not lock-based) concurrency. Reference analog: liq-stream
+    * serializes writers through one asyncio loop and survives races only
+    * via idempotent DDL (`writer_pg.py:123-137`); a lake cannot serialize
+    * 1000 executors, so the commit protocol arbitrates instead.
+    *
+    * Modeled end to end off base v1 (full history, one dir per day, `day`
+    * kept as a data column so manifests compose across versions): writer A
+    * rewrites day d1 (drops its `error` rows) → lands as v2; writer B —
+    * staged BEFORE A landed, also base v1 — rewrites day d2 the same way,
+    * and at commit time replays v2's write-set {d1}: disjoint → lands as
+    * v3 (the optimistic rebase); writer C — base v1 — rewrites d1 again
+    * (to empty) and must be REJECTED: {d1} ∩ {d1} ≠ ∅. The final table
+    * therefore has A's and B's rewrites and no trace of C — the oracle
+    * recomputes exactly that from raw events, so a conflict-detection bug
+    * (C landing, or B spuriously rejected) breaks the data hash, not just
+    * a flag. FormatsSpec asserts the rejected path: conflicting-partition
+    * list, pointer at v3, and byte-identical published files. */
+  private[graft] def commitConflictPlan(spark: SparkSession,
+      dir: String): ConflictPlan = {
+    import java.nio.file.{Files, Paths}
+    val out = tmp("graft_conflict")
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val bounds = ev.agg(min("day"), max("day")).head()
+    val (d1, d2) = (bounds.getString(0), bounds.getString(1))
+    // v1 bootstrap: one dir per day, day duplicated into the dir key so the
+    // data column survives a manifest-path read
+    ev.withColumn("pday", col("day")).repartition(col("pday"))
+      .write.mode("overwrite").partitionBy("pday").parquet(s"$out/v1")
+    val v1Manifest: Map[String, String] =
+      new java.io.File(s"$out/v1").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pday="))
+        .map(f => f.getName.stripPrefix("pday=") -> f.getPath).toMap
+    // commit log: (version, base, write-set); manifests per version
+    val log = scala.collection.mutable.ListBuffer.empty[(Int, Int, Set[String])]
+    val manifests = scala.collection.mutable.Map(1 -> v1Manifest)
+    var current = 1
+    def tryCommit(base: Int, writeSet: Map[String, String]): (Boolean, Seq[String]) = {
+      val since = log.filter(_._1 > base).flatMap(_._3).toSet
+      val clash = writeSet.keySet & since
+      if (clash.nonEmpty) (false, clash.toSeq.sorted)
+      else {
+        val v = current + 1
+        manifests(v) = manifests(current) ++ writeSet
+        log += ((v, base, writeSet.keySet))
+        // durable commit record, then the publishPlan pointer primitive
+        Files.writeString(Paths.get(s"$out/commit-v$v.txt"),
+          s"base=v$base days=${writeSet.keySet.toSeq.sorted.mkString(",")}")
+        current = v
+        (true, Nil)
+      }
+    }
+    def stageRewrite(writer: String, day: String,
+        keep: org.apache.spark.sql.Column): String = {
+      val p = s"$out/staging-$writer"
+      spark.read.parquet(manifests(1)(day)).filter(keep)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    // A and B both stage off base v1 (B before A lands — the race)
+    val aPath = stageRewrite("a", d1, col("event_type") =!= "error")
+    val bPath = stageRewrite("b", d2, col("event_type") =!= "error")
+    val cPath = stageRewrite("c", d1, col("event_type") === lit("<none>"))
+    val (aOk, _) = tryCommit(1, Map(d1 -> aPath)) // lands: v2
+    val (bOk, _) = tryCommit(1, Map(d2 -> bPath)) // disjoint rebase: v3
+    def published(): Map[String, Long] =
+      manifests(current).values.flatMap { p =>
+        new java.io.File(p).listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())
+      }.toMap
+    val beforeC = published()
+    val (cOk, cClash) = tryCommit(1, Map(d1 -> cPath)) // overlap: rejected
+    val untouched = published() == beforeC
+    val files = manifests(current).toSeq.sortBy(_._1).map(_._2)
+    val res = spark.read.parquet(files: _*)
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .select(col("day"), col("cnt"), col("sum_value"),
+        lit(if (aOk) 1 else 0).as("a_ok"),
+        lit(if (bOk) 1 else 0).as("b_ok"),
+        lit(if (cOk) 0 else 1).as("c_rejected"),
+        lit(current).as("final_version"))
+      .orderBy("day")
+    ConflictPlan(aOk, bOk, cOk, cClash, current, untouched, res)
+  }
+
+  def commitConflict(spark: SparkSession, dir: String): DataFrame =
+    commitConflictPlan(spark, dir).result
+
   /** Partition paths rewritten by the delta apply, for the probe. */
   private[graft] final case class IncrPlan(
       baseMtimes: Map[String, Long], deltaDays: Seq[String], result: DataFrame)
@@ -870,6 +1035,20 @@ object Formats {
       """SELECT 'v2' AS version, event_type, count(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY event_type""",
+    // the final table = A's and B's committed rewrites (error rows gone on
+    // the min and max day), no trace of rejected C — a conflict-detection
+    // bug breaks the data hash, not just the flags
+    "commit_conflict" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                           event_type, value
+                    FROM events),
+              b AS (SELECT min(day) AS d1, max(day) AS d2 FROM d)
+         SELECT day, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                1 AS a_ok, 1 AS b_ok, 1 AS c_rejected, 3 AS final_version
+         FROM d, b
+         WHERE NOT (event_type = 'error' AND day IN (b.d1, b.d2))
+         GROUP BY day ORDER BY day""",
     // the oracle IS the full-history recompute the incremental apply avoids
     "agg_incr" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -894,5 +1073,6 @@ object Formats {
     "scan_federated" -> scanFederated _,
     "scan_partition_evolve" -> scanPartitionEvolve _,
     "publish_atomic" -> publishAtomic _,
+    "commit_conflict" -> commitConflict _,
   )
 }

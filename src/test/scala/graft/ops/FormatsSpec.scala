@@ -177,6 +177,36 @@ class FormatsSpec extends SparkSpec {
     assert(pp.v1Intact, "publish must never rewrite the previous snapshot")
   }
 
+  test("commit_conflict: overlap rejected with its partition list; published bytes untouched") {
+    val dir = "/root/testdata/sf0.01"
+    val cp = Formats.commitConflictPlan(spark, dir)
+    // disjoint write-sets both land, even off the same stale base
+    assert(cp.aCommitted && cp.bCommitted,
+      "disjoint concurrent rewrites must both commit")
+    // the overlapping rewrite loses, and names WHAT it lost on
+    assert(!cp.cCommitted, "overlapping rewrite must be rejected")
+    val d1 = table(spark, dir, "events")
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
+    assert(cp.cConflicts == Seq(d1),
+      s"conflict list ${cp.cConflicts} should be exactly the contested day $d1")
+    // the pointer sits at v3 and the rejection mutated nothing published
+    assert(cp.finalVersion == 3)
+    assert(cp.publishedUntouched,
+      "a rejected commit must leave every published byte untouched")
+    // final state = raw events minus the two committed error-rows rewrites
+    val maxD = table(spark, dir, "events")
+      .agg(max(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
+    val expect = table(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(!(col("event_type") === "error" &&
+        (col("day") === d1 || col("day") === maxD)))
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("day").collect().toSeq
+    val got = cp.result.select("day", "cnt", "sum_value").collect().toSeq
+    assert(got == expect, "final table must carry exactly A's and B's rewrites")
+  }
+
   test("agg_incr: delta apply leaves historical partitions untouched") {
     val ip = Formats.aggIncrPlan(spark, "/root/testdata/sf0.01")
     // force the readback (the delta write already ran inside the plan call)

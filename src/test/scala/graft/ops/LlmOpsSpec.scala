@@ -363,6 +363,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q-sketch mergeability: union of per-part sketches == one-shot sketch") {
+    // The law agg_q_merge rests on: for ANY partitioning of the input,
+    // merging the per-part GK summaries answers every percentile exactly
+    // like a single summary over the whole input (in the exact regime, both
+    // equal the element at rank ceil(p*n)). Checked on a synthetic frame
+    // whose values and 7-way split are adversarially shuffled, across a
+    // percentile grid that hits integer and fractional ranks.
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import spark.implicits._
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val n = 1003 // prime-ish: p*n is non-integer for most of the grid
+    val rows = (0 until n)
+      .map(i => ((i * 733) % n, ((i * 733) % n * 2.5 - 17.0), i % 7))
+      .toDF("i", "v", "part")
+    val merged = rows
+      .groupBy("part")
+      .agg(QuantileSketch.sketch(col("v"), Extended.pctlAccuracy).as("sk"))
+      .agg(QuantileSketch.merge(col("sk")).as("sk"))
+      .select(QuantileSketch.values(col("sk"), ps).as("q"))
+      .head.getSeq[Double](0)
+    val oneShot = rows
+      .agg(QuantileSketch.sketch(col("v"), Extended.pctlAccuracy).as("sk"))
+      .select(QuantileSketch.values(col("sk"), ps).as("q"))
+      .head.getSeq[Double](0)
+    assert(merged == oneShot, "merged sketch diverged from one-shot sketch")
+    // exact-regime identity: both equal the rank-ceil(p*n) element
+    val sorted = (0 until n).map(i => i * 2.5 - 17.0)
+    val expected = ps.map(p => sorted(math.ceil(p * n).toInt - 1))
+    assert(merged == expected, "sketch left its exact regime on 1003 rows")
+    // and the corpus the driver checks stays inside the regime bound
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val maxN = table(spark, d, "events")
+        .groupBy(org.apache.spark.sql.functions
+          .date_trunc("week", col("ts")))
+        .agg(count(lit(1)).as("c")).agg(max("c")).head.getLong(0)
+      assert(maxN < Extended.pctlAccuracy / 2,
+        s"weekly group of $maxN rows in $d exceeds the exact-regime bound")
+    }
+  }
+
   test("documents corpus is ASCII — the polyhash byte/char fold equivalence holds") {
     // PolyHash folds UTF-8 bytes; the DuckDB oracles fold per-character
     // codepoints. They agree exactly when every document is ASCII, which
