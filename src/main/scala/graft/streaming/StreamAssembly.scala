@@ -249,7 +249,25 @@ object StreamAssembly {
     * watermarks and the join condition bounds event time on both ends, so
     * each side's buffered state is droppable once the watermark passes
     * (bounded state, the stream-stream join requirement). */
-  def flipJoin(unified: DataFrame, watermark: String = "2 minutes"): DataFrame = {
+  def flipJoin(unified: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    flipJoinWith(unified, watermark, "inner")
+
+  /** LEFT-OUTER stream-stream interval join — the alert shape [[flipJoin]]
+    * can't express: "a long liquidation with NO opposing short within the
+    * minute" (the one-sided cascade signal). Outer semantics on a
+    * stream-stream join are watermark-DRIVEN: a left row is held in state
+    * while a match could still arrive, and emits exactly once with nulled
+    * right columns only after the watermark passes its interval end plus
+    * the delay — early emission would be wrong (a match may still come),
+    * late data past the watermark is dropped by contract. Same bounded
+    * state as the inner form: the event-time bounds on both ends let the
+    * store evict each side as the watermark advances. StreamingSpec
+    * asserts the exactly-once-after-watermark behavior. */
+  def flipJoinOuter(unified: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    flipJoinWith(unified, watermark, "leftOuter")
+
+  private def flipJoinWith(unified: DataFrame, watermark: String,
+      joinType: String): DataFrame = {
     val longs = unified.filter(col("side") === "long")
       .select(col("symbol").as("l_symbol"), col("notional").as("l_notional"),
         timestamp_millis(col("ts_exch_ms")).as("l_ts"))
@@ -261,7 +279,8 @@ object StreamAssembly {
     longs.join(shorts,
       col("l_symbol") === col("s_symbol") &&
         col("s_ts") >= col("l_ts") &&
-        col("s_ts") <= col("l_ts") + expr("INTERVAL 1 MINUTE"))
+        col("s_ts") <= col("l_ts") + expr("INTERVAL 1 MINUTE"),
+      joinType)
   }
 
   /** One tracked symbol's cascade state. */
@@ -420,7 +439,14 @@ object StreamAssembly {
             val hourMs = (tUs / hourUs) * 3600000L
             if (s.emittedUpTo < 0L || hourMs > s.emittedUpTo) {
               val ord = (tUs % hourUs) * 2147483648L + (id % 2147483648L)
-              val cents = math.round(v * 100.0)
+              // cents via the DECIMAL string path, not math.round(v*100):
+              // the binary double 0.615*100 is 61.4999… (rounds to 61)
+              // while Spark's double→DECIMAL(18,2) cast goes through the
+              // shortest decimal string ("0.615" → 62) — mirroring that
+              // keeps stream/batch volume parity beyond 2-dp inputs
+              val cents = new java.math.BigDecimal(java.lang.Double.toString(v))
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
               val next = s.openHours.get(hourMs) match {
                 case None =>
                   CandleAgg(v, ord, v, v, v, ord, 1L, cents)
@@ -482,13 +508,28 @@ object StreamAssembly {
     * after the nightly batch). Per-user state is ONE (view id, ts) pair —
     * the same O(1) the batch plan carries through its window frame — and
     * idles out via event-time timeout. Rows are applied in event-time
-    * order within each micro-batch; across batches the fold is monotone
-    * under watermark-ordered delivery, so StreamingSpec asserts row-exact
-    * parity with the batch query on the real events table (organic
-    * purchases included, via the -1 encoding). Same-instant view/purchase
-    * pairs resolve by the strict `<` on (ts, id) — a view at the
-    * purchase's exact timestamp never gets credit, matching the batch
-    * frame's `1 PRECEDING` bound. */
+    * order within each micro-batch, and the view fold is GUARDED on
+    * (ts_us, event_id) monotonicity — a late-but-in-watermark view from a
+    * later micro-batch can never regress the state to a temporally older
+    * touch (flatMapGroupsWithState does not drop late rows itself).
+    *
+    * Contract: purchases emit the moment they arrive, credited to the
+    * latest qualifying view SEEN SO FAR — append mode cannot retract, so a
+    * view that arrives in a later micro-batch than a purchase it precedes
+    * in event time is credit that batch replay would assign and the live
+    * path already missed. ROW-EXACT batch parity therefore requires
+    * event-time-ordered delivery ACROSS micro-batches (what StreamingSpec
+    * feeds); under arbitrary in-watermark reordering the guarantee is the
+    * weaker monotone one above. Exact parity under reordering needs the
+    * [[candlesFilledStream]] buffer-until-watermark shape, at the price of
+    * per-key event buffering and watermark-delayed emission — the wrong
+    * trade for a seconds-latency campaign dashboard.
+    *
+    * Same-instant view/purchase pairs resolve by event_id order via the
+    * (ts, id) sort: the view is credited iff its id sorts before the
+    * purchase's — identical to the batch frame, whose ROWS `1 PRECEDING`
+    * bound over the same (ts, id) ordering includes a same-timestamp view
+    * with a smaller event_id. */
   def attrStream(events: DataFrame, watermark: String = "10 minutes",
       idleTimeout: String = "60 days"): Dataset[AttrTouch] = {
     import events.sparkSession.implicits._
@@ -513,7 +554,12 @@ object StreamAssembly {
               case (_, eid, typ, tsEvent, tUs) =>
                 lastMs = math.max(lastMs, tsEvent.getTime)
                 typ match {
-                  case "view" => s = AttrState(eid, tUs)
+                  // monotone fold: an out-of-order view arriving after a
+                  // newer one (cross-batch) must not regress the state
+                  case "view" if tUs > s.viewUs ||
+                    (tUs == s.viewUs && eid > s.viewId) =>
+                    s = AttrState(eid, tUs)
+                  case "view" => ()
                   case "purchase" =>
                     out += (if (s.viewId >= 0L)
                       AttrTouch(uid, eid, s.viewId, (tUs - s.viewUs) / 1000000L)

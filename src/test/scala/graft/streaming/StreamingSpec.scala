@@ -137,6 +137,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched long emits exactly once, only after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val unified = Normalizers.binance(mem.toDF().withColumnRenamed("value", "raw"), "usdt")
+    val joined = StreamAssembly.flipJoinOuter(unified)
+    val q = joined.writeStream.format("memory").queryName("flips_outer")
+      .outputMode("append").start()
+    try {
+      def ev(sym: String, side: String, ts: Long) = {
+        val s = if (side == "long") "SELL" else "BUY"
+        s"""{"e":"forceOrder","E":$ts,"o":{"s":"$sym","S":"$s","q":"1","p":"100","l":"1","T":$ts}}"""
+      }
+      // BTC long with NO short inside its minute; ETH short can't match it
+      mem.addData(
+        ev("BTCUSDT", "long", 1710000000000L),
+        ev("ETHUSDT", "short", 1710000030000L))
+      q.processAllAvailable()
+      def btcRows() = spark.sql(
+        "SELECT s_symbol FROM flips_outer WHERE l_symbol = 'BTCUSDT'").collect()
+      // watermark (30s - 2min delay) hasn't passed t0+1min: no emission yet
+      assert(btcRows().isEmpty,
+        "outer row must not emit while a match could still arrive")
+      // advance BOTH sides' watermarks far past interval end + delay
+      Seq(1710000600000L, 1710001200000L).foreach { t =>
+        mem.addData(ev("ZZZUSDT", "long", t), ev("ZZZUSDT", "short", t))
+        q.processAllAvailable()
+      }
+      val btc = btcRows()
+      assert(btc.length == 1, s"expected exactly one outer emission, got ${btc.length}")
+      assert(btc.head.isNullAt(0), "unmatched long must carry null short columns")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: cascade detector fires at threshold then resets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -591,6 +625,63 @@ class StreamingSpec extends SparkSpec {
         (h0 + 3600000L, 20.0, 1L, 0), // REAL candle from the late row
         (h0 + 2L * 3600000L, 30.0, 1L, 0)),
         s"late row not folded: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("gap-filled candles: 3-decimal volumes round like the batch DECIMAL cast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h0 = (1700000000000L / 3600000L) * 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.candlesFilledStream(events)
+      .toDF().writeStream.format("memory").queryName("cents_fill")
+      .outputMode("append").start()
+    try {
+      // 0.615*100 is the binary double 61.4999…: math.round gave 61, the
+      // batch DECIMAL(18,2) cast on the decimal string gives 62 — three
+      // values whose half-cent behavior only the string path reproduces
+      mem.addData(("k", 1L, ts(h0 + 1000L), 0.615),
+        ("k", 2L, ts(h0 + 2000L), 0.125),
+        ("k", 3L, ts(h0 + 3000L), 2.005))
+      mem.addData(("zz", 0L, ts(h0 + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val vol = spark.sql(
+        "SELECT volume FROM cents_fill WHERE event_type = 'k'").collect()
+      // Spark/DuckDB DECIMAL casts: 0.62 + 0.13 + 2.01 = 2.76
+      assert(vol.map(_.getDouble(0)).toSeq == Seq(2.76),
+        s"stream cents diverged from the DECIMAL path: ${vol.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming attribution: an out-of-order older view never regresses the state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 1700000000000L
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = StreamAssembly.attrStream(events, watermark = "10 minutes",
+      idleTimeout = "60 days")
+      .toDF().writeStream.format("memory").queryName("attr_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: the NEWER view arrives first
+      mem.addData((7L, 2L, "view", ts(t0 + 60000L)))
+      q.processAllAvailable()
+      // batch 2: an OLDER view, late but inside the 10-minute watermark —
+      // the unguarded fold would overwrite state with this stale touch
+      mem.addData((7L, 1L, "view", ts(t0)))
+      q.processAllAvailable()
+      // batch 3: the purchase — credit must go to view 2, gap 60s
+      mem.addData((7L, 3L, "purchase", ts(t0 + 120000L)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT attr_id, gap_s FROM attr_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((2L, 60L)),
+        s"late older view regressed the attribution state: $got")
     } finally q.stop()
   }
 
