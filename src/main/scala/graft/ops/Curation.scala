@@ -288,7 +288,17 @@ object Curation {
     * the integer division (w·2⁴⁰) div u — order-equivalent to w/u but
     * bit-identical in any engine with 64-bit integer division, where
     * float w/u could tie-break differently in the last ulp. Ties broken
-    * by doc_id. */
+    * by doc_id.
+    *
+    * Regime bound: w·2⁴⁰ must fit a signed 64-bit product, i.e.
+    * n_chars < 2²³ (≈8.4M chars per document) — beyond it Spark's
+    * non-ANSI multiply wraps silently while DuckDB errors on BIGINT
+    * overflow, a cross-engine divergence. The bound is guarded by spec
+    * (CurationOpsSpec) the same way [[graft.ops.Extended.pctlAccuracy]]'s
+    * exact regime is; shrinking the 2⁴⁰ scale instead would NOT pay —
+    * top-candidate priorities are w·2⁴⁰/u ≈ w·N/2¹² at corpus size N,
+    * and a materially smaller scale collapses them into a handful of
+    * integer values whose doc_id tie-break erases the length weighting. */
   def samplePriority(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = conv(substring(md5(concat(col("doc_id").cast(StringType),

@@ -175,40 +175,37 @@ object DataQuality {
     * is the number that separates a benign FK join (≤1000‰) from a
     * many-to-many explosion that will OOM a shuffle at 100 TB — the
     * check a pipeline runs on a NEW join key before scheduling it. The
-    * count frames are keyed aggregates with map-side partials; their join
-    * carries one row per shared key, so the audit's cost is the key
-    * cardinality, never the would-be join output. */
+    * count frames are keyed aggregates with map-side partials; their FULL
+    * outer join carries one row per key on either side, so the audit's
+    * cost is the key cardinality, never the would-be join output — and the
+    * input sizes the blow-up denominator needs ride the SAME aggregate
+    * (Σ c over each side's full count frame = that table's row count), so
+    * the op launches zero extra jobs beyond the estimate itself. */
   def dqCardinality(spark: SparkSession, dir: String): DataFrame = {
     def est(name: String, l: DataFrame, lk: String,
         r: DataFrame, rk: String): DataFrame = {
       val lc = l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("c1"))
       val rc = r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("c2"))
-      lc.join(rc, "k")
-        .agg(sum(col("c1") * col("c2")).as("out_rows"))
+      // full join: inner terms give the output estimate, each side's sum
+      // gives its total rows (keys missing on the other side included)
+      lc.join(rc, Seq("k"), "full")
+        .agg(
+          sum(coalesce(col("c1"), lit(0L)) * coalesce(col("c2"), lit(0L)))
+            .as("out_rows"),
+          sum(coalesce(col("c1"), lit(0L))).as("n1"),
+          sum(coalesce(col("c2"), lit(0L))).as("n2"))
         .select(lit(name).as("join_key"),
-          coalesce(col("out_rows"), lit(0L)).as("out_rows"))
+          coalesce(col("out_rows"), lit(0L)).as("out_rows"),
+          greatest(col("n1"), col("n2")).as("bigger_side"))
     }
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
     val ev = table(spark, dir, "events")
     val cust = table(spark, dir, "customer")
-    // one count job per table (parquet row-group metadata — no data read),
-    // each table counted ONCE and shared across the pairs that use it
-    val (nLi, nOrd, nCust, nEv) =
-      (li.count(), ord.count(), cust.count(), ev.count())
-    val sizes = Map(
-      "lineitem*orders.orderkey" -> (nLi, nOrd),
-      "orders*customer.custkey" -> (nOrd, nCust),
-      "events*events.user_id" -> (nEv, nEv))
     est("lineitem*orders.orderkey", li, "l_orderkey", ord, "o_orderkey")
       .unionByName(est("orders*customer.custkey", ord, "o_custkey",
         cust, "c_custkey"))
       .unionByName(est("events*events.user_id", ev, "user_id", ev, "user_id"))
-      .withColumn("bigger_side",
-        coalesce(sizes.foldLeft(lit(null).cast("long")) {
-          case (acc, (n, (a, b))) =>
-            when(col("join_key") === n, lit(math.max(a, b))).otherwise(acc)
-        }, lit(0L)))
       .select(col("join_key"), col("out_rows"),
         expr("out_rows * 1000 div bigger_side").as("blowup_permille"))
       .orderBy("join_key")

@@ -322,6 +322,32 @@ object Multimodal {
       out
     }
 
+    /** 4× the DFT power at the three bins whose weights stay INTEGER —
+      * fs/6, fs/4, fs/3 (2cos(2πj/d) ∈ {±2, ±1, 0} and 2sin/√3 ∈ {0, ±1}
+      * for d ∈ {6, 3}; 2sin ∈ {0, ±2} for d = 4), so
+      * 4·|Σ x·e^(−iωj)|² = A² + 3B² (or A² + B² at fs/4) computes in
+      * exact Long arithmetic with zero transcendentals — the property
+      * that lets the DuckDB oracle replay it bit-for-bit (the dq_drift
+      * argument applied to the frequency domain). Bounds: |x| < 2^15,
+      * n ≤ 549 ⇒ |A| < 2^26 and every energy < 2^53 — exact as BIGINT
+      * AND as the IEEE double a downstream ML feature column carries. */
+    def spectralEnergies4(s: Array[Int]): (Long, Long, Long) = {
+      val c6 = Array(2, 1, -1, -2, -1, 1); val s6 = Array(0, 1, 1, 0, -1, -1)
+      val c4 = Array(2, 0, -2, 0);         val s4 = Array(0, 2, 0, -2)
+      val c3 = Array(2, -1, -1);           val s3 = Array(0, 1, -1)
+      var a6 = 0L; var b6 = 0L; var a4 = 0L; var b4 = 0L
+      var a3 = 0L; var b3 = 0L
+      var j = 0
+      while (j < s.length) {
+        val x = s(j).toLong
+        a6 += x * c6(j % 6); b6 += x * s6(j % 6)
+        a4 += x * c4(j % 4); b4 += x * s4(j % 4)
+        a3 += x * c3(j % 3); b3 += x * s3(j % 3)
+        j += 1
+      }
+      (a6 * a6 + 3 * b6 * b6, a4 * a4 + b4 * b4, a3 * a3 + 3 * b3 * b3)
+    }
+
     // ---- FLAC (pure-JVM subset: 16-bit mono) --------------------------
     //
     // A real FLAC codec, bit-exact to the published format: fLaC magic,
@@ -1143,6 +1169,39 @@ object Multimodal {
     }.toDF().orderBy("media_id")
   }
 
+  /** Per-asset fixed-bin spectral feature row (energies are 4·|DFT|²). */
+  final case class SpectralRow(media_id: Long, n_samples: Long,
+      e4_f6: Long, e4_f4: Long, e4_f3: Long, dom_div: Long)
+
+  /** FREQUENCY-DOMAIN audio feature — the spectral axis [[mmAudioStats]]'s
+    * time-domain stats can't see (two signals with identical RMS but
+    * different tonal content): DFT energy at three fixed analysis bins
+    * (fs/6, fs/4, fs/3 — 1333/2000/2667 Hz at the 8 kHz synth rate) plus
+    * the dominant bin label, the cheap tonality feature an audio-quality
+    * curation pass keys on. The bins are chosen so the whole computation
+    * is INTEGER-exact ([[Codec.spectralEnergies4]]) — no FFT library, no
+    * cos() drift between engines, and the DuckDB twin replays the exact
+    * weights relationally. Same partition-local decode shape as the other
+    * feature extractors: cost O(n_samples) per asset, no shuffle before
+    * the final order. A production band-energy sweep generalizes this to
+    * Goertzel at arbitrary bins (O(n) per bin, still FFT-free); the
+    * integer-bin subset is what keeps the cross-engine oracle exact.
+    * CodecPropertySpec drives a synthesized pure fs/4 tone into the op and
+    * asserts all its energy lands in the fs/4 bin (the orthogonal bins
+    * read exactly zero over whole periods). */
+  def mmSpectral(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = mediaFromDocuments(spark, dir).filter(_.kind == "audio")
+    audio.mapPartitions { it =>
+      it.map { r =>
+        val s = Codec.wavSamples(r.payload)
+        val (e6, e4, e3) = Codec.spectralEnergies4(s)
+        val dom = if (e6 >= e4 && e6 >= e3) 6L else if (e4 >= e3) 4L else 3L
+        SpectralRow(r.media_id, s.length.toLong, e6, e4, e3, dom)
+      }
+    }.toDF().orderBy("media_id")
+  }
+
   /** Frame sampling — every k-th frame index of each video asset (the
     * mapInPandas-shaped stage a video pipeline runs before per-frame
     * featurization). Pure Catalyst on top of the decode output: an explode
@@ -1696,6 +1755,38 @@ object Multimodal {
              ((length(text) % 16) + 4)::INT AS width,
              ((doc_id % 12) + 3)::INT AS height
       FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+    // the integer DFT weights replayed relationally: 2cos/2sin (over √3
+    // where needed) per j mod 6/4/3, energies = A² + 3B² (A² + B² at fs/4)
+    "mm_spectral" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 500) + 50 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), k ->
+                 ascii(text[(((2*k) % len) + 1):(((2*k) % len) + 1)]) +
+                 ascii(text[(((2*k+1) % len) + 1):(((2*k+1) % len) + 1)]) * 256) AS vals
+        FROM m),
+      w AS (
+        SELECT media_id, n::BIGINT AS n_samples,
+          list_sum(list_transform(range(0, n), k -> vals[k+1] * CASE k%6 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN -1 WHEN 3 THEN -2 WHEN 4 THEN -1 ELSE 1 END))::BIGINT AS a6,
+          list_sum(list_transform(range(0, n), k -> vals[k+1] * CASE k%6 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN -1 WHEN 5 THEN -1 ELSE 0 END))::BIGINT AS b6,
+          list_sum(list_transform(range(0, n), k -> vals[k+1] * CASE k%4 WHEN 0 THEN 2 WHEN 2 THEN -2 ELSE 0 END))::BIGINT AS a4,
+          list_sum(list_transform(range(0, n), k -> vals[k+1] * CASE k%4 WHEN 1 THEN 2 WHEN 3 THEN -2 ELSE 0 END))::BIGINT AS b4,
+          list_sum(list_transform(range(0, n), k -> vals[k+1] * CASE k%3 WHEN 0 THEN 2 ELSE -1 END))::BIGINT AS a3,
+          list_sum(list_transform(range(0, n), k -> vals[k+1] * CASE k%3 WHEN 1 THEN 1 WHEN 2 THEN -1 ELSE 0 END))::BIGINT AS b3
+        FROM s),
+      e AS (
+        SELECT media_id, n_samples,
+               (a6*a6 + 3*b6*b6)::BIGINT AS e4_f6,
+               (a4*a4 + b4*b4)::BIGINT AS e4_f4,
+               (a3*a3 + 3*b3*b3)::BIGINT AS e4_f3
+        FROM w)
+      SELECT media_id, n_samples, e4_f6, e4_f4, e4_f3,
+             (CASE WHEN e4_f6 >= e4_f4 AND e4_f6 >= e4_f3 THEN 6
+                   WHEN e4_f4 >= e4_f3 THEN 4 ELSE 3 END)::BIGINT AS dom_div
+      FROM e ORDER BY media_id""",
     // sample k of the WAV data chunk is byte pair (2k, 2k+1) of the text
     // cycled to 2n bytes: val = lo + hi*256 (ASCII bytes < 128, so the
     // signed int16 decode is the same value)
@@ -1733,6 +1824,7 @@ object Multimodal {
     "mm_binary_meta" -> mmBinaryMeta _,
     "mm_decode" -> mmDecode _,
     "mm_audio_stats" -> mmAudioStats _,
+    "mm_spectral" -> mmSpectral _,
     "mm_pixel_stats" -> mmPixelStats _,
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),

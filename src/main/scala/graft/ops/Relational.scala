@@ -927,25 +927,57 @@ object Relational {
     * dominance.
     *
     * Scale: the two keyed aggregates shuffle on price (map-side partials);
-    * only the FINAL cummax pass is a single-partition window — bounded by
-    * |distinct prices|, which the per-price reduction already made ≪ n.
-    * At 100 TB you'd insert one more partition-local prune (each task's
-    * local skyline) before the global pass; the global sort input is then
-    * ≤ frontier-size per task. */
-  def skyline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * then the classic DISTRIBUTED skyline two-phase merge (Börzsönyi's
+    * partition-then-merge): (1) each task prunes its partition to its
+    * LOCAL frontier — one in-task sort of |distinct prices|/tasks rows,
+    * no shuffle, and exact: any locally-dropped point is dominated by a
+    * locally-KEPT cheaper point (the running max is always achieved by a
+    * kept row), which dominates it globally too; (2) the surviving local
+    * frontiers — ≤ frontier-size per task, not |distinct prices| —
+    * coalesce into one explicitly-single partition for the final merge
+    * pass. Both passes are the same O(sorted scan, running max) fold; the
+    * final one is imperative (mapPartitions) rather than a global-ORDER BY
+    * window precisely because its input is bounded by construction — no
+    * WindowExec, no "no partition defined" planning hazard. PlanSpec locks
+    * the two-phase shape and the prune's measured effect. */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineMerge(skylineLocal(spark, dir))
+
+  /** Phase 1: per-price reduction + partition-local frontier prune. */
+  private[graft] def skylineLocal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pairs = table(spark, dir, "part")
       .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
       .agg(count(lit(1)).as("n_parts"))
     val perPrice = pairs.groupBy("price")
       .agg(max_by(col("n_parts"), col("size")).as("n_parts"),
         max(col("size")).as("size"))
-    val w = Window.orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perPrice.withColumn("mx", max(col("size")).over(w))
-      .filter(col("mx").isNull || col("size") > col("mx"))
-      .select(col("price"), col("size"), col("n_parts"))
+    perPrice.select(col("price"), col("size"), col("n_parts"))
+      .as[(Double, Int, Long)]
+      .mapPartitions(it => frontierPass(it))
+      .toDF("price", "size", "n_parts")
+  }
+
+  /** Phase 2: merge the local frontiers in one explicit partition. */
+  private[graft] def skylineMerge(local: DataFrame): DataFrame = {
+    import local.sparkSession.implicits._
+    local.as[(Double, Int, Long)]
+      .coalesce(1)
+      .mapPartitions(it => frontierPass(it))
+      .toDF("price", "size", "n_parts")
       .orderBy("price")
+  }
+
+  /** One frontier fold: sort by price, keep a row iff its size strictly
+    * beats the running max over cheaper rows (prices are distinct here —
+    * the per-price reduction ran first). */
+  private def frontierPass(
+      it: Iterator[(Double, Int, Long)]): Iterator[(Double, Int, Long)] = {
+    val sorted = it.toArray.sortBy(_._1)
+    var mx = Int.MinValue
+    sorted.iterator.filter { case (_, size, _) =>
+      if (size > mx) { mx = size; true } else false
+    }
   }
 
   // ── window functions ─────────────────────────────────────────────────────

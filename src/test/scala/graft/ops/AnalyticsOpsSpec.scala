@@ -74,6 +74,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"skyline mismatch: scan=${sky.size} brute=${brute.size}")
   }
 
+  test("skyline: two-phase merge — no WindowExec, and the local prune really prunes") {
+    // shape lock: the distributed form must be the partition-local
+    // frontier + single-partition merge, never a global-ORDER BY window
+    val plan = Relational.skyline(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "skyline regressed to a global window pass")
+    assert(plan.contains("MapPartitions"),
+      "skyline lost its mapPartitions frontier passes")
+    // measured effect: the merge-phase input (union of local frontiers)
+    // must not exceed the per-price frame, and must contain the answer
+    val perPriceRows = table(spark, dir, "part")
+      .select("p_retailprice").distinct().count()
+    val localRows = Relational.skylineLocal(spark, dir).count()
+    val finalRows = Relational.skyline(spark, dir).count()
+    assert(localRows <= perPriceRows,
+      s"local prune grew the frame: $localRows > $perPriceRows")
+    assert(finalRows <= localRows && finalRows > 0)
+  }
+
   test("sample_weighted: priority sampling is length-biased and deterministic") {
     val s1 = Curation.samplePriority(spark, dir).collect()
     val s2 = Curation.samplePriority(spark, dir).collect()
@@ -85,6 +105,14 @@ class AnalyticsOpsSpec extends SparkSpec {
       .agg(avg("n_chars")).head().getDouble(0)
     assert(sampleMean > corpusMean,
       f"no length bias: sample $sampleMean%.0f vs corpus $corpusMean%.0f")
+    // regime guard: the integer priority w·2^40 must fit a signed 64-bit
+    // product (Spark wraps silently past it, DuckDB errors — divergence)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val maxW = table(spark, d, "documents")
+        .agg(max("n_chars")).head().getLong(0)
+      assert(maxW < (1L << 23),
+        s"doc of $maxW chars in $d exceeds the 2^23 priority bound")
+    }
   }
 
   test("freq_cms: estimates never under-count, any key, and the grid is tiny") {

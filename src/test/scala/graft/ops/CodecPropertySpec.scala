@@ -34,6 +34,32 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("spectral: a pure fs/4 tone lands all its energy in the fs/4 bin") {
+    // x[j] = A·cos(2πj/4) = {A, 0, −A, 0}… over n = 12m samples: whole
+    // periods of all three analysis bins, so the fs/6 and fs/3 energies
+    // are EXACTLY zero (integer orthogonality) and the fs/4 bin reads the
+    // closed form (A·n)² — 4·|n/2 · A|² for a real cosine.
+    val amp = 100
+    Seq(12, 120, 492).foreach { n =>
+      val tone = Array.tabulate(n)(j => Seq(amp, 0, -amp, 0)(j % 4))
+      val (e6, e4, e3) = Codec.spectralEnergies4(tone)
+      assert(e6 == 0L && e3 == 0L,
+        s"n=$n: leakage into orthogonal bins: f6=$e6 f3=$e3")
+      assert(e4 == amp.toLong * n * amp * n,
+        s"n=$n: fs/4 energy $e4 != closed form ${amp.toLong * n * amp * n}")
+    }
+    // and through the WAV container: encode the tone, decode, same result
+    val n = 120
+    val tone = Array.tabulate(n)(j => Seq(amp, 0, -amp, 0)(j % 4))
+    val data = new Array[Byte](2 * n)
+    tone.zipWithIndex.foreach { case (v, k) =>
+      data(2 * k) = (v & 0xff).toByte; data(2 * k + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val (we6, we4, we3) =
+      Codec.spectralEnergies4(Codec.wavSamples(Codec.encodeWav(8000, data)))
+    assert(we6 == 0L && we3 == 0L && we4 == amp.toLong * n * amp * n)
+  }
+
   test("Y4M: frame count comes from markers for arbitrary frame counts") {
     val cases = Gen.listOfN(20,
       for { (w, h) <- dims; f <- Gen.choose(1, 12) } yield (w, h, f))
