@@ -36,8 +36,11 @@ object GraphOps {
     * per-vertex sum is order-independent; the damping update then runs
     * in identical IEEE double arithmetic on identical inputs. Output
     * ranks round to 8 dp via [[roundD]]. */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = materialize(
+  /** The nation-grain trade edge list (src supplier nation → dst customer
+    * nation), distinct'd before materialization — shared by every graph
+    * query here. */
+  private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    materialize(
       table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(table(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
           col("l_suppkey") === col("s_suppkey"))
@@ -47,6 +50,9 @@ object GraphOps {
           col("o_custkey") === col("c_custkey"))
         .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
         .distinct())
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
     pageRankOf(edges).join(table(spark, dir, "nation")
         .select(col("n_nationkey").as("id"), col("n_name").as("nation")), "id")
       .select(col("nation"), roundD(col("pr"), 8).as("pr"))
@@ -78,6 +84,64 @@ object GraphOps {
     pr
   }
 
+  /** TRIANGLE COUNTING per vertex over the undirected trade graph — the
+    * clustering/cohesion primitive next to [[pageRank]]'s influence
+    * ranking. The naive per-vertex formulation joins the edge list with
+    * itself twice unconstrained — O(Σ deg(v)²) wedges with hub vertices
+    * generating the square of their degree; at a 100 TB social-scale graph
+    * that is the canonical skew bomb. This plan is the DEGREE-ORDERED
+    * orientation (Cohen'09 / Suri–Vassilvitskii'11 MapReduce form): every
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher, so (1) each triangle is generated EXACTLY once, as the wedge
+    * at its lowest-ranked corner closed by one oriented edge, and (2)
+    * out-degrees are bounded by O(√m) on any graph (arboricity bound) —
+    * the hub that had degree d contributes at most O(m) wedges total
+    * instead of d². All three steps are equi-joins (wedge build keyed on
+    * the shared source, closure keyed on the (y, z) pair); the rank frame
+    * is |V| rows and broadcasts. Ranks pack (deg, id) into one long
+    * (deg·2²⁰ + id) so the orientation is a single integer compare in
+    * both engines. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOf(tradeEdges(spark, dir))
+      .join(broadcast(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("v"), col("n_name").as("nation"))), "v")
+      .select(col("nation"), col("n_tri"))
+      .orderBy("nation")
+
+  /** The oriented wedge-closure count over any (src, dst) edge frame —
+    * split out so the spec can drive hand-built graphs (K4, a triangle-free
+    * path) with known answers. Returns (v, n_tri) for every graph vertex,
+    * zero-filled. */
+  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+    val und = materialize(edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val rk = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v")
+      .agg((count(lit(1)) * lit(1048576L) + col("v")).as("rk"))
+    val o = und
+      .join(broadcast(rk.select(col("v").as("a"), col("rk").as("ark"))), "a")
+      .join(broadcast(rk.select(col("v").as("b"), col("rk").as("brk"))), "b")
+      .select(
+        when(col("ark") < col("brk"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ark") < col("brk"), col("b")).otherwise(col("a")).as("w"),
+        greatest(col("ark"), col("brk")).as("wrk"))
+    val wedges = o.select(col("u"), col("w").as("y"), col("wrk").as("yrk"))
+      .join(o.select(col("u"), col("w").as("z"), col("wrk").as("zrk")), "u")
+      .filter(col("yrk") < col("zrk"))
+    val tris = wedges
+      .join(o.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    val perV = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    und.select(col("a").as("v")).union(und.select(col("b").as("v"))).distinct()
+      .join(perV, Seq("v"), "left")
+      .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   val oracles: Map[String, String] = {
     // one unrolled iteration: exact quantized contribution sums per
     // target, then the damping update — p is the previous rank CTE name
@@ -105,10 +169,39 @@ object GraphOps {
         ${iter("3", "i2")}
         SELECT n.n_name AS nation, floor(i3.pr * 1e8 + 0.5) / 1e8 AS pr
         FROM i3 JOIN nation n ON n.n_nationkey = i3.id
+        ORDER BY nation""",
+      // the same degree-ordered orientation replayed relationally: each
+      // triangle generated once at its lowest-(deg,id) corner
+      "graph_triangles" -> """
+        WITH raw AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+                     FROM lineitem l
+                     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     JOIN customer c ON o.o_custkey = c.c_custkey),
+        e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               FROM raw WHERE src <> dst),
+        deg AS (SELECT v, count(*) * 1048576 + v AS rk
+                FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) t
+                GROUP BY v),
+        o AS (SELECT CASE WHEN ra.rk < rb.rk THEN e0.a ELSE e0.b END AS u,
+                     CASE WHEN ra.rk < rb.rk THEN e0.b ELSE e0.a END AS w,
+                     greatest(ra.rk, rb.rk) AS wrk
+              FROM e0 JOIN deg ra ON ra.v = e0.a JOIN deg rb ON rb.v = e0.b),
+        tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+                FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.wrk < e2.wrk
+                JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w),
+        perv AS (SELECT v, count(*) AS n_tri FROM (
+                   SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri) t GROUP BY v),
+        verts AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0)
+        SELECT n.n_name AS nation, COALESCE(p.n_tri, 0)::BIGINT AS n_tri
+        FROM verts JOIN nation n ON n.n_nationkey = verts.v
+        LEFT JOIN perv p ON p.v = verts.v
         ORDER BY nation""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRank _,
+    "graph_triangles" -> triangleCount _,
   )
 }

@@ -31,6 +31,26 @@ class GraphOpsSpec extends SparkSpec {
       s"symmetric leaves must tie exactly (quantized sums): $pr")
   }
 
+  test("triangles: K4 gives every vertex 3; a path gives all zeros") {
+    import spark.implicits._
+    // K4: C(4,3) = 4 triangles, each vertex in exactly 3 — and the input
+    // arrives DIRECTED with duplicates/self-loops to prove the
+    // undirect+dedup front end (each undirected edge once per direction)
+    val k4 = (for {
+      i <- 0L to 3L; j <- 0L to 3L if i != j
+    } yield (i, j)).toSeq ++ Seq((1L, 1L), (2L, 3L))
+    val got = GraphOps.triangleCountOf(k4.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"K4 triangle counts wrong: $got")
+    // triangle-free path 0-1-2-3: all vertices present, all zero
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val zeros = GraphOps.triangleCountOf(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zeros == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"path graph should be triangle-free: $zeros")
+  }
+
   test("pagerank: nation graph — ranks positive, identical across partitionings") {
     val dir = "/root/testdata/sf0.001"
     val a = GraphOps.pageRank(spark, dir).collect()

@@ -404,6 +404,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q-sketch bytes survive a parquet round-trip: store daily, merge weekly later") {
+    // the STORE half of agg_q_merge's story: the binary sketch column is
+    // written to parquet (the nightly job), read back in a later session
+    // (the dashboard query), and merged — the percentiles must equal the
+    // ones computed directly from raw, or the stored grain is useless
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.functions.{col, date_trunc, expr}
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("graft_qstore").toString
+    val ev = table(spark, dir, "events")
+    ev.groupBy(date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(QuantileSketch.sketch(col("value"), Extended.pctlAccuracy).as("sk"))
+      .write.mode("overwrite").parquet(out)
+    val merged = spark.read.parquet(out)
+      .groupBy("wk")
+      .agg(QuantileSketch.merge(col("sk")).as("sk"))
+      .select(col("wk"), QuantileSketch.values(col("sk"), Seq(0.5, 0.99)).as("q"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    val direct = ev.groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+      .collect().map(r => r.get(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
+    assert(merged.keySet == direct.keySet && merged.nonEmpty)
+    merged.foreach { case (wk, q) =>
+      assert(q == direct(wk), s"stored-sketch merge diverged for week $wk")
+    }
+  }
+
   test("documents corpus is ASCII — the polyhash byte/char fold equivalence holds") {
     // PolyHash folds UTF-8 bytes; the DuckDB oracles fold per-character
     // codepoints. They agree exactly when every document is ASCII, which
