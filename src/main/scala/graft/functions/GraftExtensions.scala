@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   *
   * so SQL text, views, and thrift-served queries all resolve `poly_hash`,
-  * `dot_product`, `shingle_hashes`, and `cdc_boundaries`, and every query
-  * benefits from
+  * `dot_product`, `shingle_hashes`, `cdc_boundaries`, and the mergeable
+  * quantile-sketch family (`q_sketch_agg`, `q_merge_agg`,
+  * `q_sketch_values` — constant arguments extracted at resolution time,
+  * non-constant ones rejected with the standard analysis error), and
+  * every query benefits from
   * [[graft.plans.MergeDisjointFilterUnions]] — on a 1000-executor cluster
   * the config string is the only wiring needed. (MinHashSig / SimHashBits
   * take Scala-level parameters — permutation constants, bit width — and
@@ -66,6 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(e) => CdcBoundaries(e)
           case other => wrongArgs("cdc_boundaries", 1, other.size)
         }): Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("q_sketch_agg"),
+      new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch_agg"),
+      QuantileSketch.sketchBuilder: Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("q_merge_agg"),
+      new ExpressionInfo(classOf[QMergeAgg].getName, "q_merge_agg"),
+      QuantileSketch.mergeBuilder: Builder))
+    ext.injectFunction((
+      new FunctionIdentifier("q_sketch_values"),
+      new ExpressionInfo(classOf[QSketchValues].getName, "q_sketch_values"),
+      QuantileSketch.valuesBuilder: Builder))
     ext.injectOptimizerRule(_ => graft.plans.MergeDisjointFilterUnions)
   }
 }

@@ -42,7 +42,9 @@ import org.apache.spark.sql.types._
   * returns exactly the element at rank ceil(p·n), which is DuckDB's
   * `quantile_disc` (rank convention verified against DuckDB across n and p).
   * LlmOpsSpec guards the regime bound; at production scale the accuracy
-  * knob trades that exactness for O(accuracy) bounded state per group.
+  * knob trades that exactness for GK's O((1/ε)·log(εn)) sample bound per
+  * group — sub-linear in data volume (ScaleProbeSpec measures 100k rows →
+  * ~1.6k samples at accuracy 100, inside the rank-error guarantee).
   *
   * Reference seed: liq-stream's windowed percentile views
   * (CHANGELOG.md:12-14) recompute from raw on every dashboard refresh; the
@@ -95,6 +97,50 @@ object QuantileSketch {
   /** Scalar column: percentile values out of a summary, one per `ps`. */
   def values(c: Column, ps: Seq[Double]): Column =
     Bridge.column(QSketchValues(Bridge.expression(c), ps))
+
+  private def wrongArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString, "docroot" -> "-"))
+
+  /** SQL builders — constant arguments (accuracy, the percentile array)
+    * extracted at resolution time; shared by [[GraftExtensions]] and
+    * [[register]]. */
+  private[functions] val sketchBuilder: Seq[Expression] => Expression = {
+    case Seq(c, org.apache.spark.sql.catalyst.expressions
+      .Literal(acc, LongType | IntegerType | ShortType | ByteType))
+      if acc != null =>
+      QSketchAgg(c, acc.toString.toLong)
+    case other => wrongArgs("q_sketch_agg", 2, other.size)
+  }
+
+  private[functions] val mergeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => QMergeAgg(c)
+    case other => wrongArgs("q_merge_agg", 1, other.size)
+  }
+
+  private[functions] val valuesBuilder: Seq[Expression] => Expression = {
+    // array(…) of foldable percentiles, pre- or post-constant-folding
+    case Seq(c, org.apache.spark.sql.catalyst.expressions
+      .CreateArray(elems, _)) if elems.forall(_.foldable) =>
+      QSketchValues(c, elems.map(_.eval(null).toString.toDouble))
+    case Seq(c, org.apache.spark.sql.catalyst.expressions
+      .Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(DoubleType, _))) =>
+      QSketchValues(c, arr.toDoubleArray().toSeq)
+    case other => wrongArgs("q_sketch_values", 2, other.size)
+  }
+
+  /** Register the family in a session's function registry so SQL text and
+    * `expr(...)` can use it. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("q_sketch_agg", sketchBuilder, "built-in")
+    reg.createOrReplaceTempFunction("q_merge_agg", mergeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("q_sketch_values", valuesBuilder, "built-in")
+  }
 }
 
 /** `q_sketch_agg(x, accuracy)` — builds a serialized GK quantile summary.
@@ -165,7 +211,7 @@ case class QSketchAgg(
 
 /** `q_merge_agg(sketch)` — unions serialized GK summaries. The rollup that
   * makes the daily grain re-aggregable: merging K stored sketches costs
-  * O(K · accuracy) regardless of how many raw rows they summarize. */
+  * O(K · sketch size) regardless of how many raw rows they summarize. */
 case class QMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

