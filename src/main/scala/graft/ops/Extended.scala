@@ -125,6 +125,40 @@ object Extended {
       .orderBy("week")
   }
 
+  /** EQUI-DEPTH bucketization — the feature-engineering consumer of the
+    * quantile sketch (Spark ML's QuantileDiscretizer shape, expressed on
+    * [[graft.functions.QuantileSketch]]): one sketch pass finds the
+    * p25/p50/p75 boundaries, a second pass labels every row with its
+    * quartile bucket. At 100 TB this is the ONLY viable discretizer
+    * shape — exact ntile would globally sort the corpus; the sketch pass
+    * is a bounded-state aggregate and the labeling pass is a map-side
+    * compare against a broadcast one-row bounds frame (the zscore/
+    * agg_stats convention; the keyless 1-row join is the allowlisted
+    * benign BNLJ). Boundary ties bucket LEFT (v ≤ bound), identically in
+    * the oracle's CASE. */
+  def aggQuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val li = table(spark, dir, "lineitem")
+    val bounds = li
+      .agg(QuantileSketch.sketch(col("l_extendedprice"), pctlAccuracy).as("sk"))
+      .select(QuantileSketch.values(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .select(element_at(col("q"), 1).as("b1"),
+        element_at(col("q"), 2).as("b2"),
+        element_at(col("q"), 3).as("b3"))
+    li.join(broadcast(bounds))
+      .select(
+        when(col("l_extendedprice") <= col("b1"), 0L)
+          .when(col("l_extendedprice") <= col("b2"), 1L)
+          .when(col("l_extendedprice") <= col("b3"), 2L)
+          .otherwise(3L).as("bucket"),
+        col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Histogram binning via floor arithmetic (width 2, 10 bins, clamped) —
     * the binning is map-side; only (bucket, count) shuffles. */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -436,6 +470,21 @@ object Extended {
                 quantile_disc(value, 0.99) AS p99,
                 1 AS merge_ok
          FROM events GROUP BY 1 ORDER BY week""",
+    // same exact-regime boundaries (quantile_disc == the sketch's rank
+    // convention), same left-bucketing CASE
+    "agg_q_bins" ->
+      """WITH b AS (SELECT quantile_disc(l_extendedprice, 0.25) AS b1,
+                           quantile_disc(l_extendedprice, 0.5) AS b2,
+                           quantile_disc(l_extendedprice, 0.75) AS b3
+                    FROM lineitem)
+         SELECT CASE WHEN l_extendedprice <= b1 THEN 0
+                     WHEN l_extendedprice <= b2 THEN 1
+                     WHEN l_extendedprice <= b3 THEN 2
+                     ELSE 3 END::BIGINT AS bucket,
+                count(*) AS cnt,
+                min(l_extendedprice) AS lo,
+                max(l_extendedprice) AS hi
+         FROM lineitem, b GROUP BY bucket ORDER BY bucket""",
     "agg_percentile_approx" ->
       """SELECT l_returnflag,
                 quantile_disc(l_extendedprice, 0.25) AS p25,
@@ -498,6 +547,7 @@ object Extended {
     "agg_percentile" -> aggPercentile _,
     "agg_percentile_approx" -> aggPercentileApprox _,
     "agg_q_merge" -> aggQuantileMerge _,
+    "agg_q_bins" -> aggQuantileBins _,
     "zorder_wide" -> zorderWide _,
     "agg_histogram" -> aggHistogram _,
     "winfn_ntile" -> winfnNtile _,

@@ -18,6 +18,7 @@ object PlanAudit {
     ("zorder_wide", "BroadcastNestedLoopJoin"),
     ("zscore", "BroadcastNestedLoopJoin"),
     ("agg_stats", "BroadcastNestedLoopJoin"),
+    ("agg_q_bins", "BroadcastNestedLoopJoin"), // one-row bounds frame
     ("sim_ann_topk", "BroadcastNestedLoopJoin"),
     // broadcast the tiny query/centroid side against every row — the
     // documented brute-force/assignment shape:
