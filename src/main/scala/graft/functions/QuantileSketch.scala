@@ -85,6 +85,16 @@ object QuantileSketch {
       compressed = true)
   }
 
+  /** `merge` requires both sides drained of their insert head-buffer; a
+    * compress() on an ALREADY-compressed summary still re-runs the whole
+    * O(sampled) compression pass and re-allocates — on the merge-heavy
+    * rollup path (one stored sketch per input row) that was O(rows ×
+    * sketch size) pure churn. Merge outputs and deserialized sketches are
+    * always compressed, so the flag check makes the no-op free. */
+  private[functions] def ensureCompressed(
+      s: QuantileSummaries): QuantileSummaries =
+    if (s.compressed) s else s.compress()
+
   /** Aggregate column: GK summary of `c` with rank error ≤ n/accuracy. */
   def sketch(c: Column, accuracy: Long): Column =
     Bridge.column(
@@ -105,14 +115,36 @@ object QuantileSketch {
         "functionName" -> s"`$name`", "expectedNum" -> expected.toString,
         "actualNum" -> actual.toString, "docroot" -> "-"))
 
+  private def nonFoldableArg(
+      name: String, param: String, tpe: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$name`", "paramName" -> s"`$param`",
+        "paramType" -> tpe))
+
   /** SQL builders — constant arguments (accuracy, the percentile array)
     * extracted at resolution time; shared by [[GraftExtensions]] and
-    * [[register]]. */
+    * [[register]]. Each arity-correct-but-invalid shape gets its OWN
+    * analysis error (non-foldable / NULL / out-of-range accuracy) instead
+    * of a confusing "expected 2, got 2" WRONG_NUM_ARGS fallthrough. */
   private[functions] val sketchBuilder: Seq[Expression] => Expression = {
     case Seq(c, org.apache.spark.sql.catalyst.expressions
       .Literal(acc, LongType | IntegerType | ShortType | ByteType))
-      if acc != null =>
+      if acc != null && acc.toString.toLong > 0 =>
       QSketchAgg(c, acc.toString.toLong)
+    case Seq(_, org.apache.spark.sql.catalyst.expressions
+      .Literal(acc, LongType | IntegerType | ShortType | ByteType))
+      if acc != null => // right type, but <= 0: range error, not a require()
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE",
+        messageParameters = Map(
+          "sqlExpr" -> "\"q_sketch_agg(x, accuracy)\"",
+          "exprName" -> "`accuracy`",
+          "valueRange" -> s"[1, ${Long.MaxValue}]",
+          "currentValue" -> acc.toString))
+    case Seq(_, _) => // arity 2, but non-literal / NULL / non-integral
+      nonFoldableArg("q_sketch_agg", "accuracy", "\"BIGINT\"")
     case other => wrongArgs("q_sketch_agg", 2, other.size)
   }
 
@@ -130,6 +162,8 @@ object QuantileSketch {
       .Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
         ArrayType(DoubleType, _))) =>
       QSketchValues(c, arr.toDoubleArray().toSeq)
+    case Seq(_, _) => // arity 2, but not a constant double array
+      nonFoldableArg("q_sketch_values", "percentiles", "\"ARRAY<DOUBLE>\"")
     case other => wrongArgs("q_sketch_values", 2, other.size)
   }
 
@@ -190,7 +224,8 @@ case class QSketchAgg(
 
   override def merge(
       buf: QuantileSummaries, other: QuantileSummaries): QuantileSummaries =
-    buf.compress().merge(other.compress())
+    QuantileSketch.ensureCompressed(buf)
+      .merge(QuantileSketch.ensureCompressed(other))
 
   override def eval(buf: QuantileSummaries): Any =
     QuantileSketch.toBytes(buf)
@@ -242,14 +277,18 @@ case class QMergeAgg(
       val other = QuantileSketch.fromBytes(v.asInstanceOf[Array[Byte]])
       // an empty buffer adopts the first sketch's relativeError via merge's
       // count==0 short-circuit; non-empty merges take the looser (max) of
-      // the two errors — correct direction for the accuracy guarantee
-      buf.compress().merge(other)
+      // the two errors — correct direction for the accuracy guarantee.
+      // The buffer only ever holds merge outputs (never inserts), so the
+      // ensureCompressed check is a free no-op after the first row —
+      // dropping the former per-row compress() re-allocation.
+      QuantileSketch.ensureCompressed(buf).merge(other)
     }
   }
 
   override def merge(
       buf: QuantileSummaries, other: QuantileSummaries): QuantileSummaries =
-    buf.compress().merge(other.compress())
+    QuantileSketch.ensureCompressed(buf)
+      .merge(QuantileSketch.ensureCompressed(other))
 
   override def eval(buf: QuantileSummaries): Any =
     QuantileSketch.toBytes(buf)

@@ -779,6 +779,12 @@ object Formats {
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
     val bounds = ev.agg(min("day"), max("day")).head()
     val (d1, d2) = (bounds.getString(0), bounds.getString(1))
+    // The scenario needs two DISTINCT partitions: B's disjoint rebase is
+    // only disjoint if d2 != d1. On a single-day table B would be rejected
+    // too (final_version 2, not 3) and the oracle would mis-compare — fail
+    // loudly at the precondition instead of producing a silent mismatch.
+    require(d1 != d2,
+      s"commit_conflict needs >= 2 distinct event days, got only '$d1'")
     // v1 bootstrap: one dir per day, day duplicated into the dir key so the
     // data column survives a manifest-path read
     ev.withColumn("pday", col("day")).repartition(col("pday"))

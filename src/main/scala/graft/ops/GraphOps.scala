@@ -98,9 +98,10 @@ object GraphOps {
     * the hub that had degree d contributes at most O(m) wedges total
     * instead of d². All three steps are equi-joins (wedge build keyed on
     * the shared source, closure keyed on the (y, z) pair); the rank frame
-    * is |V| rows and broadcasts. Ranks pack (deg, id) into one long
-    * (deg·2²⁰ + id) so the orientation is a single integer compare in
-    * both engines. */
+    * is |V| rows and broadcasts. Ranks are (deg, id) STRUCTS compared
+    * lexicographically — Spark's struct ordering and DuckDB's row-value
+    * comparison agree — so the orientation is total for ANY id domain
+    * (negative, 64-bit); no packed-integer id bound to violate. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
     triangleCountOf(tradeEdges(spark, dir))
       .join(broadcast(table(spark, dir, "nation")
@@ -120,7 +121,7 @@ object GraphOps {
       .distinct())
     val rk = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v")
-      .agg((count(lit(1)) * lit(1048576L) + col("v")).as("rk"))
+      .agg(struct(count(lit(1)).as("deg"), col("v").as("id")).as("rk"))
     val o = und
       .join(broadcast(rk.select(col("v").as("a"), col("rk").as("ark"))), "a")
       .join(broadcast(rk.select(col("v").as("b"), col("rk").as("brk"))), "b")
@@ -180,15 +181,21 @@ object GraphOps {
                      JOIN customer c ON o.o_custkey = c.c_custkey),
         e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
                FROM raw WHERE src <> dst),
-        deg AS (SELECT v, count(*) * 1048576 + v AS rk
+        deg AS (SELECT v, count(*) AS dg
                 FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) t
                 GROUP BY v),
-        o AS (SELECT CASE WHEN ra.rk < rb.rk THEN e0.a ELSE e0.b END AS u,
-                     CASE WHEN ra.rk < rb.rk THEN e0.b ELSE e0.a END AS w,
-                     greatest(ra.rk, rb.rk) AS wrk
+        o AS (SELECT CASE WHEN (ra.dg, ra.v) < (rb.dg, rb.v)
+                          THEN e0.a ELSE e0.b END AS u,
+                     CASE WHEN (ra.dg, ra.v) < (rb.dg, rb.v)
+                          THEN e0.b ELSE e0.a END AS w,
+                     CASE WHEN (ra.dg, ra.v) < (rb.dg, rb.v)
+                          THEN rb.dg ELSE ra.dg END AS wdg,
+                     CASE WHEN (ra.dg, ra.v) < (rb.dg, rb.v)
+                          THEN rb.v ELSE ra.v END AS wv
               FROM e0 JOIN deg ra ON ra.v = e0.a JOIN deg rb ON rb.v = e0.b),
         tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
-                FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.wrk < e2.wrk
+                FROM o e1 JOIN o e2 ON e1.u = e2.u
+                           AND (e1.wdg, e1.wv) < (e2.wdg, e2.wv)
                 JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w),
         perv AS (SELECT v, count(*) AS n_tri FROM (
                    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri

@@ -934,8 +934,12 @@ object Relational {
     * locally-KEPT cheaper point (the running max is always achieved by a
     * kept row), which dominates it globally too; (2) the surviving local
     * frontiers — ≤ frontier-size per task, not |distinct prices| —
-    * coalesce into one explicitly-single partition for the final merge
-    * pass. Both passes are the same O(sorted scan, running max) fold; the
+    * REPARTITION (shuffle) into one partition for the final merge pass.
+    * The shuffle matters: `coalesce(1)` would fuse phase 1 into the single
+    * merge task (CoalesceExec computes all parent partitions inside it),
+    * serializing the local prunes; the tiny exchange of the pruned
+    * frontiers keeps phase 1 genuinely parallel across tasks.
+    * Both passes are the same O(sorted scan, running max) fold; the
     * final one is imperative (mapPartitions) rather than a global-ORDER BY
     * window precisely because its input is bounded by construction — no
     * WindowExec, no "no partition defined" planning hazard. PlanSpec locks
@@ -958,11 +962,13 @@ object Relational {
       .toDF("price", "size", "n_parts")
   }
 
-  /** Phase 2: merge the local frontiers in one explicit partition. */
+  /** Phase 2: merge the local frontiers in one explicit partition —
+    * `repartition(1)`, not `coalesce(1)`, so the phase-1 tasks stay
+    * independent (see the two-phase note on [[skyline]]). */
   private[graft] def skylineMerge(local: DataFrame): DataFrame = {
     import local.sparkSession.implicits._
     local.as[(Double, Int, Long)]
-      .coalesce(1)
+      .repartition(1)
       .mapPartitions(it => frontierPass(it))
       .toDF("price", "size", "n_parts")
       .orderBy("price")
