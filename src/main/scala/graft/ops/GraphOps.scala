@@ -143,6 +143,99 @@ object GraphOps {
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Part CO-PURCHASE edges: two parts are linked when some 2-item order
+    * bought them together. Derived without a self-join — a 2-row group's
+    * pair IS (min, max) — so the edge build is one keyed aggregate over
+    * lineitem. Sparse and many-component (unlike the fully-connected
+    * nation trade network), which is what makes it the right CC fixture. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("a"), max("l_partkey").as("b"))
+      .filter(col("n") === 2 && col("a") =!= col("b"))
+      .select("a", "b").distinct()
+
+  /** CONNECTED COMPONENTS by alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Complementary to [[Extended.clusterLabels]]'s
+    * min-label propagation, which is right for the tiny verified near-dup
+    * pair sets dedup produces: the star rounds rewrite the EDGE SET
+    * itself — each round re-points vertices at smaller representatives —
+    * and that is the published shape for power-law web/interaction graphs
+    * at 100 TB: no per-vertex neighbor list is ever collected (both stars
+    * are a keyed min + an equi-join back onto the pairs), hub
+    * neighborhoods shrink every round as leaves re-point to component
+    * minima, and every intermediate is bounded by the CURRENT edge set,
+    * which only contracts. Convergence is O(log²|V|) rounds on any graph.
+    *
+    * Edges are kept CANONICAL (lo < hi, distinct) between rounds:
+    *   - large-star: m(u) = min(N(u) ∪ {u}) over the symmetric view; every
+    *     neighbor v > u re-points to (m(u), v). Output pairs always have
+    *     m < v, so they are born canonical.
+    *   - small-star: per hi-endpoint, its smaller neighbors S (exactly the
+    *     canonical rows keyed by hi) plus hi itself all re-point to
+    *     m = min(S).
+    * The loop materializes each round ([[materialize]] — lineage stays one
+    * round deep) and stops when the edge set is EXACTLY stable (count +
+    * exceptAll, not a checksum), at which point the set is a union of
+    * stars rooted at each component's minimum. Throws after `maxRounds`
+    * instead of returning possibly-unconverged stars. */
+  private[graft] def starComponents(
+      edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    var cur = materialize(edges0
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct())
+    var curCount = cur.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val sym = cur.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(cur.select(col("hi").as("u"), col("lo").as("v")))
+      val mn = sym.groupBy("u").agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("u"), col("nm")).as("m"))
+      val large = sym.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      val mh = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = materialize(
+        mh.select(col("m").as("lo"), col("hi"))
+          .unionByName(large.join(mh, "hi")
+            .filter(col("lo") =!= col("m"))
+            .select(col("m").as("lo"), col("lo").as("hi")))
+          .distinct())
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.exceptAll(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      curCount = nextCount
+      rounds += 1
+    }
+    require(converged,
+      s"starComponents: edge set still contracting after $maxRounds rounds" +
+        " - components would be wrong, refusing to return them")
+    cur
+  }
+
+  /** `graph_cc`: component id (= the component's minimum part key) for
+    * every part touched by a 2-item co-purchase order. Star edges at
+    * convergence ARE the labeling — each non-root appears as `hi` exactly
+    * once, pointing at its root; roots label themselves via the left
+    * join's coalesce. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val stars = starComponents(edges)
+    val verts = edges.select(col("a").as("part"))
+      .unionByName(edges.select(col("b").as("part"))).distinct()
+    verts
+      .join(stars.select(col("hi").as("part"), col("lo").as("comp")),
+        Seq("part"), "left")
+      .select(col("part"), coalesce(col("comp"), col("part")).as("comp"))
+      .orderBy("part")
+  }
+
   val oracles: Map[String, String] = {
     // one unrolled iteration: exact quantized contribution sums per
     // target, then the damping update — p is the previous rank CTE name
@@ -204,11 +297,30 @@ object GraphOps {
         SELECT n.n_name AS nation, COALESCE(p.n_tri, 0)::BIGINT AS n_tri
         FROM verts JOIN nation n ON n.n_nationkey = verts.v
         LEFT JOIN perv p ON p.v = verts.v
-        ORDER BY nation""")
+        ORDER BY nation""",
+      // transitive closure + min over the reachable set — the declarative
+      // CC definition (feasible at oracle scale; the Spark side's star
+      // contraction computes the same labeling without ever materializing
+      // reachability)
+      "graph_cc" -> """
+        WITH RECURSIVE e0 AS (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e AS (SELECT a AS src, b AS dst FROM e0
+              UNION SELECT b, a FROM e0),
+        v AS (SELECT DISTINCT src AS id FROM e),
+        reach(src, dst) AS (
+          SELECT id, id FROM v
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT src AS part, min(dst) AS comp
+        FROM reach GROUP BY src ORDER BY part""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRank _,
     "graph_triangles" -> triangleCount _,
+    "graph_cc" -> connectedComponents _,
   )
 }

@@ -65,4 +65,52 @@ class GraphOpsSpec extends SparkSpec {
         "quantized iteration must be partition-order independent")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("star CC: chain + pair + K3 resolve to min-rooted components") {
+    import spark.implicits._
+    // a 6-chain (deep path — exercises >1 contraction round), a 2-pair,
+    // a triangle, all ids deliberately shuffled, edges fed in mixed
+    // orientation with a duplicate
+    val edges = Seq(
+      (12L, 7L), (7L, 31L), (31L, 4L), (4L, 19L), (19L, 25L), // chain
+      (99L, 41L), (41L, 99L), // pair, both orientations
+      (60L, 55L), (55L, 50L), (50L, 60L) // triangle
+    ).toDF("a", "b")
+    val stars = GraphOps.starComponents(edges)
+    val labs = stars.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val chain = Seq(12L, 7L, 31L, 19L, 25L)
+    assert(chain.forall(v => labs(v) == 4L),
+      s"chain must root at its min 4: $labs")
+    assert(labs(99L) == 41L && labs(60L) == 50L && labs(55L) == 50L,
+      s"pair/triangle roots wrong: $labs")
+    // roots never appear as a non-root endpoint at convergence
+    assert(!labs.contains(4L) && !labs.contains(41L) && !labs.contains(50L),
+      s"a root leaked a non-root edge: $labs")
+  }
+
+  test("star CC agrees with min-label propagation on the co-purchase graph") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cc = GraphOps.connectedComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.nonEmpty, "co-purchase graph empty at sf0.001")
+    // independent algorithm, same answer: Extended.clusterLabels is
+    // pointer-doubled min-label propagation over the symmetric edge set
+    val e = GraphOps.starComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")) // touch the empty path too
+    assert(e.isEmpty, "empty edge set must converge to zero star edges")
+    val li = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("l_partkey").as("a"),
+        org.apache.spark.sql.functions.max("l_partkey").as("b"))
+      .filter("n = 2 AND a <> b").select("a", "b")
+    val sym = li.toDF("src", "dst")
+      .unionByName(li.toDF("dst", "src").select("src", "dst"))
+    val viaLabels = Extended.clusterLabels(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == viaLabels,
+      "star contraction and label propagation must produce identical components")
+  }
 }
