@@ -318,7 +318,65 @@ object Curation {
       .orderBy("rk")
   }
 
+  /** WINSORIZATION — robust-stats outlier clipping, the curation step
+    * before any mean/variance-normalized feature goes into training: per
+    * group, clamp a value column to its [p05, p95] discrete quantiles and
+    * report the clipped counts + winsorized sum. Unlike dropping outliers
+    * (changes n, biases ratios) winsorizing keeps every row and bounds the
+    * influence of the tails.
+    *
+    * Scale shape: pass 1 computes the per-group bounds with
+    * `approx_percentile` at [[Extended.pctlAccuracy]] — bounded GK sketch
+    * state per group, exact (== DuckDB `quantile_disc`) while group counts
+    * stay in the sketch's lossless regime, the same contract
+    * `agg_percentile_approx` ships under. The bounds frame is |groups|
+    * rows and BROADCASTS back onto the fact scan; pass 2 is one
+    * map-side-combined aggregate of the clamped column. No sort, no
+    * per-group value materialization, two fact scans total — at 100 TB
+    * the alternative single-pass exact form (collect each group in its
+    * reducer) is the thing that dies, not this.
+    *
+    * Exactness: the clamp's output is always either the original 2-dp
+    * money value or a bound that IS one of those values (quantile_disc
+    * returns elements), so [[sumMoney]]'s decimal sum stays exact and
+    * partition-order free. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val bounds = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.05D, 0.95D), " +
+        s"${Extended.pctlAccuracy})").as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("lo"), element_at(col("q"), 2).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+          .as("n_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+          .as("n_hi"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sumMoney(least(greatest(col("l_extendedprice"), col("lo")),
+          col("hi"))).as("sum_w"))
+      .select("l_returnflag", "n", "n_lo", "n_hi", "lo", "hi", "sum_w")
+      .orderBy("l_returnflag")
+  }
+
   val oracles: Map[String, String] = Map(
+    "winsorize" ->
+      """WITH q AS (SELECT l_returnflag,
+                           quantile_disc(l_extendedprice, 0.05) AS lo,
+                           quantile_disc(l_extendedprice, 0.95) AS hi
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n,
+                count(*) FILTER (WHERE l_extendedprice < lo) AS n_lo,
+                count(*) FILTER (WHERE l_extendedprice > hi) AS n_hi,
+                lo, hi,
+                CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_w
+         FROM lineitem l JOIN q USING (l_returnflag)
+         GROUP BY l.l_returnflag, lo, hi
+         ORDER BY l.l_returnflag""",
     // per-shard greedy with the identical integer ordering and running sum
     "curate_budget" ->
       """WITH d AS (
@@ -443,5 +501,6 @@ object Curation {
     "split_hash" -> splitHash _,
     "sample_weighted" -> ((s, d) => samplePriority(s, d)),
     "curate_budget" -> ((s, d) => curateBudget(s, d)),
+    "winsorize" -> winsorize _,
   )
 }

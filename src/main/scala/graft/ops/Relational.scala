@@ -732,6 +732,62 @@ object Relational {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** 2-D SPATIAL RADIUS JOIN via grid bucketing — the planar analog of
+    * [[joinInterval]]'s 1-D cell join: for every supplier point, the
+    * customers within Euclidean radius r, without the quadratic
+    * distance-theta cross join. Coordinates are derived deterministically
+    * from the keys (affine hash onto a 10000x10000 integer grid — the
+    * same arithmetic in the DuckDB twin), standing in for any (lon, lat)
+    * or embedding-projection pair.
+    *
+    * Plan: cell width = r, so any two points within r land in the same
+    * or ADJACENT cells; the small side (suppliers) explodes to its 3x3
+    * cell neighborhood (9 rows each) and BROADCASTS; the probe side
+    * stays a single map-side pass - each customer hashes to its one cell
+    * and tests the exact integer d^2 <= r^2 residual against the <=
+    * handful of co-bucketed suppliers. Pairs are emitted at most once
+    * (a customer's single cell meets each supplier's neighborhood at
+    * most once), so no distinct pass. At 100 TB with BOTH sides big the
+    * same plan shuffles on the cell key instead of broadcasting, and
+    * density skew (cities) is AQE-splittable because the key is the
+    * cell, not the point. Zero-match suppliers are kept by the final
+    * left join (count 0, null distance) - the dashboard row "no coverage
+    * in radius" is data, not absence. */
+  def joinSpatial(spark: SparkSession, dir: String): DataFrame = {
+    val r = 400L
+    def px(k: org.apache.spark.sql.Column) = (k * lit(7919L)) % lit(10000L)
+    def py(k: org.apache.spark.sql.Column) = (k * lit(104729L)) % lit(10000L)
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), px(col("c_custkey")).as("x"),
+        py(col("c_custkey")).as("y"), col("c_acctbal"))
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), px(col("s_suppkey")).as("sx"),
+        py(col("s_suppkey")).as("sy"))
+    val suppCells = supp.select(col("s_suppkey"), col("sx"), col("sy"),
+      explode(expr(s"flatten(transform(sequence(-1, 1), dx -> " +
+        s"transform(sequence(-1, 1), dy -> " +
+        s"named_struct('cx', sx div $r + dx, 'cy', sy div $r + dy))))")).as("c"))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val d2 = (col("x") - col("sx")) * (col("x") - col("sx")) +
+      (col("y") - col("sy")) * (col("y") - col("sy"))
+    val pairs = cust
+      .withColumn("cx", expr(s"x div $r")).withColumn("cy", expr(s"y div $r"))
+      .join(broadcast(suppCells), Seq("cx", "cy"))
+      .filter(d2 <= lit(r * r))
+      .select(col("s_suppkey"), d2.as("d2"), col("c_acctbal"))
+    val per = pairs.groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_within"), min(col("d2")).as("d2_min"),
+        sumMoney(col("c_acctbal")).as("sum_bal"))
+    supp.select("s_suppkey")
+      .join(per, Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"),
+        col("d2_min"),
+        coalesce(col("sum_bal"), lit(0.0)).as("sum_bal"))
+      .orderBy("s_suppkey")
+  }
+
   /** MERGE / upsert — the incremental-refresh primitive (SCD type 1): apply
     * a change batch of updates (U), inserts (I), and delete tombstones (D)
     * to a base table. The naive encoding is a FULL OUTER join on the key —
@@ -1082,6 +1138,45 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Rolling ORDER-STATISTIC window: the 5-row trailing median of each
+    * user's event value — the robust de-noising smoother a monitoring
+    * dashboard runs where a trailing mean would chase every spike (one
+    * outlier moves a 5-row mean by a fifth of its magnitude; the median
+    * ignores it entirely until it's the majority).
+    *
+    * Scale shape: the frame is BOUNDED (ROWS 4 PRECEDING) and the window
+    * partitions on user_id, so WindowExec holds ≤5 values per in-flight
+    * frame and streams each user's ordered run — state O(frame), not
+    * O(partition); the sort is the per-user (ts, id) sort any windowed
+    * per-entity analytic pays, spill-backed and key-parallel. Values go
+    * through exact integer CENTS (2-dp decimal × 100) so the even-count
+    * midpoint average is a half-integer both engines represent exactly in
+    * a double — no float-sum drift for the hash compare. */
+  def winfnMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    // Spark's median/percentile aggregates reject window FRAMES
+    // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the order statistic
+    // is taken explicitly: collect the <=5-element frame, array_sort
+    // (codegen'd), midpoint. The array is frame-bounded by construction -
+    // exactly why this stays O(1) per row where a collect-the-partition
+    // formulation would not.
+    val arr = array_sort(collect_list(col("vc")).over(w))
+    val n = size(arr)
+    // odd n: both indices hit the middle element; even: the two middles
+    val m1 = element_at(arr, ((n + lit(1)) / lit(2)).cast(IntegerType))
+    val m2 = element_at(arr, (n / lit(2)).cast(IntegerType) + lit(1))
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("vc"))
+      .select(col("event_id"), col("user_id"),
+        ((m1 + m2).cast(DoubleType) / lit(2.0)).as("roll_med"))
+      .orderBy("event_id")
+  }
+
   /** Exact per-group mode (most frequent value, tie → smallest) written
     * declaratively: count per (group, value), per-group max count, then
     * min value among the tied — three hash aggregates and one equi-join,
@@ -1335,6 +1430,15 @@ object Relational {
            WINDOW w AS (PARTITION BY l_returnflag
              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
          WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "winfn_median" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+              FROM events)
+         SELECT event_id, user_id,
+                median(vc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  AS roll_med
+         FROM e ORDER BY event_id""",
     "winfn_cume" ->
       """WITH w AS (SELECT event_id, event_type, value,
                 percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
@@ -1441,6 +1545,27 @@ object Relational {
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          GROUP BY 1 ORDER BY s_name""",
     // the brute-force theta-join: grid bucketing must be invisible
+    "join_spatial" ->
+      """WITH c AS (SELECT c_custkey, (c_custkey * 7919) % 10000 AS x,
+                           (c_custkey * 104729) % 10000 AS y, c_acctbal
+                    FROM customer),
+              s AS (SELECT s_suppkey, (s_suppkey * 7919) % 10000 AS sx,
+                           (s_suppkey * 104729) % 10000 AS sy
+                    FROM supplier),
+              p AS (SELECT s_suppkey,
+                           (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2,
+                           c_acctbal
+                    FROM s JOIN c
+                      ON (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 160000),
+              a AS (SELECT s_suppkey, count(*) AS n_within,
+                           min(d2) AS d2_min,
+                           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                             AS DOUBLE) AS sum_bal
+                    FROM p GROUP BY s_suppkey)
+         SELECT s.s_suppkey, COALESCE(a.n_within, 0) AS n_within,
+                a.d2_min AS d2_min, COALESCE(a.sum_bal, 0.0) AS sum_bal
+         FROM s LEFT JOIN a USING (s_suppkey)
+         ORDER BY s.s_suppkey""",
     "join_interval" ->
       """SELECT s.s_suppkey, c.c_custkey
          FROM supplier s JOIN customer c
@@ -1640,10 +1765,12 @@ object Relational {
     "winfn_lag_runsum" -> winfnLagRunsum _,
     "winfn_nth" -> winfnFirstLast _,
     "winfn_cume" -> winfnCumeDist _,
+    "winfn_median" -> winfnMedian _,
     "agg_mode" -> aggMode _,
     "join_salt" -> joinSalted _,
     "join_fuzzy" -> joinFuzzy _,
     "join_interval" -> joinInterval _,
+    "join_spatial" -> joinSpatial _,
     "zscore" -> anomalyZscore _,
     "anomaly_mad" -> anomalyMad _,
     "skyline" -> skyline _,

@@ -334,4 +334,47 @@ class AnalyticsOpsSpec extends SparkSpec {
         s"estimate $m strayed >5% from exact $exact")
     }
   }
+
+  test("winfn_median: frame midpoint equals the brute-force rolling median") {
+    val got = Relational.winfnMedian(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // brute force: per user, sort by (ts, id), median of the trailing 5
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med = (frame((n - 1) / 2) + frame(n / 2)) / 2.0
+        assert(got(ordered(i)._1) == med,
+          s"event ${ordered(i)._1}: got ${got(ordered(i)._1)} want $med")
+      }
+    }
+  }
+
+  test("join_spatial: grid candidates reproduce the brute-force radius join") {
+    val r = 400L
+    val got = Relational.joinSpatial(spark, "/root/testdata/sf0.001")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    def px(k: Long) = (k * 7919L) % 10000L
+    def py(k: Long) = (k * 104729L) % 10000L
+    val cs = table(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val ss = table(spark, "/root/testdata/sf0.001", "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    assert(ss.nonEmpty && cs.nonEmpty)
+    val brute = ss.map { sk =>
+      sk -> cs.count { ck =>
+        val (dx, dy) = (px(ck) - px(sk), py(ck) - py(sk))
+        dx * dx + dy * dy <= r * r
+      }.toLong
+    }.toMap
+    assert(got == brute,
+      s"grid join diverged from brute force: ${got.toSeq.diff(brute.toSeq)}")
+    // and some supplier actually has neighbors, or the probe proves nothing
+    assert(brute.values.sum > 0, "radius too small: all-empty fixture")
+  }
 }

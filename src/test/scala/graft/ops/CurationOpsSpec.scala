@@ -167,4 +167,34 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("f.b") =!= col("s.b")).count()
     assert(joined == 0L, "hash split unstable under corpus change")
   }
+
+  test("winsorize: bounds are data values, clip counts honest, sum bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.winsorize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val raw = table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val (flag, n, nLo, nHi, lo, hi, sumW) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val vs = raw(flag)
+      assert(n == vs.length)
+      // discrete quantiles ARE elements of the group
+      assert(vs.contains(lo) && vs.contains(hi), s"$flag bounds not data values")
+      // clip counts match the bounds' definition exactly
+      assert(nLo == vs.count(_ < lo) && nHi == vs.count(_ > hi),
+        s"$flag clip counts wrong")
+      // ~5% in each tail (discrete quantile: at most p*n strictly below)
+      assert(nLo <= math.ceil(0.05 * n) && nHi <= math.ceil(0.05 * n),
+        s"$flag tails too fat: $nLo / $nHi of $n")
+      // winsorized sum equals the brute-force clamp
+      val brute = BigDecimal(vs.map(v => math.min(math.max(v, lo), hi)
+        ).map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toString).toDouble
+      assert(math.abs(brute - sumW) < 1e-6, s"$flag sum $sumW != brute $brute")
+    }
+  }
 }
