@@ -168,6 +168,38 @@ object Extended {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  /** EQUI-DEPTH histogram — [[aggHistogram]]'s equi-WIDTH bins answer
+    * "how many per fixed range"; the optimizer-statistics / feature-
+    * bucketization question is the transpose: bin EDGES at the k-quantiles
+    * so each bin holds ~n/k rows regardless of how skewed the value
+    * distribution is (one fat bin never hides the whole tail).
+    *
+    * Plan: the 7 octile edges come from one `approx_percentile` pass
+    * (bounded GK state, exact == `quantile_disc` in the sketch's lossless
+    * regime — the `agg_percentile_approx` contract); the 7-double edge
+    * row is driver-collected (bounded metadata, the Misra-Gries-candidate
+    * pattern) and folded into the bin expression as LITERALS — the second
+    * pass is then one codegen'd map-side-combinable aggregate with 7
+    * integer comparisons per row, no join at all. Bin id = #edges
+    * strictly below the value, so ties pack into the lower bin in both
+    * engines. */
+  def aggHistogramEq(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val ps = (1 to 7).map(i => s"${i / 8.0}D").mkString(", ")
+    val edges = li
+      .agg(expr(s"approx_percentile(l_extendedprice, array($ps), " +
+        s"$pctlAccuracy)").as("e"))
+      .head().getSeq[Double](0)
+    val bin = edges.map(e =>
+      when(col("l_extendedprice") > lit(e), 1L).otherwise(0L))
+      .reduce(_ + _)
+    li.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bin")
+  }
+
   /** Distribution window functions: quartile (ntile), percent_rank,
     * cume_dist per return flag. Scale note: the window partitions by a
     * 3-value key, which would concentrate reducers on an unbounded input —
@@ -512,6 +544,26 @@ object Extended {
                 floor(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
                 floor(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_histogram_eq" ->
+      """WITH e AS (SELECT quantile_disc(l_extendedprice, 0.125) AS e1,
+                           quantile_disc(l_extendedprice, 0.25)  AS e2,
+                           quantile_disc(l_extendedprice, 0.375) AS e3,
+                           quantile_disc(l_extendedprice, 0.5)   AS e4,
+                           quantile_disc(l_extendedprice, 0.625) AS e5,
+                           quantile_disc(l_extendedprice, 0.75)  AS e6,
+                           quantile_disc(l_extendedprice, 0.875) AS e7
+                    FROM lineitem)
+         SELECT (CASE WHEN l_extendedprice > e1 THEN 1 ELSE 0 END +
+                 CASE WHEN l_extendedprice > e2 THEN 1 ELSE 0 END +
+                 CASE WHEN l_extendedprice > e3 THEN 1 ELSE 0 END +
+                 CASE WHEN l_extendedprice > e4 THEN 1 ELSE 0 END +
+                 CASE WHEN l_extendedprice > e5 THEN 1 ELSE 0 END +
+                 CASE WHEN l_extendedprice > e6 THEN 1 ELSE 0 END +
+                 CASE WHEN l_extendedprice > e7 THEN 1 ELSE 0 END)::BIGINT
+                   AS bin,
+                count(*) AS cnt, min(l_extendedprice) AS lo,
+                max(l_extendedprice) AS hi
+         FROM lineitem, e GROUP BY 1 ORDER BY bin""",
     "agg_histogram" ->
       """SELECT CAST(least(floor(value / 2.0), 9.0) AS BIGINT) AS bucket, count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY bucket""",
@@ -550,6 +602,7 @@ object Extended {
     "agg_q_bins" -> aggQuantileBins _,
     "zorder_wide" -> zorderWide _,
     "agg_histogram" -> aggHistogram _,
+    "agg_histogram_eq" -> aggHistogramEq _,
     "winfn_ntile" -> winfnNtile _,
     "win_range" -> winfnRange _,
     "zorder" -> zorder _,

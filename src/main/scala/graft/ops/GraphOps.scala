@@ -236,6 +236,59 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** Base/delta split of the co-purchase edge set for the incremental CC
+    * shape: a deterministic 10% of orders (hash on the order key) play the
+    * "newly arrived" batch. */
+  private def coPurchaseSplit(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val per = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("a"), max("l_partkey").as("b"))
+      .filter(col("n") === 2 && col("a") =!= col("b"))
+    (per.filter(col("l_orderkey") % 10 =!= 7).select("a", "b").distinct(),
+      per.filter(col("l_orderkey") % 10 === 7).select("a", "b").distinct())
+  }
+
+  /** INCREMENTAL connected components — the maintenance query behind every
+    * streaming dedup/identity-resolution cluster store: yesterday's
+    * components are materialized as star edges; a new edge batch arrives;
+    * recompute WITHOUT re-touching the historical edge set. Star edges
+    * preserve connectivity exactly (every vertex connects to its component
+    * root), so CC(stars(G) ∪ Δ) = CC(G ∪ Δ) — and the incremental pass's
+    * input is |V_base| + |Δ| edges, not |E_base| + |Δ|: on a 100 TB edge
+    * history with a daily delta, that is the difference between a daily
+    * job sized by the corpus and one sized by the day. Output is the
+    * MERGE REPORT — exactly the vertices whose component changed (or are
+    * new), i.e. which stored clusters the delta fused — since "everything
+    * unchanged" is the overwhelming (and skippable) majority at scale.
+    * GraphOpsSpec proves the incremental labeling equals the from-scratch
+    * recompute over the union. */
+  def connectedComponentsIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = coPurchaseSplit(spark, dir)
+    val starsBase = starComponents(base)
+    val labsBase = starsBase
+      .select(col("hi").as("part"), col("lo").as("comp_before"))
+      .unionByName(starsBase.select(col("lo").as("part"),
+        col("lo").as("comp_before")).distinct())
+    val starsFull = starComponents(
+      starsBase.select(col("lo").as("a"), col("hi").as("b"))
+        .unionByName(delta))
+    val vertsAll = base.select(col("a").as("part"))
+      .unionByName(base.select(col("b").as("part")))
+      .unionByName(delta.select(col("a").as("part")))
+      .unionByName(delta.select(col("b").as("part"))).distinct()
+    val labsAll = vertsAll
+      .join(starsFull.select(col("hi").as("part"), col("lo").as("c")),
+        Seq("part"), "left")
+      .select(col("part"), coalesce(col("c"), col("part")).as("comp_after"))
+    labsAll.join(labsBase, Seq("part"), "left")
+      .filter(col("comp_before").isNull ||
+        col("comp_before") =!= col("comp_after"))
+      .select("part", "comp_before", "comp_after")
+      .orderBy("part")
+  }
+
   val oracles: Map[String, String] = {
     // one unrolled iteration: exact quantized contribution sums per
     // target, then the damping update — p is the previous rank CTE name
@@ -315,12 +368,40 @@ object GraphOps {
           UNION
           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         SELECT src AS part, min(dst) AS comp
-        FROM reach GROUP BY src ORDER BY part""")
+        FROM reach GROUP BY src ORDER BY part""",
+      // base-only and full closures, diffed: the merge report is the rows
+      // whose component id changed (or appeared) when the delta landed
+      "graph_cc_incr" -> """
+        WITH RECURSIVE per AS (
+          SELECT l_orderkey, min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        ebase AS (SELECT a AS src, b AS dst FROM per WHERE l_orderkey % 10 <> 7
+                  UNION SELECT b, a FROM per WHERE l_orderkey % 10 <> 7),
+        eall AS (SELECT a AS src, b AS dst FROM per
+                 UNION SELECT b, a FROM per),
+        vbase AS (SELECT DISTINCT src AS id FROM ebase),
+        vall AS (SELECT DISTINCT src AS id FROM eall),
+        rb(src, dst) AS (
+          SELECT id, id FROM vbase
+          UNION
+          SELECT r.src, e.dst FROM rb r JOIN ebase e ON r.dst = e.src),
+        ra(src, dst) AS (
+          SELECT id, id FROM vall
+          UNION
+          SELECT r.src, e.dst FROM ra r JOIN eall e ON r.dst = e.src),
+        cb AS (SELECT src AS id, min(dst) AS comp FROM rb GROUP BY src),
+        ca AS (SELECT src AS id, min(dst) AS comp FROM ra GROUP BY src)
+        SELECT ca.id AS part, cb.comp AS comp_before, ca.comp AS comp_after
+        FROM ca LEFT JOIN cb ON ca.id = cb.id
+        WHERE cb.comp IS NULL OR cb.comp <> ca.comp
+        ORDER BY part""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRank _,
     "graph_triangles" -> triangleCount _,
     "graph_cc" -> connectedComponents _,
+    "graph_cc_incr" -> connectedComponentsIncr _,
   )
 }

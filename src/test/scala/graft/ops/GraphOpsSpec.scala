@@ -113,4 +113,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc == viaLabels,
       "star contraction and label propagation must produce identical components")
   }
+
+  test("incremental CC: merge report matches a from-scratch recompute diff") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val incr = GraphOps.connectedComponentsIncr(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    assert(incr.nonEmpty, "delta landed no component changes — probe is vacuous")
+    // from-scratch truth: label the FULL edge set, label the base edge set,
+    // diff — computed with starComponents directly (not the incremental
+    // composition), so agreement proves stars(base) + delta == base + delta
+    val per = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("a"), max("l_partkey").as("b"))
+      .filter(col("n") === 2 && col("a") =!= col("b"))
+    def labels(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val stars = GraphOps.starComponents(edges)
+      val verts = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v"))).distinct()
+      verts.join(stars.select(col("hi").as("v"), col("lo").as("c")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("c"), col("v")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val baseL = labels(per.filter(col("l_orderkey") % 10 =!= 7).select("a", "b"))
+    val fullL = labels(per.select("a", "b"))
+    val want = fullL.toSeq.collect {
+      case (v, c) if !baseL.get(v).contains(c) => (v, baseL.get(v), c)
+    }.sortBy(_._1)
+    assert(incr.toSeq == want, "incremental merge report diverged from truth")
+  }
 }
