@@ -372,6 +372,64 @@ object Formats {
   def deleteCow(spark: SparkSession, dir: String): DataFrame =
     deleteCowPlan(spark, dir).result
 
+  /** Base-file mtimes, tombstone count, and both read paths for the spec. */
+  private[graft] final case class MorPlan(
+      baseMtimes: Map[String, Long], tombstoneRows: Long,
+      liveRead: DataFrame, compactedRead: DataFrame, result: DataFrame)
+
+  /** MERGE-ON-READ delete — the write-cheap half of the lakehouse delete
+    * pair ([[deleteCowPlan]] is the read-cheap copy-on-write half, same
+    * derived keys). A MOR delete writes ONLY a tombstone key file — cost
+    * O(|deleted keys|), no data file opened, let alone rewritten; readers
+    * apply the tombstones as a BROADCAST ANTI-JOIN folded into every
+    * scan (the tombstone set is tiny next to the table by construction —
+    * it is a delete batch, not the corpus); a later compaction pass pays
+    * the CoW rewrite once and drops the tombstones. That deferral is the
+    * point at 100 TB: a GDPR delete of a handful of keys lands in
+    * milliseconds and amortizes its rewrite into scheduled maintenance
+    * (Iceberg/Hudi position- and equality-delete files are this shape).
+    * The result rides the REAL read path (anti-join for live rows,
+    * semi-join for the per-type dropped accounting); FormatsSpec asserts
+    * the base files' bytes are untouched by the delete and that the
+    * compacted layout reads back row-identical to the tombstone-masked
+    * one. */
+  private[graft] def deleteMorPlan(spark: SparkSession, dir: String): MorPlan = {
+    val out = tmp("graft_mor")
+    table(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/data")
+    def mtimes(): Map[String, Long] =
+      new java.io.File(s"$out/data").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    val before = mtimes()
+    val base = spark.read.parquet(s"$out/data")
+    val g = base.agg(min("user_id"), max("user_id")).head()
+    val ids = Seq(g.getLong(0), g.getLong(0) + 1, g.getLong(1))
+    // the whole delete: one tiny parquet of keys
+    import spark.implicits._
+    ids.toDF("user_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/tombstones")
+    val tomb = spark.read.parquet(s"$out/tombstones")
+    val live = base.join(broadcast(tomb), Seq("user_id"), "left_anti")
+    val dead = base.join(broadcast(tomb), Seq("user_id"), "left_semi")
+    // deferred compaction = the CoW rewrite, paid once, off the hot path
+    live.write.mode("overwrite").parquet(s"$out/compacted")
+    val res = live.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt_live"),
+        sumMoney(col("value")).as("sum_live"))
+      .join(dead.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt_dropped")), Seq("event_type"), "left")
+      .select(col("event_type"), col("cnt_live"), col("sum_live"),
+        coalesce(col("cnt_dropped"), lit(0L)).as("cnt_dropped"))
+      .orderBy("event_type")
+    MorPlan(before, tomb.count(), live,
+      spark.read.parquet(s"$out/compacted"), res)
+  }
+
+  def deleteMor(spark: SparkSession, dir: String): DataFrame =
+    deleteMorPlan(spark, dir).result
+
   /** File counts before/after plus the readback for the compaction probe. */
   private[graft] final case class CompactPlan(
       smallFiles: Long, compactedFiles: Long, result: DataFrame)
@@ -956,6 +1014,23 @@ object Formats {
          FROM events, b
          WHERE user_id <> b.glo AND user_id <> b.glo + 1 AND user_id <> b.ghi
          GROUP BY 1 ORDER BY event_type""",
+    // complement + tombstone accounting on the SOURCE table: the MOR
+    // anti/semi read paths must reproduce the plain NOT-IN and IN splits
+    "delete_mor" ->
+      """WITH b AS (SELECT min(user_id) AS glo, max(user_id) AS ghi
+                    FROM events)
+         SELECT event_type,
+                count(*) FILTER (WHERE user_id <> b.glo
+                  AND user_id <> b.glo + 1 AND user_id <> b.ghi) AS cnt_live,
+                CAST(SUM(CASE WHEN user_id <> b.glo AND user_id <> b.glo + 1
+                               AND user_id <> b.ghi
+                              THEN CAST(value AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS sum_live,
+                count(*) FILTER (WHERE user_id IN (b.glo, b.glo + 1, b.ghi))
+                  AS cnt_dropped
+         FROM events, b
+         GROUP BY event_type ORDER BY event_type""",
     // compaction must be lossless: aggregate the SOURCE, distinct ids catch
     // any dropped or duplicated row
     "compact_files" ->
@@ -1070,6 +1145,7 @@ object Formats {
     "scan_evolve" -> scanEvolve _,
     "scan_manifest" -> scanManifest _,
     "delete_cow" -> deleteCow _,
+    "delete_mor" -> deleteMor _,
     "compact_files" -> compactFiles _,
     "scan_manifest_bloom" -> scanBloom _,
     "agg_incr" -> aggIncr _,

@@ -560,6 +560,39 @@ object StreamAssembly {
     * purchase's — identical to the batch frame, whose ROWS `1 PRECEDING`
     * bound over the same (ts, id) ordering includes a same-timestamp view
     * with a smaller event_id. */
+  /** Streaming WINDOWED TOP-K — the live leaderboard: per (hour, type),
+    * the 3 largest events by value, via the same bounded-heap
+    * [[graft.functions.TopKStructs]] aggregate the batch `topk` query
+    * runs. The heap IS the state-store entry: O(k) per open (window,
+    * type) group, merged across micro-batches exactly like map-side
+    * partials in batch (TypedImperativeAggregate serialize/merge), so a
+    * window that sees a million events still holds 3 rows of state — the
+    * window-function formulation (rank over the window's rows) is not
+    * even expressible in append-mode streaming without buffering the
+    * whole window. Watermark closes windows for append emission;
+    * StreamingSpec asserts row-exact parity against the identical batch
+    * aggregation across a checkpointed multi-batch feed. Descending
+    * value is encoded by negating the cents field (TopKStructs keeps the
+    * lexicographically smallest). */
+  def topkStream(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    topkAgg(events.withWatermark("ts", watermark))
+
+  /** The shared batch/stream top-k aggregation — one definition, two
+    * runtimes. */
+  private[graft] def topkAgg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    events
+      .select(col("event_type"), col("ts"),
+        struct((col("value").cast(DecimalType(18, 2)) * lit(-100))
+          .cast(LongType).as("nvc"), col("event_id")).as("s"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.TopKStructs(col("s"), 3).as("top"))
+      .select(col("event_type"), unix_millis(col("w.start")).as("hour_ms"),
+        expr("transform(top, t -> t.event_id)").as("top_ids"),
+        expr("transform(top, t -> -t.nvc)").as("top_cents"))
+  }
+
   def attrStream(events: DataFrame, watermark: String = "10 minutes",
       idleTimeout: String = "60 days"): Dataset[AttrTouch] = {
     import events.sparkSession.implicits._

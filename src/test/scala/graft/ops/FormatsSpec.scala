@@ -223,4 +223,24 @@ class FormatsSpec extends SparkSpec {
         s"dynamic overwrite rewrote historical file $path")
     }
   }
+
+  test("delete_mor: delete writes only tombstones; compaction is read-identical") {
+    val mor = Formats.deleteMorPlan(spark, "/root/testdata/sf0.01")
+    assert(mor.tombstoneRows == 3L, "delete batch must be exactly the 3 keys")
+    // the MOR delete never touches a published data byte
+    mor.baseMtimes.foreach { case (path, mtime) =>
+      val f = new java.io.File(path)
+      assert(f.exists && f.lastModified() == mtime,
+        s"MOR delete rewrote base file $path")
+    }
+    // compacting (applying tombstones) must not change what readers see
+    val live = mor.liveRead.orderBy("event_id").collect()
+    val compacted = mor.compactedRead.orderBy("event_id").collect()
+    assert(live.sameElements(compacted),
+      "compacted layout diverged from the tombstone-masked read")
+    // and the masked read really dropped rows
+    assert(mor.result.agg(
+      org.apache.spark.sql.functions.sum("cnt_dropped")).head().getLong(0) > 0,
+      "no rows dropped - the tombstone join is vacuous")
+  }
 }

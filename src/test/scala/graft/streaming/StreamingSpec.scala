@@ -662,6 +662,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k: hourly leaderboard matches the identical batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._3.getTime).toIndexedSeq
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.topkStream(events)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData(("zz_sentinel", -1L,
+        new java.sql.Timestamp(src.map(_._3.getTime).max + 365L * 86400000L),
+        0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT event_type, hour_ms, top_ids, top_cents FROM topk_stream
+           WHERE event_type <> 'zz_sentinel'
+           ORDER BY event_type, hour_ms""").collect().toSeq
+      val want = StreamAssembly.topkAgg(
+        graft.ops.table(spark, dir, "events"))
+        .orderBy("event_type", "hour_ms").collect().toSeq
+      assert(got.nonEmpty && got == want,
+        s"streaming top-k diverged: ${got.size} vs ${want.size} rows")
+      // the heap really bounds the emission: never more than 3 per window
+      assert(got.forall(_.getSeq[Long](2).length <= 3),
+        "a window emitted more than k rows")
+    } finally q.stop()
+  }
+
   test("gap-filled candles: 3-decimal volumes round like the batch DECIMAL cast") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
