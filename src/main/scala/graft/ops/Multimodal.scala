@@ -1043,6 +1043,183 @@ object Multimodal {
         }
       (w, h, declared, frames.toArray, idxOk)
     }
+
+    // ── GIF89a: 256-gray global palette + REAL variable-width LZW ──
+    // The palette-indexed sibling of the PNG/JPEG truecolor pair: one
+    // index byte per pixel, compressed with the spec's LZW (9→12-bit
+    // codes, late width change, clear/EOI, 255-byte sub-blocks, KwKwK).
+    // Reference seed for the modality surface: liq-stream stores no
+    // media, so the codec scope is driver-mandated (SURVEY §2.6).
+
+    /** Encode a grayscale GIF89a: `idx` holds one palette index (= gray
+      * level) per pixel, row-major. */
+    def encodeGif(w: Int, h: Int, idx: Array[Byte]): Array[Byte] = {
+      require(idx.length == w * h, "pixel count mismatch")
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes(Ascii))
+      le16(w); le16(h)
+      out.write(0xF7); out.write(0); out.write(0) // global table, 256 entries
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8) // LZW min code size
+      // LZW, LSB-first bit packing
+      val lzw = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int, width: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += width
+        while (nbits >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      val Clear = 256; val Eoi = 257
+      var width = 9; var next = 258
+      val dict = new java.util.HashMap[Integer, Integer]()
+      put(Clear, width)
+      var cur = idx(0) & 0xff
+      i = 1
+      while (i < idx.length) {
+        val b = idx(i) & 0xff
+        val key = (cur << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur, width)
+          if (next < 4096) {
+            dict.put(key, next); next += 1
+            // late change, one step after the decoder's (its table lags
+            // this one by exactly one code — see the KwKwK asymmetry)
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          } else {
+            put(Clear, width)
+            dict.clear(); next = 258; width = 9
+          }
+          cur = b
+        }
+        i += 1
+      }
+      put(cur, width); put(Eoi, width)
+      if (nbits > 0) lzw.write((acc & 0xff).toInt)
+      // 255-byte data sub-blocks
+      val bytes = lzw.toByteArray
+      var o = 0
+      while (o < bytes.length) {
+        val n = math.min(255, bytes.length - o)
+        out.write(n); out.write(bytes, o, n); o += n
+      }
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+
+    /** Decode a GIF into (width, height, palette-index bytes). Handles the
+      * full single-frame spec surface: global color table, extension
+      * blocks (skipped), variable-width LZW with clear/EOI, dictionary
+      * reset, and the code==next KwKwK case. Interlace and local color
+      * tables are rejected loudly (the FLAC contract: wrong is worse than
+      * absent). */
+    def decodeGif(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      def u16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+      require(b.length > 13 && new String(b, 0, 3, Ascii) == "GIF", "not a GIF")
+      var o = 6
+      val sw = u16(o); val sh = u16(o + 2)
+      val packed = b(o + 4) & 0xff
+      o += 7
+      if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 7) + 1)) // global table
+      // skip extensions until the image descriptor
+      while ((b(o) & 0xff) == 0x21) {
+        o += 2 // introducer + label
+        while ((b(o) & 0xff) != 0) o += 1 + (b(o) & 0xff)
+        o += 1
+      }
+      require((b(o) & 0xff) == 0x2C, "missing image descriptor")
+      val w = u16(o + 5); val h = u16(o + 7)
+      val ipacked = b(o + 9) & 0xff
+      require((ipacked & 0x80) == 0, "local color tables unsupported")
+      val interlaced = (ipacked & 0x40) != 0
+      o += 10
+      val minCode = b(o) & 0xff; o += 1
+      // concatenate sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while ((b(o) & 0xff) != 0) {
+        val n = b(o) & 0xff
+        data.write(b, o + 1, n); o += 1 + n
+      }
+      val d = data.toByteArray
+      // LZW decode, LSB-first
+      val Clear = 1 << minCode; val Eoi = Clear + 1
+      var width = minCode + 1; var next = Eoi + 1
+      val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+      var bitPos = 0
+      def read(): Int = {
+        var v = 0; var got = 0
+        while (got < width) {
+          require(bitPos / 8 < d.length, "truncated LZW stream")
+          val avail = 8 - (bitPos % 8)
+          val take = math.min(width - got, avail)
+          val bits = (d(bitPos / 8) >> (bitPos % 8)) & ((1 << take) - 1)
+          v |= bits << got; got += take; bitPos += take
+        }
+        v
+      }
+      val outPix = new java.io.ByteArrayOutputStream(w * h)
+      def emit(code: Int): Byte = { // writes the code's string, returns its first byte
+        var stack = List.empty[Byte]
+        var c = code
+        while (c >= Clear) { stack = suffix(c) :: stack; c = prefix(c) }
+        val first = c.toByte
+        outPix.write(c)
+        stack.foreach(x => outPix.write(x & 0xff))
+        first
+      }
+      var prev = -1
+      var done = false
+      while (!done) {
+        val code = read()
+        if (code == Eoi) done = true
+        else if (code == Clear) { next = Eoi + 1; width = minCode + 1; prev = -1 }
+        else if (prev < 0) { emit(code); prev = code }
+        else {
+          require(code <= next, s"corrupt LZW code $code (next=$next)")
+          val first =
+            if (code == next) { // KwKwK: encoder used the entry it just made
+              var c = prev
+              while (c >= Clear) c = prefix(c)
+              val f = c.toByte
+              if (next < 4096) { prefix(next) = prev; suffix(next) = f; next += 1
+                if (next == (1 << width) && width < 12) width += 1 }
+              emit(code); f
+            } else {
+              val f = emit(code)
+              if (next < 4096) { prefix(next) = prev; suffix(next) = f; next += 1
+                if (next == (1 << width) && width < 12) width += 1 }
+              f
+            }
+          val _ = first
+          prev = code
+        }
+      }
+      require(outPix.size == w * h,
+        s"decoded ${outPix.size} pixels, expected ${w * h}")
+      require(w == sw && h == sh, "frame/screen dimension mismatch")
+      val raw = outPix.toByteArray
+      // GIF interlace: rows arrive in 4 passes (0,8,16… / 4,12… / 2,6,10…
+      // / 1,3,5…) — reorder back to top-to-bottom
+      val pix =
+        if (!interlaced) raw
+        else {
+          val outArr = new Array[Byte](raw.length)
+          val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+          var src = 0
+          passes.foreach { case (start, step) =>
+            var y = start
+            while (y < h) {
+              System.arraycopy(raw, src * w, outArr, y * w, w)
+              src += 1; y += step
+            }
+          }
+          outArr
+        }
+      (w, h, pix)
+    }
   }
 
   /** Per-asset image channel stats. */
@@ -1243,6 +1420,14 @@ object Multimodal {
       mean_b: Double,
       lossless: Boolean)
 
+  /** GIF round-trip output: palette-index stats + losslessness. */
+  final case class GifRow(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_idx: Double,
+      lossless: Boolean)
+
   /** JPEG round-trip output: decoder-independent fields only (dims survive
     * lossy coding; pixel values are encoder-dependent → spec, not oracle). */
   final case class JpegRow(
@@ -1260,6 +1445,42 @@ object Multimodal {
     * source raster, never assumed. Partition-local like every decode
     * stage; the codec context costs nothing per row beyond the DEFLATE
     * work itself (stream cache disabled at Codec init). */
+  /** GIF round-trip over the documents-as-media corpus: synthesize each
+    * image doc's pixels as palette indices straight from its text (the
+    * PNG channel-cycling convention, single channel), encode with the
+    * REAL LZW ([[Codec.encodeGif]]), decode back, and report dims + mean
+    * index + byte-exact losslessness. Same partition-local batched-decode
+    * shape as every codec op — the corpus never leaves its partition; the
+    * oracle replays the index arithmetic relationally from the text.
+    * CodecPropertySpec stresses the LZW edge cases the corpus may not hit
+    * (KwKwK, dictionary reset past 4096 codes) and cross-validates the
+    * encoder against the JDK's independent ImageIO GIF reader. */
+  def mmGifRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._1 % 3 == 0)
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.length
+          val w = (len % 14) + 5
+          val h = (id % 10).toInt + 4
+          val np = w * h
+          val idx = Array.tabulate[Byte](np)(p => text.charAt(p % len).toByte)
+          val gif = Codec.encodeGif(w, h, idx)
+          val (w2, h2, back) = Codec.decodeGif(gif)
+          var sm = 0L
+          var p = 0
+          while (p < back.length) { sm += back(p) & 0xff; p += 1 }
+          GifRow(id, w2, h2, r4(sm.toDouble / np),
+            lossless = w2 == w && h2 == h &&
+              java.util.Arrays.equals(back, idx))
+        }
+      }.toDF().orderBy("media_id")
+  }
+
   def mmPngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
@@ -1697,6 +1918,20 @@ object Multimodal {
       s"""WITH $duckAHashCtes
           SELECT media_id, hash_hi, hash_lo
           FROM ahashes ORDER BY media_id""",
+    "mm_gif" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 14) + 5 AS width,
+               (doc_id % 10) + 4 AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (SELECT media_id, width, height, width * height AS np,
+                    text, len FROM m)
+      SELECT media_id, width::INT AS width, height::INT AS height,
+             floor((list_sum(list_transform(range(0, np), p ->
+               ascii(text[((p % len) + 1):((p % len) + 1)])))::DOUBLE / np)
+               * 1e4 + 0.5) / 1e4 AS mean_idx,
+             TRUE AS lossless
+      FROM px ORDER BY media_id""",
     "mm_png" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -1831,6 +2066,7 @@ object Multimodal {
     "mm_cuts" -> ((s, d) => mmSceneCuts(s, d)),
     "mm_avi" -> mmAviRoundtrip _,
     "mm_png" -> mmPngRoundtrip _,
+    "mm_gif" -> mmGifRoundtrip _,
     "mm_imgdup" -> mmImageDedup _,
     "mm_jpeg" -> mmJpegRoundtrip _,
     "mm_flac" -> mmFlacRoundtrip _,

@@ -341,4 +341,71 @@ class CodecPropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Codec.decode(MediaRow(6L, "audio", wav, "t")))
   }
+
+  test("gif: LZW round-trips arbitrary index streams") {
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      (w, h) <- dims
+      px <- bytes(w * h)
+    } yield (w, h, px)
+    forAll(gen) { case (w, h, px) =>
+      val (w2, h2, back) = Codec.decodeGif(Codec.encodeGif(w, h, px))
+      w2 == w && h2 == h && java.util.Arrays.equals(back, px)
+    }.check(org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(60))
+  }
+
+  test("gif: KwKwK and dictionary-reset edge cases decode exactly") {
+    // KwKwK: aaa bbb abab... patterns force code==next immediately
+    val kwkwk = "aabbaabbaabbaaab".getBytes("US-ASCII")
+    val (_, _, r1) = Codec.decodeGif(Codec.encodeGif(16, 1, kwkwk))
+    assert(java.util.Arrays.equals(r1, kwkwk), "KwKwK stream corrupted")
+    // single repeated byte: the degenerate KwKwK chain
+    val runs = Array.fill[Byte](500)(7)
+    val (_, _, r2) = Codec.decodeGif(Codec.encodeGif(100, 5, runs))
+    assert(java.util.Arrays.equals(r2, runs), "run stream corrupted")
+    // >4096 distinct phrases: force the clear-code dictionary reset.
+    // A de Bruijn-ish pseudo-random stream of 60k bytes grows the
+    // dictionary past 12-bit capacity several times over.
+    val big = Array.tabulate[Byte](60000)(i =>
+      (((i * 2654435761L) >>> 13) & 0xff).toByte)
+    val (_, _, r3) = Codec.decodeGif(Codec.encodeGif(300, 200, big))
+    assert(java.util.Arrays.equals(r3, big), "post-reset stream corrupted")
+  }
+
+  test("gif: the JDK's independent ImageIO reader agrees with our encoder") {
+    val px = Array.tabulate[Byte](40 * 25)(i => ((i * 37 + 11) & 0xff).toByte)
+    val gif = Codec.encodeGif(40, 25, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO rejected our GIF")
+    assert(img.getWidth == 40 && img.getHeight == 25)
+    var i = 0
+    while (i < px.length) {
+      val rgb = img.getRGB(i % 40, i / 40)
+      val want = px(i) & 0xff
+      assert((rgb & 0xff) == want && ((rgb >> 8) & 0xff) == want &&
+        ((rgb >> 16) & 0xff) == want,
+        s"pixel $i: ImageIO ${rgb.toHexString} != gray $want")
+      i += 1
+    }
+    // and our decoder reads what the JDK writer produces (palette GIF)
+    val bi = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 9).foreach(y => (0 until 17).foreach { x =>
+      val g = (x * 13 + y * 31) & 0xff
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "gif", bos)
+    val (w2, h2, back) = Codec.decodeGif(bos.toByteArray)
+    assert(w2 == 17 && h2 == 9)
+    // ImageIO's palette may permute indices: compare through its table
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    (0 until 9).foreach(y => (0 until 17).foreach { x =>
+      val viaUs = back(y * 17 + x) & 0xff
+      val viaImageIO = img2.getRaster.getSample(x, y, 0)
+      assert(viaUs == viaImageIO,
+        s"($x,$y): our index $viaUs != ImageIO raster $viaImageIO")
+    })
+  }
 }
