@@ -147,6 +147,78 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Magnitude cap for [[simMips]] — item magnitudes are 1 + vec_id % 5,
+    * so M = 5 bounds them by construction (at 100 TB the cap comes from
+    * a one-pass max over the magnitude column instead). */
+  private val mipsM = 5.0
+
+  private def mipsMag: Column = (col("vec_id") % 5 + lit(1)).cast(DoubleType)
+
+  /** Hyperplane signature of the AUGMENTED item vector [mag·e ;
+    * sqrt(M² − mag²)] — 65th-dim weight follows the same LCG. */
+  private def mipsBucketCol(nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val w = array((0 until 64).map(i => lit(weight(i, j).toDouble)): _*)
+      val proj = col("mag") * dot(col("embedding"), w) +
+        sqrt(lit(mipsM * mipsM) - col("mag") * col("mag")) *
+          lit(weight(64, j).toDouble)
+      when(proj > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** MAXIMUM INNER PRODUCT search (MIPS) — the recommender/rerank shape:
+    * items carry a POPULARITY MAGNITUDE (here 1 + vec_id % 5 on the unit
+    * embedding), queries want argmax q·x, and cosine machinery does NOT
+    * apply directly because inner product is not a metric (a vector can
+    * out-score a more-aligned one by sheer norm). The classic reduction
+    * (Bachrach et al. '14 / Shrivastava–Li '14 asymmetric transform)
+    * restores it: append sqrt(M² − ‖x‖²) to every item (M = max norm) and
+    * 0 to every query — all items then share norm M, so augmented-cosine
+    * order IS inner-product order, and the EXISTING hyperplane-LSH band
+    * join does the candidate generation unchanged. Final scoring is the
+    * exact inner product (the augmentation only routes), re-ranked top-10
+    * per query with multi-band hits deduped by max — the sim_ann_topk
+    * plan shape with one extra signature dimension. LlmOpsSpec asserts
+    * recall vs the brute-force MIPS baseline and that magnitude really
+    * reorders results vs plain cosine. */
+  def simMips(spark: SparkSession, dir: String,
+      bands: Int = 4, bitsPerBand: Int = 2): DataFrame = {
+    val nBits = bands * bitsPerBand
+    val mask = (1L << bitsPerBand) - 1L
+    val emb = table(spark, dir, "embeddings")
+    val sig = emb
+      .select(col("vec_id"), col("embedding"), mipsMag.as("mag"))
+      .select(col("vec_id"), col("embedding"), col("mag"),
+        pinned(mipsBucketCol(nBits)).as("bucket"))
+    // queries augment with 0 (and unit magnitude): their signature is the
+    // plain hyperplane signature of the unit embedding
+    val qsig = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        pinned(bucketCol(nBits)).as("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket"))
+    def banded(df: DataFrame, b: String, sc: String): DataFrame =
+      df.select(col("*"), explode(array((0 until bands).map(bi =>
+        struct(lit(bi).as(b),
+          shiftright(col("bucket"), bi * bitsPerBand).bitwiseAND(mask)
+            .as(sc))): _*)).as("bnd"))
+        .select(df.columns.map(col) :+ col(s"bnd.$b").as(b) :+
+          col(s"bnd.$sc").as(sc): _*)
+    banded(sig, "band", "sig")
+      .join(broadcast(banded(qsig, "qband", "qsig")),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        roundD(col("mag") * dot(col("qv"), col("embedding")), 5).as("ip"))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("ip")).as("ip"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("ip").desc, col("vec_id"))).cast(LongType))
+      .filter(col("rk") <= 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** Embedding-cosine near-duplicate dedup — the vector-space member of the
     * dedup family (exact / Jaccard / MinHash / SimHash live in
     * [[DedupOps]]): near-dup candidate pairs come from banded hyperplane-LSH
@@ -616,6 +688,16 @@ object VectorOps {
           i -> embedding[i]::DOUBLE * ($ws)[i])), (acc, x) -> acc + x) > 0
           THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
+    // augmented-vector signature: mag * (the same ordered fold) + the
+    // 65th-dim term, identical association as the Spark expression
+    val mipsBits = (0 until 8).map { j =>
+      val ws = (0 until 64).map(i => s"${weight(i, j)}.0").mkString("[", ", ", "]")
+      s"""CASE WHEN (mag * list_reduce(list_concat([0.0],
+          list_transform(range(1, 65),
+          i -> embedding[i]::DOUBLE * ($ws)[i])), (acc, x) -> acc + x)
+          + sqrt(25.0 - mag * mag) * ${weight(64, j)}.0) > 0
+          THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
     // the identical PQ arithmetic replayed relationally: same slices,
     // same strict folds, same quantized sums, same tie-breaks — bit-exact
     val pqL2 = (a: String, b: String) =>
@@ -724,6 +806,26 @@ object VectorOps {
         FROM embeddings GROUP BY 1 ORDER BY bucket""",
       // OR-of-bands join ≡ Spark's banded-equality join + max-dedupe: a pair
       // appears iff any 2-bit band of the 8-bit signature matches
+      "sim_mips" -> s"""
+        WITH c AS (SELECT vec_id, embedding,
+                          (1 + vec_id % 5)::DOUBLE AS mag FROM embeddings),
+        sig AS (SELECT vec_id, embedding, mag, ($mipsBits)::BIGINT AS bucket
+                FROM c),
+        qsig AS (SELECT vec_id AS query_id, embedding,
+                        ($annBits)::BIGINT AS bucket
+                 FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT a.query_id, b.vec_id,
+                          floor(b.mag * ($duckDot) * 1e5 + 0.5) / 1e5 AS ip
+                   FROM qsig a JOIN sig b ON b.vec_id <> a.query_id AND (
+                     ((a.bucket >> 0) & 3) = ((b.bucket >> 0) & 3) OR
+                     ((a.bucket >> 2) & 3) = ((b.bucket >> 2) & 3) OR
+                     ((a.bucket >> 4) & 3) = ((b.bucket >> 4) & 3) OR
+                     ((a.bucket >> 6) & 3) = ((b.bucket >> 6) & 3))),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY ip DESC, vec_id) AS rk FROM scored)
+        SELECT query_id, vec_id, ip, rk::BIGINT AS rk
+        FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rk""",
       "sim_ann_topk" -> s"""
         WITH sig AS (SELECT vec_id, embedding, ($annBits)::BIGINT AS bucket
                      FROM embeddings),
@@ -871,6 +973,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
+    "sim_mips" -> ((sp, d) => simMips(sp, d)),
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
