@@ -1239,6 +1239,16 @@ object Multimodal {
       mean_amp: Double,
       rms: Double)
 
+  /** Decimate-by-2 resample output: in/out sizes + stats over the decoded
+    * HALF-RATE round-trip. */
+  final case class AudioResampleRow(
+      media_id: Long,
+      n_in: Long,
+      n_out: Long,
+      rate_out: Int,
+      mean_out: Double,
+      peak_out: Long)
+
   /** Partition-local batched decode: the mapInPandas-shaped stage. Batching
     * (here 64 rows) is where a heavier codec amortizes context setup. */
   def decodeAll(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedRow] = {
@@ -1342,6 +1352,51 @@ object Multimodal {
         def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
         AudioStatsRow(r.media_id, n.toLong, peak,
           r4(sum.toDouble / n), r4(math.sqrt(sumSq.toDouble / n)))
+      }
+    }.toDF().orderBy("media_id")
+  }
+
+  /** SAMPLE-RATE CONVERSION — decimate each audio asset by 2 with a
+    * pairwise-mean anti-alias box (floor((s₂ₖ+s₂ₖ₊₁)/2), exact integer
+    * arithmetic both engines replay), RE-ENCODE the half-rate stream as a
+    * real WAV, decode again, and report stats over the round-tripped
+    * samples — so the op proves the full resample→container→decode chain,
+    * not just the arithmetic. The training-pipeline move this models:
+    * normalizing a mixed-rate audio corpus to one rate before feature
+    * extraction. Partition-local like every codec stage; output rows are
+    * O(assets). */
+  def mmAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = mediaFromDocuments(spark, dir).filter(_.kind == "audio")
+    audio.mapPartitions { it =>
+      it.map { r =>
+        val s = Codec.wavSamples(r.payload)
+        val half = Array.tabulate(s.length / 2) { k =>
+          // floorDiv: exact for negative sums too (synthesized samples
+          // are positive, but the op contract is any 16-bit PCM)
+          Math.floorDiv(s(2 * k) + s(2 * k + 1), 2)
+        }
+        val wav = Codec.encodeWav(4000, {
+          val bytes = new Array[Byte](2 * half.length)
+          var k = 0
+          while (k < half.length) {
+            bytes(2 * k) = (half(k) & 0xff).toByte
+            bytes(2 * k + 1) = ((half(k) >> 8) & 0xff).toByte
+            k += 1
+          }
+          bytes
+        })
+        val back = Codec.wavSamples(wav)
+        var sum = 0L; var peak = 0L
+        var k = 0
+        while (k < back.length) {
+          sum += back(k)
+          if (math.abs(back(k).toLong) > peak) peak = math.abs(back(k).toLong)
+          k += 1
+        }
+        def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+        AudioResampleRow(r.media_id, s.length.toLong, back.length.toLong,
+          4000, r4(sum.toDouble / back.length), peak)
       }
     }.toDF().orderBy("media_id")
   }
@@ -2025,6 +2080,27 @@ object Multimodal {
     // sample k of the WAV data chunk is byte pair (2k, 2k+1) of the text
     // cycled to 2n bytes: val = lo + hi*256 (ASCII bytes < 128, so the
     // signed int16 decode is the same value)
+    "mm_wav_resample" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 500) + 50 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), k ->
+                 ascii(text[(((2*k) % len) + 1):(((2*k) % len) + 1)]) +
+                 ascii(text[(((2*k+1) % len) + 1):(((2*k+1) % len) + 1)]) * 256) AS vals
+        FROM m),
+      d AS (
+        SELECT media_id, n, n // 2 AS m,
+               list_transform(range(0, n // 2), k ->
+                 (vals[2*k + 1] + vals[2*k + 2]) // 2) AS dv
+        FROM s)
+      SELECT media_id, n::BIGINT AS n_in, m::BIGINT AS n_out,
+             4000::INT AS rate_out,
+             floor(list_sum(dv)::DOUBLE / m * 1e4 + 0.5) / 1e4 AS mean_out,
+             list_max(list_transform(dv, v -> abs(v)))::BIGINT AS peak_out
+      FROM d ORDER BY media_id""",
     "mm_audio_stats" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -2059,6 +2135,7 @@ object Multimodal {
     "mm_binary_meta" -> mmBinaryMeta _,
     "mm_decode" -> mmDecode _,
     "mm_audio_stats" -> mmAudioStats _,
+    "mm_wav_resample" -> mmAudioResample _,
     "mm_spectral" -> mmSpectral _,
     "mm_pixel_stats" -> mmPixelStats _,
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),

@@ -539,6 +539,40 @@ object TextOps {
           .cast(BinaryType)).as("postings_md5"))
       .orderBy("token", "seg")
 
+  /** Query terms for [[invIndexQuery]] — fixed, so both engines evaluate
+    * the identical boolean expression. */
+  val invQueryAnd = Seq("data", "spark")
+  val invQueryNot = "slow"
+
+  /** BOOLEAN RETRIEVAL over the inverted index — the read side of
+    * [[invIndex]]/[[invIndexSeg]] (an index nobody queries is a write-only
+    * artifact): docs matching `data AND spark AND NOT slow`, ranked by the
+    * query terms' total term frequency.
+    *
+    * Evaluation is the classic postings-join form: restrict the
+    * (token, doc) frame to the query's terms FIRST — against the stored
+    * segment-sharded index this is a point lookup per term, reading only
+    * those terms' postings, never the corpus — then AND = a doc_id-keyed
+    * count equal to the term count, NOT = an anti-join on the negated
+    * term's postings, rank = one aggregate over the same restricted
+    * postings. Every stage is an equi-join/groupBy on doc_id; cost scales
+    * with the matched postings, not the index. */
+  def invIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val td = toks.distinct()
+    val hits = td.filter(col("token").isin(invQueryAnd: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === invQueryAnd.size)
+    val excluded = td.filter(col("token") === invQueryNot).select("doc_id")
+    val tf = toks.filter(col("token").isin(invQueryAnd: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("tf_total"))
+    hits.join(excluded, Seq("doc_id"), "left_anti")
+      .join(tf, "doc_id")
+      .select(col("doc_id"), col("n_terms"), col("tf_total"))
+      .orderBy(col("tf_total").desc, col("doc_id"))
+  }
+
   /** Support denominator for [[freqTopk]]: report every token with
     * frequency strictly above total/k. */
   val freqK = 50L
@@ -717,6 +751,22 @@ object TextOps {
                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
                   AS postings_md5
          FROM td GROUP BY token, seg ORDER BY token, seg""",
+    "invidx_query" -> s"""
+      WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                             x -> x <> '')) AS token
+           FROM documents),
+      td AS (SELECT DISTINCT doc_id, token FROM toks),
+      hits AS (SELECT doc_id, count(*) AS n_terms FROM td
+               WHERE token IN ('data', 'spark')
+               GROUP BY doc_id HAVING count(*) = 2),
+      ex AS (SELECT DISTINCT doc_id FROM td WHERE token = 'slow'),
+      tf AS (SELECT doc_id, count(*) AS tf_total FROM toks
+             WHERE token IN ('data', 'spark') GROUP BY doc_id)
+      SELECT h.doc_id, h.n_terms, tf.tf_total
+      FROM hits h JOIN tf USING (doc_id)
+      WHERE h.doc_id NOT IN (SELECT doc_id FROM ex)
+      ORDER BY tf_total DESC, h.doc_id""",
     "tok_count" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) AS token
@@ -849,6 +899,7 @@ object TextOps {
     "text_readability" -> textReadability _,
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
+    "invidx_query" -> invIndexQuery _,
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,
   )
