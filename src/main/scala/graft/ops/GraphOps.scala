@@ -149,12 +149,12 @@ object GraphOps {
     * lineitem. Sparse and many-component (unlike the fully-connected
     * nation trade network), which is what makes it the right CC fixture. */
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+    materialize(table(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n"),
         min("l_partkey").as("a"), max("l_partkey").as("b"))
       .filter(col("n") === 2 && col("a") =!= col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b").distinct())
 
   /** CONNECTED COMPONENTS by alternating LARGE-STAR / SMALL-STAR edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and
@@ -188,7 +188,18 @@ object GraphOps {
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct())
-    var curCount = cur.count()
+    // cheap per-round fingerprint: (count, order-independent exact hash
+    // sum — decimal, so ANSI mode can't overflow it). Equality is
+    // NECESSARY for set equality; the single exceptAll that then runs
+    // makes the check sufficient — so the O(E) set-difference job runs
+    // once at convergence instead of every round.
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var curFp = fingerprint(cur)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -196,9 +207,12 @@ object GraphOps {
         .unionByName(cur.select(col("hi").as("u"), col("lo").as("v")))
       val mn = sym.groupBy("u").agg(min(col("v")).as("nm"))
         .select(col("u"), least(col("u"), col("nm")).as("m"))
+      // no distinct on the large-star output: its two consumers dedup
+      // anyway (mh's keyed min; the final distinct) — one less exchange
+      // per round, and the duplicate multiplicity is bounded by the
+      // input edge multiplicities
       val large = sym.join(mn, "u").filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
       val mh = large.groupBy("hi").agg(min(col("lo")).as("m"))
       val next = materialize(
         mh.select(col("m").as("lo"), col("hi"))
@@ -206,11 +220,11 @@ object GraphOps {
             .filter(col("lo") =!= col("m"))
             .select(col("m").as("lo"), col("lo").as("hi")))
           .distinct())
-      val nextCount = next.count()
-      converged = nextCount == curCount && next.exceptAll(cur).isEmpty
+      val nextFp = fingerprint(next)
+      converged = nextFp == curFp && next.exceptAll(cur).isEmpty
       cur.unpersist()
       cur = next
-      curCount = nextCount
+      curFp = nextFp
       rounds += 1
     }
     require(converged,
@@ -241,11 +255,13 @@ object GraphOps {
     * "newly arrived" batch. */
   private def coPurchaseSplit(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val per = table(spark, dir, "lineitem")
+    // one lineitem scan; base/delta and their reuses (stars + vertex
+    // frames) all read the materialized pair frame
+    val per = materialize(table(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n"),
         min("l_partkey").as("a"), max("l_partkey").as("b"))
-      .filter(col("n") === 2 && col("a") =!= col("b"))
+      .filter(col("n") === 2 && col("a") =!= col("b")))
     (per.filter(col("l_orderkey") % 10 =!= 7).select("a", "b").distinct(),
       per.filter(col("l_orderkey") % 10 === 7).select("a", "b").distinct())
   }
