@@ -211,7 +211,73 @@ object DataQuality {
       .orderBy("join_key")
   }
 
+  /** REFERENTIAL-INTEGRITY audit — the pre-flight a warehouse runs before
+    * trusting joins: for each declared FK edge, count child rows whose key
+    * has no parent (plus one deliberately-degraded edge — parts above
+    * size 25 filtered out of the dim, simulating a stale/partial
+    * dimension load — so the detector provably fires). Each edge is one
+    * LEFT ANTI join aggregated to a single row: the anti join shuffles on
+    * the key (or broadcasts when the parent is a dim), cost O(child +
+    * parent), and the n_orphans/n_child outputs make the all-green state
+    * hash-verified rather than assumed. */
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    }
+    val li = table(spark, dir, "lineitem")
+    edge("lineitem->part", li, "l_partkey",
+        table(spark, dir, "part"), "p_partkey")
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        table(spark, dir, "supplier"), "s_suppkey"))
+      .unionByName(edge("lineitem->orders", li, "l_orderkey",
+        table(spark, dir, "orders"), "o_orderkey"))
+      .unionByName(edge("orders->customer", table(spark, dir, "orders"),
+        "o_custkey", table(spark, dir, "customer"), "c_custkey"))
+      .unionByName(edge("lineitem->part[stale:size<=25]", li, "l_partkey",
+        table(spark, dir, "part").filter(col("p_size") <= 25), "p_partkey"))
+      .orderBy("fk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_ref" -> """
+      WITH e AS (
+        SELECT 'lineitem->part' AS fk,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM part p
+                  WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem->part[stale:size<=25]',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM part p
+                  WHERE p.p_size <= 25 AND p.p_partkey = l.l_partkey)))
+      SELECT fk, n_child, n_orphans, n_orphans = 0 AS ok
+      FROM e ORDER BY fk""",
     "analyze_stats" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column", count(DISTINCT $c) AS ndv,
@@ -318,6 +384,7 @@ object DataQuality {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ref" -> dqReferential _,
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
     "dq_cardinality" -> dqCardinality _,

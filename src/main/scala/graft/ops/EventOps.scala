@@ -145,7 +145,41 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** LONGEST ACTIVITY STREAK per user — the gaps-and-islands engagement
+    * metric (consecutive active DAYS): distinct (user, day), then the
+    * island key day − row_number(per-user day order) is constant exactly
+    * within a consecutive run, so streaks fall out of one keyed count and
+    * a per-user max. Scale shape: the window's partition input is each
+    * user's DISTINCT DAYS — bounded by calendar tenure, not event volume
+    * (the raw stream never enters a window); everything else is hash
+    * aggregation. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val days = table(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .distinct()
+    days
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("max_streak"), sum("len").as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "streaks" -> """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      g AS (SELECT user_id,
+                   date_diff('day', DATE '1970-01-01', day)
+                     - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+            FROM days),
+      st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+      SELECT user_id, max(len) AS max_streak,
+             sum(len)::BIGINT AS n_active_days
+      FROM st GROUP BY user_id ORDER BY user_id""",
     "path_transitions" ->
       """WITH e AS (
            SELECT user_id, event_type AS from_type,
@@ -206,6 +240,7 @@ object EventOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaks" -> streaks _,
     "funnel" -> funnel _,
     "retention" -> retention _,
     "attr_last_touch" -> attrLastTouch _,

@@ -438,6 +438,56 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  /** PAIRWISE ASSOCIATION RULES over 2-item market baskets, at the BRAND
+    * grain — the frequent-itemset base case that actually scales:
+    * restrict baskets to bounded size (here exactly 2 — the general
+    * k-item case explodes combinatorially and is what FP-growth exists
+    * for), lift items to a catalog grain with repeatable supports
+    * (part-level pairs are near-unique; brands co-occur), count pair and
+    * item supports with plain keyed aggregates, then score each directed
+    * rule a→b with confidence = n(ab)/n(a) and lift = conf/(n(b)/N).
+    * All-integer outputs (permille confidence, lift ×1000 via BIGINT
+    * div) so both engines agree bit-for-bit — the dq_drift
+    * transcendental-free convention. The part→brand lift is a broadcast
+    * dim join; the item-support frame is |brands| rows and broadcasts
+    * onto the pair frame; nothing is ever quadratic in the catalog. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val brands = table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val per = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("a"), max("l_partkey").as("b"))
+      .filter(col("n") === 2 && col("a") =!= col("b"))
+      .join(broadcast(brands.select(col("p_partkey").as("a"),
+        col("p_brand").as("bra"))), "a")
+      .join(broadcast(brands.select(col("p_partkey").as("b"),
+        col("p_brand").as("brb"))), "b")
+      .filter(col("bra") =!= col("brb"))
+      .select(least(col("bra"), col("brb")).as("ba"),
+        greatest(col("bra"), col("brb")).as("bb"))
+      .materialized
+    val nBaskets = per.count()
+    val pairs = per.groupBy("ba", "bb").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 3)
+    val items = per.select(col("ba").as("item"))
+      .unionByName(per.select(col("bb").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("ni"))
+    val directed = pairs
+      .select(col("ba").as("ante"), col("bb").as("cons"), col("nab"))
+      .unionByName(pairs
+        .select(col("bb").as("ante"), col("ba").as("cons"), col("nab")))
+    directed
+      .join(broadcast(items.select(col("item").as("ante"),
+        col("ni").as("na"))), "ante")
+      .join(broadcast(items.select(col("item").as("cons"),
+        col("ni").as("nb"))), "cons")
+      .select(col("ante"), col("cons"), col("nab"), col("na"), col("nb"),
+        expr("nab * 1000 div na").as("conf_pm"),
+        expr(s"(nab * $nBaskets * 1000) div (na * nb)").as("lift_x1000"))
+      .orderBy(col("nab").desc, col("ante"), col("cons"))
+  }
+
   private val verifyEditdistSql: String = s"""
       WITH cand AS (${DedupOps.oracles("dedup_minhash")}),
       docs AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
@@ -577,6 +627,31 @@ object Extended {
            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
          ORDER BY l_returnflag, l_orderkey, l_linenumber, pct_rank""",
     "dedup_verify" -> verifyEditdistSql,
+    "assoc_rules" -> """
+      WITH pk AS (SELECT l_orderkey, min(l_partkey) AS a, max(l_partkey) AS b
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+      per AS (SELECT least(pa.p_brand, pb.p_brand) AS ba,
+                     greatest(pa.p_brand, pb.p_brand) AS bb
+              FROM pk JOIN part pa ON pa.p_partkey = pk.a
+                      JOIN part pb ON pb.p_partkey = pk.b
+              WHERE pa.p_brand <> pb.p_brand),
+      n AS (SELECT count(*) AS nbask FROM per),
+      pairs AS (SELECT ba, bb, count(*) AS nab FROM per GROUP BY ba, bb
+                HAVING count(*) >= 3),
+      items AS (SELECT item, count(*) AS ni FROM (
+                  SELECT ba AS item FROM per
+                  UNION ALL SELECT bb FROM per) GROUP BY item),
+      directed AS (SELECT ba AS ante, bb AS cons, nab FROM pairs
+                   UNION ALL SELECT bb, ba, nab FROM pairs)
+      SELECT d.ante, d.cons, d.nab, ia.ni AS na, ib.ni AS nb,
+             (d.nab * 1000) // ia.ni AS conf_pm,
+             (d.nab * n.nbask * 1000) // (ia.ni * ib.ni) AS lift_x1000
+      FROM directed d
+      JOIN items ia ON ia.item = d.ante
+      JOIN items ib ON ib.item = d.cons
+      CROSS JOIN n
+      ORDER BY d.nab DESC, d.ante, d.cons""",
     "dedup_clusters" -> s"""
       WITH RECURSIVE
       verified AS ($verifyEditdistSql),
@@ -608,5 +683,6 @@ object Extended {
     "zorder" -> zorder _,
     "dedup_verify" -> dedupVerifyEditdist _,
     "dedup_clusters" -> dedupClusters _,
+    "assoc_rules" -> assocRules _,
   )
 }

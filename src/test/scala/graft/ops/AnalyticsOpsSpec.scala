@@ -377,4 +377,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     // and some supplier actually has neighbors, or the probe proves nothing
     assert(brute.values.sum > 0, "radius too small: all-empty fixture")
   }
+
+  test("streaks: island arithmetic equals a brute-force scan per user") {
+    val got = EventOps.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val days = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+    days.foreach { case (u, rows) =>
+      val ds = rows.map(_._2.toEpochDay).sorted.toSeq
+      var best = 1L; var cur = 1L
+      ds.zip(ds.drop(1)).foreach { case (a, b) =>
+        if (b == a + 1) { cur += 1; best = math.max(best, cur) }
+        else cur = 1
+      }
+      assert(got(u) == (math.max(best, 1L), ds.length.toLong),
+        s"user $u: got ${got(u)} want (${best}, ${ds.length})")
+    }
+  }
+
+  test("assoc_rules: confidence bounded, supports consistent, lift symmetric in nab") {
+    val rows = Extended.assocRules(spark, dir).collect()
+    assert(rows.nonEmpty, "no rules at min-support 3 - fixture degenerate")
+    rows.foreach { r =>
+      val (nab, na, nb, conf) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nab <= na && nab <= nb, s"pair support exceeds item support: $r")
+      assert(conf >= 0 && conf <= 1000, s"confidence out of permille range: $r")
+    }
+    // both directions of every pair are present with the same nab
+    val byPair = rows.groupBy(r => Set(r.getString(0), r.getString(1)))
+    byPair.values.foreach { dirs =>
+      assert(dirs.length == 2 && dirs.map(_.getLong(2)).distinct.length == 1,
+        s"directed pair asymmetry: ${dirs.toSeq}")
+    }
+  }
+
+  test("dq_ref: clean edges pass, the stale-dimension edge fires") {
+    val rows = DataQuality.dqReferential(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val clean = rows.filterKeys(!_.contains("stale"))
+    assert(clean.nonEmpty && clean.values.forall(v => v._2 == 0 && v._3),
+      s"clean FK edges reported orphans: $rows")
+    val (nChild, nOrph, ok) = rows("lineitem->part[stale:size<=25]")
+    assert(!ok && nOrph > 0 && nOrph < nChild,
+      s"stale-dim edge must fire partially: $nOrph of $nChild")
+  }
 }
