@@ -222,14 +222,16 @@ object DataQuality {
     * hash-verified rather than assumed. */
   def dqReferential(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, ck: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(ck).as("k"))
-        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        parent: DataFrame, pk: String): DataFrame =
+      // one pass: left join the (distinct) parent keys, count rows and
+      // misses in the same aggregate — no second scan, no 1x1 cross join
+      child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
           (col("n_orphans") === 0L).as("ok"))
-    }
     val li = table(spark, dir, "lineitem")
     edge("lineitem->part", li, "l_partkey",
         table(spark, dir, "part"), "p_partkey")
