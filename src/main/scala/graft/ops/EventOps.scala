@@ -168,7 +168,82 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** A/B EXPERIMENT READOUT — the product-analytics closer on top of
+    * [[graft.ops.Curation.splitHash]]'s deterministic assignment: users
+    * hash 50/50 into arms, conversion = did the user ever purchase, and
+    * the readout is per-arm (users, converters, permille rate) plus one
+    * pooled z²-style contrast statistic — computed IN EXACT INTEGER
+    * ARITHMETIC (the dq_drift convention: numerator and denominator of
+    * (pa−pb)² / (p(1−p)(1/na+1/nb)) cross-multiplied into BIGINTs, scaled
+    * ×1000) so both engines agree bit-for-bit and no float CLT formula
+    * has to round-trip. Assignment hashes the USER (not the event), so
+    * every event of a user lands in one arm — the unit-of-randomization
+    * rule A/B systems get wrong first. Conversion = a big purchase
+    * (value > 90 — plain purchases are universal in this corpus, which
+    * would zero the pooled-variance denominator). One aggregate over
+    * events to the user grain, one tiny per-arm rollup; nothing shuffles
+    * twice. Integer envelope: the cross-multiplied z² numerator is
+    * ~(c·u)²·(2u)·1000 — inside int64 through sf0.1 (~3e18); past that,
+    * lift the factors to DECIMAL(38,0) on both engines. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = when(conv(substring(md5(concat(col("user_id")
+      .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
+      .cast(LongType) % 2L === 0L, "A").otherwise("B")
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 90.0, 1L).otherwise(0L)).as("converted"))
+      .select(arm.as("arm"), col("converted"))
+    // ONE global aggregate carries both arms' counts (conditional sums,
+    // map-side combined), the scalar z2 derives in the same row, and the
+    // per-arm rows explode back out — no join, no window, three narrow
+    // stages total
+    val one = perUser.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ua"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("ca"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("ub"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("cb"))
+    one
+      .select(explode(array(
+        struct(lit("A").as("arm"), col("ua").as("users"),
+          col("ca").as("converters")),
+        struct(lit("B").as("arm"), col("ub").as("users"),
+          col("cb").as("converters")))).as("r"),
+        // z^2 cross-multiplied to integers:
+        //   (ca*ub - cb*ua)^2 * (ua+ub) * 1000
+        //   ----------------------------------
+        //   (ca+cb)(ua+ub-ca-cb) * ua * ub
+        expr("""(ca * ub - cb * ua) * (ca * ub - cb * ua) * (ua + ub) * 1000
+                div ((ca + cb) * (ua + ub - ca - cb) * ua * ub)""")
+          .as("z2_x1000"))
+      .select(col("r.arm").as("arm"), col("r.users").as("users"),
+        col("r.converters").as("converters"),
+        expr("r.converters * 1000 div r.users").as("conv_pm"),
+        col("z2_x1000"))
+      .orderBy("arm")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ab_test" -> """
+      WITH pu AS (
+        SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '#ab'),
+                          1, 8))::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 90
+                   THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id),
+      arms AS (SELECT arm, count(*) AS users,
+                      sum(converted)::BIGINT AS converters
+               FROM pu GROUP BY arm),
+      w AS (SELECT max(CASE WHEN arm = 'A' THEN users END) AS ua,
+                   max(CASE WHEN arm = 'A' THEN converters END) AS ca,
+                   max(CASE WHEN arm = 'B' THEN users END) AS ub,
+                   max(CASE WHEN arm = 'B' THEN converters END) AS cb
+            FROM arms)
+      SELECT arm, users, converters, (converters * 1000) // users AS conv_pm,
+             ((ca * ub - cb * ua) * (ca * ub - cb * ua) * (ua + ub) * 1000)
+               // ((ca + cb) * (ua + ub - ca - cb) * ua * ub) AS z2_x1000
+      FROM arms, w ORDER BY arm""",
     "streaks" -> """
       WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
       g AS (SELECT user_id,
@@ -241,6 +316,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaks" -> streaks _,
+    "ab_test" -> abTest _,
     "funnel" -> funnel _,
     "retention" -> retention _,
     "attr_last_touch" -> attrLastTouch _,

@@ -266,6 +266,18 @@ object StreamAssembly {
   def flipJoinOuter(unified: DataFrame, watermark: String = "2 minutes"): DataFrame =
     flipJoinWith(unified, watermark, "leftOuter")
 
+  /** FULL-OUTER stream-stream interval join — both unmatched shapes at
+    * once: a long with no short inside its minute AND a short no long
+    * preceded. Same watermark-driven null emission as the left-outer
+    * variant, on both sides: state for a row is dropped (and its null
+    * partner emitted) only once the opposing stream's watermark has
+    * passed the interval end plus delay, so every event appears exactly
+    * once — matched or null-padded. The "reconciliation" shape: neither
+    * stream is privileged, and the output is a complete account of both. */
+  def flipJoinFullOuter(unified: DataFrame,
+      watermark: String = "2 minutes"): DataFrame =
+    flipJoinWith(unified, watermark, "fullOuter")
+
   private def flipJoinWith(unified: DataFrame, watermark: String,
       joinType: String): DataFrame = {
     val longs = unified.filter(col("side") === "long")

@@ -171,6 +171,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join: both unmatched sides emit null-padded, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val unified = Normalizers.binance(mem.toDF().withColumnRenamed("value", "raw"), "usdt")
+    val joined = StreamAssembly.flipJoinFullOuter(unified)
+    val q = joined.writeStream.format("memory").queryName("flips_full")
+      .outputMode("append").start()
+    try {
+      def ev(sym: String, side: String, ts: Long) = {
+        val s = if (side == "long") "SELL" else "BUY"
+        s"""{"e":"forceOrder","E":$ts,"o":{"s":"$sym","S":"$s","q":"1","p":"100","l":"1","T":$ts}}"""
+      }
+      // BTC long with no short; SOL short with no long; ETH matched pair
+      mem.addData(
+        ev("BTCUSDT", "long", 1710000000000L),
+        ev("SOLUSDT", "short", 1710000010000L),
+        ev("ETHUSDT", "long", 1710000000000L),
+        ev("ETHUSDT", "short", 1710000020000L))
+      q.processAllAvailable()
+      // push both watermarks far past every interval end + delay
+      Seq(1710000600000L, 1710001200000L).foreach { t =>
+        mem.addData(ev("ZZZUSDT", "long", t), ev("ZZZUSDT", "short", t))
+        q.processAllAvailable()
+      }
+      val rows = spark.sql(
+        """SELECT l_symbol, s_symbol FROM flips_full
+           WHERE 'BTCUSDT' IN (l_symbol, s_symbol)
+              OR 'SOLUSDT' IN (l_symbol, s_symbol)
+              OR 'ETHUSDT' IN (l_symbol, s_symbol)""").collect()
+      val btc = rows.filter(r => !r.isNullAt(0) && r.getString(0) == "BTCUSDT")
+      val sol = rows.filter(r => !r.isNullAt(1) && r.getString(1) == "SOLUSDT")
+      val eth = rows.filter(r => !r.isNullAt(0) && r.getString(0) == "ETHUSDT")
+      assert(btc.length == 1 && btc.head.isNullAt(1),
+        s"unmatched long: want one null-short row, got ${btc.toSeq}")
+      assert(sol.length == 1 && sol.head.isNullAt(0),
+        s"unmatched short: want one null-long row, got ${sol.toSeq}")
+      assert(eth.length == 1 && !eth.head.isNullAt(1),
+        s"matched pair must emit exactly once, joined: ${eth.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: cascade detector fires at threshold then resets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
