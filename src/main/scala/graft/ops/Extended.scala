@@ -276,6 +276,11 @@ object Extended {
   private def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** The z-interleave, exposed for [[Formats.compactZorderPlan]]'s
+    * clustering rewrite. */
+  private[graft] def zInterleave(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column) = interleave(x, y)
+
   def zorder(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"),

@@ -430,6 +430,67 @@ object Formats {
   def deleteMor(spark: SparkSession, dir: String): DataFrame =
     deleteMorPlan(spark, dir).result
 
+  /** File counts hit by the probe predicate under both layouts. */
+  private[graft] final case class ZorderPlan(
+      filesTotal: Long, filesHitUnsorted: Long, filesHitZordered: Long,
+      result: DataFrame)
+
+  /** OPTIMIZE ... ZORDER BY — compaction with MULTI-DIMENSIONAL
+    * clustering: rewrite the events table ordered by the z-interleave of
+    * (user_id, value-bucket) so that a predicate on EITHER dimension
+    * prunes files (a plain sort clusters only its leading column; the
+    * z-curve keeps both dimensions' min/max ranges tight per file). The
+    * rewrite is `repartitionByRange` on the z-value — one range shuffle,
+    * each task writes one locality-tight file, the same write path a
+    * table-maintenance job runs nightly at 100 TB where the win is
+    * thousands of skipped row groups. The manifest (per-file min/max —
+    * file-count-bounded metadata) then answers the probe "which files
+    * can hold user_id in [lo, hi]" for both layouts; FormatsSpec asserts
+    * the z-ordered layout hits strictly fewer files while the data read
+    * back is identical. Oracle: the probe query's DATA (layout-
+    * independent); the pruning arithmetic is spec'd, not oracled, since
+    * file boundaries are an engine artifact. */
+  private[graft] def compactZorderPlan(spark: SparkSession,
+      dir: String): ZorderPlan = {
+    val out = tmp("graft_zo")
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val nFiles = 16
+    // unsorted baseline: hash-shuffled writes (what ingest leaves behind)
+    ev.repartition(nFiles).write.mode("overwrite").parquet(s"$out/plain")
+    // z-ordered rewrite: 8-bit buckets per dimension, range-shuffled on z
+    val zb = ev.select(col("*"),
+      (col("user_id") % 256).as("ub"),
+      least(floor(col("value") / lit(4.0)), lit(255.0)).cast(LongType)
+        .as("vb"))
+    val z = zb.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), Extended.zInterleave(col("ub"), col("vb")).as("z"))
+    z.repartitionByRange(nFiles, col("z")).drop("z")
+      .write.mode("overwrite").parquet(s"$out/zorder")
+    def manifest(p: String): Array[(String, Long, Long)] =
+      spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (qlo, qhi) = (10L, 20L)
+    def hits(m: Array[(String, Long, Long)]): Long =
+      m.count { case (_, lo, hi) => lo <= qhi && hi >= qlo }.toLong
+    val mPlain = manifest(s"$out/plain")
+    val mZ = manifest(s"$out/zorder")
+    val pruned = mZ.filter { case (_, lo, hi) => lo <= qhi && hi >= qlo }
+      .map(_._1)
+    val res = spark.read.parquet(pruned.toIndexedSeq: _*)
+      .filter(col("user_id").between(qlo, qhi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    ZorderPlan(mPlain.length.toLong, hits(mPlain), hits(mZ), res)
+  }
+
+  def compactZorder(spark: SparkSession, dir: String): DataFrame =
+    compactZorderPlan(spark, dir).result
+
   /** File counts before/after plus the readback for the compaction probe. */
   private[graft] final case class CompactPlan(
       smallFiles: Long, compactedFiles: Long, result: DataFrame)
@@ -1016,6 +1077,12 @@ object Formats {
          GROUP BY 1 ORDER BY event_type""",
     // complement + tombstone accounting on the SOURCE table: the MOR
     // anti/semi read paths must reproduce the plain NOT-IN and IN splits
+    // the probe query's data is layout-independent; pruning is spec'd
+    "compact_zorder" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id BETWEEN 10 AND 20
+         GROUP BY 1 ORDER BY event_type""",
     "delete_mor" ->
       """WITH b AS (SELECT min(user_id) AS glo, max(user_id) AS ghi
                     FROM events)
@@ -1146,6 +1213,7 @@ object Formats {
     "scan_manifest" -> scanManifest _,
     "delete_cow" -> deleteCow _,
     "delete_mor" -> deleteMor _,
+    "compact_zorder" -> compactZorder _,
     "compact_files" -> compactFiles _,
     "scan_manifest_bloom" -> scanBloom _,
     "agg_incr" -> aggIncr _,

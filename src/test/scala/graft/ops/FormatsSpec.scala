@@ -243,4 +243,17 @@ class FormatsSpec extends SparkSpec {
       org.apache.spark.sql.functions.sum("cnt_dropped")).head().getLong(0) > 0,
       "no rows dropped - the tombstone join is vacuous")
   }
+
+  test("compact_zorder: the clustered layout prunes strictly more files") {
+    val zo = Formats.compactZorderPlan(spark, "/root/testdata/sf0.01")
+    assert(zo.filesTotal >= 8, s"fixture too small: ${zo.filesTotal} files")
+    // the hash-shuffled baseline scatters every user across every file -
+    // the point-range probe must touch (nearly) all of them
+    assert(zo.filesHitUnsorted >= zo.filesTotal - 1,
+      s"baseline unexpectedly clustered: ${zo.filesHitUnsorted}/${zo.filesTotal}")
+    // the z-ordered layout confines the user range to few files
+    assert(zo.filesHitZordered < zo.filesHitUnsorted / 2,
+      s"zorder pruned ${zo.filesHitZordered} vs ${zo.filesHitUnsorted} - no win")
+    assert(zo.filesHitZordered >= 1, "probe hit nothing - vacuous")
+  }
 }
