@@ -66,6 +66,15 @@ object Extended {
     * oracle is guarded. */
   val pctlAccuracy = 1000000L
 
+  /** Accuracy for the GLOBAL (single-group) quantile passes
+    * ([[aggQuantileBins]], [[aggHistogramEq]]): their n is the whole
+    * table, not a group, so the lossless-regime bound n < accuracy/2
+    * needs a larger knob to hold through the sf0.1 envelope (~600k rows
+    * — the sf0.1 probe caught the octile edges drifting one rank at
+    * pctlAccuracy). Production accepts rank-approximate edges at bounded
+    * state instead; this keeps the oracle regime exact. */
+  val binsAccuracy = 4000000L
+
   /** Sketch-form percentiles — the scale path next to the exact
     * [[aggPercentile]]: approx_percentile's per-group state is a bounded
     * O(accuracy) summary MERGED across partitions, so a 3-value group key
@@ -140,7 +149,7 @@ object Extended {
     import graft.functions.QuantileSketch
     val li = table(spark, dir, "lineitem")
     val bounds = li
-      .agg(QuantileSketch.sketch(col("l_extendedprice"), pctlAccuracy).as("sk"))
+      .agg(QuantileSketch.sketch(col("l_extendedprice"), binsAccuracy).as("sk"))
       .select(QuantileSketch.values(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
       .select(element_at(col("q"), 1).as("b1"),
         element_at(col("q"), 2).as("b2"),
@@ -188,7 +197,7 @@ object Extended {
     val ps = (1 to 7).map(i => s"${i / 8.0}D").mkString(", ")
     val edges = li
       .agg(expr(s"approx_percentile(l_extendedprice, array($ps), " +
-        s"$pctlAccuracy)").as("e"))
+        s"$binsAccuracy)").as("e"))
       .head().getSeq[Double](0)
     val bin = edges.map(e =>
       when(col("l_extendedprice") > lit(e), 1L).otherwise(0L))
