@@ -250,6 +250,38 @@ object Relational {
     * dependent — fine in production, but it would flap a hash-compare
     * oracle; the moment-sum form is also the one that scales (no second
     * pass, no sort). */
+  /** HIGHER-MOMENT shape statistics — skewness and excess kurtosis per
+    * group, completing [[aggStats]]'s mean/var/corr family with the
+    * distribution-shape axes a feature-quality audit reads (asymmetric
+    * tails, outlier mass). Same exact-moment decomposition: one pass
+    * accumulates Σx..Σx⁴ as EXACT decimals (operands at DECIMAL(7,2) so
+    * the 4th power stays inside 38 digits of precision in both engines),
+    * map-side combined; the shape stats then derive in identical double
+    * arithmetic and round 6 dp (absorbing DuckDB's decimal→double
+    * double-rounding, the aggStats note). Moment-method (population)
+    * form: g1 = √n·M3/M2^1.5, g2 = n·M4/M2² − 3 over central sums
+    * expanded from the raw moments. */
+  def aggSkewKurt(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(7, 2))
+    val s = table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val (n, s1, s2, s3, s4) =
+      (col("n").cast(DoubleType), col("s1").cast(DoubleType),
+        col("s2").cast(DoubleType), col("s3").cast(DoubleType),
+        col("s4").cast(DoubleType))
+    val m2 = s2 - s1 * s1 / n
+    val m3 = s3 - lit(3.0) * s1 * s2 / n + lit(2.0) * s1 * s1 * s1 / (n * n)
+    val m4 = s4 - lit(4.0) * s1 * s3 / n +
+      lit(6.0) * s1 * s1 * s2 / (n * n) -
+      lit(3.0) * s1 * s1 * s1 * s1 / (n * n * n)
+    s.select(col("l_returnflag"), col("n"),
+        roundD(sqrt(n) * m3 / sqrt(m2 * m2 * m2), 6).as("skew_qty"),
+        roundD(n * m4 / (m2 * m2) - lit(3.0), 6).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast(DecimalType(18, 2))
     val y = col("l_extendedprice").cast(DecimalType(18, 2))
@@ -1334,6 +1366,29 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "agg_skewkurt" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(7,2))) AS s1,
+                sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS s2,
+                sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))
+                    * CAST(l_quantity AS DECIMAL(7,2))) AS s3,
+                sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))
+                    * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS s4
+         FROM lineitem GROUP BY l_returnflag),
+         d AS (SELECT l_returnflag, n,
+                      n::DOUBLE AS nd, s1::DOUBLE AS d1, s2::DOUBLE AS d2,
+                      s3::DOUBLE AS d3, s4::DOUBLE AS d4
+               FROM s),
+         m AS (SELECT l_returnflag, n, nd,
+                      d2 - d1 * d1 / nd AS m2,
+                      d3 - 3.0 * d1 * d2 / nd + 2.0 * d1 * d1 * d1 / (nd * nd) AS m3,
+                      d4 - 4.0 * d1 * d3 / nd + 6.0 * d1 * d1 * d2 / (nd * nd)
+                         - 3.0 * d1 * d1 * d1 * d1 / (nd * nd * nd) AS m4
+               FROM d)
+         SELECT l_returnflag, n,
+                floor(sqrt(nd) * m3 / sqrt(m2 * m2 * m2) * 1e6 + 0.5) / 1e6 AS skew_qty,
+                floor((nd * m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6 AS kurt_qty
+         FROM m ORDER BY l_returnflag""",
     "agg_stats" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
@@ -1751,6 +1806,7 @@ object Relational {
     "gsets" -> aggGroupingSets _,
     "agg_bool" -> aggBool _,
     "agg_stats" -> aggStats _,
+    "agg_skewkurt" -> aggSkewKurt _,
     "agg_approx" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,

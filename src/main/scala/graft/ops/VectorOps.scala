@@ -147,6 +147,53 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** MATRYOSHKA PREFIX RETRIEVAL — the truncated-dimension serving trick
+    * (MRL-style nested embeddings): score candidates with only the FIRST
+    * 16 of 64 dimensions (¼ the FLOPs and memory bandwidth — the prefix
+    * can live in fast storage while full vectors stay cold), keep a
+    * 30-deep shortlist per query, then RERANK the shortlist with the full
+    * 64-dim dot. At 100 TB the prefix pass is the only corpus-wide scan;
+    * the exact re-score touches 30 vectors per query. `hit_full` marks
+    * whether each reranked result is in the exact full-dim top-10 — the
+    * recall audit shipped as a column, so the oracle hash certifies the
+    * measured quality, not just the pipeline. All scores round 5 dp with
+    * vec_id tie-breaks (deterministic in both engines). */
+  def simPrefix(spark: SparkSession, dir: String,
+      prefixDims: Int = 16, shortlist: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"),
+        roundD(dot(slice(col("qv"), 1, prefixDims),
+          slice(col("embedding"), 1, prefixDims)), 5).as("pdot"))
+    val wP = Window.partitionBy("query_id")
+      .orderBy(col("pdot").desc, col("vec_id"))
+    val short = scored
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= shortlist)
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val reranked = short
+      .select(col("query_id"), col("vec_id"),
+        roundD(dot(col("qv"), col("embedding")), 5).as("cosine"))
+      .withColumn("rk", row_number().over(wF).cast(LongType))
+      .filter(col("rk") <= 10)
+    // exact full-dim top-10 for the recall flag
+    val exact = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        roundD(dot(col("qv"), col("embedding")), 5).as("c"))
+      .withColumn("xrk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("xrk") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("hit_full"))
+    reranked.join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rk"),
+        coalesce(col("hit_full"), lit(false)).as("hit_full"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Magnitude cap for [[simMips]] — item magnitudes are 1 + vec_id % 5,
     * so M = 5 bounds them by construction (at 100 TB the cap comes from
     * a one-pass max over the magnitude column instead). */
@@ -806,6 +853,39 @@ object VectorOps {
         FROM embeddings GROUP BY 1 ORDER BY bucket""",
       // OR-of-bands join ≡ Spark's banded-equality join + max-dedupe: a pair
       // appears iff any 2-bit band of the 8-bit signature matches
+      "sim_prefix" -> s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id < 5),
+        scored AS (SELECT a.query_id, b.vec_id, a.embedding AS qe,
+                          b.embedding AS be,
+                          floor(list_reduce(list_concat([0.0],
+                            list_transform(range(1, 17),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                            (acc, x) -> acc + x) * 1e5 + 0.5) / 1e5 AS pdot
+                   FROM q a JOIN embeddings b ON b.vec_id <> a.query_id),
+        short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY pdot DESC, vec_id) AS prk FROM scored),
+        rer AS (SELECT query_id, vec_id,
+                       floor(list_reduce(list_concat([0.0],
+                         list_transform(range(1, 65),
+                           i -> qe[i]::DOUBLE * be[i]::DOUBLE)),
+                         (acc, x) -> acc + x) * 1e5 + 0.5) / 1e5 AS cosine
+                FROM short WHERE prk <= 30),
+        top AS (SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS rk
+                FROM rer),
+        exact AS (SELECT a.query_id, b.vec_id,
+                         row_number() OVER (PARTITION BY a.query_id ORDER BY
+                           floor($duckDot * 1e5 + 0.5) / 1e5 DESC, b.vec_id)
+                           AS xrk
+                  FROM q a JOIN embeddings b ON b.vec_id <> a.query_id)
+        SELECT t.query_id, t.vec_id, t.cosine, t.rk::BIGINT AS rk,
+               COALESCE(e.xrk <= 10, FALSE) AS hit_full
+        FROM top t LEFT JOIN (SELECT * FROM exact WHERE xrk <= 10) e
+          ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+        WHERE t.rk <= 10
+        ORDER BY t.query_id, t.rk""",
       "sim_mips" -> s"""
         WITH c AS (SELECT vec_id, embedding,
                           (1 + vec_id % 5)::DOUBLE AS mag FROM embeddings),
@@ -974,6 +1054,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk _,
     "sim_mips" -> ((sp, d) => simMips(sp, d)),
+    "sim_prefix" -> ((sp, d) => simPrefix(sp, d)),
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
