@@ -23,6 +23,10 @@ object PlanAudit {
     // broadcast the tiny query/centroid side against every row — the
     // documented brute-force/assignment shape:
     ("sim_topk", "CartesianProduct"), ("sim_topk", "BroadcastNestedLoopJoin"),
+    // same 5-row broadcast query side, deliberately scan-x-queries (the
+    // prefix pass is the documented corpus-wide scan; the rerank is 30
+    // rows/query):
+    ("sim_prefix", "BroadcastNestedLoopJoin"),
     ("kmeans", "CartesianProduct"), ("kmeans", "BroadcastNestedLoopJoin"),
     ("sim_ivf", "CartesianProduct"), ("sim_ivf", "BroadcastNestedLoopJoin"),
     // same routing shape as sim_ivf (tiny query x cell-representative
