@@ -362,7 +362,62 @@ object Curation {
       .orderBy("l_returnflag")
   }
 
+  /** TRAINING-SHARD BALANCING — serpentine longest-processing-time
+    * assignment: rank documents by size descending, deal them onto N
+    * shards boustrophedon (0..N-1 then N-1..0), so each shard's token
+    * mass stays within a sliver of the mean — the shard-planning step
+    * before a distributed training run, where one fat shard sets the
+    * epoch's critical path.
+    *
+    * The global rank is computed WITHOUT a global sort: sizes bucket into
+    * their ≤|distinct sizes| values, the per-size counts roll into running
+    * offsets over that small frame, and each doc's rank = its size's
+    * offset + its row_number within the size partition (the distributed
+    * rank decomposition — every window here partitions on size or is over
+    * the |distinct sizes| frame, never over the corpus). */
+  def shardBalance(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select("doc_id", "n_chars")
+    // the distinct-size count frame is metadata-scale (<= |distinct
+    // sizes| rows); its running offsets fold driver-side (the
+    // Misra-Gries-candidate collect pattern) — no global window anywhere
+    val sizeCounts = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (sz, _) => -sz }
+    var running = 0L
+    val offsets = sizeCounts.map { case (sz, c) =>
+      val off = running; running += c; (sz, off)
+    }.toSeq.toDF("n_chars", "off")
+    val wi = Window.partitionBy("n_chars").orderBy("doc_id")
+    val ranked = docs
+      .join(broadcast(offsets), "n_chars")
+      .select(col("doc_id"), col("n_chars"),
+        (col("off") + row_number().over(wi)).as("rk"))
+    val period = 2L * nShards
+    val pos = (col("rk") - 1) % period
+    val shard = when(pos < nShards, pos).otherwise(lit(period - 1) - pos)
+    ranked
+      .select(shard.cast(LongType).as("shard"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("shard")
+  }
+
   val oracles: Map[String, String] = Map(
+    "shard_balance" -> """
+      WITH r AS (SELECT doc_id, n_chars,
+                        row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                          AS rk
+                 FROM documents),
+      sh AS (SELECT n_chars,
+                    CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16
+                         ELSE 15 - ((rk - 1) % 16) END AS shard
+             FROM r)
+      SELECT shard::BIGINT AS shard, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars
+      FROM sh GROUP BY shard ORDER BY shard""",
     "winsorize" ->
       """WITH q AS (SELECT l_returnflag,
                            quantile_disc(l_extendedprice, 0.05) AS lo,
@@ -502,5 +557,6 @@ object Curation {
     "sample_weighted" -> ((s, d) => samplePriority(s, d)),
     "curate_budget" -> ((s, d) => curateBudget(s, d)),
     "winsorize" -> winsorize _,
+    "shard_balance" -> ((sp, d) => shardBalance(sp, d)),
   )
 }

@@ -305,6 +305,41 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** K-HOP NEIGHBORHOOD profile — bounded BFS from the co-purchase
+    * graph's minimum vertex: frontier sizes for hops 0..3. The iterative
+    * analog of [[connectedComponents]] with a FIXED round count: each hop
+    * is one equi-join of the current frontier (|frontier| keys) against
+    * the symmetric edge list plus an anti-join against the visited set —
+    * never a closure, never the whole graph in one operator. The k-hop
+    * profile is the "blast radius" question (recall expansion, fraud
+    * rings, cache warm sets) where unbounded reachability is both
+    * unnecessary and unaffordable; at 100 TB the per-hop cost is
+    * edge-scan × frontier selectivity and rounds are bounded by k, not
+    * the diameter. */
+  def kHop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, dir)
+    val sym = materialize(edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v"))))
+    val src = edges.agg(least(min("a"), min("b"))).head().getLong(0)
+    var visited = materialize(
+      Seq(src).toDF("v"))
+    var frontier = visited
+    val out = scala.collection.mutable.ArrayBuffer((0, 1L))
+    for (h <- 1 to k) {
+      val next = materialize(
+        sym.join(frontier.select(col("v").as("u")), "u")
+          .select("v").distinct()
+          .join(visited, Seq("v"), "left_anti"))
+      out += ((h, next.count()))
+      val grown = materialize(visited.unionByName(next))
+      visited.unpersist(); frontier.unpersist()
+      visited = grown
+      frontier = next
+    }
+    out.toSeq.toDF("hop", "n_frontier").orderBy("hop")
+  }
+
   val oracles: Map[String, String] = {
     // one unrolled iteration: exact quantized contribution sums per
     // target, then the damping update — p is the previous rank CTE name
@@ -388,6 +423,29 @@ object GraphOps {
           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         SELECT src AS part, min(dst) AS comp
         FROM reach GROUP BY src ORDER BY part""",
+      // three fixed frontier steps, no recursion — the bounded-BFS twin
+      "graph_khop" -> """
+        WITH per AS MATERIALIZED (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e AS MATERIALIZED (SELECT a AS u, b AS v FROM per
+                           UNION SELECT b, a FROM per),
+        f0 AS (SELECT least(min(a), min(b)) AS v FROM per),
+        v0 AS (SELECT v FROM f0),
+        f1 AS MATERIALIZED (SELECT DISTINCT e.v FROM e JOIN f0 ON e.u = f0.v
+              WHERE e.v NOT IN (SELECT v FROM v0)),
+        v1 AS MATERIALIZED (SELECT v FROM v0 UNION SELECT v FROM f1),
+        f2 AS MATERIALIZED (SELECT DISTINCT e.v FROM e JOIN f1 ON e.u = f1.v
+              WHERE e.v NOT IN (SELECT v FROM v1)),
+        v2 AS MATERIALIZED (SELECT v FROM v1 UNION SELECT v FROM f2),
+        f3 AS MATERIALIZED (SELECT DISTINCT e.v FROM e JOIN f2 ON e.u = f2.v
+              WHERE e.v NOT IN (SELECT v FROM v2))
+        SELECT 0 AS hop, (SELECT count(*) FROM f0) AS n_frontier
+        UNION ALL SELECT 1, (SELECT count(*) FROM f1)
+        UNION ALL SELECT 2, (SELECT count(*) FROM f2)
+        UNION ALL SELECT 3, (SELECT count(*) FROM f3)
+        ORDER BY hop""",
       // base-only and full closures, diffed: the merge report is the rows
       // whose component id changed (or appeared) when the delta landed
       "graph_cc_incr" -> """
@@ -422,5 +480,6 @@ object GraphOps {
     "graph_triangles" -> triangleCount _,
     "graph_cc" -> connectedComponents _,
     "graph_cc_incr" -> connectedComponentsIncr _,
+    "graph_khop" -> ((sp, d) => kHop(sp, d)),
   )
 }

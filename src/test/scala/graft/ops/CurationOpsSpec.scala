@@ -197,4 +197,19 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(brute - sumW) < 1e-6, s"$flag sum $sumW != brute $brute")
     }
   }
+
+  test("shard_balance: serpentine LPT keeps shard token mass within 5% of mean") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.shardBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 8, s"expected 8 shards, got ${rows.length}")
+    val total = rows.map(_._3).sum
+    val docs = table(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == docs, "shards must partition the corpus")
+    val mean = total.toDouble / rows.length
+    rows.foreach { case (sh, _, sum) =>
+      assert(math.abs(sum - mean) <= mean * 0.05,
+        s"shard $sh mass $sum strays >5% from mean $mean")
+    }
+  }
 }
