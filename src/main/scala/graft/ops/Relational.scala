@@ -282,6 +282,44 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** FLAGSHIP STAR-JOIN ANALYTIC (TPC-H Q5 shape) — revenue from LOCAL
+    * supply chains (customer and supplier in the same nation) per region
+    * and nation: the canonical multi-join + aggregate every warehouse
+    * query optimizer is judged on, and a deliberate end-to-end exercise
+    * of the planner: the two DIMENSION chains (nation⋈region, twice) are
+    * explicitly broadcast; the two FACT-side joins (lineitem⋈orders on
+    * orderkey, orders⋈customer on custkey) shuffle on their keys; the
+    * equality `c_nationkey = s_nationkey` prunes before the aggregate;
+    * revenue sums exactly in decimal cents. Column pruning + filter
+    * pushdown reach the scans (only 2 of lineitem's 11 columns are
+    * read). At 100 TB this is the plan shape to check first: dims
+    * broadcast (no shuffle), facts shuffle exactly twice, aggregation is
+    * map-side partial. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+    val nations = table(spark, dir, "nation")
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy("region", "nation")
+  }
+
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast(DecimalType(18, 2))
     val y = col("l_extendedprice").cast(DecimalType(18, 2))
@@ -1366,6 +1404,21 @@ object Relational {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "star_q5" ->
+      """SELECT r_name AS region, n_name AS nation, count(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_nationkey = s_nationkey
+         GROUP BY r_name, n_name
+         ORDER BY region, nation""",
     "agg_skewkurt" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
                 sum(CAST(l_quantity AS DECIMAL(7,2))) AS s1,
@@ -1807,6 +1860,7 @@ object Relational {
     "agg_bool" -> aggBool _,
     "agg_stats" -> aggStats _,
     "agg_skewkurt" -> aggSkewKurt _,
+    "star_q5" -> starRevenue _,
     "agg_approx" -> aggApproxDistinct _,
     "join_hash" -> joinHash _,
     "join_broadcast" -> joinBroadcast _,

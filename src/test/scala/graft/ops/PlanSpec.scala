@@ -530,4 +530,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(event_type,view)"), s"step-2 filter not pushed:\n$p")
     assert(p.contains("EqualTo(event_type,purchase)"), s"step-3 filter not pushed:\n$p")
   }
+
+  test("star_q5: dims broadcast, lineitem pruned to 4 columns, partial agg") {
+    val p = plan(Relational.starRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    // fact-side scan reads only the join keys + revenue inputs
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan not pruned:\n$p")
+    // aggregation is map-side partial before the exchange
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "no partial aggregation in the star plan")
+  }
 }
