@@ -1475,6 +1475,10 @@ object Multimodal {
       mean_b: Double,
       lossless: Boolean)
 
+  /** Per-(asset, crop) augmentation stats. */
+  final case class CropRow(
+      media_id: Long, crop: Int, cw: Int, ch: Int, mean_r: Double)
+
   /** GIF round-trip output: palette-index stats + losslessness. */
   final case class GifRow(
       media_id: Long,
@@ -1500,6 +1504,41 @@ object Multimodal {
     * source raster, never assumed. Partition-local like every decode
     * stage; the codec context costs nothing per row beyond the DEFLATE
     * work itself (stream cache disabled at Codec init). */
+  /** FIVE-CROP AUGMENTATION PLAN — the deterministic spatial-augmentation
+    * pass a vision training pipeline runs (four corners + center at half
+    * resolution), with per-crop channel means as the audit output: crops
+    * are computed from the decoded raster partition-locally (no pixel
+    * ever shuffles; output is O(assets × 5) rows) and the oracle replays
+    * the crop-window arithmetic relationally from the source text, so a
+    * wrong offset or stride breaks the hash. Deterministic crops (not
+    * random) are the reproducibility contract the rest of the corpus ops
+    * keep: re-runs yield identical augmented sets. */
+  def mmCrops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (w, h, rgb) = Codec.rgbFromPpm(r.payload)
+          val cw = math.max(w / 2, 1); val ch = math.max(h / 2, 1)
+          val pos = Array(
+            (0, 0), (w - cw, 0), (0, h - ch), (w - cw, h - ch),
+            ((w - cw) / 2, (h - ch) / 2))
+          pos.iterator.zipWithIndex.map { case ((x0, y0), ci) =>
+            var sum = 0L
+            var k = 0
+            while (k < cw * ch) {
+              val px = (y0 + k / cw) * w + (x0 + k % cw)
+              sum += rgb(3 * px) & 0xff // R channel
+              k += 1
+            }
+            CropRow(r.media_id, ci, cw, ch, r4(sum.toDouble / (cw * ch)))
+          }
+        }
+      }.toDF().orderBy("media_id", "crop")
+  }
+
   /** GIF round-trip over the documents-as-media corpus: synthesize each
     * image doc's pixels as palette indices straight from its text (the
     * PNG channel-cycling convention, single channel), encode with the
@@ -1973,6 +2012,26 @@ object Multimodal {
       s"""WITH $duckAHashCtes
           SELECT media_id, hash_hi, hash_lo
           FROM ahashes ORDER BY media_id""",
+    "mm_crops" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 16) + 4 AS w, (doc_id % 12) + 3 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      d AS (SELECT media_id, text, len, w, h,
+                   greatest(w // 2, 1) AS cw, greatest(h // 2, 1) AS ch
+            FROM m),
+      c AS (SELECT d.*, ci,
+                   CASE ci WHEN 0 THEN 0 WHEN 1 THEN w - cw WHEN 2 THEN 0
+                           WHEN 3 THEN w - cw ELSE (w - cw) // 2 END AS x0,
+                   CASE ci WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN h - ch
+                           WHEN 3 THEN h - ch ELSE (h - ch) // 2 END AS y0
+            FROM d, unnest([0, 1, 2, 3, 4]) AS t(ci))
+      SELECT media_id, ci::INT AS crop, cw::INT AS cw, ch::INT AS ch,
+             floor(list_sum(list_transform(range(0, cw * ch), k ->
+               ascii(text[(((3 * ((y0 + k // cw) * w + x0 + k % cw)) % len) + 1)
+                          :(((3 * ((y0 + k // cw) * w + x0 + k % cw)) % len) + 1)])
+               ))::DOUBLE / (cw * ch) * 1e4 + 0.5) / 1e4 AS mean_r
+      FROM c ORDER BY media_id, crop""",
     "mm_gif" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -2144,6 +2203,7 @@ object Multimodal {
     "mm_avi" -> mmAviRoundtrip _,
     "mm_png" -> mmPngRoundtrip _,
     "mm_gif" -> mmGifRoundtrip _,
+    "mm_crops" -> mmCrops _,
     "mm_imgdup" -> mmImageDedup _,
     "mm_jpeg" -> mmJpegRoundtrip _,
     "mm_flac" -> mmFlacRoundtrip _,

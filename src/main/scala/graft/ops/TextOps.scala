@@ -539,6 +539,39 @@ object TextOps {
           .cast(BinaryType)).as("postings_md5"))
       .orderBy("token", "seg")
 
+  /** VOCABULARY BUILD — the tokenizer-adjacent artifact next to [[bpe]]:
+    * a (token → stable id) dictionary with a frequency floor, ids
+    * assigned by (freq desc, token) rank so re-runs and corpus growth
+    * keep ids stable for unchanged heads. The global rank uses the
+    * distributed decomposition (the shard_balance move): per-FREQUENCY
+    * token counts collapse to a driver-folded offset table (bounded by
+    * |distinct surviving frequencies| — heavy-tailed corpora keep this
+    * tiny once the floor applies), and each token's id = its frequency's
+    * offset + its row_number within the frequency partition. No global
+    * sort; every window partitions on freq. */
+  def vocabBuild(spark: SparkSession, dir: String,
+      minFreq: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val counts = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .materialized
+    val freqCounts = counts.groupBy("freq").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (f, _) => -f }
+    var running = 0L
+    val offsets = freqCounts.map { case (f, c) =>
+      val off = running; running += c; (f, off)
+    }.toSeq.toDF("freq", "off")
+    val wi = Window.partitionBy("freq").orderBy("token")
+    counts.join(broadcast(offsets), "freq")
+      .select(col("token"), col("freq"),
+        (col("off") + row_number().over(wi)).as("id"))
+      .orderBy("id")
+  }
+
   /** Query terms for [[invIndexQuery]] — fixed, so both engines evaluate
     * the identical boolean expression. */
   val invQueryAnd = Seq("data", "spark")
@@ -751,6 +784,16 @@ object TextOps {
                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
                   AS postings_md5
          FROM td GROUP BY token, seg ORDER BY token, seg""",
+    "vocab_build" -> """
+      WITH c AS (
+        SELECT token, count(*) AS freq FROM (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS token
+          FROM documents)
+        GROUP BY token HAVING count(*) >= 5)
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS id
+      FROM c ORDER BY id""",
     "invidx_query" -> s"""
       WITH toks AS (
            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
@@ -900,6 +943,7 @@ object TextOps {
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
     "invidx_query" -> invIndexQuery _,
+    "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,
   )
