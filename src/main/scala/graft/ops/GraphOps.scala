@@ -180,7 +180,15 @@ object GraphOps {
     * round deep) and stops when the edge set is EXACTLY stable (count +
     * exceptAll, not a checksum), at which point the set is a union of
     * stars rooted at each component's minimum. Throws after `maxRounds`
-    * instead of returning possibly-unconverged stars. */
+    * instead of returning possibly-unconverged stars.
+    *
+    * Measured local profile (sf0.1, 22k edges, 6 rounds): AQE coalesces
+    * every round to ONE post-shuffle partition and steady-state rounds
+    * cost ~0.5 s — almost entirely per-stage scheduling + adaptive
+    * re-planning latency, not data movement. That fixed overhead
+    * amortizes away exactly where the algorithm matters (billions of
+    * edges); the data-proportional work per round is the two keyed
+    * aggregates and joins above. */
   private[graft] def starComponents(
       edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
     var cur = materialize(edges0
