@@ -586,6 +586,82 @@ object StreamAssembly {
     * aggregation across a checkpointed multi-batch feed. Descending
     * value is encoded by negating the cents field (TopKStructs keeps the
     * lexicographically smallest). */
+  /** Running per-key moment state for [[anomalyStream]] — exact integer
+    * cents: (n, Σv, Σv²). */
+  final case class MomentState(n: Long, s: Long, q: Long)
+  /** A flagged outlier: the event plus how much history judged it. */
+  final case class AnomalyHit(
+      event_type: String, event_id: Long, vc: Long, n_prior: Long)
+
+  /** STREAMING OUTLIER DETECTION — per event type, flag each event whose
+    * value sits more than 3σ from the mean of EVERYTHING BEFORE it, with
+    * the running (n, Σv, Σv²) moments as the only state: O(1) per key,
+    * exact integer cents, and the 3σ test cross-multiplied so no float
+    * enters — (v·n − Σv)² > 9·(n·Σv² − Σv²₀) over BigInts, the dq_drift
+    * convention in streaming form. Each event is judged against the
+    * PRE-UPDATE state (a spike never vouches for itself), after a
+    * per-batch (ts, id) sort; like [[attrStream]], cross-batch causality
+    * assumes an in-order feed per key — the watermark bounds lateness
+    * and StreamingSpec drives ordered batches. The batch twin
+    * [[anomalyAgg]] is the identical test over cumulative window sums;
+    * parity is row-exact. */
+  def anomalyStream(events: DataFrame,
+      watermark: String = "10 minutes", minN: Long = 30L): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          lit(100)).cast("long").as("vc"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[MomentState, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
+            case (_, id, _, vc) =>
+              val hit =
+                if (st.n >= minN) {
+                  val n = BigInt(st.n); val sm = BigInt(st.s)
+                  val lhs = (BigInt(vc) * n - sm).pow(2)
+                  val rhs = BigInt(9) * (n * BigInt(st.q) - sm.pow(2))
+                  if (lhs > rhs) Some(AnomalyHit(key, id, vc, st.n)) else None
+                } else None
+              st = MomentState(st.n + 1, st.s + vc, st.q + vc * vc)
+              hit
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
+  /** The batch twin: the same integer 3σ test over cumulative window sums
+    * (strictly-preceding frame, (ts, id) order). */
+  private[graft] def anomalyAgg(events: DataFrame,
+      minN: Long = 30L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          lit(100)).cast("long").as("vc"))
+      .select(col("event_type"), col("event_id"), col("ts_us"), col("vc"),
+        count(lit(1)).over(w).as("n"),
+        coalesce(sum(col("vc")).over(w), lit(0L)).as("s"),
+        coalesce(sum(col("vc") * col("vc")).over(w), lit(0L)).as("q"))
+      .filter(col("n") >= minN)
+      .filter(
+        (col("vc").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n") - col("s"))
+          * (col("vc").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n") - col("s"))
+          > lit(9) * (col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("q")
+            - col("s").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("s")))
+      .select(col("event_type"), col("event_id"), col("vc"),
+        col("n").as("n_prior"))
+  }
+
   def topkStream(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     topkAgg(events.withWatermark("ts", watermark))

@@ -114,6 +114,33 @@ class GraphOpsSpec extends SparkSpec {
       "star contraction and label propagation must produce identical components")
   }
 
+  test("star CC == label propagation on random graphs (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // sparse random graphs over a small id space: mixtures of chains,
+    // bridges, and isolated pairs, ids up to 1e6 to leave the packed-long
+    // id range far behind
+    val edgeGen = Gen.choose(1, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 60L)
+        b <- Gen.choose(0L, 60L) if a != b
+      } yield (a * 16384L + 7L, b * 16384L + 7L))
+    }
+    forAll(edgeGen) { es =>
+      val df = es.toDF("a", "b")
+      val stars = GraphOps.starComponents(df).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val viaStars = verts.map(v => v -> stars.getOrElse(v, v)).toMap
+      val sym = df.toDF("src", "dst")
+        .unionByName(df.toDF("dst", "src").select("src", "dst"))
+      val viaLabels = Extended.clusterLabels(sym).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaStars == viaLabels
+    }.check(org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15))
+  }
+
   test("incremental CC: merge report matches a from-scratch recompute diff") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"

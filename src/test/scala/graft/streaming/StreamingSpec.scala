@@ -704,6 +704,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly detector: flags match the batch cumulative twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._2)).toIndexedSeq
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.anomalyStream(events)
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT event_type, event_id, vc, n_prior FROM anom_stream
+           ORDER BY event_type, event_id""").collect().toSeq
+      val want = StreamAssembly.anomalyAgg(
+        graft.ops.table(spark, dir, "events"))
+        .orderBy("event_type", "event_id").collect().toSeq
+      assert(want.nonEmpty, "batch twin flagged nothing - fixture degenerate")
+      assert(got == want,
+        s"streaming anomalies diverged: ${got.size} vs ${want.size} rows")
+    } finally q.stop()
+  }
+
   test("streaming top-k: hourly leaderboard matches the identical batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
