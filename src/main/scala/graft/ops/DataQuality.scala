@@ -246,7 +246,58 @@ object DataQuality {
       .orderBy("fk")
   }
 
+  /** KEY-UNIQUENESS audit — [[dqReferential]]'s sibling: for each declared
+    * key, how many distinct values, how many values carry duplicates, and
+    * how many surplus rows those duplicates add. One keyed count plus a
+    * one-row conditional rollup per table — cost ∝ scan, never a self
+    * join. `events.user_id` is the deliberately non-unique control (a
+    * user has many events), so the detector provably reports, while the
+    * real primary keys must come back clean to hash-match. */
+  def dqUnique(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("c") > 1L, col("c") - 1L).otherwise(0L))
+            .as("n_extra_rows"))
+        .select(lit(name).as("key_name"), col("n_keys"), col("n_dup_keys"),
+          col("n_extra_rows"), (col("n_dup_keys") === 0L).as("unique"))
+    audit("events.event_id", table(spark, dir, "events"), "event_id")
+      .unionByName(audit("events.user_id",
+        table(spark, dir, "events"), "user_id"))
+      .unionByName(audit("orders.o_orderkey",
+        table(spark, dir, "orders"), "o_orderkey"))
+      .unionByName(audit("part.p_partkey",
+        table(spark, dir, "part"), "p_partkey"))
+      .orderBy("key_name")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_unique" -> """
+      WITH a AS (
+        SELECT 'events.event_id' AS key_name, count(*) AS n_keys,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+               sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS n_extra_rows
+        FROM (SELECT event_id, count(*) AS c FROM events GROUP BY 1)
+        UNION ALL
+        SELECT 'events.user_id', count(*),
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)
+        FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        UNION ALL
+        SELECT 'orders.o_orderkey', count(*),
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)
+        FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'part.p_partkey', count(*),
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)
+        FROM (SELECT p_partkey, count(*) AS c FROM part GROUP BY 1))
+      SELECT key_name, n_keys, n_dup_keys::BIGINT AS n_dup_keys,
+             n_extra_rows::BIGINT AS n_extra_rows,
+             n_dup_keys = 0 AS unique
+      FROM a ORDER BY key_name""",
     "dq_ref" -> """
       WITH e AS (
         SELECT 'lineitem->part' AS fk,
@@ -387,6 +438,7 @@ object DataQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_ref" -> dqReferential _,
+    "dq_unique" -> dqUnique _,
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
     "dq_cardinality" -> dqCardinality _,
