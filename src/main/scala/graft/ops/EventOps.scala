@@ -223,7 +223,52 @@ object EventOps {
       .orderBy("arm")
   }
 
+  /** TIME-DECAYED ENGAGEMENT SCORE — recency weighting with half-life =
+    * one day: score(user) = Σ value·2^(−age_days). The trick that keeps
+    * it EXACT across engines: ages are whole days and the decay base is
+    * 2, so every term is value_cents · 2^(maxage−age) in one BIGINT —
+    * the sum is pure integer arithmetic (order-independent, no float
+    * drift), and the reported double = scaled / 2^maxage divides by a
+    * power of two, which binary floating point represents exactly. One
+    * keyed aggregate with map-side partials; the anchor (max day) is a
+    * one-row bounded frame folded in as a literal. */
+  def aggDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("vc"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast(LongType).as("day"))
+    val maxDay = ev.agg(max("day")).head().getLong(0)
+    val horizon = 40L // ages past the horizon round to zero weight
+    val age = least(lit(maxDay) - col("day"), lit(horizon))
+    ev.withColumn("sh", (lit(horizon) - age).cast(IntegerType))
+      .groupBy("user_id")
+      .agg(sum(col("vc") * expr("shiftleft(CAST(1 AS BIGINT), sh)"))
+        .as("scaled"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"), col("scaled"),
+        (col("scaled").cast(DoubleType) /
+          lit(math.pow(2.0, horizon.toDouble))).as("score"))
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "agg_decay" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS vc,
+                        date_diff('day', DATE '1970-01-01', ts::DATE) AS day
+                 FROM events),
+      m AS (SELECT max(day) AS maxday FROM e),
+      w AS (SELECT user_id, vc,
+                   least(maxday - day, 40) AS age
+            FROM e, m)
+      SELECT user_id, count(*) AS n_events,
+             sum(vc * (1::BIGINT << (40 - age)::INT))::BIGINT AS scaled,
+             sum(vc * (1::BIGINT << (40 - age)::INT))::DOUBLE
+               / 1099511627776.0 AS score
+      FROM w GROUP BY user_id ORDER BY user_id""",
     "ab_test" -> """
       WITH pu AS (
         SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '#ab'),
@@ -317,6 +362,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaks" -> streaks _,
     "ab_test" -> abTest _,
+    "agg_decay" -> aggDecay _,
     "funnel" -> funnel _,
     "retention" -> retention _,
     "attr_last_touch" -> attrLastTouch _,
