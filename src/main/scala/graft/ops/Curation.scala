@@ -405,7 +405,35 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** TEMPERATURE-SCALED MIXING WEIGHTS — the multilingual/domain
+    * rebalancing planner (sample ∝ n^α, here α = 1/2): raw proportional
+    * sampling lets the biggest domain drown the mix, uniform starves it;
+    * the square-root temperature is the standard compromise. Exactness:
+    * floor(sqrt(n)) is EXACT for any n < 2^52 under a correctly-rounded
+    * IEEE sqrt (both engines), so the weights and permille shares are
+    * pure integers — no float policy ever reaches the hash. One count
+    * per source + a one-row total folded back in; output is |domains|
+    * rows. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast(DoubleType))).cast(LongType).as("w"))
+    val total = counts.agg(sum("w")).head().getLong(0)
+    counts
+      .select(col("source"), col("n_docs"), col("w"),
+        expr(s"w * 1000 div $total").as("share_pm"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mix_temperature" -> """
+      WITH c AS (SELECT source, count(*) AS n_docs,
+                        CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT) AS w
+                 FROM documents GROUP BY source),
+      t AS (SELECT sum(w)::BIGINT AS tw FROM c)
+      SELECT source, n_docs, w, (w * 1000) // t.tw AS share_pm
+      FROM c, t ORDER BY source""",
     "shard_balance" -> """
       WITH r AS (SELECT doc_id, n_chars,
                         row_number() OVER (ORDER BY n_chars DESC, doc_id)
@@ -558,5 +586,6 @@ object Curation {
     "curate_budget" -> ((s, d) => curateBudget(s, d)),
     "winsorize" -> winsorize _,
     "shard_balance" -> ((sp, d) => shardBalance(sp, d)),
+    "mix_temperature" -> mixTemperature _,
   )
 }

@@ -198,6 +198,27 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mix_temperature: sqrt-temperature weights flatten the source mix") {
+    val rows = Curation.mixTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, w, pm) =>
+      assert(w == math.floor(math.sqrt(n.toDouble)).toLong,
+        s"$src weight $w != floor(sqrt($n))")
+      assert(pm >= 0 && pm <= 1000, s"$src share_pm $pm out of range")
+    }
+    // permille shares sum to ~1000 (floor division loses < |sources|)
+    val pmSum = rows.map(_._4).sum
+    assert(pmSum > 1000 - rows.length && pmSum <= 1000,
+      s"share_pm sum $pmSum outside (${1000 - rows.length}, 1000]")
+    // temperature flattens: max/min weight ratio strictly below the raw
+    // count ratio whenever the corpus is actually imbalanced
+    val ns = rows.map(_._2); val ws = rows.map(_._3)
+    if (ns.max > ns.min)
+      assert(ws.max.toDouble / ws.min < ns.max.toDouble / ns.min,
+        "sqrt weights must compress the spread")
+  }
+
   test("shard_balance: serpentine LPT keeps shard token mass within 5% of mean") {
     import org.apache.spark.sql.functions._
     val rows = Curation.shardBalance(spark, dir).collect()
