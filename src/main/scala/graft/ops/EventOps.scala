@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -253,7 +253,85 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** RFM SEGMENTATION — the classic customer-value cube: per purchaser,
+    * Recency (days since last purchase, against the corpus max), Frequency
+    * (purchase count) and Monetary (exact integer cents), each scored into
+    * quintiles, then rolled to the ≤125 (r, f, m) cells with user counts
+    * and monetary mass. The marketing-segmentation query every event
+    * warehouse ships (champions = 555, at-risk = 1xx...).
+    *
+    * Plan at 100 TB: ONE keyed aggregate builds the per-user frame
+    * (shuffle ∝ purchasers, never events — map-side combined); quintile
+    * edges come from one bounded-state GK pass over that frame
+    * ([[Extended.pctlAccuracy]] — exact == DuckDB `quantile_disc` in the
+    * lossless regime, the winsorize convention) and broadcast back; a
+    * per-user global rank window would single-partition a billion
+    * purchasers for exactly the same cells. Scores compare against the
+    * broadcast edges (ties land identically in both engines on the
+    * discrete values), and the final rollup is a ≤125-row aggregate. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val users = materialize(table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("f"),
+        (sum(col("value").cast(DecimalType(18, 2))) * lit(100))
+          .cast(LongType).as("m_cents")))
+    val withRec = users
+      .crossJoin(broadcast(users.agg(max("last_us").as("now_us"))))
+      .select(col("user_id"), col("f"), col("m_cents"),
+        expr("(now_us - last_us) div 86400000000").as("rec_days"))
+    def quints(c: String) = expr(
+      s"approx_percentile($c, array(0.2D, 0.4D, 0.6D, 0.8D), " +
+        s"${Extended.pctlAccuracy})")
+    val edges = withRec.agg(quints("rec_days").as("qr"),
+      quints("f").as("qf"), quints("m_cents").as("qm"))
+    def above(c: Column, q: String) = (1 to 4)
+      .map(i => when(c > element_at(col(q), i), 1).otherwise(0))
+      .reduce(_ + _)
+    withRec.crossJoin(broadcast(edges))
+      .select(
+        (lit(5) - above(col("rec_days"), "qr")).as("r_score"),
+        (lit(1) + above(col("f"), "qf")).as("f_score"),
+        (lit(1) + above(col("m_cents"), "qm")).as("m_score"),
+        col("m_cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m_cents").as("m_cents_sum"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val oracles: Map[String, String] = Map(
+    "rfm" -> """
+      WITH p AS (
+        SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS m_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      u AS (
+        SELECT user_id, f, m_cents,
+               ((SELECT max(last_us) FROM p) - last_us) // 86400000000
+                 AS rec_days
+        FROM p),
+      q AS (
+        SELECT quantile_disc(rec_days, 0.2) AS r1, quantile_disc(rec_days, 0.4) AS r2,
+               quantile_disc(rec_days, 0.6) AS r3, quantile_disc(rec_days, 0.8) AS r4,
+               quantile_disc(f, 0.2) AS f1, quantile_disc(f, 0.4) AS f2,
+               quantile_disc(f, 0.6) AS f3, quantile_disc(f, 0.8) AS f4,
+               quantile_disc(m_cents, 0.2) AS m1, quantile_disc(m_cents, 0.4) AS m2,
+               quantile_disc(m_cents, 0.6) AS m3, quantile_disc(m_cents, 0.8) AS m4
+        FROM u),
+      s AS (
+        SELECT 5 - ((rec_days > q.r1)::INT + (rec_days > q.r2)::INT
+                    + (rec_days > q.r3)::INT + (rec_days > q.r4)::INT) AS r_score,
+               1 + ((f > q.f1)::INT + (f > q.f2)::INT
+                    + (f > q.f3)::INT + (f > q.f4)::INT) AS f_score,
+               1 + ((m_cents > q.m1)::INT + (m_cents > q.m2)::INT
+                    + (m_cents > q.m3)::INT + (m_cents > q.m4)::INT) AS m_score,
+               m_cents
+        FROM u, q)
+      SELECT r_score, f_score, m_score, count(*) AS n_users,
+             CAST(sum(m_cents) AS BIGINT) AS m_cents_sum
+      FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""",
     "agg_decay" -> """
       WITH e AS (SELECT user_id,
                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -367,5 +445,6 @@ object EventOps {
     "retention" -> retention _,
     "attr_last_touch" -> attrLastTouch _,
     "path_transitions" -> pathTransitions _,
+    "rfm" -> rfm _,
   )
 }

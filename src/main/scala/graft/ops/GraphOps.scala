@@ -348,6 +348,65 @@ object GraphOps {
     out.toSeq.toDF("hop", "n_frontier").orderBy("hop")
   }
 
+  /** Relaxation rounds for [[sssp]] — fixed, so both engines run the same
+    * bounded-hop computation (shortest path using at most this many edges). */
+  val ssspHops = 4
+
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS, hop-bounded — the routing /
+    * cost-propagation primitive next to [[kHop]]'s unweighted blast
+    * radius: cheapest trade route from the minimum-id nation, where an
+    * edge's cost is derived from its traffic (busy lanes are cheap:
+    * w = 1 + 1000 div (shipments + 1)), so the answer is a data-derived
+    * routing table, not hop count. Bellman–Ford with a FIXED round
+    * budget: each round relaxes every edge once — one equi-join of the
+    * edge list against the current distance frame (|V| rows, broadcast)
+    * and one keyed min (map-side combined). Semantics are explicit:
+    * "shortest path using ≤ [[ssspHops]] edges", which is what bounds
+    * the rounds at 100 TB (graph diameter is unbounded; a delivery-SLA /
+    * max-legs constraint is not). All arithmetic is exact BIGINT. */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(table(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(table(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val edges = pairs.select(col("src"), col("dst"),
+      expr("cast(1 + (1000 div (cnt + 1)) as bigint)").as("w"))
+    ssspOf(edges, ssspHops)
+      .join(broadcast(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("nation"))), "id")
+      .select(col("nation"), col("dist"))
+      .orderBy("nation")
+  }
+
+  /** The bounded Bellman–Ford loop over any (src, dst, w) edge frame,
+    * from the least vertex id — split out so the spec can drive
+    * hand-built graphs (a cheap detour must beat an expensive direct
+    * edge; a vertex needing more hops than the budget must stay
+    * unreached). The source is derived declaratively (a one-row
+    * aggregate unioned into round 0), so the helper never collects and
+    * is agnostic to the id type. Returns (id, dist) for reached vertices
+    * only. */
+  private[graft] def ssspOf(edges0: DataFrame, hops: Int): DataFrame = {
+    val edges = materialize(edges0)
+    var dist = materialize(
+      edges.agg(least(min("src"), min("dst")).as("id"))
+        .select(col("id"), lit(0L).as("dist")))
+    for (_ <- 1 to hops) {
+      val relaxed = edges.join(broadcast(dist), col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = materialize(dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
+      dist.unpersist()
+      dist = next
+    }
+    dist
+  }
+
   val oracles: Map[String, String] = {
     // one unrolled iteration: exact quantized contribution sums per
     // target, then the damping update — p is the previous rank CTE name
@@ -454,6 +513,36 @@ object GraphOps {
         UNION ALL SELECT 2, (SELECT count(*) FROM f2)
         UNION ALL SELECT 3, (SELECT count(*) FROM f3)
         ORDER BY hop""",
+      // four unrolled relaxation rounds, each "keep the old distance or
+      // improve through one more edge" — the bounded Bellman–Ford twin
+      "graph_sssp" -> {
+        def relax(out: String, p: String) = s"""
+        d$out AS (SELECT id, min(dist) AS dist FROM (
+                    SELECT id, dist FROM $p
+                    UNION ALL
+                    SELECT e.dst, p.dist + e.w FROM e JOIN $p p ON e.src = p.id
+                  ) t GROUP BY id)"""
+        s"""
+        WITH raw AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        e AS MATERIALIZED (
+          SELECT src, dst, CAST(1 + 1000 // (cnt + 1) AS BIGINT) AS w
+          FROM raw),
+        d0 AS (SELECT least(min(src), min(dst)) AS id,
+                      CAST(0 AS BIGINT) AS dist FROM e),
+        ${relax("1", "d0")},
+        ${relax("2", "d1")},
+        ${relax("3", "d2")},
+        ${relax("4", "d3")}
+        SELECT n.n_name AS nation, d4.dist AS dist
+        FROM d4 JOIN nation n ON n.n_nationkey = d4.id
+        ORDER BY nation"""
+      },
       // base-only and full closures, diffed: the merge report is the rows
       // whose component id changed (or appeared) when the delta landed
       "graph_cc_incr" -> """
@@ -489,5 +578,6 @@ object GraphOps {
     "graph_cc" -> connectedComponents _,
     "graph_cc_incr" -> connectedComponentsIncr _,
     "graph_khop" -> ((sp, d) => kHop(sp, d)),
+    "graph_sssp" -> sssp _,
   )
 }

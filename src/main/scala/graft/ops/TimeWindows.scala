@@ -236,6 +236,61 @@ object TimeWindows {
       .orderBy("event_type", "day")
   }
 
+  /** AUTOCORRELATION at lags 1 and 2 per series — the memory/seasonality
+    * diagnostic (is the next tick predicted by the last?) a time-series
+    * catalog needs next to [[tsEwma]]'s smoother: Pearson r between the
+    * series and its lag-shifted self over the (ts, event_id)-ordered
+    * per-type stream.
+    *
+    * Cross-engine exactness: values quantize to DECIMAL(18,2) cents, the
+    * six moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    * decimals (partition-order independent), and only the final r is
+    * computed in double — the identical IEEE expression tree on
+    * bit-identical inputs in both engines (the agg_skewkurt convention).
+    * Both lags ride ONE window projection and ONE conditional aggregate
+    * (no second scan); the tiny per-type frame then unpivots via stack.
+    * The per-series ordered scan is the unavoidable shape for serial
+    * correlation — state is the 2-row lag buffer, spill-backed, cost one
+    * sort per type; a constant series has zero variance and yields NULL
+    * (nullif both sides), never a NaN hash drift. */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame =
+    acfOf(table(spark, dir, "events"))
+
+  /** The lag-1/lag-2 Pearson machinery over any (event_type, ts, event_id,
+    * value) frame — split out so the spec can drive hand-built series with
+    * known correlations (alternating ⇒ r₁ = −1, r₂ = +1). */
+  private[graft] def acfOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val lagged = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("x"))
+      .select(col("event_type"), col("x"),
+        lag(col("x"), 1).over(w).as("y1"), lag(col("x"), 2).over(w).as("y2"))
+    def side(y: Column) = Seq(
+      count(y), sum(when(y.isNotNull, col("x"))), sum(y),
+      sum(col("x") * y), sum(when(y.isNotNull, col("x") * col("x"))),
+      sum(y * y))
+    val aggs = (side(col("y1")) ++ side(col("y2"))).zipWithIndex
+      .map { case (c, i) => c.as(s"a$i") }
+    val per = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      .selectExpr("event_type",
+        """stack(2,
+             1, a0, a1, a2, a3, a4, a5,
+             2, a6, a7, a8, a9, a10, a11
+           ) AS (lag, n_pairs, sx, sy, sxy, sxx, syy)""")
+    val (nd, sx, sy, sxy, sxx, syy) =
+      (col("n_pairs").cast(DoubleType), col("sx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("sxy").cast(DoubleType),
+        col("sxx").cast(DoubleType), col("syy").cast(DoubleType))
+    val num = nd * sxy - sx * sy
+    val den = sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)
+    per.select(col("event_type"), col("lag"), col("n_pairs"),
+        roundD(num / nullif(den, lit(0.0)), 6).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
   /** TWAP — TIME-weighted average price per series-day, the execution-
     * quality benchmark next to VWAP (volume-weighted, the streaming CLI's
     * `--vwap`): each observation holds its value until the next one, so
@@ -356,6 +411,42 @@ object TimeWindows {
                                 / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6
                      ELSE min(value) END AS twap
          FROM t GROUP BY 1, 2 ORDER BY event_type, day""",
+    // identical moment sums in exact decimal, identical final double tree
+    "ts_acf" ->
+      """WITH b AS (
+           SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS x
+           FROM events),
+         l AS (
+           SELECT event_type, x,
+                  lag(x, 1) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS y1,
+                  lag(x, 2) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS y2
+           FROM b),
+         a AS (
+           SELECT event_type,
+                  count(y1) AS n1, sum(CASE WHEN y1 IS NOT NULL THEN x END) AS sx1,
+                  sum(y1) AS sy1, sum(x * y1) AS sxy1,
+                  sum(CASE WHEN y1 IS NOT NULL THEN x * x END) AS sxx1,
+                  sum(y1 * y1) AS syy1,
+                  count(y2) AS n2, sum(CASE WHEN y2 IS NOT NULL THEN x END) AS sx2,
+                  sum(y2) AS sy2, sum(x * y2) AS sxy2,
+                  sum(CASE WHEN y2 IS NOT NULL THEN x * x END) AS sxx2,
+                  sum(y2 * y2) AS syy2
+           FROM l GROUP BY 1),
+         u AS (
+           SELECT event_type, 1 AS lag, n1 AS n_pairs, sx1::DOUBLE AS sx,
+                  sy1::DOUBLE AS sy, sxy1::DOUBLE AS sxy, sxx1::DOUBLE AS sxx,
+                  syy1::DOUBLE AS syy FROM a
+           UNION ALL
+           SELECT event_type, 2, n2, sx2::DOUBLE, sy2::DOUBLE, sxy2::DOUBLE,
+                  sxx2::DOUBLE, syy2::DOUBLE FROM a)
+         SELECT event_type, lag, n_pairs,
+                floor((n_pairs::DOUBLE * sxy - sx * sy)
+                      / nullif(sqrt(n_pairs::DOUBLE * sxx - sx * sx)
+                               * sqrt(n_pairs::DOUBLE * syy - sy * sy), 0.0)
+                      * 1e6 + 0.5) / 1e6 AS acf
+         FROM u ORDER BY event_type, lag""",
     "ts_fill" ->
       """WITH obs AS (
            SELECT event_type, date_trunc('hour', ts) AS h,
@@ -457,6 +548,7 @@ object TimeWindows {
     "candles_daily" -> candlesDaily _,
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
+    "ts_acf" -> tsAcf _,
     "twap" -> twap _,
     "trending" -> trending _,
   )

@@ -34,6 +34,8 @@ object PlanAudit {
     ("sim_ivfpq", "CartesianProduct"), ("sim_ivfpq", "BroadcastNestedLoopJoin"),
     ("sim_ivfpq", "SortAggregate"),
     ("ppl", "BroadcastNestedLoopJoin"), // one-row total-count frame
+    // one-row corpus-max frame + one-row quintile-edge frame BY DESIGN:
+    ("rfm", "BroadcastNestedLoopJoin"),
     // per key column: one-row stats frame x one-row top10 frame BY DESIGN
     ("dq_skew", "BroadcastNestedLoopJoin"),
     ("colloc", "BroadcastNestedLoopJoin"), // one-row total-count frame

@@ -425,4 +425,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!ok && nOrph > 0 && nOrph < nChild,
       s"stale-dim edge must fire partially: $nOrph of $nChild")
   }
+
+  test("ts_acf: alternating series gives r1 = -1, r2 = +1; trend is positive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def series(tpe: String, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (tpe, new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, v)
+    }
+    val df = (series("alt", Seq.tabulate(40)(i => if (i % 2 == 0) 1.0 else 3.0))
+      ++ series("ramp", Seq.tabulate(40)(i => i.toDouble))
+      ++ series("flat", Seq.fill(40)(7.0)))
+      .toDF("event_type", "ts", "event_id", "value")
+    val rows = TimeWindows.acfOf(df).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(rows(("alt", 1))._2.contains(-1.0), s"alternating lag-1: $rows")
+    assert(rows(("alt", 2))._2.contains(1.0), s"alternating lag-2: $rows")
+    assert(rows(("ramp", 1))._2.exists(_ > 0.99), s"ramp lag-1: $rows")
+    // constant series: zero variance -> NULL, never NaN
+    assert(rows(("flat", 1))._2.isEmpty && rows(("flat", 2))._2.isEmpty,
+      s"flat series must yield NULL acf: $rows")
+    // pair counts: n-1 and n-2
+    assert(rows(("alt", 1))._1 == 39L && rows(("alt", 2))._1 == 38L)
+  }
 }

@@ -58,4 +58,31 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(rows.forall(_._2 >= 0L), "negative day offset")
   }
+
+  test("rfm: scores bounded 1..5, user mass conserved, monetary axis orders") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val cells = EventOps.rfm(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(cells.nonEmpty)
+    cells.foreach { case (r, f, m, n, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5,
+        s"score outside quintile range: ($r,$f,$m)")
+      assert(n > 0L)
+    }
+    val purchasers = graft.ops.table(spark, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(cells.map(_._4).sum == purchasers,
+      "cells must partition the purchaser set")
+    // monetary score must order monetary mass per user: the m=5 stratum's
+    // per-user average strictly exceeds the m=1 stratum's
+    def avgCents(mScore: Int): Double = {
+      val s = cells.filter(_._3 == mScore)
+      s.map(_._5).sum.toDouble / s.map(_._4).sum
+    }
+    assert(avgCents(5) > avgCents(1),
+      "m=5 users must out-spend m=1 users on average")
+  }
 }

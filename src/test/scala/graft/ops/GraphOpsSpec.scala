@@ -172,4 +172,28 @@ class GraphOpsSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(incr.toSeq == want, "incremental merge report diverged from truth")
   }
+
+  test("sssp: a cheap detour beats the expensive direct edge") {
+    import spark.implicits._
+    // 0→1 costs 10 direct, but 0→2→1 costs 1+2=3; 0→3 only via 1 (+1)
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val d = GraphOps.ssspOf(edges, hops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 4L),
+      s"relaxation picked wrong paths: $d")
+  }
+
+  test("sssp: the hop budget bounds reach — and one more round extends it") {
+    import spark.implicits._
+    // chain 0→1→2→3→4→5, unit weights: 3 rounds reach ids 0..3 only
+    val chain = (0L to 4L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val d3 = GraphOps.ssspOf(chain, hops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"3-hop budget must reach exactly ids 0..3: $d3")
+    val d5 = GraphOps.ssspOf(chain, hops = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d5(5L) == 5L && d5.size == 6, s"5 hops must cover the chain: $d5")
+  }
 }
