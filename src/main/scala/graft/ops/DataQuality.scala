@@ -272,7 +272,54 @@ object DataQuality {
       .orderBy("key_name")
   }
 
+  /** FRESHNESS AUDIT — the staleness pre-flight next to [[dqUnique]]'s
+    * key audit: per monitored (table, timestamp column), the newest
+    * event-time and its age in whole days against the lake-wide maximum
+    * (the pipeline's "now" — a wall-clock literal would make the result
+    * non-reproducible), flagged against a 7-day SLA. Each probe is ONE
+    * max() aggregate — partial-agg'd map-side and answerable from
+    * parquet footer stats, so the audit costs metadata, not scans; the
+    * "now" fold is a 3-row frame. The stale dimension a dashboard
+    * silently joins against is the classic slow-burn incident; this is
+    * the query that pages before it ships. */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    def probe(name: String, df: DataFrame, ts: String): DataFrame =
+      df.agg(max(unix_micros(col(ts).cast(TimestampType))).as("mx_us"),
+        tsStr(max(col(ts))).as("max_ts")).select(lit(name).as("tbl"),
+        col("max_ts"), col("mx_us"))
+    val m = probe("events.ts", table(spark, dir, "events"), "ts")
+      .unionByName(probe("lineitem.l_shipdate",
+        table(spark, dir, "lineitem"), "l_shipdate"))
+      .unionByName(probe("orders.o_orderdate",
+        table(spark, dir, "orders"), "o_orderdate"))
+    m.crossJoin(broadcast(m.agg(max("mx_us").as("now_us"))))
+      .select(col("tbl"), col("max_ts"),
+        expr("(now_us - mx_us) div 86400000000").as("age_days"),
+        (expr("(now_us - mx_us) div 86400000000") > 7L).as("stale"))
+      .orderBy("tbl")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_freshness" -> """
+      WITH m AS (
+        SELECT 'events.ts' AS tbl,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+               max(epoch_us(ts)) AS mx_us
+        FROM events
+        UNION ALL
+        SELECT 'lineitem.l_shipdate',
+               strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S.%f'),
+               max(epoch_us(l_shipdate))
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_orderdate',
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f'),
+               max(epoch_us(o_orderdate))
+        FROM orders),
+      g AS (SELECT max(mx_us) AS now_us FROM m)
+      SELECT tbl, max_ts, (now_us - mx_us) // 86400000000 AS age_days,
+             (now_us - mx_us) // 86400000000 > 7 AS stale
+      FROM m, g ORDER BY tbl""",
     "dq_unique" -> """
       WITH a AS (
         SELECT 'events.event_id' AS key_name, count(*) AS n_keys,
@@ -439,6 +486,7 @@ object DataQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_ref" -> dqReferential _,
     "dq_unique" -> dqUnique _,
+    "dq_freshness" -> dqFreshness _,
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
     "dq_cardinality" -> dqCardinality _,

@@ -577,6 +577,62 @@ object TextOps {
   val invQueryAnd = Seq("data", "spark")
   val invQueryNot = "slow"
 
+  /** Query terms for [[bm25]] — fixed, disjunctive (standard BM25 OR
+    * semantics: any matching term contributes). */
+  val bm25Terms = Seq("data", "spark", "fast")
+
+  /** BM25 RANKED RETRIEVAL — the relevance scorer boolean retrieval
+    * ([[invIndexQuery]]) lacks and tf·idf ([[textTfidf]]) only
+    * approximates: per (doc, term), tf saturation `tf·(k1+1)/(tf+K)` with
+    * length normalization `K = k1·(1−b+b·dl/avgdl)` (k1 = 1.2, b = 0.75 —
+    * the standard constants as exact rationals), weighted by idf and
+    * summed; top-20 docs.
+    *
+    * Cross-engine exactness, no float in any comparison: K, the
+    * saturation ratio, and every product run in integer MICRO-units with
+    * `div` (k1+1 = 2 200 000 µ; K = 300 000 µ + (900 000·dl·N) div T —
+    * the b/avgdl fold), and idf uses the established quantized-log2
+    * convention ([[textPpl]]'s qlog: round-to-nearest on the 1e-6 grid
+    * is safe at power-of-two boundaries): idf_µ = qlog2(2N+1) −
+    * qlog2(2df+1) — the non-negative `log(N/df)` family (the raw
+    * Robertson odds go negative past df > N/2, the classic BM25 wart
+    * Lucene also clamps away). The score is a deterministic BIGINT.
+    *
+    * Plan at 100 TB: ONE tokenize pass; per-doc tf for the (few, fixed)
+    * query terms are conditional counts inside the SAME aggregate that
+    * computes dl — no per-term scan, no join, shuffle ∝ docs; the corpus
+    * constants (N, T, df per term) are one more tiny aggregate broadcast
+    * back; top-20 is TakeOrdered, never a global sort. Against a stored
+    * [[invIndexSeg]] index the tf frame is a per-term postings lookup
+    * instead of the tokenize pass — same downstream arithmetic. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("token") === t, 1)).as(s"tf$i") }
+    val per = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val gCols = sum("dl").cast(LongType).as("t") +: dfCols
+    val g = per.agg(count(lit(1)).as("n"), gCols: _*)
+    def qlog2(x: String) =
+      s"cast(floor(log2(cast($x as double)) * 1e6 + 0.5) as bigint)"
+    val contribs = bm25Terms.indices.map { i =>
+      s"""((${qlog2("2 * n + 1")} - ${qlog2(s"2 * df$i + 1")}) *
+          ((tf$i * cast(2200000 as bigint) * 1000000)
+           div (tf$i * 1000000 + ku))) div 1000000"""
+    }
+    per.crossJoin(broadcast(g))
+      .filter(bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .withColumn("ku",
+        expr("cast(300000 as bigint) + ((900000 * dl * n) div t)"))
+      .withColumn("score_micro", expr(contribs.mkString("(", " + ", ")")))
+      .select(col("doc_id"), col("dl"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** BOOLEAN RETRIEVAL over the inverted index — the read side of
     * [[invIndex]]/[[invIndexSeg]] (an index nobody queries is a write-only
     * artifact): docs matching `data AND spark AND NOT slow`, ranked by the
@@ -794,6 +850,35 @@ object TextOps {
       SELECT token, freq,
              row_number() OVER (ORDER BY freq DESC, token) AS id
       FROM c ORDER BY id""",
+    // identical integer micro-unit arithmetic; idf via the same quantized
+    // log2 both engines compute on identical inputs
+    "bm25" -> {
+      val tfSel = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"count(*) FILTER (WHERE token = '$t') AS tf$i" }.mkString(", ")
+      val dfSel = bm25Terms.indices.map(i =>
+        s"count(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
+      def ql(x: String) =
+        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+      val contribs = bm25Terms.indices.map { i =>
+        s"((${ql("2 * n + 1")} - ${ql(s"2 * df$i + 1")}) * " +
+          s"((tf$i * CAST(2200000 AS BIGINT) * 1000000) " +
+          s"// (tf$i * 1000000 + ku))) // 1000000"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+        FROM documents),
+      per AS (SELECT doc_id, count(*) AS dl, $tfSel FROM toks GROUP BY 1),
+      g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t, $dfSel
+            FROM per),
+      s AS (SELECT per.*, g.*,
+                   CAST(300000 AS BIGINT) + ((900000 * dl * n) // t) AS ku
+            FROM per, g
+            WHERE ${bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})
+      SELECT doc_id, dl, $contribs AS score_micro
+      FROM s ORDER BY score_micro DESC, doc_id LIMIT 20"""
+    },
     "invidx_query" -> s"""
       WITH toks AS (
            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
@@ -943,6 +1028,7 @@ object TextOps {
     "bpe" -> textBpe _,
     "invidx" -> invIndex _,
     "invidx_query" -> invIndexQuery _,
+    "bm25" -> bm25 _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,

@@ -36,6 +36,8 @@ object PlanAudit {
     ("ppl", "BroadcastNestedLoopJoin"), // one-row total-count frame
     // one-row corpus-max frame + one-row quintile-edge frame BY DESIGN:
     ("rfm", "BroadcastNestedLoopJoin"),
+    ("bm25", "BroadcastNestedLoopJoin"), // one-row (N, T, df...) frame
+    ("dq_freshness", "BroadcastNestedLoopJoin"), // one-row now frame x 3 rows
     // per key column: one-row stats frame x one-row top10 frame BY DESIGN
     ("dq_skew", "BroadcastNestedLoopJoin"),
     ("colloc", "BroadcastNestedLoopJoin"), // one-row total-count frame

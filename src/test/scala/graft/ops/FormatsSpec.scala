@@ -256,4 +256,27 @@ class FormatsSpec extends SparkSpec {
       s"zorder pruned ${zo.filesHitZordered} vs ${zo.filesHitUnsorted} - no win")
     assert(zo.filesHitZordered >= 1, "probe hit nothing - vacuous")
   }
+
+  test("join_incr: delta algebra equals the full recompute and reads the stored view") {
+    val dir = "/root/testdata/sf0.01"
+    val plan = Formats.joinIncrPlan(spark, dir)
+    // the maintained view must read V back from storage, not re-derive it
+    val scanned = plan.result.queryExecution.executedPlan.toString
+    assert(scanned.contains(plan.viewPath),
+      "incremental plan must scan the stored base view")
+    val recompute = graft.ops.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .join(graft.ops.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum("rev").cast("double").as("revenue"))
+    val inc = plan.result
+    assert(inc.exceptAll(recompute).isEmpty && recompute.exceptAll(inc).isEmpty,
+      "maintained view diverged from the full recompute")
+  }
 }

@@ -501,4 +501,36 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0), got.toString)
   }
+
+  test("bm25: distributed scores replay the brute-force integer formula") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size.toLong
+    val t = docs.valuesIterator.map(_.size.toLong).sum
+    def qlog2(x: Long) = math.floor(
+      math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val dfs = TextOps.bm25Terms.map(term =>
+      docs.valuesIterator.count(_.contains(term)).toLong)
+    val expect = docs.toSeq.flatMap { case (id, toks) =>
+      val dl = toks.size.toLong
+      val tfs = TextOps.bm25Terms.map(term => toks.count(_ == term).toLong)
+      if (tfs.forall(_ == 0)) None
+      else {
+        val ku = 300000L + 900000L * dl * n / t
+        val score = tfs.zip(dfs).map { case (tf, df) =>
+          (qlog2(2 * n + 1) - qlog2(2 * df + 1)) *
+            (tf * 2200000L * 1000000L / (tf * 1000000L + ku)) / 1000000L
+        }.sum
+        Some((id, dl, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = TextOps.bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // saturation sanity: scores positive (non-negative idf variant)
+    assert(got.forall(_._3 > 0L))
+  }
 }
