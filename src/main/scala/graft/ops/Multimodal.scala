@@ -331,6 +331,30 @@ object Multimodal {
       * argument applied to the frequency domain). Bounds: |x| < 2^15,
       * n ≤ 549 ⇒ |A| < 2^26 and every energy < 2^53 — exact as BIGINT
       * AND as the IEEE double a downstream ML feature column carries. */
+    /** G.711 µ-law ENCODE of one 16-bit PCM sample — the standard's exact
+      * integer pipeline: clamp to 32635, bias +132, 8 log segments (the
+      * biased magnitude's MSB position), 4-bit mantissa, code complemented
+      * on the wire. Pure integer arithmetic end to end. */
+    def muLawEncode(x0: Int): Int = {
+      val sign = if (x0 < 0) 0x80 else 0
+      val x = math.min(math.abs(x0), 32635) + 132
+      val exp = (31 - Integer.numberOfLeadingZeros(x)) - 7
+      val man = (x >> (exp + 3)) & 0xF
+      ~(sign | (exp << 4) | man) & 0xFF
+    }
+
+    /** G.711 µ-law DECODE — segment-midpoint reconstruction
+      * `(((man<<3)+132)<<exp)-132`, the standard's inverse table as
+      * arithmetic. decode(encode(x)) is within 2^(exp+2) of x (plus the
+      * 32635 clamp at the very top of the range). */
+    def muLawDecode(code: Int): Int = {
+      val c = ~code & 0xFF
+      val exp = (c >> 4) & 7
+      val man = c & 0xF
+      val mag = (((man << 3) + 132) << exp) - 132
+      if ((c & 0x80) != 0) -mag else mag
+    }
+
     def spectralEnergies4(s: Array[Int]): (Long, Long, Long) = {
       val c6 = Array(2, 1, -1, -2, -1, 1); val s6 = Array(0, 1, 1, 0, -1, -1)
       val c4 = Array(2, 0, -2, 0);         val s4 = Array(0, 2, 0, -2)
@@ -1434,6 +1458,38 @@ object Multimodal {
     }.toDF().orderBy("media_id")
   }
 
+  final case class MuLawRow(media_id: Long, n_samples: Long, code_sum: Long,
+      sum_abs_err: Long, max_abs_err: Long)
+
+  /** G.711 µ-LAW TRANSCODE audit — 16-bit PCM → 8-bit µ-law → back, per
+    * audio asset: the telephony/archival companding codec as an exact
+    * integer pipeline ([[Codec.muLawEncode]]/[[Codec.muLawDecode]] — no
+    * float anywhere, so the DuckDB twin replays code and reconstruction
+    * bit-for-bit inside list lambdas). Emits the wire-code checksum (the
+    * ENCODER is oracle-pinned, not just the round trip) and the absolute
+    * reconstruction-error mass/peak — the "is 2× compression worth the
+    * noise floor" readout an audio-curation pass keys on. Same
+    * partition-local decode shape as every codec stage: O(n_samples) per
+    * asset, no shuffle before the final order. */
+  def mmMuLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = mediaFromDocuments(spark, dir).filter(_.kind == "audio")
+    audio.mapPartitions { it =>
+      it.map { r =>
+        val s = Codec.wavSamples(r.payload)
+        var cs = 0L; var se = 0L; var me = 0L
+        var k = 0
+        while (k < s.length) {
+          val c = Codec.muLawEncode(s(k))
+          val e = math.abs(Codec.muLawDecode(c) - s(k)).toLong
+          cs += c; se += e; if (e > me) me = e
+          k += 1
+        }
+        MuLawRow(r.media_id, s.length.toLong, cs, se, me)
+      }
+    }.toDF().orderBy("media_id")
+  }
+
   /** Frame sampling — every k-th frame index of each video asset (the
     * mapInPandas-shaped stage a video pipeline runs before per-frame
     * featurization). Pure Catalyst on top of the decode output: an explode
@@ -2160,6 +2216,46 @@ object Multimodal {
              floor(list_sum(dv)::DOUBLE / m * 1e4 + 0.5) / 1e4 AS mean_out,
              list_max(list_transform(dv, v -> abs(v)))::BIGINT AS peak_out
       FROM d ORDER BY media_id""",
+    // the µ-law segment/mantissa/complement pipeline replayed inside list
+    // lambdas — every step integer, the synthesized samples are positive
+    // so the sign branch is never taken (the Scala side stays generic)
+    "mm_mulaw" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 500) + 50 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), k ->
+                 ascii(text[(((2*k) % len) + 1):(((2*k) % len) + 1)]) +
+                 ascii(text[(((2*k+1) % len) + 1):(((2*k+1) % len) + 1)]) * 256) AS vals
+        FROM m),
+      q AS (
+        SELECT media_id, n,
+               list_transform(vals, v -> struct_pack(
+                 v := v,
+                 b := least(v, 32635) + 132,
+                 e := CASE WHEN least(v, 32635) + 132 < 256 THEN 0
+                           WHEN least(v, 32635) + 132 < 512 THEN 1
+                           WHEN least(v, 32635) + 132 < 1024 THEN 2
+                           WHEN least(v, 32635) + 132 < 2048 THEN 3
+                           WHEN least(v, 32635) + 132 < 4096 THEN 4
+                           WHEN least(v, 32635) + 132 < 8192 THEN 5
+                           WHEN least(v, 32635) + 132 < 16384 THEN 6
+                           ELSE 7 END)) AS z
+        FROM s),
+      r AS (
+        SELECT media_id, n,
+               list_transform(z, t -> struct_pack(
+                 code := 255 - (t.e * 16 + ((t.b >> (t.e + 3)) & 15)),
+                 err  := abs((((((t.b >> (t.e + 3)) & 15) * 8) + 132)
+                              * (1 << t.e)) - 132 - t.v))) AS w
+        FROM q)
+      SELECT media_id, n::BIGINT AS n_samples,
+             CAST(list_sum(list_transform(w, t -> t.code)) AS BIGINT) AS code_sum,
+             CAST(list_sum(list_transform(w, t -> t.err)) AS BIGINT) AS sum_abs_err,
+             CAST(list_max(list_transform(w, t -> t.err)) AS BIGINT) AS max_abs_err
+      FROM r ORDER BY media_id""",
     "mm_audio_stats" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -2194,6 +2290,7 @@ object Multimodal {
     "mm_binary_meta" -> mmBinaryMeta _,
     "mm_decode" -> mmDecode _,
     "mm_audio_stats" -> mmAudioStats _,
+    "mm_mulaw" -> mmMuLaw _,
     "mm_wav_resample" -> mmAudioResample _,
     "mm_spectral" -> mmSpectral _,
     "mm_pixel_stats" -> mmPixelStats _,

@@ -572,6 +572,40 @@ object TextOps {
       .orderBy("id")
   }
 
+  /** TEXTRANK KEYWORD EXTRACTION — corpus keywords as the PageRank of the
+    * word CO-OCCURRENCE graph (Mihalcea & Tarau, EMNLP'04): an undirected
+    * edge for every adjacent content-word pair (stopwords and self-pairs
+    * dropped), ranked by [[GraphOps.pageRankOf]]'s quantized power
+    * iteration — the identical integer-exact contribution sums already
+    * proven on the nation graph, here over STRING vertices. Top-15 by
+    * (rounded rank, token).
+    *
+    * Scale shape: one tokenize pass builds the bigram stream (array
+    * transform, no window/self-join); the graph then contracts to its
+    * DISTINCT edge set — vocabulary², not corpus-sized — so the three
+    * rank iterations cost |edges| per round with the |V|-row rank frame
+    * broadcast, and corpus volume only affects the one distinct. The
+    * composition is the point: any graph op in the catalog runs on any
+    * relationally-derived edge frame. */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(tokens(col("text")).as("t"))
+    val pairs = docs
+      .select(explode(transform(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        (x, i) => struct(x.as("a"), element_at(col("t"), i + lit(2)).as("b"))))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a") =!= col("b") &&
+        !col("a").isin(stopwords: _*) && !col("b").isin(stopwords: _*))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    GraphOps.pageRankOf(edges)
+      .select(col("id").as("token"), roundD(col("pr"), 8).as("pr"))
+      .orderBy(col("pr").desc, col("token"))
+      .limit(15)
+  }
+
   /** Query terms for [[invIndexQuery]] — fixed, so both engines evaluate
     * the identical boolean expression. */
   val invQueryAnd = Seq("data", "spark")
@@ -850,6 +884,42 @@ object TextOps {
       SELECT token, freq,
              row_number() OVER (ORDER BY freq DESC, token) AS id
       FROM c ORDER BY id""",
+    // the graph_pagerank oracle's unrolled quantized iterations, over the
+    // adjacent-content-word graph instead of the nation trade graph
+    "text_keywords" -> {
+      def iter(out: String, p: String) = s"""
+      c$out AS (SELECT e.dst AS id,
+                       sum(CAST(floor(p.pr / d.deg * 1e12 + 0.5) AS BIGINT)) AS qsum
+                FROM e JOIN d USING (src) JOIN $p p ON p.id = e.src
+                GROUP BY 1),
+      i$out AS (SELECT v.id,
+                      ${1.0 - GraphOps.prDamping} + ${GraphOps.prDamping} *
+                        (COALESCE(c$out.qsum, 0)::DOUBLE / 1e12) AS pr
+               FROM v LEFT JOIN c$out USING (id))"""
+      s"""
+      WITH toks AS MATERIALIZED (
+        SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      pairs AS MATERIALIZED (
+        SELECT z.a AS a, z.b AS b FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+                        i -> struct_pack(a := t[i], b := t[i+1]))) AS z
+          FROM toks)
+        WHERE z.a <> z.b
+          AND z.a NOT IN $stopList AND z.b NOT IN $stopList),
+      e AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION
+        SELECT b, a FROM pairs),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      i0 AS (SELECT id, 1.0 AS pr FROM v),
+      ${iter("1", "i0")},
+      ${iter("2", "i1")},
+      ${iter("3", "i2")}
+      SELECT id AS token, floor(pr * 1e8 + 0.5) / 1e8 AS pr
+      FROM i3 ORDER BY pr DESC, token LIMIT 15"""
+    },
     // identical integer micro-unit arithmetic; idf via the same quantized
     // log2 both engines compute on identical inputs
     "bm25" -> {
@@ -1029,6 +1099,7 @@ object TextOps {
     "invidx" -> invIndex _,
     "invidx_query" -> invIndexQuery _,
     "bm25" -> bm25 _,
+    "text_keywords" -> textKeywords _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,

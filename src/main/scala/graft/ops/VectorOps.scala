@@ -147,6 +147,50 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** FILTERED ANN — [[simAnnTopk]] under a metadata predicate (each query
+    * retrieves only candidates sharing its `label`): the production
+    * retrieval shape ("similar items IN THIS CATEGORY") where the naive
+    * plan post-filters verified candidates and wastes the verify work on
+    * rows the predicate will drop. Here the constraint joins the LSH
+    * band key — the candidate join is keyed on (band, sig, LABEL), so
+    * selectivities multiply at candidate-generation time and a filtered-
+    * out vector is never dotted. At 100 TB with a selective predicate
+    * this is the difference between ANN-then-filter (recall collapses:
+    * the top-k fills with dropped rows) and filter-aware routing. */
+  def simAnnFiltered(spark: SparkSession, dir: String,
+      bands: Int = 4, bitsPerBand: Int = 2): DataFrame = {
+    val nBits = bands * bitsPerBand
+    val mask = (1L << bitsPerBand) - 1L
+    val sig = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        pinned(bucketCol(nBits)).as("bucket"))
+    def banded(df: DataFrame, b: String, s: String): DataFrame =
+      df.select(col("*"), explode(array((0 until bands).map(bi =>
+        struct(lit(bi).as(b),
+          shiftright(col("bucket"), bi * bitsPerBand).bitwiseAND(mask).as(s))): _*)).as("bnd"))
+        .select(df.columns.map(col) :+ col(s"bnd.$b").as(b) :+ col(s"bnd.$s").as(s): _*)
+    val corpus = banded(sig, "band", "sig")
+    val queries = banded(
+      sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"), col("bucket")),
+      "qband", "qsig")
+    corpus.join(broadcast(queries),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("label") === col("qlabel") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id"),
+        roundD(dot(col("qv"), col("embedding")), 5).as("cosine"))
+      .groupBy("query_id", "label", "vec_id")
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))).cast(LongType))
+      .filter(col("rk") <= 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** MATRYOSHKA PREFIX RETRIEVAL — the truncated-dimension serving trick
     * (MRL-style nested embeddings): score candidates with only the FIRST
     * 16 of 64 dimensions (¼ the FLOPs and memory bandwidth — the prefix
@@ -922,6 +966,26 @@ object VectorOps {
                      ORDER BY cosine DESC, vec_id) AS rk FROM scored)
         SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
         ORDER BY query_id, rk""",
+      // the sim_ann_topk twin with the label predicate folded into the
+      // candidate condition, exactly as the Spark join keys it
+      "sim_ann_filtered" -> s"""
+        WITH sig AS (SELECT vec_id, embedding, label,
+                            ($annBits)::BIGINT AS bucket
+                     FROM embeddings),
+        scored AS (SELECT a.query_id, a.label, b.vec_id,
+                          floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
+                   FROM (SELECT vec_id AS query_id, embedding, label, bucket
+                         FROM sig WHERE vec_id < 5) a
+                   JOIN sig b ON b.vec_id <> a.query_id
+                     AND b.label = a.label AND (
+                     ((a.bucket >> 0) & 3) = ((b.bucket >> 0) & 3) OR
+                     ((a.bucket >> 2) & 3) = ((b.bucket >> 2) & 3) OR
+                     ((a.bucket >> 4) & 3) = ((b.bucket >> 4) & 3) OR
+                     ((a.bucket >> 6) & 3) = ((b.bucket >> 6) & 3))),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+        SELECT query_id, label, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rk""",
       // banded-LSH candidates → cosine-verified pairs → min-label keep-list;
       // the OR-of-bands condition is the oracle twin of the banded join
       "dedup_vec" -> s"""
@@ -1058,6 +1122,7 @@ object VectorOps {
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
+    "sim_ann_filtered" -> ((s, d) => simAnnFiltered(s, d)),
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,

@@ -408,4 +408,29 @@ class CodecPropertySpec extends SparkSpec {
         s"($x,$y): our index $viaUs != ImageIO raster $viaImageIO")
     })
   }
+
+  test("mulaw: G.711 anchors, bounded segment error, monotone decode") {
+    // standard anchor codes: silence is all-ones; the top magnitude
+    // decodes to 32124 (the G.711 table's extreme)
+    assert(Codec.muLawEncode(0) == 0xFF)
+    assert(Codec.muLawDecode(0xFF) == 0)
+    assert(Codec.muLawEncode(32635) == 0x80)
+    assert(Codec.muLawDecode(0x80) == 32124)
+    // round-trip error bounded by half the segment step (2^(exp+2)) for
+    // every representable magnitude; sign is preserved
+    (-32635 to 32635 by 7).foreach { x =>
+      val c = Codec.muLawEncode(x)
+      val d = Codec.muLawDecode(c)
+      val b = math.abs(x) + 132
+      val exp = (31 - Integer.numberOfLeadingZeros(b)) - 7
+      assert(math.abs(d - x) <= (1 << (exp + 2)),
+        s"x=$x code=$c decode=$d exceeds segment bound")
+      assert(x == 0 || d == 0 || (x > 0) == (d > 0), s"sign flipped at $x")
+    }
+    // decode is strictly monotone over positive codes (complemented wire
+    // order: lower code = larger magnitude)
+    val decodes = (0x80 to 0xFF).map(Codec.muLawDecode)
+    assert(decodes.zip(decodes.tail).forall { case (a, b) => a > b },
+      "positive-side decode must strictly decrease as the code increases")
+  }
 }

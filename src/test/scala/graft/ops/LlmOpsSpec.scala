@@ -502,6 +502,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0), got.toString)
   }
 
+  test("sim_ann_filtered: label honored; beats post-filtering the unfiltered list") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.ops.table(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = VectorOps.simAnnFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (q, lbl, v) =>
+      assert(lbl == labels(q), s"query $q label mismatch")
+      assert(labels(v) == labels(q), s"result $v violates query $q's predicate")
+    }
+    // filter-aware routing returns at least as many same-label hits per
+    // query as post-filtering the unfiltered top-10 (the recall-collapse
+    // argument in the scaladoc)
+    val post = VectorOps.simAnnTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) =>
+        q -> vs.count { case (_, v) => labels(v) == labels(q) } }
+    val filt = filtered.groupBy(_._1).map { case (q, vs) => q -> vs.size }
+    post.foreach { case (q, n) =>
+      assert(filt.getOrElse(q, 0) >= n,
+        s"query $q: filtered returned ${filt.getOrElse(q, 0)} < post-filter $n")
+    }
+  }
+
   test("bm25: distributed scores replay the brute-force integer formula") {
     import org.apache.spark.sql.functions._
     val docs = graft.ops.table(spark, dir, "documents")
