@@ -299,7 +299,46 @@ object DataQuality {
       .orderBy("tbl")
   }
 
+  /** INGEST-VOLUME ANOMALY — the pipeline-health twin of [[dqFreshness]]:
+    * daily row counts, each judged against its own trailing-7-day window
+    * (flag when the day lands under HALF the trailing mean — the "feed
+    * silently died mid-day" signal). The detector runs entirely on the
+    * |days|-row count frame: one keyed aggregate over events (map-side
+    * combined), then a window over bounded metadata — at 100 TB the
+    * window input is still ~365 rows/year, never the event stream. The
+    * test cross-multiplies (2·cnt·n_trail < Σ_trail) so no float
+    * approaches the verdict. */
+  def dqVolume(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = table(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    days
+      .withColumn("trail_sum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n_trail", count("cnt").over(w))
+      .select(col("day"), col("cnt"), col("trail_sum"), col("n_trail"),
+        (col("n_trail") > 0L &&
+          col("cnt") * col("n_trail") * 2L < col("trail_sum")).as("dropped"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_volume" -> """
+      WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS cnt
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT day, cnt,
+               COALESCE(sum(cnt) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+               count(cnt) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail
+        FROM d)
+      SELECT day, cnt, CAST(trail_sum AS BIGINT) AS trail_sum, n_trail,
+             n_trail > 0 AND cnt * n_trail * 2 < trail_sum AS dropped
+      FROM t ORDER BY day""",
     "dq_freshness" -> """
       WITH m AS (
         SELECT 'events.ts' AS tbl,
@@ -487,6 +526,7 @@ object DataQuality {
     "dq_ref" -> dqReferential _,
     "dq_unique" -> dqUnique _,
     "dq_freshness" -> dqFreshness _,
+    "dq_volume" -> dqVolume _,
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
     "dq_cardinality" -> dqCardinality _,

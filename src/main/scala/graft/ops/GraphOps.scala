@@ -348,6 +348,57 @@ object GraphOps {
     out.toSeq.toDF("hop", "n_frontier").orderBy("hop")
   }
 
+  /** Synchronous rounds for [[labelProp]] — fixed, so both engines run the
+    * identical unrolled computation. */
+  val lpRounds = 3
+
+  /** COMMUNITY DETECTION by synchronous label propagation (Raghavan et
+    * al. 2007) over the co-purchase graph — the clustering question
+    * [[connectedComponents]] can't answer (a component is one connected
+    * blob; communities are its dense sub-neighborhoods). Every vertex
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label — the
+    * deterministic variant (classic LPA breaks ties randomly, which no
+    * cross-engine oracle could replay). A FIXED [[lpRounds]] budget
+    * replaces the usual convergence test: each round is one equi-join of
+    * the |V|-row label frame onto the edge list plus two keyed
+    * aggregates (count per (vertex, label), then the argmax) — all
+    * map-side combinable, every intermediate bounded by |edges|; the
+    * per-vertex argmax carries O(1) state via max_by on a (count,
+    * −label) struct, never a sorted neighbor list. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOf(symCoPurchase(spark, dir), lpRounds)
+      .orderBy("id")
+
+  private def symCoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    materialize(und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+  }
+
+  /** The unrolled synchronous rounds over any SYMMETRIC (src, dst) edge
+    * frame — split out so the spec can drive hand-built graphs (two
+    * triangles joined by one bridge edge must keep two communities).
+    * Returns (id, lbl). */
+  private[graft] def labelPropOf(edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = materialize(edges0)
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val next = materialize(
+        edges.join(broadcast(labels), col("src") === col("id"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("dst").as("id"))
+          .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+            .as("lbl")))
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
   /** Relaxation rounds for [[sssp]] — fixed, so both engines run the same
     * bounded-hop computation (shortest path using at most this many edges). */
   val ssspHops = 4
@@ -513,6 +564,31 @@ object GraphOps {
         UNION ALL SELECT 2, (SELECT count(*) FROM f2)
         UNION ALL SELECT 3, (SELECT count(*) FROM f3)
         ORDER BY hop""",
+      // three unrolled synchronous rounds: count neighbor labels, adopt
+      // the most frequent (smallest on ties) via the same (c, -lbl)
+      // argmax ordering the Spark struct carries
+      "graph_label_prop" -> {
+        def round(out: String, p: String) = s"""
+        c$out AS (SELECT e.dst AS v, l.lbl, count(*) AS c
+                  FROM e JOIN $p l ON l.id = e.src GROUP BY 1, 2),
+        l$out AS (SELECT v AS id, lbl FROM (
+                    SELECT v, lbl, row_number() OVER (
+                      PARTITION BY v ORDER BY c DESC, lbl) AS rn
+                    FROM c$out) WHERE rn = 1)"""
+        s"""
+        WITH per AS MATERIALIZED (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e AS MATERIALIZED (
+          SELECT DISTINCT a AS src, b AS dst FROM per
+          UNION SELECT DISTINCT b, a FROM per),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        ${round("1", "l0")},
+        ${round("2", "l1")},
+        ${round("3", "l2")}
+        SELECT id, lbl FROM l3 ORDER BY id"""
+      },
       // four unrolled relaxation rounds, each "keep the old distance or
       // improve through one more edge" — the bounded Bellman–Ford twin
       "graph_sssp" -> {
@@ -579,5 +655,6 @@ object GraphOps {
     "graph_cc_incr" -> connectedComponentsIncr _,
     "graph_khop" -> ((sp, d) => kHop(sp, d)),
     "graph_sssp" -> sssp _,
+    "graph_label_prop" -> labelProp _,
   )
 }

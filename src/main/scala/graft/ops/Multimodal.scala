@@ -1490,6 +1490,47 @@ object Multimodal {
     }.toDF().orderBy("media_id")
   }
 
+  final case class VadRow(media_id: Long, n_frames: Long, n_active: Long,
+      n_segments: Long, e_total: Long)
+
+  /** VOICE-ACTIVITY DETECTION (energy-gated) — the segmentation pass an
+    * audio-curation pipeline runs before transcription/feature work:
+    * slice each asset into 50-sample frames, mark a frame ACTIVE when its
+    * energy exceeds ¼ of the asset's mean frame energy, and report frame/
+    * activity/segment counts (a segment = a maximal run of active
+    * frames). The threshold test is cross-multiplied into exact BIGINTs
+    * (4·E_f·n_frames > E_total — no division, no float), so the DuckDB
+    * twin replays frame energies, gating, and run starts inside list
+    * lambdas bit-for-bit. Same partition-local decode shape as the other
+    * codec stages; output rows are O(assets). */
+  def mmVad(spark: SparkSession, dir: String, frame: Int = 50): DataFrame = {
+    import spark.implicits._
+    val audio = mediaFromDocuments(spark, dir).filter(_.kind == "audio")
+    audio.mapPartitions { it =>
+      it.map { r =>
+        val s = Codec.wavSamples(r.payload)
+        val nf = s.length / frame
+        val e = Array.tabulate(nf) { f =>
+          var acc = 0L; var j = 0
+          while (j < frame) {
+            val v = s(f * frame + j).toLong; acc += v * v; j += 1
+          }
+          acc
+        }
+        val etot = e.sum
+        var act = 0L; var seg = 0L; var prev = false
+        var f = 0
+        while (f < nf) {
+          val a = 4L * e(f) * nf > etot
+          if (a) { act += 1; if (!prev) seg += 1 }
+          prev = a
+          f += 1
+        }
+        VadRow(r.media_id, nf.toLong, act, seg, etot)
+      }
+    }.toDF().orderBy("media_id")
+  }
+
   /** Frame sampling — every k-th frame index of each video asset (the
     * mapInPandas-shaped stage a video pipeline runs before per-frame
     * featurization). Pure Catalyst on top of the decode output: an explode
@@ -2256,6 +2297,39 @@ object Multimodal {
              CAST(list_sum(list_transform(w, t -> t.err)) AS BIGINT) AS sum_abs_err,
              CAST(list_max(list_transform(w, t -> t.err)) AS BIGINT) AS max_abs_err
       FROM r ORDER BY media_id""",
+    // frame energies, the cross-multiplied gate, and run starts replayed
+    // in nested list lambdas — all integer
+    "mm_vad" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               (length(text) % 500) + 50 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), k ->
+                 ascii(text[(((2*k) % len) + 1):(((2*k) % len) + 1)]) +
+                 ascii(text[(((2*k+1) % len) + 1):(((2*k+1) % len) + 1)]) * 256) AS vals
+        FROM m),
+      e AS (
+        SELECT media_id, n // 50 AS nf,
+               list_transform(range(0, n // 50), f ->
+                 list_sum(list_transform(range(1, 51), j ->
+                   CAST(vals[f*50 + j] AS BIGINT) * vals[f*50 + j]))) AS fe
+        FROM s),
+      a AS (SELECT media_id, nf, fe,
+                   CAST(list_sum(fe) AS BIGINT) AS etot FROM e),
+      fl AS (
+        SELECT media_id, nf, etot,
+               list_transform(range(0, nf), f ->
+                 CASE WHEN 4 * fe[f+1] * nf > etot THEN 1 ELSE 0 END) AS act
+        FROM a)
+      SELECT media_id, nf::BIGINT AS n_frames,
+             CAST(list_sum(act) AS BIGINT) AS n_active,
+             CAST(list_sum(list_transform(range(0, nf), f ->
+               CASE WHEN act[f+1] = 1 AND (f = 0 OR act[f] = 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n_segments,
+             etot AS e_total
+      FROM fl ORDER BY media_id""",
     "mm_audio_stats" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -2291,6 +2365,7 @@ object Multimodal {
     "mm_decode" -> mmDecode _,
     "mm_audio_stats" -> mmAudioStats _,
     "mm_mulaw" -> mmMuLaw _,
+    "mm_vad" -> ((s, d) => mmVad(s, d)),
     "mm_wav_resample" -> mmAudioResample _,
     "mm_spectral" -> mmSpectral _,
     "mm_pixel_stats" -> mmPixelStats _,

@@ -291,6 +291,34 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** DAY-OF-WEEK SEASONALITY profile — the calendar-structure diagnostic
+    * next to [[tsAcf]]'s serial correlation: per (event_type, weekday),
+    * event count and mean value, plus the ratio of the weekday mean to
+    * the type's overall mean (the "weekend dip" readout a capacity
+    * planner keys on). One keyed aggregate over events (map-side
+    * combined, shuffle ∝ |types|·7); the type-level fold re-aggregates
+    * the 7-row partials and broadcasts back — the raw stream is scanned
+    * once. Means divide exact decimal sums cast to double (identical
+    * IEEE trees both engines); weekday 0 = Sunday (DuckDB's convention;
+    * Spark's dayofweek()−1). */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val per = table(spark, dir, "events")
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sx"))
+    val tot = per.groupBy("event_type")
+      .agg(sum("cnt").as("cnt_t"), sum("sx").as("sx_t"))
+    per.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("cnt"),
+        roundD(col("sx").cast(DoubleType) / col("cnt").cast(DoubleType), 6)
+          .as("mean_value"),
+        roundD((col("sx").cast(DoubleType) / col("cnt").cast(DoubleType)) /
+          (col("sx_t").cast(DoubleType) / col("cnt_t").cast(DoubleType)), 6)
+          .as("ratio_to_mean"))
+      .orderBy("event_type", "dow")
+  }
+
   /** TWAP — TIME-weighted average price per series-day, the execution-
     * quality benchmark next to VWAP (volume-weighted, the streaming CLI's
     * `--vwap`): each observation holds its value until the next one, so
@@ -411,6 +439,23 @@ object TimeWindows {
                                 / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6
                      ELSE min(value) END AS twap
          FROM t GROUP BY 1, 2 ORDER BY event_type, day""",
+    // identical decimal sums; the two means and their ratio are the same
+    // IEEE division tree on bit-identical inputs
+    "ts_seasonal" -> """
+      WITH p AS (
+        SELECT event_type, dayofweek(ts) AS dow, count(*) AS cnt,
+               sum(CAST(value AS DECIMAL(18,2))) AS sx
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS cnt_t,
+               sum(sx) AS sx_t
+        FROM p GROUP BY 1)
+      SELECT p.event_type, p.dow::INT AS dow, p.cnt,
+             floor(sx::DOUBLE / cnt::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_value,
+             floor((sx::DOUBLE / cnt::DOUBLE) / (sx_t::DOUBLE / cnt_t::DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS ratio_to_mean
+      FROM p JOIN t USING (event_type)
+      ORDER BY event_type, dow""",
     // identical moment sums in exact decimal, identical final double tree
     "ts_acf" ->
       """WITH b AS (
@@ -549,6 +594,7 @@ object TimeWindows {
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
     "ts_acf" -> tsAcf _,
+    "ts_seasonal" -> tsSeasonal _,
     "twap" -> twap _,
     "trending" -> trending _,
   )

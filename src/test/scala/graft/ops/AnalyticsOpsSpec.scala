@@ -426,6 +426,45 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"stale-dim edge must fire partially: $nOrph of $nChild")
   }
 
+  test("dq_volume: trailing window replays a driver-side scan; flags agree") {
+    val rows = DataQuality.dqVolume(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val cnts = rows.map(_._2)
+    rows.zipWithIndex.foreach { case ((day, cnt, ts, nt, dropped), i) =>
+      val lo = math.max(0, i - 7)
+      val want = cnts.slice(lo, i)
+      assert(ts == want.sum && nt == want.length.toLong,
+        s"$day trailing window wrong: $ts/$nt vs ${want.sum}/${want.length}")
+      assert(dropped == (nt > 0 && cnt * nt * 2 < ts),
+        s"$day flag inconsistent")
+    }
+  }
+
+  test("ts_seasonal: dows bounded, mass-weighted means rebuild the type totals") {
+    val rows = TimeWindows.tsSeasonal(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, dow, _, _, _) => dow >= 0 && dow <= 6 })
+    val direct = graft.ops.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (tpe, dows) =>
+      val (n, sx) = direct(tpe)
+      assert(dows.map(_._3).sum == n, s"$tpe counts must partition the type")
+      val rebuilt = dows.map { case (_, _, cnt, mean, _) => cnt * mean }.sum
+      assert(math.abs(rebuilt - sx) <= 1e-4 * math.max(1.0, math.abs(sx)),
+        s"$tpe weighted means diverge from the direct sum: $rebuilt vs $sx")
+      // ratios average to 1 under count weights (same tolerance)
+      val rsum = dows.map { case (_, _, cnt, _, r) => cnt * r }.sum
+      assert(math.abs(rsum / n - 1.0) <= 1e-4, s"$tpe ratio mass: ${rsum / n}")
+    }
+  }
+
   test("ts_acf: alternating series gives r1 = -1, r2 = +1; trend is positive") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -173,6 +173,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(incr.toSeq == want, "incremental merge report diverged from truth")
   }
 
+  test("label prop: two bridged triangles resolve to two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropOf(sym, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-unrolled deterministic rounds (most-frequent, min on ties):
+    // the bridge never merges the triangles
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"labels diverged: $got")
+    assert(got.values.toSet.size == 2, "must keep two communities")
+  }
+
   test("sssp: a cheap detour beats the expensive direct edge") {
     import spark.implicits._
     // 0→1 costs 10 direct, but 0→2→1 costs 1+2=3; 0→3 only via 1 (+1)
