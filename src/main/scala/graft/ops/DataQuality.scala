@@ -323,7 +323,44 @@ object DataQuality {
       .orderBy("day")
   }
 
+  /** The hour-grain twin of [[dqVolume]] with an explicit zero-filled
+    * grid — the SAME aggregation
+    * ([[graft.streaming.StreamAssembly.rateAgg]]) that backs the
+    * streaming rate monitor, registered so the oracle pins the verdict
+    * both runtimes share (StreamingSpec proves the stream emits these
+    * exact rows). The grid explode is O(hours per type), the trailing
+    * window runs over that bounded frame, and silent hours materialize
+    * as cnt=0 rows — the row a plain GROUP BY can never produce, and the
+    * one the drop detector exists for. */
+  def dqRateHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAssembly.rateAgg(table(spark, dir, "events"))
+      .orderBy("event_type", "hour_ms")
+
   val oracles: Map[String, String] = Map(
+    "dq_rate_hourly" -> """
+      WITH c AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 * 3600000 AS hour_ms,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hour_ms) AS lo, max(hour_ms) AS hi
+            FROM c GROUP BY 1),
+      g AS (SELECT event_type,
+                   unnest(range(lo, hi + 3600000, 3600000)) AS hour_ms
+            FROM b),
+      f AS (SELECT g.event_type, g.hour_ms, COALESCE(c.cnt, 0) AS cnt
+            FROM g LEFT JOIN c USING (event_type, hour_ms)),
+      t AS (SELECT event_type, hour_ms, cnt,
+                   COALESCE(sum(cnt) OVER (PARTITION BY event_type
+                     ORDER BY hour_ms
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+                   count(cnt) OVER (PARTITION BY event_type
+                     ORDER BY hour_ms
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_trail
+            FROM f)
+      SELECT event_type, hour_ms, cnt,
+             CAST(trail_sum AS BIGINT) AS trail_sum, n_trail,
+             n_trail > 0 AND cnt * n_trail * 2 < trail_sum AS dropped
+      FROM t ORDER BY event_type, hour_ms""",
     "dq_volume" -> """
       WITH d AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -527,6 +564,7 @@ object DataQuality {
     "dq_unique" -> dqUnique _,
     "dq_freshness" -> dqFreshness _,
     "dq_volume" -> dqVolume _,
+    "dq_rate_hourly" -> dqRateHourly _,
     "dq_audit" -> dqAudit _,
     "dq_skew" -> dqSkew _,
     "dq_cardinality" -> dqCardinality _,

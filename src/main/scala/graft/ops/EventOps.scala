@@ -60,6 +60,42 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Conversion window for [[funnelWindow]] — 7 days, in microseconds. */
+  private val funnelWinUs = 7L * 86400000000L
+
+  /** TIME-BOUNDED FUNNEL — [[funnel]] with a conversion window: each step
+    * counts only within [[funnelWinUs]] (7 days) of the PREVIOUS step's
+    * time (the marketing attribution convention: a purchase eleven
+    * months after the view is not that view's conversion). Same
+    * min-after-min aggregate-join chain — the bound is one more pushed
+    * predicate on the already-keyed join, exact in microseconds; the
+    * plan and its shuffle-∝-users scale argument are unchanged. */
+  def funnelWindow(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowOf(
+      table(spark, dir, "events").select("user_id", "event_type", "ts"))
+
+  private[graft] def funnelWindowOf(ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        unix_micros(col("ts")) <= unix_micros(col("t1")) + funnelWinUs)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        unix_micros(col("ts")) <= unix_micros(col("t2")) + funnelWinUs)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("users"))
+    stage(s1, 1, "signup")
+      .unionByName(stage(s2, 2, "view"))
+      .unionByName(stage(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
   /** Cohort retention: users are cohorted by their first-active day; the
     * cell (cohort, offset) counts users of that cohort active `offset`
     * days later. The (user, day) activity set is `distinct`-ed FIRST —
@@ -253,6 +289,39 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** V-SHAPE PATTERN SCAN — the MATCH_RECOGNIZE-lite sequential pattern
+    * (a strict local minimum: prev > cur < next over the per-type
+    * (ts, event_id)-ordered stream), rolled up per (type, day) with the
+    * deepest V's rebound size — the "flash dip" detector a liquidation
+    * feed scans for ([[graft.ops.Relational.zscore]] flags LEVELS; this
+    * flags the SHAPE, which a symmetric outlier test misses when the dip
+    * stays inside 3σ). Values compare as exact integer cents (the
+    * decimal-string cast convention), so the strict inequalities land
+    * identically in both engines. One window projection (lag+lead share
+    * the frame, O(1) carried state), one keyed rollup; at 100 TB the
+    * per-type sort is the unavoidable sequential-pattern cost, the same
+    * shape as [[attrLastTouch]]. */
+  def patternVshape(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val pts = table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("vc"))
+      .select(col("event_type"), col("ts"), col("vc"),
+        lag(col("vc"), 1).over(w).as("pv"),
+        lead(col("vc"), 1).over(w).as("nv"))
+    pts
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("pv") > col("vc") && col("nv") > col("vc"), 1L)
+          .otherwise(0L)).as("n_vbottoms"),
+        max(when(col("pv") > col("vc") && col("nv") > col("vc"),
+          least(col("pv"), col("nv")) - col("vc"))).as("max_depth_cents"))
+      .orderBy("event_type", "day")
+  }
+
   /** RFM SEGMENTATION — the classic customer-value cube: per purchaser,
     * Recency (days since last purchase, against the corpus max), Frequency
     * (purchase count) and Monetary (exact integer cents), each scored into
@@ -301,6 +370,22 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "pattern_vshape" -> """
+      WITH p AS (
+        SELECT event_type, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+               lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 1)
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv,
+               lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 1)
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nv
+        FROM events)
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_points,
+             CAST(sum(CASE WHEN pv > vc AND nv > vc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_vbottoms,
+             max(CASE WHEN pv > vc AND nv > vc
+                      THEN least(pv, nv) - vc END) AS max_depth_cents
+      FROM p GROUP BY 1, 2 ORDER BY event_type, day""",
     "rfm" -> """
       WITH p AS (
         SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f,
@@ -425,6 +510,25 @@ object EventOps {
          UNION ALL
          SELECT 3 AS step, 'purchase' AS stage, count(*) AS users FROM s3
          ORDER BY step""",
+    "funnel_window" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                     FROM events e JOIN s1 USING (user_id)
+                     WHERE e.event_type = 'view' AND e.ts > s1.t1
+                       AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                     GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                     FROM events e JOIN s2 USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                       AND epoch_us(e.ts) <= epoch_us(s2.t2) + 604800000000
+                     GROUP BY 1)
+         SELECT 1 AS step, 'signup' AS stage, count(*) AS users FROM s1
+         UNION ALL
+         SELECT 2 AS step, 'view' AS stage, count(*) AS users FROM s2
+         UNION ALL
+         SELECT 3 AS step, 'purchase' AS stage, count(*) AS users FROM s3
+         ORDER BY step""",
     "retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('day', ts) AS DATE) AS day
@@ -446,5 +550,7 @@ object EventOps {
     "attr_last_touch" -> attrLastTouch _,
     "path_transitions" -> pathTransitions _,
     "rfm" -> rfm _,
+    "pattern_vshape" -> patternVshape _,
+    "funnel_window" -> funnelWindow _,
   )
 }

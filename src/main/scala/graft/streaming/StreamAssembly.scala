@@ -662,6 +662,102 @@ object StreamAssembly {
         col("n").as("n_prior"))
   }
 
+  final case class RateState(open: Map[Long, Long], emittedUpTo: Long,
+      trail: Vector[Long])
+  final case class RateAlert(event_type: String, hour_ms: Long, cnt: Long,
+      trail_sum: Long, n_trail: Long, dropped: Boolean)
+
+  /** STREAMING INGEST-RATE MONITOR — [[graft.ops.DataQuality.dqVolume]]'s
+    * volume-drop detector run LIVE at hour grain per type: when the
+    * watermark closes an hour, its count is judged against the trailing
+    * 7 finalized hours (drop = 2·cnt·n_trail < Σ_trail, the same exact
+    * integer cross-multiplication), emitted exactly once, and pushed
+    * into the trail. The load-bearing move is GAP EMISSION — the
+    * "feed silently died" hour has NO rows, so no windowed aggregate can
+    * ever flag it; like [[candlesFilledStream]], an event for a later
+    * hour (or the idle timeout advancing past it) finalizes every silent
+    * hour in between at count 0, which is precisely the hour the monitor
+    * exists to page on. State per key is O(open hours + 7) counters —
+    * independent of event volume. Batch twin [[rateAgg]] (grid +
+    * trailing window) is row-exact, spec-asserted. */
+  def rateStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    val typed = events
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts_event"))
+      .withWatermark("ts_event", watermark)
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RateAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[RateState]) =>
+          var s = state.getOption.getOrElse(
+            RateState(Map.empty, -1L, Vector.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, tsEvent) =>
+            lastMs = math.max(lastMs, tsEvent.getTime)
+            val h = (tsEvent.getTime / hourMs) * hourMs
+            if (s.emittedUpTo < 0L || h > s.emittedUpTo)
+              s = s.copy(open = s.open + (h -> (s.open.getOrElse(h, 0L) + 1L)))
+            // else: older than a finalized hour = beyond watermark, drop
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateAlert]
+          def close(h: Long, c: Long): Unit = {
+            val ts = s.trail.sum
+            val nt = s.trail.length.toLong
+            out += RateAlert(key, h, c, ts, nt, nt > 0 && 2L * c * nt < ts)
+            s = s.copy(trail = (s.trail :+ c).takeRight(7), emittedUpTo = h)
+          }
+          s.open.keys.toSeq.sorted
+            .takeWhile(h => h + hourMs <= wm)
+            .foreach { h =>
+              if (s.emittedUpTo >= 0L) {
+                var g = s.emittedUpTo + hourMs
+                while (g < h) { close(g, 0L); g += hourMs }
+              }
+              val c = s.open(h)
+              s = s.copy(open = s.open - h)
+              close(h, c)
+            }
+          if (state.hasTimedOut && s.open.isEmpty) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
+  /** The batch twin: zero-filled hourly grid per type, trailing-7 window
+    * sums — one definition of the verdict, two runtimes. */
+  private[graft] def rateAgg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = events
+      .groupBy(col("event_type"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000 * 3600000")
+          .as("hour_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = cnts.groupBy("event_type")
+      .agg(min("hour_ms").as("lo"), max("hour_ms").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+    val filled = grid.join(cnts, Seq("event_type", "hour_ms"), "left")
+      .select(col("event_type"), col("hour_ms"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ms")
+      .rowsBetween(-7, -1)
+    filled
+      .withColumn("trail_sum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n_trail", count("cnt").over(w))
+      .select(col("event_type"), col("hour_ms"), col("cnt"),
+        col("trail_sum"), col("n_trail"),
+        (col("n_trail") > 0L &&
+          col("cnt") * col("n_trail") * 2L < col("trail_sum")).as("dropped"))
+  }
+
   def topkStream(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     topkAgg(events.withWatermark("ts", watermark))

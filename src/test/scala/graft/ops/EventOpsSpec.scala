@@ -59,6 +59,36 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 0L), "negative day offset")
   }
 
+  test("funnel_window: conversions outside the 7-day window never count") {
+    import spark.implicits._
+    val week = 7 * 86400
+    val ev = Seq(
+      // user 1: converts fully inside the windows
+      (1L, "signup", ts(0)), (1L, "view", ts(3600)),
+      (1L, "purchase", ts(7200)),
+      // user 2: view lands 8 days after signup - step 2 must not count
+      (2L, "signup", ts(0)), (2L, "view", ts(week + 86400)),
+      (2L, "purchase", ts(week + 90000)),
+      // user 3: view in-window, purchase 8 days after the view - step 3 out
+      (3L, "signup", ts(0)), (3L, "view", ts(1000)),
+      (3L, "purchase", ts(1000 + week + 1)),
+      // user 4: view lands exactly AT the window edge - inclusive bound
+      (4L, "signup", ts(0)), (4L, "view", ts(week))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnelWindowOf(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step 2: users 1, 3, 4 (user 2's view is a day late); step 3: user 1
+    // only (user 3's purchase is outside ITS view's window)
+    assert(got == Map(1 -> 4L, 2 -> 3L, 3 -> 1L),
+      s"windowed stages diverged: $got")
+    // windowing can only shrink the unbounded funnel
+    val unbounded = EventOps.funnelOf(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    got.foreach { case (step, users) =>
+      assert(users <= unbounded(step), s"step $step grew under the window")
+    }
+  }
+
   test("rfm: scores bounded 1..5, user mass conserved, monetary axis orders") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"

@@ -895,4 +895,46 @@ class StreamingSpec extends SparkSpec {
         s"stream stages $got diverged from batch funnel $want")
     } finally q.stop()
   }
+
+  test("streaming rate monitor: row-exact parity with the batch grid, gaps flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "ts")
+      .as[(String, java.sql.Timestamp)]
+      .collect().sortBy(_._2.getTime).toIndexedSeq
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_type", "ts")
+    val q = StreamAssembly.rateStream(events)
+      .toDF().writeStream.format("memory").queryName("rate_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._2.getTime).max
+      mem.addData(("zz_sentinel",
+        new java.sql.Timestamp(lastTs + 365L * 86400000L)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM rate_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+      val want = StreamAssembly.rateAgg(
+        graft.ops.table(spark, dir, "events")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+      assert(got == want,
+        s"stream/batch rate rows diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      // the detector's reason to exist: silent hours emit with cnt 0 and
+      // (with a warm trail) fire
+      assert(got.values.exists(v => v._1 == 0L && v._4),
+        "no zero-count hour was flagged - the gap path never ran")
+      assert(got.size > 1000, s"parity surface too small: ${got.size}")
+    } finally q.stop()
+  }
 }
