@@ -399,6 +399,25 @@ object GraphOps {
     labels
   }
 
+  /** DEGREE DISTRIBUTION of the co-purchase graph — the first profiling
+    * query run against any new graph (is it power-law? how fat is the
+    * hub tail?), and the input to every skew decision the other graph
+    * ops document (orientation bounds, salting). Two keyed aggregates —
+    * degree per vertex, then vertex count per degree — both map-side
+    * combined; output is |distinct degrees| rows. `share_pm` is the
+    * exact integer permille of vertices at that degree. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+    hist.crossJoin(broadcast(hist.agg(sum("n_vertices").as("nv"))))
+      .select(col("deg"), col("n_vertices"),
+        expr("n_vertices * 1000 div nv").as("share_pm"))
+      .orderBy("deg")
+  }
+
   /** Relaxation rounds for [[sssp]] — fixed, so both engines run the same
     * bounded-hop computation (shortest path using at most this many edges). */
   val ssspHops = 4
@@ -564,6 +583,19 @@ object GraphOps {
         UNION ALL SELECT 2, (SELECT count(*) FROM f2)
         UNION ALL SELECT 3, (SELECT count(*) FROM f3)
         ORDER BY hop""",
+      "graph_degree_dist" -> """
+        WITH per AS (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e AS (SELECT DISTINCT a, b FROM per),
+        deg AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+                GROUP BY v),
+        hist AS (SELECT deg, count(*) AS n_vertices FROM deg GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_vertices) AS BIGINT) AS nv FROM hist)
+        SELECT deg, n_vertices, (n_vertices * 1000) // tot.nv AS share_pm
+        FROM hist, tot ORDER BY deg""",
       // three unrolled synchronous rounds: count neighbor labels, adopt
       // the most frequent (smallest on ties) via the same (c, -lbl)
       // argmax ordering the Spark struct carries
@@ -656,5 +688,6 @@ object GraphOps {
     "graph_khop" -> ((sp, d) => kHop(sp, d)),
     "graph_sssp" -> sssp _,
     "graph_label_prop" -> labelProp _,
+    "graph_degree_dist" -> degreeDist _,
   )
 }

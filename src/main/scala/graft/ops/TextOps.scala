@@ -572,6 +572,78 @@ object TextOps {
       .orderBy("id")
   }
 
+  /** Comparison vocabulary size for [[textJsd]] — the corpus top-50 plus
+    * an `<other>` bucket, so the divergence runs over a BOUNDED symbol
+    * set regardless of corpus vocabulary. */
+  val jsdVocab = 50
+
+  /** JENSEN–SHANNON SOURCE DRIFT — per document source, the JS divergence
+    * (bits) between its unigram distribution and the corpus-wide one:
+    * the symmetric, bounded [0,1] "did this feed change register"
+    * monitor, completing the information-theoretic family next to
+    * [[textEntropy]] (within-doc) and `ppl` (cross-entropy vs the
+    * corpus LM). JSD(P‖Q) = H((P+Q)/2) − (H(P)+H(Q))/2.
+    *
+    * Exactness: with equal mixture weights, the midpoint's probability
+    * masses share the common denominator D = 2·n_p·n_q, so its numerators
+    * u_i = c_i·n_q + q_i·n_p are exact BIGINTs, and all three entropies
+    * take the same closed form H = (N·qlog(N) − Σ u·qlog(u)) / (N·10⁶)
+    * over integer counts — the [[textPpl]] quantized-log2 convention, so
+    * both engines land bit-identically; u·qlog(u) products sum in
+    * DECIMAL(38,0) (they brush 2⁶³ at scale). The final H arithmetic is
+    * one identical double tree, rounded 6 dp.
+    *
+    * Scale shape: one tokenize pass into the (source, token) count frame;
+    * the top-50 vocabulary folds out of it (bounded driver collect, the
+    * Misra-Gries-candidate convention) and everything after runs on
+    * ≤51 symbols per source — drift cost is O(sources·vocab), however
+    * large the corpus. */
+  def textJsd(spark: SparkSession, dir: String): DataFrame = {
+    def ql(c: Column): Column =
+      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+    val tokCounts = materialize(
+      table(spark, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c")))
+    val top = tokCounts.groupBy("token").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("token")).limit(jsdVocab)
+      .select("token").collect().map(_.getString(0)).toSeq
+    val sym = materialize(tokCounts
+      .select(col("source"),
+        when(col("token").isin(top: _*), col("token"))
+          .otherwise(lit("<other>")).as("sym"),
+        col("c"))
+      .groupBy("source", "sym").agg(sum("c").as("c")))
+    val corpus = sym.groupBy("sym").agg(sum("c").cast(LongType).as("q"))
+    val srcN = sym.groupBy("source").agg(sum("c").cast(LongType).as("np"))
+    val nqF = corpus.agg(sum("q").cast(LongType).as("nq"),
+      sum((col("q") * ql(col("q"))).cast(DecimalType(38, 0))).as("sum_q"))
+    val grid = srcN.crossJoin(broadcast(corpus)).crossJoin(broadcast(nqF))
+      .join(sym, Seq("source", "sym"), "left")
+      .select(col("source"), col("np"), col("nq"), col("sum_q"),
+        col("q"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("u", col("c") * col("nq") + col("q") * col("np"))
+    val per = grid.groupBy("source", "np", "nq", "sum_q")
+      .agg(
+        sum(when(col("c") > 0L, (col("c") * ql(col("c")))
+          .cast(DecimalType(38, 0))).otherwise(lit(0L).cast(DecimalType(38, 0))))
+          .as("sum_c"),
+        sum((col("u").cast(DecimalType(38, 0)) * ql(col("u"))))
+          .as("sum_u"))
+    val npd = col("np").cast(DoubleType)
+    val nqd = col("nq").cast(DoubleType)
+    val dd = lit(2.0) * npd * nqd
+    val hp = (npd * ql(col("np")).cast(DoubleType) -
+      col("sum_c").cast(DoubleType)) / (npd * 1e6)
+    val hq = (nqd * ql(col("nq")).cast(DoubleType) -
+      col("sum_q").cast(DoubleType)) / (nqd * 1e6)
+    val hm = (dd * ql(lit(2L) * col("np") * col("nq")).cast(DoubleType) -
+      col("sum_u").cast(DoubleType)) / (dd * 1e6)
+    per.select(col("source"), col("np").as("n_tokens"),
+        roundD(hm - (hp + hq) / 2.0, 6).as("jsd_bits"))
+      .orderBy("source")
+  }
+
   /** TEXTRANK KEYWORD EXTRACTION — corpus keywords as the PageRank of the
     * word CO-OCCURRENCE graph (Mihalcea & Tarau, EMNLP'04): an undirected
     * edge for every adjacent content-word pair (stopwords and self-pairs
@@ -884,6 +956,57 @@ object TextOps {
       SELECT token, freq,
              row_number() OVER (ORDER BY freq DESC, token) AS id
       FROM c ORDER BY id""",
+    // identical u_i = c·nq + q·np integer masses, identical quantized
+    // logs, identical final double tree
+    "text_jsd" -> {
+      def ql(x: String) =
+        s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+      s"""
+      WITH toks AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+        FROM documents),
+      tc AS MATERIALIZED (SELECT source, token, count(*) AS c
+                          FROM toks GROUP BY 1, 2),
+      top AS (SELECT token FROM (
+                SELECT token, sum(c) AS ct FROM tc GROUP BY 1
+                ORDER BY ct DESC, token LIMIT $jsdVocab)),
+      sym AS MATERIALIZED (
+        SELECT source,
+               CASE WHEN token IN (SELECT token FROM top) THEN token
+                    ELSE '<other>' END AS sym,
+               CAST(sum(c) AS BIGINT) AS c
+        FROM tc GROUP BY 1, 2),
+      corpus AS (SELECT sym, CAST(sum(c) AS BIGINT) AS q FROM sym GROUP BY 1),
+      srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS np FROM sym GROUP BY 1),
+      nqf AS (SELECT CAST(sum(q) AS BIGINT) AS nq,
+                     CAST(sum(q * ${ql("q")}) AS DECIMAL(38,0)) AS sum_q
+              FROM corpus),
+      grid AS (
+        SELECT s.source, s.np, n.nq, n.sum_q, c2.q, COALESCE(y.c, 0) AS c
+        FROM srcn s CROSS JOIN corpus c2 CROSS JOIN nqf n
+        LEFT JOIN sym y ON y.source = s.source AND y.sym = c2.sym),
+      g2 AS (SELECT *, c * nq + q * np AS u FROM grid),
+      per AS (
+        SELECT source, np, nq, sum_q,
+               CAST(sum(CASE WHEN c > 0
+                             THEN CAST(c * ${ql("c")} AS DECIMAL(38,0))
+                             ELSE 0 END) AS DECIMAL(38,0)) AS sum_c,
+               CAST(sum(CAST(u AS DECIMAL(38,0)) * ${ql("u")})
+                    AS DECIMAL(38,0)) AS sum_u
+        FROM g2 GROUP BY 1, 2, 3, 4)
+      SELECT source, np AS n_tokens,
+             floor((
+               (2.0 * np::DOUBLE * nq::DOUBLE
+                  * ${ql("2 * np * nq")}::DOUBLE - sum_u::DOUBLE)
+                 / (2.0 * np::DOUBLE * nq::DOUBLE * 1e6)
+               - ((np::DOUBLE * ${ql("np")}::DOUBLE - sum_c::DOUBLE)
+                    / (np::DOUBLE * 1e6)
+                  + (nq::DOUBLE * ${ql("nq")}::DOUBLE - sum_q::DOUBLE)
+                    / (nq::DOUBLE * 1e6)) / 2.0
+             ) * 1e6 + 0.5) / 1e6 AS jsd_bits
+      FROM per ORDER BY source"""
+    },
     // the graph_pagerank oracle's unrolled quantized iterations, over the
     // adjacent-content-word graph instead of the nation trade graph
     "text_keywords" -> {
@@ -1100,6 +1223,7 @@ object TextOps {
     "invidx_query" -> invIndexQuery _,
     "bm25" -> bm25 _,
     "text_keywords" -> textKeywords _,
+    "text_jsd" -> textJsd _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,

@@ -37,6 +37,8 @@ object PlanAudit {
     // one-row corpus-max frame + one-row quintile-edge frame BY DESIGN:
     ("rfm", "BroadcastNestedLoopJoin"),
     ("bm25", "BroadcastNestedLoopJoin"), // one-row (N, T, df...) frame
+    ("text_jsd", "BroadcastNestedLoopJoin"), // one-row nq frame x 51-sym frame
+    ("graph_degree_dist", "BroadcastNestedLoopJoin"), // one-row total frame
     ("dq_freshness", "BroadcastNestedLoopJoin"), // one-row now frame x 3 rows
     // per key column: one-row stats frame x one-row top10 frame BY DESIGN
     ("dq_skew", "BroadcastNestedLoopJoin"),

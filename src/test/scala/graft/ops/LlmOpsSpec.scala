@@ -502,6 +502,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0), got.toString)
   }
 
+  test("text_jsd: zero on identical sources, closed-form on disjoint ones") {
+    import spark.implicits._
+    // same distribution in both sources -> JSD vs corpus = 0
+    val fixSame = java.nio.file.Files.createTempDirectory("jsd_same").toString
+    Seq((1L, "x y z", "a"), (2L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$fixSame/documents.parquet")
+    val same = TextOps.textJsd(spark, fixSame).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(same.keySet == Set("a", "b"))
+    same.values.foreach(v => assert(math.abs(v) <= 2e-5, s"nonzero JSD: $same"))
+    // two equal-mass DISJOINT uniform vocabularies: each source vs the
+    // corpus mixture has the closed form 3/4·log2(4/3) + 1/4·log2(4) − 1/2
+    // = 0.311278... bits, independent of vocabulary size
+    val fixDisj = java.nio.file.Files.createTempDirectory("jsd_disj").toString
+    Seq((1L, (1 to 10).map(i => s"a$i").mkString(" "), "a"),
+        (2L, (1 to 10).map(i => s"b$i").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$fixDisj/documents.parquet")
+    val disj = TextOps.textJsd(spark, fixDisj).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = 0.75 * (math.log(4.0 / 3.0) / math.log(2.0)) + 0.25 * 2.0 - 0.5
+    disj.values.foreach(v =>
+      assert(math.abs(v - want) <= 1e-3, s"JSD $v != closed form $want"))
+    // the real corpus: every source bounded 0 <= jsd <= 1 (log2 units),
+    // allowing the 1e-6 quantization grid's slack at the bottom
+    val real = TextOps.textJsd(spark, dir).collect().map(_.getDouble(2))
+    assert(real.nonEmpty)
+    real.foreach(v => assert(v >= -1e-4 && v <= 1.0, s"JSD out of range: $v"))
+  }
+
   test("sim_ann_filtered: label honored; beats post-filtering the unfiltered list") {
     import org.apache.spark.sql.functions._
     val labels = graft.ops.table(spark, dir, "embeddings")
