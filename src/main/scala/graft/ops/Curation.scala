@@ -243,6 +243,41 @@ object Curation {
       .orderBy("split", "lang")
   }
 
+  /** WEIGHTED OVERSAMPLING plan — the upsampling half of the mixing
+    * story ([[mixTemperature]] plans DOWN-weights; a rare high-quality
+    * source is instead REPEATED): each source's repeat factor brings it
+    * up to the largest source's count, f‰ = (max_n·1000) div n, and each
+    * document materializes floor(f‰/1000) copies plus one more when its
+    * salted-MD5 residue falls under f‰ mod 1000 — so the fractional part
+    * lands EXACTLY in expectation AND deterministically per doc (the
+    * [[splitHash]] hash convention: md5 is the hash every engine
+    * computes identically; no RNG, reruns are idempotent). Output is the
+    * per-source audit (docs, planned copies, achieved permille vs
+    * target); the explode itself is one `sequence()` away and stays
+    * map-side. Everything is one keyed count + a broadcast factor join —
+    * shuffle ∝ sources. */
+  def sampleUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val factors = counts
+      .crossJoin(broadcast(counts.agg(max("n").as("mx"))))
+      .select(col("source"), col("n"), expr("(mx * 1000) div n").as("f_pm"))
+    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#upsample"))), 1, 8), 16, 10).cast(LongType)
+    docs.select(col("source"), col("doc_id"))
+      .join(broadcast(factors), "source")
+      .select(col("source"), col("n"), col("f_pm"),
+        (expr("f_pm div 1000") +
+          when(h % 1000L < col("f_pm") % 1000L, 1L).otherwise(0L))
+          .as("copies"))
+      .groupBy("source", "n", "f_pm")
+      .agg(sum("copies").as("n_copies"))
+      .select(col("source"), col("n").as("n_docs"), col("f_pm"),
+        col("n_copies"),
+        expr("(n_copies * 1000) div n").as("achieved_pm"))
+      .orderBy("source")
+  }
+
   /** TOKEN-BUDGET curation — "fill an N-token training budget with the
     * richest documents": rank by lexical richness (distinct-token count —
     * an INTEGER, so the cross-engine ordering can't drift in a float
@@ -427,6 +462,22 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_upsample" -> """
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      f AS (SELECT source, n,
+                   ((SELECT max(n) FROM c) * 1000) // n AS f_pm
+            FROM c),
+      d AS (SELECT d.source, f.n, f.f_pm,
+                   f.f_pm // 1000 +
+                   CASE WHEN ('0x' || substr(
+                            md5(d.doc_id::VARCHAR || '#upsample'), 1, 8))
+                          ::BIGINT % 1000 < f.f_pm % 1000
+                        THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN f USING (source))
+      SELECT source, n AS n_docs, f_pm,
+             CAST(sum(copies) AS BIGINT) AS n_copies,
+             (CAST(sum(copies) AS BIGINT) * 1000) // n AS achieved_pm
+      FROM d GROUP BY source, n, f_pm ORDER BY source""",
     "mix_temperature" -> """
       WITH c AS (SELECT source, count(*) AS n_docs,
                         CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT) AS w
@@ -587,5 +638,6 @@ object Curation {
     "winsorize" -> winsorize _,
     "shard_balance" -> ((sp, d) => shardBalance(sp, d)),
     "mix_temperature" -> mixTemperature _,
+    "sample_upsample" -> sampleUpsample _,
   )
 }

@@ -1070,6 +1070,35 @@ object Relational {
     * window precisely because its input is bounded by construction — no
     * WindowExec, no "no partition defined" planning hazard. PlanSpec locks
     * the two-phase shape and the prune's measured effect. */
+  /** ABC / PARETO CLASSIFICATION — suppliers ranked by revenue, classed
+    * A/B/C at the 80%/95% cumulative-share cuts: the inventory-
+    * prioritization query every procurement dashboard ships ("which 20%
+    * of suppliers carry 80% of spend"). Revenue folds to exact integer
+    * cents in ONE fact-table aggregate (map-side combined, shuffle ∝
+    * suppliers); the running share then runs over the AGGREGATED
+    * |suppliers| frame — a dimension-bounded window (the dq_volume days-
+    * frame argument), never over lineitem. The class cuts compare
+    * cum·1000 ≤ total·k in exact BIGINTs (ties on revenue break by
+    * suppkey, mirrored in the oracle). */
+  def abcClass(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = table(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .crossJoin(broadcast(rev.agg(sum("rev_cents").cast(LongType).as("tot"))))
+      .withColumn("cum", sum("rev_cents").over(w))
+      .select(col("s_suppkey"), col("rev_cents"),
+        expr("cum * 1000 div tot").as("cum_pm"),
+        when(col("cum") * 1000 <= col("tot") * 800, "A")
+          .when(col("cum") * 1000 <= col("tot") * 950, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("s_suppkey")
+  }
+
   def skyline(spark: SparkSession, dir: String): DataFrame =
     skylineMerge(skylineLocal(spark, dir))
 
@@ -1774,8 +1803,26 @@ object Relational {
     // the O(n²) dominance definition verbatim — a frontier point is one no
     // other point weakly beats on both axes with a strict win somewhere;
     // the Spark side's sort-scan must reproduce it exactly
+    // identical cents aggregate, identical cumulative cross-multiplied cuts
+    "abc_class" ->
+      """WITH r AS (SELECT l_suppkey AS s_suppkey,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS rev_cents
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM r),
+         c AS (SELECT s_suppkey, rev_cents,
+                      CAST(sum(rev_cents) OVER (
+                        ORDER BY rev_cents DESC, s_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+               FROM r)
+         SELECT s_suppkey, rev_cents, (cum * 1000) // t.tot AS cum_pm,
+                CASE WHEN cum * 1000 <= t.tot * 800 THEN 'A'
+                     WHEN cum * 1000 <= t.tot * 950 THEN 'B'
+                     ELSE 'C' END AS abc
+         FROM c, t ORDER BY s_suppkey""",
     "skyline" ->
-      """WITH pairs AS (
+"""WITH pairs AS (
            SELECT p_retailprice AS price, p_size AS size,
                   count(*) AS n_parts
            FROM part GROUP BY 1, 2)
@@ -1884,6 +1931,7 @@ object Relational {
     "zscore" -> anomalyZscore _,
     "anomaly_mad" -> anomalyMad _,
     "skyline" -> skyline _,
+    "abc_class" -> abcClass _,
     "agg_hll_merge" -> aggHllMerge _,
     "agg_hll_ix" -> aggHllIntersect _,
     "freq_cms" -> freqCms _,

@@ -669,9 +669,13 @@ object TextOps {
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .filter(col("a") =!= col("b") &&
         !col("a").isin(stopwords: _*) && !col("b").isin(stopwords: _*))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+    // materialized: pageRankOf consumes the edge frame ~5× (vertices,
+    // degrees, one contribution join per iteration) — without this every
+    // consumer re-runs the corpus tokenize+distinct
+    val edges = materialize(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
     GraphOps.pageRankOf(edges)
       .select(col("id").as("token"), roundD(col("pr"), 8).as("pr"))
       .orderBy(col("pr").desc, col("token"))

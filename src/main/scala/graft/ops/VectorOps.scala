@@ -34,6 +34,31 @@ object VectorOps {
     """list_reduce(list_concat([0.0], list_transform(range(1, 65),
         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"""
 
+  /** EMBEDDING-TABLE QUALITY AUDIT — the pre-flight a vector pipeline
+    * runs before building any index over 100 TB of embeddings: per
+    * label stratum, vector count, degenerate-vector counts (zero norm;
+    * non-finite components — the NaN that silently poisons every cosine
+    * downstream), and the squared-norm envelope. One pass, one keyed
+    * aggregate; norms are the same ordered [[dot]] fold the retrieval
+    * ops use, rounded to the 1e-5 grid BEFORE aggregation so min/max/sum
+    * land identically in both engines (sums ride exact DECIMAL). */
+  def dqVec(spark: SparkSession, dir: String): DataFrame = {
+    val n2 = roundD(dot(col("embedding"), col("embedding")), 5)
+    table(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        n2.as("n2"),
+        exists(col("embedding"), v => isnan(v) || v === Float.PositiveInfinity
+          || v === Float.NegativeInfinity).as("bad"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        min("n2").as("min_norm2"), max("n2").as("max_norm2"),
+        sum(col("n2").cast(DecimalType(18, 5))).cast(DoubleType)
+          .as("sum_norm2"))
+      .orderBy("label")
+  }
+
   /** Brute-force cosine top-10 per query vector (queries = vec_id < 5,
     * broadcast to every partition): the exact baseline every ANN variant is
     * judged against. Scales as one pass over the corpus per query batch. */
@@ -966,6 +991,25 @@ object VectorOps {
                      ORDER BY cosine DESC, vec_id) AS rk FROM scored)
         SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
         ORDER BY query_id, rk""",
+      // same ordered norm fold, rounded before aggregation; decimal sums
+      "dq_vec" -> """
+        WITH v AS (
+          SELECT label, vec_id,
+                 floor(list_reduce(list_concat([0.0],
+                     list_transform(range(1, 65),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                   (acc, x) -> acc + x) * 1e5 + 0.5) / 1e5 AS n2,
+                 len(list_filter(embedding,
+                     x -> isnan(x) OR isinf(x))) > 0 AS bad
+          FROM embeddings)
+        SELECT label, count(*) AS n_vecs,
+               CAST(sum(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nonfinite,
+               min(n2) AS min_norm2, max(n2) AS max_norm2,
+               CAST(sum(CAST(n2 AS DECIMAL(18,5))) AS DOUBLE) AS sum_norm2
+        FROM v GROUP BY label ORDER BY label""",
       // the sim_ann_topk twin with the label predicate folded into the
       // candidate condition, exactly as the Spark join keys it
       "sim_ann_filtered" -> s"""
@@ -1123,6 +1167,7 @@ object VectorOps {
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
     "sim_ann_filtered" -> ((s, d) => simAnnFiltered(s, d)),
+    "dq_vec" -> dqVec _,
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,

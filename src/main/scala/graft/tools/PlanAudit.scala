@@ -40,6 +40,8 @@ object PlanAudit {
     ("text_jsd", "BroadcastNestedLoopJoin"), // one-row nq frame x 51-sym frame
     ("graph_degree_dist", "BroadcastNestedLoopJoin"), // one-row total frame
     ("dq_freshness", "BroadcastNestedLoopJoin"), // one-row now frame x 3 rows
+    ("abc_class", "BroadcastNestedLoopJoin"), // one-row total frame
+    ("sample_upsample", "BroadcastNestedLoopJoin"), // one-row max-n frame
     // per key column: one-row stats frame x one-row top10 frame BY DESIGN
     ("dq_skew", "BroadcastNestedLoopJoin"),
     ("colloc", "BroadcastNestedLoopJoin"), // one-row total-count frame

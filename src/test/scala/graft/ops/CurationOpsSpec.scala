@@ -219,6 +219,42 @@ class CurationOpsSpec extends SparkSpec {
         "sqrt weights must compress the spread")
   }
 
+  test("sample_upsample: factors hit targets, the largest source is untouched") {
+    val rows = Curation.sampleUpsample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val maxN = rows.map(_._2).max
+    rows.foreach { case (src, n, fPm, copies, achieved) =>
+      assert(fPm == maxN * 1000 / n, s"$src factor wrong")
+      assert(copies >= n, s"$src upsampling must never shrink: $copies < $n")
+      // whole part is exact; the hash-gated fractional part is within
+      // one per-doc unit of target in permille terms
+      assert(math.abs(achieved - fPm) <= math.max(50L, 2000L / n),
+        s"$src achieved $achieved vs target $fPm")
+      if (n == maxN)
+        assert(fPm == 1000L && copies == n, s"largest source must be 1x: $src")
+    }
+  }
+
+  test("abc_class: cumulative cuts respected, classes ordered by revenue") {
+    val rows = Relational.abcClass(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val tot = rows.map(_._2).sum
+    def mass(c: String) = rows.filter(_._4 == c).map(_._2).sum
+    assert(mass("A") * 1000 <= tot * 800, "A mass exceeds the 80% cut")
+    assert((mass("A") + mass("B")) * 1000 <= tot * 950, "A+B exceeds 95%")
+    assert(rows.count(_._4 == "A") > 0 && rows.count(_._4 == "C") > 0)
+    // every A supplier out-earns every B, every B out-earns every C
+    val minA = rows.filter(_._4 == "A").map(_._2).min
+    val bs = rows.filter(_._4 == "B").map(_._2)
+    val maxB = if (bs.nonEmpty) bs.max else Long.MinValue
+    val maxC = rows.filter(_._4 == "C").map(_._2).max
+    assert(minA >= maxB && (bs.isEmpty || bs.min >= maxC),
+      "class revenue ordering violated")
+  }
+
   test("shard_balance: serpentine LPT keeps shard token mass within 5% of mean") {
     import org.apache.spark.sql.functions._
     val rows = Curation.shardBalance(spark, dir).collect()
