@@ -243,6 +243,38 @@ object Curation {
       .orderBy("split", "lang")
   }
 
+  /** QUALITY GATE with machine-readable reject reasons — the batch twin
+    * of the streaming quarantine split: every document is scored against
+    * three cheap exact filters (length, stopword fluency, token-shape)
+    * and lands in a reason-combination cell ("too_short+long_tokens") or
+    * `pass` — the curation report that tells you WHAT you are about to
+    * throw away before a 100 TB filter run commits to it. All signals
+    * are integer permille / ×100 fixed-point off ONE tokenize pass (no
+    * float reaches a threshold); the rollup is a ≤8-cell aggregate. */
+  def curateGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val stops = TextOps.stopwords
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast(LongType).as("n_tok"),
+        size(filter(toks, x => x.isin(stops: _*))).cast(LongType)
+          .as("n_stop"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_tok"),
+        expr("1000 * n_stop div greatest(n_tok, 1)").as("stop_pm"),
+        expr("100 * sum_len div greatest(n_tok, 1)").as("mlen_x100"))
+      .select(col("n_chars"), concat_ws("+",
+          when(col("n_tok") < 20L, "too_short"),
+          when(col("stop_pm") < 50L, "low_stopword"),
+          when(col("mlen_x100") > 480L, "long_tokens")).as("rs"))
+      .select(col("n_chars"),
+        when(col("rs") === "", "pass").otherwise(col("rs")).as("reasons"))
+      .groupBy("reasons")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("reasons")
+  }
+
   /** WEIGHTED OVERSAMPLING plan — the upsampling half of the mixing
     * story ([[mixTemperature]] plans DOWN-weights; a rare high-quality
     * source is instead REPEATED): each source's repeat factor brings it
@@ -462,6 +494,28 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "curate_gate" -> s"""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_chars, len(toks) AS n_tok,
+               1000 * len(list_filter(toks, x -> x IN ${TextOps.stopList}))
+                 // greatest(len(toks), 1) AS stop_pm,
+               100 * list_sum(list_transform(toks, x -> length(x)))
+                 // greatest(len(toks), 1) AS mlen_x100
+        FROM t),
+      r AS (
+        SELECT n_chars, concat_ws('+',
+                 CASE WHEN n_tok < 20 THEN 'too_short' END,
+                 CASE WHEN stop_pm < 50 THEN 'low_stopword' END,
+                 CASE WHEN mlen_x100 > 480 THEN 'long_tokens' END) AS rs
+        FROM m)
+      SELECT CASE WHEN rs = '' THEN 'pass' ELSE rs END AS reasons,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM r GROUP BY 1 ORDER BY reasons""",
     "sample_upsample" -> """
       WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
       f AS (SELECT source, n,
@@ -639,5 +693,6 @@ object Curation {
     "shard_balance" -> ((sp, d) => shardBalance(sp, d)),
     "mix_temperature" -> mixTemperature _,
     "sample_upsample" -> sampleUpsample _,
+    "curate_gate" -> curateGate _,
   )
 }

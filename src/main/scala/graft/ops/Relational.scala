@@ -1070,6 +1070,45 @@ object Relational {
     * window precisely because its input is bounded by construction — no
     * WindowExec, no "no partition defined" planning hazard. PlanSpec locks
     * the two-phase shape and the prune's measured effect. */
+  /** TPC-H Q1 pricing summary shared by [[sqlQ1]] and its DuckDB twin —
+    * ONE SQL string, two engines: the text itself is the cross-engine
+    * contract (decimal-exact sums, explicit ORDER BY). */
+  private[graft] val q1Sql = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2))) *
+                    (CAST(1 AS DECIMAL(18,2))
+                     + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_charge
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** SQL ENTRY SURFACE — the full TPC-H-Q1 pricing summary driven
+    * entirely through `spark.sql()` over a registered view: the
+    * DataFrame ops everywhere else in this library and the SQL text here
+    * compile to the SAME Catalyst plan (scan → pushed filter → partial
+    * HashAggregate → exchange → final aggregate → sort), which is the
+    * point — a user of the reference can bring raw ANSI SQL to this
+    * engine and get the identical optimized execution, custom
+    * expressions included ([[graft.functions.GraftExtensions]] registers
+    * the native function family for exactly this path). The oracle IS
+    * the same string run by DuckDB — one contract, two engines. */
+  def sqlQ1(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q1Sql)
+  }
+
   /** ABC / PARETO CLASSIFICATION — suppliers ranked by revenue, classed
     * A/B/C at the 80%/95% cumulative-share cuts: the inventory-
     * prioritization query every procurement dashboard ships ("which 20%
@@ -1803,6 +1842,8 @@ object Relational {
     // the O(n²) dominance definition verbatim — a frontier point is one no
     // other point weakly beats on both axes with a strict win somewhere;
     // the Spark side's sort-scan must reproduce it exactly
+    // the SAME string the Spark side executes — one contract, two engines
+    "sql_q1" -> q1Sql,
     // identical cents aggregate, identical cumulative cross-multiplied cuts
     "abc_class" ->
       """WITH r AS (SELECT l_suppkey AS s_suppkey,
@@ -1932,6 +1973,7 @@ object Relational {
     "anomaly_mad" -> anomalyMad _,
     "skyline" -> skyline _,
     "abc_class" -> abcClass _,
+    "sql_q1" -> sqlQ1 _,
     "agg_hll_merge" -> aggHllMerge _,
     "agg_hll_ix" -> aggHllIntersect _,
     "freq_cms" -> freqCms _,

@@ -16,7 +16,7 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(lower(c), " "), t => t =!= "")
 
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Token frequency: explode → count — the classic map-side-combine
     * aggregation; top-20 with deterministic tiebreak. */
@@ -803,7 +803,7 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
-  private val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+  private[graft] val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
     // plain exact GROUP BY/HAVING — the sketch must be invisible in the

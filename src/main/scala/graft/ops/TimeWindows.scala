@@ -291,6 +291,51 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** CUSUM CHANGEPOINT SCAN — "when did this series' level shift": per
+    * event type, the point t maximizing the centered cumulative-sum
+    * deviation |n·S_t − t·S_n| (the classic CUSUM statistic with the
+    * mean folded out by cross-multiplication — S_t/t vs S_n/n compared
+    * without a single division), plus the level on each side of the cut.
+    * Everything up to the final two means is exact BIGINT cents, so the
+    * argmax (ties: earliest (ts, id)) lands identically in both engines.
+    * Two windows over the per-type stream (the cumsum and the argmax
+    * rank) — the same per-series ordered-scan shape as [[tsAcf]]; the
+    * rollup then emits ONE row per type. */
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOf(table(spark, dir, "events"))
+
+  /** The CUSUM machinery over any (event_type, ts, event_id, value)
+    * frame — split out so the spec can drive a hand-built level shift
+    * with a known cut point. */
+  private[graft] def changepointOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val wc = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("vc"))
+      .withColumn("t", count(lit(1)).over(wc))
+      .withColumn("st", sum("vc").over(wc))
+    val tot = base.groupBy("event_type")
+      .agg(max("t").as("n"), sum("vc").as("sn"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("d").desc, col("ts"), col("event_id"))
+    base.join(broadcast(tot), "event_type")
+      .withColumn("d", abs(col("n") * col("st") - col("t") * col("sn")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n"), tsStr(col("ts")).as("cp_ts"),
+        col("d").as("d_max"),
+        roundD(col("st").cast(DoubleType) / col("t").cast(DoubleType) / 100.0, 6)
+          .as("mean_before"),
+        roundD((col("sn") - col("st")).cast(DoubleType) /
+          nullif((col("n") - col("t")).cast(DoubleType), lit(0.0)) / 100.0, 6)
+          .as("mean_after"))
+      .orderBy("event_type")
+  }
+
   /** DAY-OF-WEEK SEASONALITY profile — the calendar-structure diagnostic
     * next to [[tsAcf]]'s serial correlation: per (event_type, weekday),
     * event count and mean value, plus the ratio of the weekday mean to
@@ -439,6 +484,34 @@ object TimeWindows {
                                 / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6
                      ELSE min(value) END AS twap
          FROM t GROUP BY 1, 2 ORDER BY event_type, day""",
+    // identical integer cumsum/cross-multiplication; the argmax rank uses
+    // the same (d DESC, ts, id) order both engines sort identically
+    "ts_changepoint" -> """
+      WITH b AS (
+        SELECT event_type, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+               count(*) OVER w AS t,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER w AS BIGINT) AS st
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      g AS (SELECT event_type, max(t) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sn
+            FROM b GROUP BY 1),
+      r AS (
+        SELECT b.event_type, b.ts, n, t, st, sn,
+               abs(n * st - t * sn) AS d,
+               row_number() OVER (PARTITION BY b.event_type
+                 ORDER BY abs(n * st - t * sn) DESC, b.ts, b.event_id) AS rk
+        FROM b JOIN g USING (event_type))
+      SELECT event_type, n,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts, d AS d_max,
+             floor(st::DOUBLE / t::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6
+               AS mean_before,
+             floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
+                   * 1e6 + 0.5) / 1e6 AS mean_after
+      FROM r WHERE rk = 1 ORDER BY event_type""",
     // identical decimal sums; the two means and their ratio are the same
     // IEEE division tree on bit-identical inputs
     "ts_seasonal" -> """
@@ -595,6 +668,7 @@ object TimeWindows {
     "ts_ewma" -> tsEwma _,
     "ts_acf" -> tsAcf _,
     "ts_seasonal" -> tsSeasonal _,
+    "ts_changepoint" -> tsChangepoint _,
     "twap" -> twap _,
     "trending" -> trending _,
   )

@@ -465,6 +465,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_changepoint: a clean level shift is cut exactly at the boundary") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = (0 until 40).map { i =>
+      ("shift", new Timestamp(1700000000000L + i * 1000L), i.toLong,
+        if (i < 20) 10.0 else 50.0)
+    }
+    val df = rows.toDF("event_type", "ts", "event_id", "value")
+    val got = TimeWindows.changepointOf(df).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).head
+    // argmax of |n·S_t − t·S_n| for a two-level series is the boundary
+    // point t=20 (the last low point)
+    assert(got._2 == 40L)
+    assert(got._3.startsWith("2023-11-14 22:13:39"),
+      s"cut at wrong point: ${got._3}")
+    assert(got._5 == 10.0 && got._6 == 50.0,
+      s"side means wrong: ${got._5} / ${got._6}")
+  }
+
   test("ts_acf: alternating series gives r1 = -1, r2 = +1; trend is positive") {
     import spark.implicits._
     import java.sql.Timestamp

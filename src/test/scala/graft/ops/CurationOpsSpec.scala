@@ -219,6 +219,24 @@ class CurationOpsSpec extends SparkSpec {
         "sqrt weights must compress the spread")
   }
 
+  test("curate_gate: cells partition the corpus, labels from the fixed vocabulary") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.curateGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum ==
+      graft.ops.table(spark, dir, "documents").count(),
+      "reason cells must partition the corpus")
+    val legal = Set("too_short", "low_stopword", "long_tokens")
+    rows.foreach { case (reasons, n, chars) =>
+      assert(n > 0 && chars > 0)
+      if (reasons != "pass")
+        reasons.split("\\+").foreach(r =>
+          assert(legal(r), s"unknown reason label '$r'"))
+    }
+    assert(rows.exists(_._1 == "pass"), "gate must pass something")
+    assert(rows.exists(_._1 != "pass"), "gate must reject something")
+  }
+
   test("sample_upsample: factors hit targets, the largest source is untouched") {
     val rows = Curation.sampleUpsample(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
