@@ -243,6 +243,34 @@ object Curation {
       .orderBy("split", "lang")
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-order planner: each
+    * epoch's data order is the ascending order of a salted MD5 over
+    * (doc_id, epoch), so (1) every rerun of epoch e yields the identical
+    * order (resumable training, auditable batches), (2) different epochs
+    * get independent permutations (the generalization argument for
+    * reshuffling), and (3) NO global sort ever runs — the emitted
+    * per-epoch head is TakeOrdered (k rows per task, merged), and a full
+    * shard plan would `repartitionByRange` on the same key. Emits the
+    * first 10 positions of each epoch with their order keys; the rank
+    * window runs over the already-truncated k-row frames. */
+  def shuffleEpochs(spark: SparkSession, dir: String,
+      epochs: Int = 2, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val heads = (0 until epochs).map { e =>
+      val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+        lit(s"#epoch$e"))), 1, 8), 16, 10).cast(LongType)
+      table(spark, dir, "documents")
+        .select(lit(e).as("epoch"), col("doc_id"), h.as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(k)
+    }
+    heads.reduce(_ unionByName _)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("epoch").orderBy(col("h"), col("doc_id")))
+        .cast(LongType))
+      .select("epoch", "rk", "doc_id", "h")
+      .orderBy("epoch", "rk")
+  }
+
   /** QUALITY GATE with machine-readable reject reasons — the batch twin
     * of the streaming quarantine split: every document is scored against
     * three cheap exact filters (length, stopword fluency, token-shape)
@@ -494,6 +522,20 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "shuffle_epochs" -> """
+      WITH e0 AS (SELECT 0 AS epoch, doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR || '#epoch0'),
+                                         1, 8))::BIGINT AS h
+                  FROM documents ORDER BY h, doc_id LIMIT 10),
+      e1 AS (SELECT 1 AS epoch, doc_id,
+                    ('0x' || substr(md5(doc_id::VARCHAR || '#epoch1'),
+                                    1, 8))::BIGINT AS h
+             FROM documents ORDER BY h, doc_id LIMIT 10),
+      u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+      SELECT epoch,
+             row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rk,
+             doc_id, h
+      FROM u ORDER BY epoch, rk""",
     "curate_gate" -> s"""
       WITH t AS (
         SELECT doc_id, n_chars,
@@ -694,5 +736,6 @@ object Curation {
     "mix_temperature" -> mixTemperature _,
     "sample_upsample" -> sampleUpsample _,
     "curate_gate" -> curateGate _,
+    "shuffle_epochs" -> ((s, d) => shuffleEpochs(s, d)),
   )
 }

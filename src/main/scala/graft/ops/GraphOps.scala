@@ -399,6 +399,44 @@ object GraphOps {
     labels
   }
 
+  /** DEGREE ASSORTATIVITY — do hubs link to hubs (r > 0, social-network
+    * shape) or to leaves (r < 0, hub-and-spoke)? Pearson correlation of
+    * endpoint degrees over every directed edge of the symmetrized
+    * co-purchase graph — the one-number structural summary next to
+    * [[degreeDist]]'s histogram, and the input to how hard the skew
+    * mitigations need to work (disassortative hubs spray leaf traffic).
+    * The moment sums are exact BIGINTs (degrees are integers), the
+    * final Pearson is one identical double tree (the ts_acf convention);
+    * the |V|-row degree frame broadcasts onto the edge list twice. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(coPurchaseEdges(spark, dir))
+
+  /** The Pearson machinery over any undirected (a, b) edge frame — split
+    * out so the spec can drive hand graphs (a star is maximally
+    * disassortative; a regular cycle has zero variance → NULL). */
+  private[graft] def assortativityOf(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val sym = materialize(und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(broadcast(deg.select(col("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("u").as("v"), col("d").as("dv"))), "v")
+    val agg = pairs.agg(count(lit(1)).as("n"),
+      sum("du").as("sx"), sum("dv").as("sy"),
+      sum(col("du") * col("dv")).as("sxy"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("dv") * col("dv")).as("syy"))
+    val (nd, sx, sy, sxy, sxx, syy) =
+      (col("n").cast(DoubleType), col("sx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("sxy").cast(DoubleType),
+        col("sxx").cast(DoubleType), col("syy").cast(DoubleType))
+    agg.select(col("n").as("n_edges"),
+      roundD((nd * sxy - sx * sy) /
+        nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy),
+          lit(0.0)), 6).as("assortativity"))
+  }
+
   /** DEGREE DISTRIBUTION of the co-purchase graph — the first profiling
     * query run against any new graph (is it power-law? how fat is the
     * hub tail?), and the input to every skew decision the other graph
@@ -583,6 +621,35 @@ object GraphOps {
         UNION ALL SELECT 2, (SELECT count(*) FROM f2)
         UNION ALL SELECT 3, (SELECT count(*) FROM f3)
         ORDER BY hop""",
+      // identical integer moment sums over the symmetric edge list,
+      // identical final Pearson tree
+      "graph_assortativity" -> """
+        WITH per AS (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e0 AS (SELECT DISTINCT a, b FROM per),
+        sym AS (SELECT a AS u, b AS v FROM e0
+                UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+        pairs AS (SELECT du.d AS du, dv.d AS dv
+                  FROM sym JOIN deg du ON du.u = sym.u
+                           JOIN deg dv ON dv.u = sym.v),
+        s AS (SELECT count(*) AS n,
+                     CAST(sum(du) AS BIGINT) AS sx,
+                     CAST(sum(dv) AS BIGINT) AS sy,
+                     CAST(sum(du * dv) AS BIGINT) AS sxy,
+                     CAST(sum(du * du) AS BIGINT) AS sxx,
+                     CAST(sum(dv * dv) AS BIGINT) AS syy
+              FROM pairs)
+        SELECT n AS n_edges,
+               floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / nullif(sqrt(n::DOUBLE * sxx::DOUBLE
+                                   - sx::DOUBLE * sx::DOUBLE)
+                              * sqrt(n::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE), 0.0)
+                     * 1e6 + 0.5) / 1e6 AS assortativity
+        FROM s""",
       "graph_degree_dist" -> """
         WITH per AS (
           SELECT min(l_partkey) AS a, max(l_partkey) AS b
@@ -689,5 +756,6 @@ object GraphOps {
     "graph_sssp" -> sssp _,
     "graph_label_prop" -> labelProp _,
     "graph_degree_dist" -> degreeDist _,
+    "graph_assortativity" -> assortativity _,
   )
 }

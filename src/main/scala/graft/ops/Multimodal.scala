@@ -1350,6 +1350,40 @@ object Multimodal {
     }.toDF().orderBy("media_id")
   }
 
+  final case class LumaHistRow(media_id: Long, bin: Int, cnt: Long)
+
+  /** LUMINANCE HISTOGRAM — per image, the 8-bin brightness profile over
+    * the decoded raster (luma = (r+g+b) div 3, bin = luma div 32): the
+    * exposure/contrast screen an image-curation pass runs to drop
+    * all-black thumbnails and blown-out scans before any model sees
+    * them. Division-free integer binning (the mm_imgdup grayscale
+    * convention) so the DuckDB twin replays the exact counts off the
+    * synthesized pixel stream; only occupied bins emit (long-thin,
+    * explode-free — one row per (asset, bin) from a partition-local
+    * decode, aggregate-free like every codec stage). */
+  def mmLumaHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val images = mediaFromDocuments(spark, dir).filter(_.kind == "image")
+    images.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val (w, h, off) = Codec.ppmHeader(b)
+        val np = w * h
+        val bins = new Array[Long](8)
+        var p = 0
+        while (p < np) {
+          val luma = ((b(off + 3 * p) & 0xff) + (b(off + 3 * p + 1) & 0xff) +
+            (b(off + 3 * p + 2) & 0xff)) / 3
+          bins(luma / 32) += 1L
+          p += 1
+        }
+        bins.zipWithIndex.collect {
+          case (c, i) if c > 0L => LumaHistRow(r.media_id, i, c)
+        }
+      }
+    }.toDF().orderBy("media_id", "bin")
+  }
+
   /** Audio feature extraction — amplitude stats over the DECODED sample
     * values (the feature-extract verb for the audio modality): peak,
     * mean amplitude, RMS from the 16-bit PCM data chunk. Partition-local
@@ -2076,6 +2110,23 @@ object Multimodal {
          FROM documents ORDER BY doc_id""",
     // pixel p's channel c byte is text byte (3p+c) mod len (the raster is
     // the text cycled to w*h*3 bytes)
+    // the same synthesized pixel stream, binned by the division-free
+    // integer luma; only occupied bins emit
+    "mm_luma_hist" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS len,
+               ((length(text) % 16) + 4) * ((doc_id % 12) + 3) AS np
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT media_id,
+               unnest(list_transform(range(0, np), p ->
+                 (ascii(text[(((3*p) % len) + 1):(((3*p) % len) + 1)]) +
+                  ascii(text[(((3*p+1) % len) + 1):(((3*p+1) % len) + 1)]) +
+                  ascii(text[(((3*p+2) % len) + 1):(((3*p+2) % len) + 1)]))
+                 // 3 // 32)) AS bin
+        FROM m)
+      SELECT media_id, bin::INT AS bin, count(*) AS cnt
+      FROM px GROUP BY 1, 2 ORDER BY media_id, bin""",
     "mm_pixel_stats" -> """
       WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS len,
@@ -2366,6 +2417,7 @@ object Multimodal {
     "mm_audio_stats" -> mmAudioStats _,
     "mm_mulaw" -> mmMuLaw _,
     "mm_vad" -> ((s, d) => mmVad(s, d)),
+    "mm_luma_hist" -> mmLumaHist _,
     "mm_wav_resample" -> mmAudioResample _,
     "mm_spectral" -> mmSpectral _,
     "mm_pixel_stats" -> mmPixelStats _,

@@ -188,6 +188,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.toSet.size == 2, "must keep two communities")
   }
 
+  test("assortativity: a star is maximally disassortative; a cycle is NULL") {
+    import spark.implicits._
+    // hub 0 with 5 leaves: every edge pairs degree 5 with degree 1 -> r = -1
+    val star = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    val rStar = GraphOps.assortativityOf(star).collect().head
+    assert(rStar.getLong(0) == 10L)
+    assert(rStar.getDouble(1) == -1.0, s"star must be -1: $rStar")
+    // 4-cycle: all degrees 2, zero variance -> NULL, never NaN
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("a", "b")
+    val rCyc = GraphOps.assortativityOf(cyc).collect().head
+    assert(rCyc.isNullAt(1), s"regular graph must yield NULL: $rCyc")
+  }
+
   test("sssp: a cheap detour beats the expensive direct edge") {
     import spark.implicits._
     // 0→1 costs 10 direct, but 0→2→1 costs 1+2=3; 0→3 only via 1 (+1)
