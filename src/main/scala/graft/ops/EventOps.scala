@@ -96,6 +96,41 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** FUNNEL STEP LATENCY — how long converting users take between steps
+    * (the metric that decides where the product bleeds: a fast
+    * signup→view but day-long view→purchase is a checkout problem):
+    * per stage transition, converting-user count, the MEDIAN gap (GK
+    * sketch in the exact regime == DuckDB `quantile_disc` — the
+    * [[Extended.pctlAccuracy]] convention; group n is ≤ |users|) and the
+    * exact-integer mean. Built on [[funnel]]'s min-after-min times —
+    * same aggregate-join chain, same shuffle ∝ users. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, from: String, gap: Column, step: Int): DataFrame =
+      df.select(gap.as("gap_us"))
+        .agg(count(lit(1)).as("n_users"),
+          expr(s"approx_percentile(gap_us, 0.5D, ${Extended.pctlAccuracy})")
+            .as("p50_gap_us"),
+          (sum(col("gap_us").cast(DecimalType(38, 0))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) / 1e6).as("mean0"))
+        .select(lit(step).as("step"), lit(from).as("transition"),
+          col("n_users"), col("p50_gap_us"),
+          roundD(col("mean0"), 6).as("mean_gap_s"))
+    stage(s2.join(s1, "user_id"), "signup->view",
+        unix_micros(col("t2")) - unix_micros(col("t1")), 1)
+      .unionByName(stage(s3.join(s2, "user_id"), "view->purchase",
+        unix_micros(col("t3")) - unix_micros(col("t2")), 2))
+      .orderBy("step")
+  }
+
   /** Cohort retention: users are cohorted by their first-active day; the
     * cell (cohort, offset) counts users of that cohort active `offset`
     * days later. The (user, day) activity set is `distinct`-ed FIRST —
@@ -510,6 +545,34 @@ object EventOps {
          UNION ALL
          SELECT 3 AS step, 'purchase' AS stage, count(*) AS users FROM s3
          ORDER BY step""",
+    "funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                     FROM events e JOIN s1 USING (user_id)
+                     WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                     FROM events e JOIN s2 USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     GROUP BY 1),
+              g1 AS (SELECT epoch_us(t2) - epoch_us(t1) AS gap_us
+                     FROM s2 JOIN s1 USING (user_id)),
+              g2 AS (SELECT epoch_us(t3) - epoch_us(t2) AS gap_us
+                     FROM s3 JOIN s2 USING (user_id))
+         SELECT 1 AS step, 'signup->view' AS transition,
+                count(*) AS n_users,
+                quantile_disc(gap_us, 0.5) AS p50_gap_us,
+                floor(CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE)
+                      / count(*)::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+                  AS mean_gap_s
+         FROM g1
+         UNION ALL
+         SELECT 2, 'view->purchase', count(*),
+                quantile_disc(gap_us, 0.5),
+                floor(CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE)
+                      / count(*)::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+         FROM g2
+         ORDER BY step""",
     "funnel_window" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),
@@ -552,5 +615,6 @@ object EventOps {
     "rfm" -> rfm _,
     "pattern_vshape" -> patternVshape _,
     "funnel_window" -> funnelWindow _,
+    "funnel_latency" -> funnelLatency _,
   )
 }

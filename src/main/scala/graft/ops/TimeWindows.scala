@@ -291,6 +291,43 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** PEAK CONCURRENCY — the interval-stacking sweep ("how many 5-minute
+    * activity windows overlap at the worst moment, per type and day"):
+    * every event opens an interval [ts, ts+5min); the sweep explodes
+    * each into a +1/−1 delta pair, orders per type by (time, delta) —
+    * ends sort BEFORE starts at the same instant, so touching intervals
+    * never double-count — and takes the running sum's daily max. The
+    * capacity-planning readout (peak concurrent sessions/connections)
+    * that a plain windowed count under-reports whenever intervals
+    * straddle bucket edges. 2 rows per event, one per-type ordered
+    * scan (the sequential-sweep cost, same shape as [[tsAcf]]), exact
+    * integers throughout. */
+  def winConcurrency(spark: SparkSession, dir: String,
+      holdUs: Long = 300000000L): DataFrame =
+    concurrencyOf(table(spark, dir, "events"), holdUs)
+
+  /** The sweep over any (event_type, ts) frame — split out so the spec
+    * can drive known overlap patterns (three nested intervals peak at 3;
+    * touching intervals never double-count). */
+  private[graft] def concurrencyOf(events: DataFrame,
+      holdUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+    val deltas = ev.select(col("event_type"), col("t"), lit(1L).as("d"))
+      .unionByName(ev.select(col("event_type"),
+        (col("t") + holdUs).as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("cum", sum("d").over(w))
+      .groupBy(col("event_type"),
+        date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
+      .agg(max("cum").as("max_concurrent"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM CHANGEPOINT SCAN — "when did this series' level shift": per
     * event type, the point t maximizing the centered cumulative-sum
     * deviation |n·S_t − t·S_n| (the classic CUSUM statistic with the
@@ -484,6 +521,26 @@ object TimeWindows {
                                 / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6
                      ELSE min(value) END AS twap
          FROM t GROUP BY 1, 2 ORDER BY event_type, day""",
+    // same delta explode, same (t, d) sweep order (ends before starts),
+    // same daily max — all integer
+    "win_concurrency" -> """
+      WITH ev AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+      deltas AS (
+        SELECT event_type, t, 1 AS d FROM ev
+        UNION ALL
+        SELECT event_type, t + 300000000, -1 FROM ev),
+      sweep AS (
+        SELECT event_type, t, d,
+               CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM deltas)
+      SELECT event_type,
+             strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+             max(cum) AS max_concurrent,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts
+      FROM sweep GROUP BY 1, 2 ORDER BY event_type, day""",
     // identical integer cumsum/cross-multiplication; the argmax rank uses
     // the same (d DESC, ts, id) order both engines sort identically
     "ts_changepoint" -> """
@@ -669,6 +726,7 @@ object TimeWindows {
     "ts_acf" -> tsAcf _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_changepoint" -> tsChangepoint _,
+    "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,
   )

@@ -465,6 +465,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("win_concurrency: nested intervals stack, touching intervals do not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // hold = 10s. Three starts inside one window -> peak 3; then a start
+    // exactly at a prior end (touching) -> stays at 1
+    val df = Seq(
+      ("x", t(0)), ("x", t(2)), ("x", t(4)),   // nested: peak 3
+      ("y", t(0)), ("y", t(10))                // touching: peak 1
+    ).toDF("event_type", "ts")
+    val got = TimeWindows.concurrencyOf(df, holdUs = 10000000L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("x" -> 3L, "y" -> 1L), s"sweep peaks wrong: $got")
+  }
+
   test("ts_changepoint: a clean level shift is cut exactly at the boundary") {
     import spark.implicits._
     import java.sql.Timestamp
