@@ -336,7 +336,121 @@ object DataQuality {
     graft.streaming.StreamAssembly.rateAgg(table(spark, dir, "events"))
       .orderBy("event_type", "hour_ms")
 
+  /** Engine-portable row signature for [[dqChecksum]]/[[dqRecon]]: md5
+    * over a '|'-joined canonical serialization — every field rendered
+    * through an integer (epoch micros, money cents, decimal-string ids)
+    * so no float/timestamp formatting divergence can enter the hash;
+    * NULLs print as the literal 'null' (concat_ws would silently SKIP
+    * them, making "a|null" and "a" collide). */
+  private def rowSig(df: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
+      .cast(LongType)
+    df.select(col("event_id"), to_date(col("ts")).as("day"),
+      md5(concat_ws("|",
+        col("event_id").cast(StringType),
+        unix_micros(col("ts")).cast(StringType),
+        col("user_id").cast(StringType),
+        col("event_type"),
+        coalesce(cents.cast(StringType), lit("null")),
+        coalesce(col("props"), lit("null")))).as("sig"))
+  }
+
+  /** PARTITION CHECKSUM — the cheap dataset-equality primitive: one
+    * ORDER-INDEPENDENT checksum per day (sum of a 32-bit slice of each
+    * row's [[rowSig]] md5) plus the row count. Two copies of a table
+    * (a migration, a replica, a rewritten partition) compare by this
+    * day-grain frame — bytes proportional to |days|, not |rows| — and
+    * only a mismatching day needs the row-level [[dqRecon]] drill-down.
+    * Map-side only: the hash is computed in the scan projection and the
+    * sum partially aggregates; the shuffle carries one row per (day,
+    * task). Commutative sum means file/partition order never matters. */
+  def dqChecksum(spark: SparkSession, dir: String): DataFrame =
+    rowSig(table(spark, dir, "events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        conv(substring(col("sig"), 1, 8), 16, 10).cast(LongType).as("h"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+      .orderBy("day")
+
+  /** SNAPSHOT RECONCILIATION — when [[dqChecksum]] says two copies
+    * diverge, this names HOW: a full-outer key join of the two snapshots
+    * comparing [[rowSig]] signatures, classifying every key as same /
+    * changed / only_a / only_b, rolled up to (day, status) counts. The
+    * B side is a deterministic synthetic drift of A (drops every 97th
+    * key, bumps every 31st value, clones every 101st under a new id) so
+    * both engines rebuild the identical pair of snapshots.
+    *
+    * Scale shape: signatures reduce each row to (key, day, 32 bytes)
+    * BEFORE the join, so the shuffle carries fingerprints, not payloads;
+    * the join is keyed on the primary key both snapshots would already
+    * be bucketed by in a real lakehouse (the [[graft.ops.Bucketing]]
+    * co-location argument), and the output is |days|·4 rows. */
+  def dqRecon(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bSrc = ev.filter(col("event_id") % 97 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 31 === 0, col("value") + lit(1.0))
+          .otherwise(col("value")))
+      .unionByName(ev.filter(col("event_id") % 101 === 0)
+        .withColumn("event_id", col("event_id") + lit(1000000000000L)))
+    val a = rowSig(ev).toDF("event_id", "da", "sa")
+    val b = rowSig(bSrc).toDF("event_id", "db", "sb")
+    a.join(b, Seq("event_id"), "full_outer")
+      .select(
+        date_format(coalesce(col("da"), col("db")), "yyyy-MM-dd").as("day"),
+        when(col("sa").isNull, "only_b")
+          .when(col("sb").isNull, "only_a")
+          .when(col("sa") =!= col("sb"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy("day", "status").agg(count(lit(1)).as("n"))
+      .orderBy("day", "status")
+  }
+
+  /** The DuckDB twin of [[rowSig]]'s serialization (md5 over the same
+    * '|'-joined integer-canonical fields) — interpolated into both
+    * checksum/recon oracles so the two engines hash identical bytes. */
+  private val sigSql =
+    """md5(concat_ws('|', CAST(event_id AS VARCHAR),
+         CAST(epoch_us(ts) AS VARCHAR), CAST(user_id AS VARCHAR), event_type,
+         COALESCE(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS VARCHAR), 'null'),
+         COALESCE(props, 'null')))"""
+
   val oracles: Map[String, String] = Map(
+    "dq_checksum" -> s"""
+      WITH s AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                        ('0x' || substr($sigSql, 1, 8))::BIGINT AS h
+                 FROM events)
+      SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_rows,
+             CAST(sum(h) AS BIGINT) AS checksum
+      FROM s GROUP BY 1 ORDER BY day""",
+    "dq_recon" -> s"""
+      WITH ev AS (SELECT event_id, ts, user_id, event_type, value, props
+                  FROM events),
+      bsrc AS (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 31 = 0 THEN value + 1.0
+                    ELSE value END AS value, props
+        FROM ev WHERE event_id % 97 <> 0
+        UNION ALL
+        SELECT event_id + 1000000000000, ts, user_id, event_type, value,
+               props
+        FROM ev WHERE event_id % 101 = 0),
+      sa AS (SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS da,
+                    $sigSql AS sva
+             FROM ev),
+      sb AS (SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS db,
+                    $sigSql AS svb
+             FROM bsrc),
+      j AS (SELECT strftime(COALESCE(sa.da, sb.db), '%Y-%m-%d') AS day,
+                   CASE WHEN sva IS NULL THEN 'only_b'
+                        WHEN svb IS NULL THEN 'only_a'
+                        WHEN sva <> svb THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM sa FULL OUTER JOIN sb ON sa.event_id = sb.event_id)
+      SELECT day, status, count(*) AS n
+      FROM j GROUP BY 1, 2 ORDER BY day, status""",
     "dq_rate_hourly" -> """
       WITH c AS (
         SELECT event_type, epoch_ms(ts) // 3600000 * 3600000 AS hour_ms,
@@ -570,5 +684,7 @@ object DataQuality {
     "dq_cardinality" -> dqCardinality _,
     "analyze_stats" -> analyzeStats _,
     "dq_drift" -> dqDrift _,
+    "dq_checksum" -> dqChecksum _,
+    "dq_recon" -> dqRecon _,
   )
 }

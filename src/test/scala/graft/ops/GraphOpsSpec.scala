@@ -224,4 +224,56 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d5(5L) == 5L && d5.size == 6, s"5 hops must cover the chain: $d5")
   }
+
+  test("kcore: a path peels to nothing; a triangle with a tail keeps the triangle") {
+    import spark.implicits._
+    // path 0-1-2-3-4 (canonical a<b): endpoints peel first, then inward —
+    // the 2-core of a tree is empty, reached within the round budget
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = GraphOps.kCoreOf(path, k = 2, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(p.last == ((4, 0L, 0L)), s"tree 2-core must be empty: ${p.toSeq}")
+    // round 1 drops exactly the two endpoints (deg 1)
+    assert(p.head == ((1, 3L, 2L)), s"round 1 must keep {1,2,3}: ${p.toSeq}")
+    // triangle 0-1-2 with tail 2-3-4: tail peels in 2 rounds, triangle stays
+    val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val t = GraphOps.kCoreOf(tri, k = 2, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(t.last == ((4, 3L, 3L)), s"triangle must survive: ${t.toSeq}")
+    val counts = t.map(r => (r._2, r._3))
+    assert(counts(1) == counts(2) && counts(2) == counts(3),
+      s"fixpoint must hold once the tail is gone: ${t.toSeq}")
+  }
+
+  test("kcore: co-purchase rounds converge inside the round budget") {
+    // the fixed-round semantics are honest only if the budget REACHES the
+    // fixpoint on real data — the sssp/khop convention, proven here
+    val rows = GraphOps.kCore(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.length == GraphOps.kCoreRounds)
+    assert(rows(rows.length - 2) == rows.last,
+      s"last two rounds must agree (fixpoint): ${rows.toSeq}")
+  }
+
+  test("jaccard: shared-neighbor pairs score right, adjacent pairs are excluded") {
+    import spark.implicits._
+    // square 0-1-2-3-0: opposite corners share BOTH neighbors
+    // (jac = 2/2 = 1000‰) and are non-adjacent; adjacent corners share
+    // none here — every reported pair must be a diagonal
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("a", "b")
+    val got = GraphOps.jaccardLinksOf(sq).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set((0L, 2L, 2L, 1000L), (1L, 3L, 2L, 1000L)),
+      s"square diagonals wrong: ${got.toSeq}")
+    // wedge 0-1-2 plus pendant 1-3: pairs through hub 1 share one
+    // neighbor each; e.g. (0,2): common=1, deg0=1, deg2=1 → 1000‰;
+    // nothing may report an EDGE of the graph
+    val wedge = Seq((0L, 1L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    val w = GraphOps.jaccardLinksOf(wedge).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = Set((0L, 1L), (1L, 2L), (1L, 3L))
+    assert(w.nonEmpty && w.forall(p => !edges.contains(p)),
+      s"adjacent pairs leaked into link prediction: ${w.toSeq}")
+  }
 }
