@@ -62,16 +62,26 @@ object GraphOps {
   /** The [[prIters]] quantized power iterations over any (src, dst) edge
     * frame — split out so the spec can drive hand-built graphs (a 2-cycle
     * must be a fixed point) and partition-order probes. Returns (id, pr). */
-  private[graft] def pageRankOf(edges: DataFrame): DataFrame = {
-    val vertices = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+  private[graft] def pageRankOf(edges0: DataFrame): DataFrame = {
+    val home = edges0.sparkSession
+    val e0 = materialize(edges0)
+    // loop in a session sized by the measured edge count ([[loopSession]]);
+    // the broadcast hint is size-gated with it — in the single-partition
+    // loop a broadcast would only add a driver collect per iteration,
+    // at cluster parallelism it keeps the |V|-row rank frame from
+    // re-shuffling the edge list every round
+    val loopSpark = loopSession(home, e0.count())
+    def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
+    val edges = transplant(loopSpark, e0)
+    val vertices = materialize(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
     val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(degrees, "src")
+    val withDeg = materialize(edges.join(degrees, "src"))
     var pr = vertices.withColumn("pr", lit(1.0))
     for (_ <- 1 to prIters) {
       // contributions quantized per edge, summed exactly per target
       val contrib = withDeg
-        .join(broadcast(pr), col("src") === col("id"))
+        .join(hint(pr), col("src") === col("id"))
         .select(col("dst").as("id"),
           floor(col("pr") / col("deg").cast(DoubleType) * 1e12 + 0.5)
             .cast(LongType).as("q"))
@@ -81,7 +91,7 @@ object GraphOps {
           (lit(1.0 - prDamping) + lit(prDamping) *
             (coalesce(col("qsum"), lit(0L)).cast(DoubleType) / 1e12)).as("pr")))
     }
-    pr
+    transplant(home, pr)
   }
 
   /** TRIANGLE COUNTING per vertex over the undirected trade graph — the
@@ -208,26 +218,49 @@ object GraphOps {
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
     var curFp = fingerprint(cur)
+    // the entry fingerprint just measured the edge count — size the loop
+    // session by it ([[loopSession]]): at test scale every round becomes
+    // one pipelined single-task job; at cluster scale this is the parent
+    // session and nothing below changes
+    val loopSpark = loopSession(cur.sparkSession, curFp._1)
+    cur = transplant(loopSpark, cur)
     var converged = false
     var rounds = 0
+    // each star phase is ONE windowed pass over its input: the per-key
+    // minimum attaches inside the window partition, so the frame is
+    // shuffled once per phase instead of twice (keyed agg + join-back) —
+    // on a 100 TB edge history that halves the round's shuffle volume,
+    // and locally it halves the round's stage count. Window-partition
+    // skew equals the groupBy skew it replaces (one hub's neighbors land
+    // in one task either way; hubs shrink every round as leaves re-point).
+    import org.apache.spark.sql.expressions.Window
     while (!converged && rounds < maxRounds) {
       val sym = cur.select(col("lo").as("u"), col("hi").as("v"))
         .unionByName(cur.select(col("hi").as("u"), col("lo").as("v")))
-      val mn = sym.groupBy("u").agg(min(col("v")).as("nm"))
-        .select(col("u"), least(col("u"), col("nm")).as("m"))
-      // no distinct on the large-star output: its two consumers dedup
-      // anyway (mh's keyed min; the final distinct) — one less exchange
-      // per round, and the duplicate multiplicity is bounded by the
-      // input edge multiplicities
-      val large = sym.join(mn, "u").filter(col("v") > col("u"))
+      // large-star: m(u) = min(N(u) ∪ {u}); every neighbor v > u
+      // re-points to (m, v) — born canonical since m ≤ u < v
+      val large = sym
+        .withColumn("m", least(col("u"), min(col("v")).over(
+          Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-      val mh = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = materialize(
-        mh.select(col("m").as("lo"), col("hi"))
-          .unionByName(large.join(mh, "hi")
-            .filter(col("lo") =!= col("m"))
-            .select(col("m").as("lo"), col("lo").as("hi")))
-          .distinct())
+      // small-star: per hi, m = min(its smaller neighbors); each lo ≠ m
+      // re-points to (m, lo) and hi itself re-points once to (m, hi).
+      // Both windows share the partition key, so one sort-exchange feeds
+      // two chained WindowExecs; the rn=1 row (lo == m) emits the (m, hi)
+      // edge plus its own (m, m) self-loop, dropped by the filter.
+      val wH = Window.partitionBy("hi")
+      val next = materialize(large
+        .withColumn("m", min(col("lo")).over(wH))
+        .withColumn("rn", row_number().over(wH.orderBy("lo")))
+        .select(explode(when(col("rn") === 1,
+            array(struct(col("m").as("lo"), col("hi").as("hi")),
+              struct(col("m").as("lo"), col("lo").as("hi"))))
+          .otherwise(array(
+            struct(col("m").as("lo"), col("lo").as("hi"))))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct())
       val nextFp = fingerprint(next)
       converged = nextFp == curFp && next.exceptAll(cur).isEmpty
       cur.unpersist()
@@ -238,7 +271,9 @@ object GraphOps {
     require(converged,
       s"starComponents: edge set still contracting after $maxRounds rounds" +
         " - components would be wrong, refusing to return them")
-    cur
+    // rebind the (≤|V|-row) star set to the caller's session so consumers
+    // can join it against their own frames
+    transplant(edges0.sparkSession, cur)
   }
 
   /** `graph_cc`: component id (= the component's minimum part key) for
@@ -327,11 +362,14 @@ object GraphOps {
   def kHop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val edges = coPurchaseEdges(spark, dir)
-    val sym = materialize(edges.select(col("a").as("u"), col("b").as("v"))
+    var sym = materialize(edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v"))))
+    // sized loop session (the [[starComponents]] move)
+    val loopSpark = loopSession(spark, sym.count())
+    sym = transplant(loopSpark, sym)
     val src = edges.agg(least(min("a"), min("b"))).head().getLong(0)
     var visited = materialize(
-      Seq(src).toDF("v"))
+      loopSpark.createDataFrame(Seq(Tuple1(src))).toDF("v"))
     var frontier = visited
     val out = scala.collection.mutable.ArrayBuffer((0, 1L))
     for (h <- 1 to k) {
@@ -381,13 +419,18 @@ object GraphOps {
     * triangles joined by one bridge edge must keep two communities).
     * Returns (id, lbl). */
   private[graft] def labelPropOf(edges0: DataFrame, rounds: Int): DataFrame = {
-    val edges = materialize(edges0)
+    val home = edges0.sparkSession
+    var edges = materialize(edges0)
+    // sized loop session + size-gated broadcast (the [[pageRankOf]] move)
+    val loopSpark = loopSession(home, edges.count())
+    def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
+    edges = transplant(loopSpark, edges)
     var labels = materialize(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
     for (_ <- 1 to rounds) {
       val next = materialize(
-        edges.join(broadcast(labels), col("src") === col("id"))
+        edges.join(hint(labels), col("src") === col("id"))
           .groupBy(col("dst"), col("lbl"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("dst").as("id"))
@@ -396,7 +439,7 @@ object GraphOps {
       labels.unpersist()
       labels = next
     }
-    labels
+    transplant(home, labels)
   }
 
   /** DEGREE ASSORTATIVITY — do hubs link to hubs (r > 0, social-network
@@ -500,19 +543,24 @@ object GraphOps {
     * is agnostic to the id type. Returns (id, dist) for reached vertices
     * only. */
   private[graft] def ssspOf(edges0: DataFrame, hops: Int): DataFrame = {
-    val edges = materialize(edges0)
+    val home = edges0.sparkSession
+    var edges = materialize(edges0)
+    // sized loop session + size-gated broadcast (the [[pageRankOf]] move)
+    val loopSpark = loopSession(home, edges.count())
+    def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
+    edges = transplant(loopSpark, edges)
     var dist = materialize(
       edges.agg(least(min("src"), min("dst")).as("id"))
         .select(col("id"), lit(0L).as("dist")))
     for (_ <- 1 to hops) {
-      val relaxed = edges.join(broadcast(dist), col("src") === col("id"))
+      val relaxed = edges.join(hint(dist), col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       val next = materialize(dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist")))
       dist.unpersist()
       dist = next
     }
-    dist
+    transplant(home, dist)
   }
 
   /** Prune rounds / degree threshold for [[kCore]] — fixed, so both
@@ -545,23 +593,54 @@ object GraphOps {
     * must peel to nothing; a triangle with a tail must shed exactly the
     * tail and keep the triangle). */
   private[graft] def kCoreOf(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var e = materialize(edges0)
-    val summaries = (1 to rounds).map { round =>
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val keep = materialize(deg.filter(col("deg") >= k).select("v"))
-      val next = materialize(e
-        .join(keep.select(col("v").as("a")), Seq("a"), "semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "semi")
-        .select("a", "b"))
-      e.unpersist()
+    // size the prune-loop session by the measured edge count (the
+    // [[starComponents]] move): single-task pipelined rounds at test
+    // scale, the parent session untouched at cluster scale
+    e = transplant(loopSession(e.sparkSession, e.count()), e)
+    val frames = scala.collection.mutable.ArrayBuffer((0, e))
+    for (round <- 1 to rounds) {
+      // both endpoint degrees attach to each SYMMETRIC occurrence via two
+      // window counts (each neighbor pair appears once keyed by either
+      // end, so count-over-partition IS the full degree on both axes) —
+      // no degree frame, no semi-joins: one pass, two sort-exchanges, and
+      // the v < w filter re-canonicalizes without a distinct
+      val sym = e.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+      val next = materialize(sym
+        .withColumn("dv", count(lit(1)).over(Window.partitionBy("v")))
+        .withColumn("dw", count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("dv") >= k && col("dw") >= k && col("v") < col("w"))
+        .select(col("v").as("a"), col("w").as("b")))
       e = next
-      keep.agg(count(lit(1)).as("n_vertices"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(round).as("round"), col("n_vertices"), col("n_edges"))
+      frames += ((round, next))
     }
-    summaries.reduce(_ unionByName _).orderBy("round")
+    // ALL round summaries in one tagged-union pass over the retained
+    // checkpoint blocks (not one agg subtree per round): surviving-edge
+    // counts are a single keyed count over the round-stamped edge sets,
+    // surviving-VERTEX counts (vertices with deg ≥ k in the previous
+    // round's edges) a single (round, v) count — two exchanges total for
+    // the whole profile, joined back onto a round spine so fully-peeled
+    // rounds still report (0, 0)
+    val spark = e.sparkSession
+    val spine = spark.range(1, rounds + 1L)
+      .select(col("id").cast(IntegerType).as("round"))
+    val nEdges = frames.drop(1).map { case (i, f) =>
+        f.select(lit(i).as("round")) }
+      .reduce(_ unionAll _)
+      .groupBy("round").agg(count(lit(1)).as("ne"))
+    val nVerts = frames.dropRight(1).map { case (i, f) =>
+        f.select(lit(i + 1).as("round"), col("a").as("v"))
+          .unionAll(f.select(lit(i + 1).as("round"), col("b").as("v"))) }
+      .reduce(_ unionAll _)
+      .groupBy("round", "v").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .groupBy("round").agg(count(lit(1)).as("nv"))
+    spine.join(nVerts, Seq("round"), "left").join(nEdges, Seq("round"), "left")
+      .select(col("round"), coalesce(col("nv"), lit(0L)).as("n_vertices"),
+        coalesce(col("ne"), lit(0L)).as("n_edges"))
+      .orderBy("round")
   }
 
   /** JACCARD LINK PREDICTION over the co-purchase graph — "parts bought

@@ -133,6 +133,37 @@ package object ops {
     }
   }
 
+  /** Session for an ITERATIVE LOOP over a frame whose size was just
+    * measured: shuffle partitions sized by the row count (capped at the
+    * parent's setting) and AQE dropped when the whole loop frame fits one
+    * partition. Rationale: AQE's job is runtime re-planning for sizes you
+    * DON'T know — inside a convergence loop the frame was measured one
+    * line earlier, so at small sizes its stage-by-stage materialization
+    * only adds per-round latency (the dominant cost of the graph loops on
+    * test-scale data: ~0.5 s/round of pure scheduling). At cluster scale
+    * `rows/rowsPerPartition` exceeds the parent's parallelism, this
+    * returns the PARENT session unchanged, and the loops keep full AQE —
+    * the adaptation is itself size-gated. Callers move already-
+    * materialized frames in with [[transplant]]. */
+  private[graft] def loopSession(parent: SparkSession, rows: Long,
+      rowsPerPartition: Long = 500000L): SparkSession = {
+    val parentParts = parent.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.min(parentParts.toLong,
+      rows / rowsPerPartition + 1L).toInt
+    if (parts >= parentParts) parent
+    else childSession(parent, Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.adaptive.enabled" -> (parts > 1).toString))
+  }
+
+  /** Rebind a (small, already-materialized) frame to another session of
+    * the same SparkContext, then re-materialize so loop consumers scan
+    * cached internal rows instead of re-encoding externals each pass.
+    * No-op when the frame is already bound to `to`. */
+  private[graft] def transplant(to: SparkSession, df: DataFrame): DataFrame =
+    if (df.sparkSession eq to) df
+    else materialize(to.createDataFrame(df.rdd, df.schema))
+
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
     * Spark's round() goes through the decimal STRING representation
     * (BigDecimal.valueOf HALF_UP) while DuckDB rounds the BINARY double —

@@ -19,9 +19,6 @@ object PlanAudit {
     ("zscore", "BroadcastNestedLoopJoin"),
     ("agg_stats", "BroadcastNestedLoopJoin"),
     ("agg_q_bins", "BroadcastNestedLoopJoin"), // one-row bounds frame
-    // per prune round: the one-row vertex-count frame x the one-row
-    // edge-count frame — 1x1 BY DESIGN, the convergence summary itself:
-    ("graph_kcore", "BroadcastNestedLoopJoin"),
     ("sim_ann_topk", "BroadcastNestedLoopJoin"),
     // broadcast the tiny query/centroid side against every row — the
     // documented brute-force/assignment shape:
