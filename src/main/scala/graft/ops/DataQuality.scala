@@ -336,6 +336,40 @@ object DataQuality {
     graft.streaming.StreamAssembly.rateAgg(table(spark, dir, "events"))
       .orderBy("event_type", "hour_ms")
 
+  /** FUNCTIONAL-DEPENDENCY PROFILE — does column A determine column B?
+    * The schema-discovery primitive behind key inference, normalization
+    * advice, and "is this column safe to drop from the grouping key":
+    * for each declared candidate A→B, one keyed exact count-distinct of
+    * B per A value, summarized as (distinct A values, values with >1
+    * distinct B, the worst fan-out, holds?). `o_orderkey→o_custkey` and
+    * `n_nationkey→n_regionkey` must hold (key / hierarchy), the
+    * behavioral candidates must fail with their measured violation mass.
+    *
+    * Scale shape: each candidate is a two-level hash aggregate over one
+    * scan of its table — shuffle ∝ |distinct A|, map-side partial on
+    * (A, B) pairs first, and the summary is one row per candidate. No
+    * sampling: FD claims are exactly the statements a sample can't
+    * certify. */
+  def dqFd(spark: SparkSession, dir: String): DataFrame = {
+    val cands = Seq(
+      ("orders", "o_orderkey", "o_custkey"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("lineitem", "l_orderkey", "l_suppkey"),
+      ("nation", "n_nationkey", "n_regionkey"),
+      ("customer", "c_nationkey", "c_mktsegment"))
+    cands.map { case (t, det, dep) =>
+      table(spark, dir, t)
+        .groupBy(col(det).as("k"))
+        .agg(countDistinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("nd").as("max_rhs"))
+        .select(lit(s"$t.$det->$dep").as("fd"), col("n_keys"),
+          col("n_violating"), col("max_rhs"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_ unionByName _).orderBy("fd")
+  }
+
   /** Engine-portable row signature for [[dqChecksum]]/[[dqRecon]]: md5
     * over a '|'-joined canonical serialization — every field rendered
     * through an integer (epoch micros, money cents, decimal-string ids)
@@ -418,6 +452,23 @@ object DataQuality {
          COALESCE(props, 'null')))"""
 
   val oracles: Map[String, String] = Map(
+    "dq_fd" -> {
+      def cand(t: String, det: String, dep: String) =
+        s"""SELECT '$t.$det->$dep' AS fd, count(*) AS n_keys,
+              CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating,
+              max(nd) AS max_rhs,
+              sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM (SELECT $det, count(DISTINCT $dep) AS nd
+                  FROM $t GROUP BY 1)"""
+      Seq(("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_suppkey"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("customer", "c_nationkey", "c_mktsegment"))
+        .map { case (t, d, p) => cand(t, d, p) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
     "dq_checksum" -> s"""
       WITH s AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
                         ('0x' || substr($sigSql, 1, 8))::BIGINT AS h
@@ -686,5 +737,6 @@ object DataQuality {
     "dq_drift" -> dqDrift _,
     "dq_checksum" -> dqChecksum _,
     "dq_recon" -> dqRecon _,
+    "dq_fd" -> dqFd _,
   )
 }

@@ -220,6 +220,64 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION — the standard
+    * 40/20/40 split [[attrLastTouch]]'s single-credit model refuses:
+    * every purchase's credit is distributed over ALL its prior touches
+    * (views and clicks since the user's previous purchase) — first and
+    * last touch get 400‰ each, the middles split the remaining 200‰; a
+    * solo touch takes 1000‰, a pair splits 500/500. Credit is integer
+    * permille with `div` (the sub-permille remainder of the middle split
+    * is dropped — documented, replayed identically by the oracle),
+    * rolled up by (touch type, position class).
+    *
+    * Plan shape — NO interval join: a running strictly-prior purchase
+    * count per user (O(1) window state, the [[attrLastTouch]] frame)
+    * stamps every event with its conversion-segment id, so "the touches
+    * of purchase #k" is simply the group (user, seg=k−1); position and
+    * size come from one window over that group, whose partition is a
+    * single conversion path — bounded by touches-per-conversion, never
+    * the user's history — and unconverted trailing touches drop via the
+    * group's has-purchase flag. Everything after is a tiny hash rollup. */
+  def attrPosition(spark: SparkSession, dir: String): DataFrame =
+    attrPositionOf(table(spark, dir, "events"))
+
+  /** The segment/position machinery over any (user_id, event_id,
+    * event_type, ts) frame — split out so the spec can drive hand-built
+    * journeys with known splits (3 touches ⇒ 400/200/400; trailing
+    * touches after the last purchase earn nothing). */
+  private[graft] def attrPositionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events
+      .select("user_id", "event_id", "event_type", "ts")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("seg", coalesce(sum(
+        when(col("event_type") === "purchase", 1L)).over(wSeg), lit(0L)))
+    val wg = Window.partitionBy("user_id", "seg")
+    val touches = ev
+      .withColumn("has_p", max(when(col("event_type") === "purchase", 1)
+        .otherwise(0)).over(wg))
+      .withColumn("rn", row_number().over(wg.orderBy("ts", "event_id")))
+      .withColumn("n_all", count(lit(1)).over(wg))
+      .filter(col("event_type") =!= "purchase" && col("has_p") === 1)
+      .withColumn("nt", col("n_all") - 1)
+    touches
+      .select(col("event_type").as("touch_type"),
+        when(col("nt") === 1, "solo")
+          .when(col("rn") === 1, "first")
+          .when(col("rn") === col("nt"), "last")
+          .otherwise("middle").as("position"),
+        when(col("nt") === 1, 1000L)
+          .when(col("nt") === 2, 500L)
+          .when(col("rn") === 1 || col("rn") === col("nt"), 400L)
+          .otherwise(expr("200 div (nt - 2)")).as("w"))
+      .groupBy("touch_type", "position")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("w").as("credit_permille"))
+      .orderBy("touch_type", "position")
+  }
+
   /** PATH TRANSITIONS — the first-order Markov view of user behavior:
     * count every consecutive (from → to) event-type pair within a user's
     * timeline, plus each edge's permille share of its from-state's
@@ -645,6 +703,39 @@ object EventOps {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cum_cents
          FROM cells ORDER BY cohort, week""",
+    // identical segment stamping, group windows, and integer-permille split
+    "attr_position" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, ts,
+                  COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS seg
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         g AS (
+           SELECT *,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, seg) AS has_p,
+                  row_number() OVER (PARTITION BY user_id, seg
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, seg) AS n_all
+           FROM ev),
+         t AS (
+           SELECT event_type AS touch_type, rn, n_all - 1 AS nt
+           FROM g WHERE event_type <> 'purchase' AND has_p = 1)
+         SELECT touch_type,
+                CASE WHEN nt = 1 THEN 'solo'
+                     WHEN rn = 1 THEN 'first'
+                     WHEN rn = nt THEN 'last'
+                     ELSE 'middle' END AS position,
+                count(*) AS n_touches,
+                CAST(sum(CASE WHEN nt = 1 THEN 1000
+                              WHEN nt = 2 THEN 500
+                              WHEN rn = 1 OR rn = nt THEN 400
+                              ELSE 200 // (nt - 2) END) AS BIGINT)
+                  AS credit_permille
+         FROM t GROUP BY 1, 2 ORDER BY touch_type, position""",
     "retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('day', ts) AS DATE) AS day
@@ -670,5 +761,6 @@ object EventOps {
     "funnel_window" -> funnelWindow _,
     "funnel_latency" -> funnelLatency _,
     "cohort_ltv" -> cohortLtv _,
+    "attr_position" -> attrPosition _,
   )
 }

@@ -644,6 +644,53 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** ZIPF SLOPE — how natural is the corpus' token frequency curve?
+    * Natural language follows freq ∝ rank^(−s) with s ≈ 1; heavily
+    * templated/boilerplate or synthetic text bends the curve, so the
+    * fitted log-log slope is a one-number corpus-quality signal next to
+    * [[textEntropy]] (which sees the same pathology only at the unigram
+    * mass level, not its rank structure). Least-squares fit of
+    * qlog2(freq) on qlog2(rank) over the top-[[zipfTop]] tokens,
+    * deterministic (freq desc, token) ranking.
+    *
+    * Scale shape: one tokenize pass into the token count frame (the
+    * corpus-sized work), TakeOrdered top-K, then the fit runs on K rows:
+    * ranks come from one sorted-array posexplode (bounded collect_list —
+    * no global window), the moment sums are exact integers on the 1e−6
+    * log grid, and only the final slope/intercept are doubles (identical
+    * IEEE tree both engines, 6 dp). */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def ql(c: Column): Column =
+      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+    val top = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(zipfTop)
+    val ranked = top
+      .agg(sort_array(collect_list(struct((-col("freq")).as("nf"),
+        col("token"), col("freq")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("i", "s")))
+      .select((col("i") + 1).cast(LongType).as("r"), col("s.freq").as("freq"))
+    val m = ranked
+      .select(ql(col("r")).as("x"), ql(col("freq")).as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val (nd, sx, sy, sxy, sxx) =
+      (col("n").cast(DoubleType), col("sx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("sxy").cast(DoubleType),
+        col("sxx").cast(DoubleType))
+    val slope = (nd * sxy - sx * sy) / nullif(nd * sxx - sx * sx, lit(0.0))
+    m.select(col("n").as("n_tokens"),
+      roundD(slope, 6).as("zipf_slope"),
+      roundD((sy - slope * sx) / nd / 1e6, 6).as("intercept_log2"))
+  }
+
+  /** Fit depth for [[textZipf]] — fixed, so both engines rank and fit the
+    * identical head of the frequency curve. */
+  val zipfTop = 100
+
   /** TEXTRANK KEYWORD EXTRACTION — corpus keywords as the PageRank of the
     * word CO-OCCURRENCE graph (Mihalcea & Tarau, EMNLP'04): an undirected
     * edge for every adjacent content-word pair (stopwords and self-pairs
@@ -962,6 +1009,33 @@ object TextOps {
       FROM c ORDER BY id""",
     // identical u_i = c·nq + q·np integer masses, identical quantized
     // logs, identical final double tree
+    // identical top-K head, quantized logs, and final double fit tree
+    "text_zipf" -> {
+      def ql(x: String) =
+        s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+      s"""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+      f AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1
+            ORDER BY freq DESC, token LIMIT $zipfTop),
+      r AS (SELECT row_number() OVER (ORDER BY freq DESC, token) AS r, freq
+            FROM f),
+      q AS (SELECT ${ql("r")} AS x, ${ql("freq")} AS y FROM r),
+      m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM q)
+      SELECT n AS n_tokens,
+             floor((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                   / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0.0)
+                   * 1e6 + 0.5) / 1e6 AS zipf_slope,
+             floor((sy::DOUBLE - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / nullif(n::DOUBLE * sxx - sx::DOUBLE * sx, 0.0)
+                     * sx::DOUBLE) / n::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+               AS intercept_log2
+      FROM m"""
+    },
     "text_jsd" -> {
       def ql(x: String) =
         s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
@@ -1228,6 +1302,7 @@ object TextOps {
     "bm25" -> bm25 _,
     "text_keywords" -> textKeywords _,
     "text_jsd" -> textJsd _,
+    "text_zipf" -> textZipf _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,

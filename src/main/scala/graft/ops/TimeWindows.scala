@@ -291,6 +291,63 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** LEAD/LAG CROSS-CORRELATION between two hourly count series — "does
+    * view traffic predict purchase traffic, and by how many hours?": the
+    * Pearson r between x_t (views/hour) and y_{t+k} (purchases k hours
+    * later) for k ∈ −2..+2. The peak lag is the causal-direction readout
+    * next to [[tsAcf]]'s self-memory diagnostic.
+    *
+    * Shape: both series densify onto ONE complete hour grid (missing
+    * hours are real zeros — correlating only co-observed hours biases r
+    * toward activity), then every (x_t, y_{t+k}) pair comes from a single
+    * self-equi-join of the grid against its k-shifted key — no global
+    * window, no per-lag pass; the grid is calendar-bounded (hours, not
+    * events), so the join input is tiny at any corpus size and the
+    * expensive part stays the one keyed count over raw events. Moment
+    * sums are exact decimals; only the final r is a double (identical
+    * IEEE tree both engines), 6 dp. */
+  def tsXcorr(spark: SparkSession, dir: String): DataFrame =
+    xcorrOf(table(spark, dir, "events"), "view", "purchase")
+
+  /** The lag-sweep machinery over any (event_type, ts) frame — split out
+    * so the spec can drive hand-built series with a known planted shift
+    * (y = x delayed by 1 hour ⇒ the k=+1 correlation is exactly 1). */
+  private[graft] def xcorrOf(events: DataFrame,
+      xType: String, yType: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ev = events.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("h"))
+    val counts = ev.filter(col("event_type").isin(xType, yType))
+      .groupBy("h")
+      .agg(sum(when(col("event_type") === xType, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === yType, 1L).otherwise(0L)).as("y"))
+    val grid = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val pairs = grid
+      .select(col("h"), col("x"),
+        explode(typedLit(Seq(-2, -1, 0, 1, 2))).as("lag"))
+      .withColumn("hy", col("h") + col("lag"))
+      .join(grid.select(col("h").as("hy"), col("y")), "hy")
+    val dec = DecimalType(38, 0)
+    val m = pairs.groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val (nd, sx, sy, sxy, sxx, syy) =
+      (col("n_pairs").cast(DoubleType), col("sx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("sxy").cast(DoubleType),
+        col("sxx").cast(DoubleType), col("syy").cast(DoubleType))
+    m.select(col("lag"), col("n_pairs"),
+        roundD((nd * sxy - sx * sy) /
+          nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy),
+            lit(0.0)), 6).as("xcorr"))
+      .orderBy("lag")
+  }
+
   /** PEAK CONCURRENCY — the interval-stacking sweep ("how many 5-minute
     * activity windows overlap at the worst moment, per type and day"):
     * every event opens an interval [ts, ts+5min); the sweep explodes
@@ -586,6 +643,41 @@ object TimeWindows {
                    * 1e6 + 0.5) / 1e6 AS ratio_to_mean
       FROM p JOIN t USING (event_type)
       ORDER BY event_type, dow""",
+    // the same complete hour grid, shifted-key pair join, decimal moment
+    // sums, and final double tree
+    "ts_xcorr" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                     FROM events),
+         c AS (SELECT h,
+                      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS x,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS y
+               FROM ev WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+         b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+         g AS (SELECT gs.h, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+               FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM b) gs
+               LEFT JOIN c USING (h)),
+         p AS (SELECT k.lag, a.x, bb.y
+               FROM g a
+               JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) k ON TRUE
+               JOIN g bb ON bb.h = a.h + k.lag),
+         m AS (SELECT lag::INT AS lag, count(*) AS n_pairs,
+                      CAST(sum(x) AS DECIMAL(38,0))::DOUBLE AS sx,
+                      CAST(sum(y) AS DECIMAL(38,0))::DOUBLE AS sy,
+                      CAST(sum(CAST(x * y AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0))::DOUBLE AS sxy,
+                      CAST(sum(CAST(x * x AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0))::DOUBLE AS sxx,
+                      CAST(sum(CAST(y * y AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0))::DOUBLE AS syy
+               FROM p GROUP BY 1)
+         SELECT lag, n_pairs,
+                floor((n_pairs::DOUBLE * sxy - sx * sy)
+                      / nullif(sqrt(n_pairs::DOUBLE * sxx - sx * sx)
+                               * sqrt(n_pairs::DOUBLE * syy - sy * sy), 0.0)
+                      * 1e6 + 0.5) / 1e6 AS xcorr
+         FROM m ORDER BY lag""",
     // identical moment sums in exact decimal, identical final double tree
     "ts_acf" ->
       """WITH b AS (
@@ -724,6 +816,7 @@ object TimeWindows {
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
     "ts_acf" -> tsAcf _,
+    "ts_xcorr" -> tsXcorr _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_changepoint" -> tsChangepoint _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),

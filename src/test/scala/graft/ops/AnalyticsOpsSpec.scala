@@ -524,6 +524,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows(("alt", 1))._1 == 39L && rows(("alt", 2))._1 == 38L)
   }
 
+  test("ts_xcorr: a planted 1-hour shift puts the perfect correlation at lag +1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    val rows = for {
+      h <- 0 until 40
+      c = h % 5 + 1
+      j <- 0 until c
+      (t, tpe) <- Seq((h, "view"), (h + 1, "purchase"))
+    } yield (tpe, new Timestamp(base + t * 3600000L), (h * 100 + j).toLong)
+    val df = rows.toDF("event_type", "ts", "event_id")
+    val got = TimeWindows.xcorrOf(df, "view", "purchase").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1)._2.contains(1.0), s"lag +1 must be exactly 1: $got")
+    assert(got(1)._1 == 40L, s"40 shifted pairs expected: $got")
+    // the un-shifted and doubly-shifted lags see a permuted series, never
+    // the planted alignment
+    assert(got(0)._2.exists(_ < 1.0) && got(2)._2.exists(_ < 1.0),
+      s"only the planted lag may be perfect: $got")
+    assert(got.keySet == Set(-2, -1, 0, 1, 2))
+  }
+
+  test("dq_fd: key and hierarchy dependencies hold, behavioral candidates fail") {
+    val rows = DataQuality.dqFd(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows("orders.o_orderkey->o_custkey") == ((0L, true)), s"$rows")
+    assert(rows("nation.n_nationkey->n_regionkey") == ((0L, true)), s"$rows")
+    assert(!rows("orders.o_custkey->o_orderpriority")._2 &&
+      rows("orders.o_custkey->o_orderpriority")._1 > 0, s"$rows")
+    assert(!rows("customer.c_nationkey->c_mktsegment")._2, s"$rows")
+    assert(rows.size == 5)
+  }
+
+  test("text_zipf: the frequency curve fits with a negative slope over the whole head") {
+    val r = TextOps.textZipf(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 1)
+    // sf0.001 vocabulary is smaller than the fit depth - every token ranks
+    assert(r(0).getLong(0) == 31L, s"head size: ${r(0)}")
+    assert(r(0).getDouble(1) < 0.0, s"Zipf slope must be negative: ${r(0)}")
+  }
+
   test("dq_recon: statuses tie out against the drift rules; checksum flags exactly the divergence") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")

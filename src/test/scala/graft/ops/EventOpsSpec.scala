@@ -115,4 +115,32 @@ class EventOpsSpec extends SparkSpec {
     assert(avgCents(5) > avgCents(1),
       "m=5 users must out-spend m=1 users on average")
   }
+
+  test("attr_position: U-shaped splits per journey shape; trailing touches earn nothing") {
+    import spark.implicits._
+    // u1: view,click,view -> purchase (nt=3: 400/200/400)
+    // u2: click -> purchase (solo 1000), then a trailing view (no credit)
+    // u3: view,click -> purchase (nt=2 pair: 500/500)
+    // u4: purchase only (organic - no touch rows at all)
+    val ev = Seq(
+      (1L, 10L, "view", ts(100)), (1L, 11L, "click", ts(200)),
+      (1L, 12L, "view", ts(300)), (1L, 13L, "purchase", ts(400)),
+      (2L, 20L, "click", ts(100)), (2L, 21L, "purchase", ts(200)),
+      (2L, 22L, "view", ts(300)),
+      (3L, 30L, "view", ts(100)), (3L, 31L, "click", ts(200)),
+      (3L, 32L, "purchase", ts(300)),
+      (4L, 40L, "purchase", ts(100)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps.attrPositionOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("view", "first")) == ((2L, 900L)), s"$got")   // u1 400 + u3 500
+    assert(got(("view", "last")) == ((1L, 400L)), s"$got")    // u1 last
+    assert(got(("click", "middle")) == ((1L, 200L)), s"$got") // u1 middle
+    assert(got(("click", "solo")) == ((1L, 1000L)), s"$got")  // u2
+    assert(got(("click", "last")) == ((1L, 500L)), s"$got")   // u3 pair half
+    assert(got.size == 5, s"trailing view must earn nothing: $got")
+    assert(got.values.map(_._2).sum == 3000L,
+      s"every converted journey distributes exactly 1000 permille: $got")
+  }
 }
