@@ -969,6 +969,106 @@ object Formats {
   def commitConflict(spark: SparkSession, dir: String): DataFrame =
     commitConflictPlan(spark, dir).result
 
+  /** Outcomes + isolation probes for the branch/merge scenario. */
+  private[graft] final case class BranchPlan(
+      mergeOk: Boolean, conflictRejected: Boolean,
+      mainUntouchedByBranch: Boolean, result: DataFrame)
+
+  /** GIT-STYLE TABLE BRANCHING over the commit log — the
+    * experiment-isolation verb (Nessie / lakeFS semantics) that completes
+    * the multi-writer story [[commitConflictPlan]] arbitrates: a branch is
+    * just ANOTHER NAMED POINTER into the same manifest store, so forking
+    * is O(1) metadata (no bytes copied), branch writers land partition
+    * rewrites invisible to main readers, and MERGE is the same write-set
+    * arithmetic as commit arbitration — a branch fast-forwards onto main
+    * iff the partitions it rewrote are disjoint from main's commits since
+    * the fork point; an overlapping branch is rejected with nothing
+    * published. This is "test the new dedup filter on the real table
+    * without copying 100 TB or blocking the daily ETL" — at scale the
+    * fork, the merge check, and the rejection all cost manifest entries,
+    * never data bytes.
+    *
+    * Modeled end to end off base v1 (one dir per day, `day` kept as a
+    * data column): branch `exp` forks at v1 and rewrites day d1 (drops
+    * its `error` rows); main — concurrently — rewrites day d2 (drops its
+    * `click` rows); the two write-sets are disjoint so `exp` merges onto
+    * main; a second branch that also rewrote d2 must be REJECTED. The
+    * result frame aggregates all THREE visible states (`exp`, the
+    * pre-merge `main`, the merged `main`) so a leak in either direction —
+    * a branch write visible on main, or a main write missing after the
+    * merge — breaks the data hash, not just a flag. FormatsSpec asserts
+    * the byte-level isolation: main's published files are untouched by
+    * branch work, and the rejected merge publishes nothing. */
+  private[graft] def scanBranchPlan(spark: SparkSession,
+      dir: String): BranchPlan = {
+    val out = tmp("graft_branch")
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val bounds = ev.agg(min("day"), max("day")).head()
+    val (d1, d2) = (bounds.getString(0), bounds.getString(1))
+    require(d1 != d2,
+      s"scan_branch needs >= 2 distinct event days, got only '$d1'")
+    ev.withColumn("pday", col("day")).repartition(col("pday"))
+      .write.mode("overwrite").partitionBy("pday").parquet(s"$out/v1")
+    val v1Manifest: Map[String, String] =
+      new java.io.File(s"$out/v1").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pday="))
+        .map(f => f.getName.stripPrefix("pday=") -> f.getPath).toMap
+    def mtimes(manifest: Map[String, String]): Map[String, Long] =
+      manifest.values.flatMap { p =>
+        new java.io.File(p).listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())
+      }.toMap
+    def stageRewrite(name: String, day: String,
+        keep: org.apache.spark.sql.Column): String = {
+      val p = s"$out/$name"
+      spark.read.parquet(v1Manifest(day)).filter(keep)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    // fork: a branch is a pointer copy — O(1) metadata, zero bytes
+    var expManifest = v1Manifest
+    var expWrites = Set.empty[String]
+    var mainManifest = v1Manifest
+    var mainWrites = Set.empty[String]
+    val mainBefore = mtimes(mainManifest)
+    // branch writer: rewrite d1 on exp only
+    expManifest += (d1 -> stageRewrite("exp-d1", d1,
+      col("event_type") =!= "error"))
+    expWrites += d1
+    val mainUntouched = mtimes(mainManifest) == mainBefore
+    // main writer: rewrite d2 while the branch is open
+    mainManifest += (d2 -> stageRewrite("main-d2", d2,
+      col("event_type") =!= "click"))
+    mainWrites += d2
+    val mainPreMerge = mainManifest
+    // merge exp -> main: write-set arithmetic, same rule as tryCommit
+    val mergeOk = (expWrites & mainWrites).isEmpty
+    if (mergeOk)
+      mainManifest ++= expManifest.filter(kv => expWrites(kv._1))
+    // a conflicting branch (also forked at v1, also rewrote d2) must be
+    // rejected by the same arithmetic — nothing published
+    val conflictRejected = (Set(d2) & mainWrites).nonEmpty
+    def aggState(state: String, manifest: Map[String, String]): DataFrame =
+      spark.read.parquet(manifest.toSeq.sortBy(_._1).map(_._2): _*)
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+        .select(lit(state).as("state"), col("day"), col("cnt"),
+          col("sum_value"))
+    val res = aggState("exp", expManifest)
+      .unionByName(aggState("main_pre_merge", mainPreMerge))
+      .unionByName(aggState("main_merged", mainManifest))
+      .withColumn("merge_ok", lit(if (mergeOk) 1 else 0))
+      .withColumn("conflict_rejected", lit(if (conflictRejected) 1 else 0))
+      .orderBy("state", "day")
+    BranchPlan(mergeOk, conflictRejected, mainUntouched, res)
+  }
+
+  def scanBranch(spark: SparkSession, dir: String): DataFrame =
+    scanBranchPlan(spark, dir).result
+
   /** Partition paths rewritten by the delta apply, for the probe. */
   private[graft] final case class IncrPlan(
       baseMtimes: Map[String, Long], deltaDays: Seq[String], result: DataFrame)
@@ -1254,6 +1354,27 @@ object Formats {
          FROM d, b
          WHERE NOT (event_type = 'error' AND day IN (b.d1, b.d2))
          GROUP BY day ORDER BY day""",
+    // three recomputed branch states - a visibility leak in either
+    // direction lands in the wrong state's rows and breaks the hash
+    "scan_branch" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                           event_type, value
+                    FROM events),
+              b AS (SELECT min(day) AS d1, max(day) AS d2 FROM d),
+              s AS (
+           SELECT 'exp' AS state, day, event_type, value FROM d, b
+           WHERE NOT (day = b.d1 AND event_type = 'error')
+           UNION ALL
+           SELECT 'main_pre_merge', day, event_type, value FROM d, b
+           WHERE NOT (day = b.d2 AND event_type = 'click')
+           UNION ALL
+           SELECT 'main_merged', day, event_type, value FROM d, b
+           WHERE NOT (day = b.d1 AND event_type = 'error')
+             AND NOT (day = b.d2 AND event_type = 'click'))
+         SELECT state, day, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                1 AS merge_ok, 1 AS conflict_rejected
+         FROM s GROUP BY 1, 2 ORDER BY state, day""",
     // the oracle IS the full base-join recompute the delta algebra avoids
     "join_incr" ->
       """SELECT o_custkey, count(*) AS cnt,
@@ -1291,5 +1412,6 @@ object Formats {
     "scan_partition_evolve" -> scanPartitionEvolve _,
     "publish_atomic" -> publishAtomic _,
     "commit_conflict" -> commitConflict _,
+    "scan_branch" -> scanBranch _,
   )
 }

@@ -177,6 +177,37 @@ class FormatsSpec extends SparkSpec {
     assert(pp.v1Intact, "publish must never rewrite the previous snapshot")
   }
 
+  test("scan_branch: branch writes invisible to main; disjoint merge lands; overlap rejected") {
+    val dir = "/root/testdata/sf0.01"
+    val bp = Formats.scanBranchPlan(spark, dir)
+    assert(bp.mainUntouchedByBranch,
+      "branch work must not touch a single published main byte")
+    assert(bp.mergeOk, "disjoint write-sets must fast-forward merge")
+    assert(bp.conflictRejected,
+      "a branch overlapping main's commits must be rejected")
+    // state semantics: exp sees its own rewrite but NOT main's (and vice
+    // versa); the merge sees both
+    val rows = bp.result.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = table(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+    val b = ev.agg(min("day"), max("day")).head()
+    val (d1, d2) = (b.getString(0), b.getString(1))
+    def cnt(day: String, drop: String): Long =
+      ev.filter(col("day") === day && col("event_type") =!= drop).count()
+    val rawD1 = ev.filter(col("day") === d1).count()
+    val rawD2 = ev.filter(col("day") === d2).count()
+    assert(rows(("exp", d1)) == cnt(d1, "error") &&
+      rows(("exp", d2)) == rawD2, "exp must see only its own rewrite")
+    assert(rows(("main_pre_merge", d1)) == rawD1 &&
+      rows(("main_pre_merge", d2)) == cnt(d2, "click"),
+      "pre-merge main must see only main's rewrite")
+    assert(rows(("main_merged", d1)) == cnt(d1, "error") &&
+      rows(("main_merged", d2)) == cnt(d2, "click"),
+      "the merge must carry both rewrites")
+  }
+
   test("commit_conflict: overlap rejected with its partition list; published bytes untouched") {
     val dir = "/root/testdata/sf0.01"
     val cp = Formats.commitConflictPlan(spark, dir)
