@@ -521,7 +521,57 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Group-size floor for [[curateKanon]] — fixed, so both engines cut
+    * the identical anonymity boundary. */
+  val kAnonK = 5
+
+  /** K-ANONYMITY GENERALIZATION — the privacy gate a curated corpus
+    * passes before leaving the trust boundary: any quasi-identifier
+    * combination (here nation × market segment) shared by fewer than
+    * [[kAnonK]] customers is generalized to '*' and folded into one
+    * indistinguishable bucket, so no released group is smaller than k.
+    * Published groups pass through at full fidelity with exact balance
+    * cents; the suppressed remainder is released only as its aggregate.
+    * The re-identification audit ([[graft.ops.DataQuality.dqCardinality]]
+    * tells you the risk; this op removes it).
+    *
+    * Scale shape: one keyed count at QI grain decides each group's fate
+    * (shuffle ∝ |QI combinations|, map-side combined), then the second
+    * aggregate folds the small groups together — no row-level pass ever
+    * repeats, and the decision frame is dimension-sized, never
+    * corpus-sized. */
+  def curateKanon(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+    val sized = c.groupBy("nat", "seg")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    sized
+      .select(
+        when(col("n") >= kAnonK, col("nat").cast(StringType))
+          .otherwise(lit("*")).as("nation_q"),
+        when(col("n") >= kAnonK, col("seg")).otherwise(lit("*")).as("seg_q"),
+        col("n"), col("cents"))
+      .groupBy("nation_q", "seg_q")
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum("cents").as("bal_cents"))
+      .orderBy("nation_q", "seg_q")
+  }
+
   val oracles: Map[String, String] = Map(
+    "curate_kanon" -> s"""
+      WITH sized AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg, count(*) AS n,
+               CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM customer GROUP BY 1, 2)
+      SELECT CASE WHEN n >= $kAnonK THEN CAST(nat AS STRING)
+                  ELSE '*' END AS nation_q,
+             CASE WHEN n >= $kAnonK THEN seg ELSE '*' END AS seg_q,
+             CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+             CAST(sum(cents) AS BIGINT) AS bal_cents
+      FROM sized GROUP BY 1, 2 ORDER BY nation_q, seg_q""",
     "shuffle_epochs" -> """
       WITH e0 AS (SELECT 0 AS epoch, doc_id,
                          ('0x' || substr(md5(doc_id::VARCHAR || '#epoch0'),
@@ -737,5 +787,6 @@ object Curation {
     "sample_upsample" -> sampleUpsample _,
     "curate_gate" -> curateGate _,
     "shuffle_epochs" -> ((s, d) => shuffleEpochs(s, d)),
+    "curate_kanon" -> curateKanon _,
   )
 }

@@ -1146,6 +1146,36 @@ object Relational {
     spark.sql(q1Sql)
   }
 
+  private[graft] val q3Sql = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS STRING) AS orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  /** The TPC-H-Q3 shipping-priority shape through the same raw-SQL entry
+    * as [[sqlQ1]] — here because Q3 exercises what Q1 cannot: a
+    * three-table join written as comma-list + WHERE equi-predicates,
+    * which Catalyst must recognize, reorder (the selective BUILDING
+    * filter drives), and shuffle-plan, plus a top-k that must compile to
+    * TakeOrdered, never a global sort. One SQL string, two engines. */
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q3Sql)
+  }
+
   /** ABC / PARETO CLASSIFICATION — suppliers ranked by revenue, classed
     * A/B/C at the 80%/95% cumulative-share cuts: the inventory-
     * prioritization query every procurement dashboard ships ("which 20%
@@ -1911,6 +1941,7 @@ object Relational {
     // the Spark side's sort-scan must reproduce it exactly
     // the SAME string the Spark side executes — one contract, two engines
     "sql_q1" -> q1Sql,
+    "sql_q3" -> q3Sql,
     // identical cents aggregate, identical cumulative cross-multiplied cuts
     "abc_class" ->
       """WITH r AS (SELECT l_suppkey AS s_suppkey,
@@ -2041,6 +2072,7 @@ object Relational {
     "skyline" -> skyline _,
     "abc_class" -> abcClass _,
     "sql_q1" -> sqlQ1 _,
+    "sql_q3" -> sqlQ3 _,
     "agg_hll_merge" -> aggHllMerge _,
     "agg_hll_ix" -> aggHllIntersect _,
     "freq_cms" -> freqCms _,

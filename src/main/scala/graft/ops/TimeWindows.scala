@@ -291,6 +291,56 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** HOLT LINEAR-TREND SMOOTHING — the forecasting primitive on top of
+    * [[tsEwma]]'s level-only smoother: per series, the classic
+    * two-equation recursion l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} over the hourly count sequence,
+    * reporting the final level/trend and the 24-hour-ahead projection
+    * l + 24b — the "where is this feed heading tomorrow" readout.
+    * α = 1/2 and β = 1/4 are exact binary fractions; counts enter as
+    * exact doubles, so both engines run the IDENTICAL IEEE recursion
+    * (same expression tree per step — the ts_acf double-tree argument,
+    * extended through a fold).
+    *
+    * The recursion is inherently serial per series, so it runs as ONE
+    * `aggregate` (fold) over the hour-ordered count array — the array is
+    * calendar-bounded (hours, never events; the [[graft.ops.Relational]]
+    * winfn_median bounded-frame class), collected per series after the
+    * corpus-sized work (the keyed hourly count) has already reduced the
+    * data. Series shorter than 2 points have no defined trend and drop
+    * in both engines. */
+  def tsHolt(spark: SparkSession, dir: String): DataFrame =
+    holtOf(table(spark, dir, "events"))
+
+  /** The fold over any (event_type, ts) frame — split out so the spec
+    * can drive closed-form series (a pure linear ramp is a fixed point:
+    * level = last value, trend = slope, exactly). */
+  private[graft] def holtOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    hourly
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("h"), col("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .withColumn("st", expr("""
+        aggregate(
+          slice(s, 2, size(s) - 1),
+          struct(CAST(element_at(s, 1).y AS DOUBLE) AS l,
+                 CAST(element_at(s, 2).y AS DOUBLE)
+                   - CAST(element_at(s, 1).y AS DOUBLE) AS b),
+          (acc, x) -> struct(
+            0.5D * CAST(x.y AS DOUBLE) + 0.5D * (acc.l + acc.b) AS l,
+            0.25D * ((0.5D * CAST(x.y AS DOUBLE) + 0.5D * (acc.l + acc.b))
+                     - acc.l) + 0.75D * acc.b AS b))"""))
+      .select(col("event_type"), size(col("s")).cast("long").as("n_hours"),
+        roundD(col("st.l"), 6).as("level"),
+        roundD(col("st.b"), 6).as("trend"),
+        roundD(col("st.l") + lit(24.0) * col("st.b"), 6).as("forecast_24h"))
+      .orderBy("event_type")
+  }
+
   /** LEAD/LAG CROSS-CORRELATION between two hourly count series — "does
     * view traffic predict purchase traffic, and by how many hours?": the
     * Pearson r between x_t (views/hour) and y_{t+k} (purchases k hours
@@ -643,6 +693,36 @@ object TimeWindows {
                    * 1e6 + 0.5) / 1e6 AS ratio_to_mean
       FROM p JOIN t USING (event_type)
       ORDER BY event_type, dow""",
+    // the identical per-step IEEE recursion, replayed as a recursive CTE
+    // stepping the hour-ordered index
+    "ts_holt" ->
+      """WITH RECURSIVE hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    AS i,
+                  y::DOUBLE AS y
+           FROM hourly),
+         n AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+         holt AS (
+           SELECT i1.event_type, 1 AS i, i1.y AS l, i2.y - i1.y AS b
+           FROM idx i1 JOIN idx i2
+             ON i1.event_type = i2.event_type AND i1.i = 1 AND i2.i = 2
+           UNION ALL
+           SELECT h.event_type, h.i + 1,
+                  0.5 * x.y + 0.5 * (h.l + h.b),
+                  0.25 * ((0.5 * x.y + 0.5 * (h.l + h.b)) - h.l)
+                    + 0.75 * h.b
+           FROM holt h JOIN idx x
+             ON x.event_type = h.event_type AND x.i = h.i + 1)
+         SELECT event_type, n AS n_hours,
+                floor(l * 1e6 + 0.5) / 1e6 AS level,
+                floor(b * 1e6 + 0.5) / 1e6 AS trend,
+                floor((l + 24.0 * b) * 1e6 + 0.5) / 1e6 AS forecast_24h
+         FROM holt JOIN n USING (event_type)
+         WHERE i = n ORDER BY event_type""",
     // the same complete hour grid, shifted-key pair join, decimal moment
     // sums, and final double tree
     "ts_xcorr" ->
@@ -817,6 +897,7 @@ object TimeWindows {
     "ts_ewma" -> tsEwma _,
     "ts_acf" -> tsAcf _,
     "ts_xcorr" -> tsXcorr _,
+    "ts_holt" -> tsHolt _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_changepoint" -> tsChangepoint _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),

@@ -566,6 +566,50 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r(0).getDouble(1) < 0.0, s"Zipf slope must be negative: ${r(0)}")
   }
 
+  test("ts_holt: a pure linear ramp is a fixed point - level rides the line, trend is the slope") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    // hour t carries exactly t events: y_t = t, so with l1=1, b1=1 every
+    // step lands exactly on the line (l_t = t, b_t = 1)
+    val rows = for { t <- 1 to 20; j <- 1 to t }
+      yield ("ramp", new Timestamp(base + t * 3600000L), (t * 100 + j).toLong)
+    val got = TimeWindows.holtOf(rows.toDF("event_type", "ts", "event_id"))
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(1) == 20L, s"n_hours: $r")
+    assert(r.getDouble(2) == 20.0, s"level must be the last value: $r")
+    assert(r.getDouble(3) == 1.0, s"trend must be the slope: $r")
+    assert(r.getDouble(4) == 44.0, s"24h projection rides the line: $r")
+  }
+
+  test("sql_q3: the raw-SQL join compiles to a TakeOrdered top-k, never a global sort") {
+    val df = Relational.sqlQ3(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(df.count() <= 10)
+  }
+
+  test("curate_kanon: every released group clears k; mass is conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.curateKanon(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (supp, pub) = got.partition(r => r._1 == "*")
+    assert(pub.forall(_._3 >= Curation.kAnonK),
+      s"released groups must clear k: ${pub.toSeq}")
+    assert(pub.forall(_._4 == 1L), "released groups stay at full fidelity")
+    assert(supp.length <= 1, "all suppressed mass folds into one bucket")
+    // a suppressed bucket only exists if some group was < k, and then every
+    // contributing group was
+    supp.headOption.foreach { s =>
+      assert(s._2 == "*" && s._3 < s._4 * Curation.kAnonK,
+        s"suppressed bucket must be built from sub-k groups: $s")
+    }
+    val total = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(got.map(_._3).sum == total, "k-anonymization must conserve rows")
+  }
+
   test("dq_recon: statuses tie out against the drift rules; checksum flags exactly the divergence") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")
