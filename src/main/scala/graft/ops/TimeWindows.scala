@@ -291,6 +291,82 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** ROLLING DISTINCT REACH — exact 7-day rolling distinct users per
+    * day (the DAU/WAU denominator), the window aggregate Spark's
+    * windows refuse outright (no COUNT(DISTINCT) over a frame) and a
+    * naive per-day re-scan pays 7× for. Shape: dedup to (user, day)
+    * FIRST (event volume never enters), then each activity day
+    * contributes itself to the 7 report days it can serve via one
+    * `sequence` explode — an equi-shuffle of |user-days|·7 rows, exact
+    * countDistinct per report day, and a complete day spine so silent
+    * days report 0 instead of vanishing. At 100 TB the explode factor
+    * is the window length (fixed), the shuffle key is the report day,
+    * and no state beyond the hash aggregate exists. */
+  def winRollingDistinct(spark: SparkSession, dir: String): DataFrame =
+    rollingDistinctOf(table(spark, dir, "events"))
+
+  /** The spine/fan-out machinery over any (user_id, ts) frame — split out
+    * so the spec can drive hand-built activity with known reach (a user
+    * active once serves exactly 7 report days; a silent day reports 0). */
+  private[graft] def rollingDistinctOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .distinct()
+    val spine = ud.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("rd"))
+    val hits = ud.select(col("user_id"), col("d"),
+      explode(sequence(col("d"), col("d") + 6)).as("rd"))
+    spine.join(hits, Seq("rd"), "left")
+      .groupBy("rd")
+      .agg(countDistinct(when(col("d") === col("rd"), col("user_id")))
+          .as("users_1d"),
+        countDistinct(col("user_id")).as("users_7d"))
+      .select(expr("date_add(DATE '1970-01-01', cast(rd as int))")
+          .cast("string").as("day"),
+        col("users_1d"), col("users_7d"))
+      .orderBy("day")
+  }
+
+  /** MANN–KENDALL TREND TEST — the nonparametric "is this series
+    * drifting" verdict next to [[tsAcf]] (which sees memory, not
+    * direction) and [[tsHolt]] (which assumes the trend it measures):
+    * S = Σ_{i<j} sign(y_j − y_i) over each hour-ordered count series,
+    * with Kendall-style τ = S / (n(n−1)/2). Sign counting is immune to
+    * outlier magnitude — the reason MK is the standard monotonic-drift
+    * test on noisy ops series.
+    *
+    * Shape: the pair set is a per-series self-join of the HOURLY count
+    * frame — calendar-bounded (n ≤ hours, pairs ≤ hours²/2 per series,
+    * never event-volume-bounded), integer sign sums, τ as one double
+    * division 6 dp. */
+  def tsMkTrend(spark: SparkSession, dir: String): DataFrame =
+    mkTrendOf(table(spark, dir, "events"))
+
+  /** The sign-pair machinery over any (event_type, ts) frame — split out
+    * so the spec can drive closed-form series (strictly increasing ⇒
+    * τ = 1; alternating ⇒ τ near 0). */
+  private[graft] def mkTrendOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = hourly.select(col("event_type"), col("h").as("h1"),
+        col("y").as("y1"))
+      .join(hourly.select(col("event_type"), col("h").as("h2"),
+        col("y").as("y2")), "event_type")
+      .filter(col("h1") < col("h2"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("y2") > col("y1"), 1L)
+          .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s_stat"))
+      .select(col("event_type"), col("n_pairs"), col("s_stat"),
+        roundD(col("s_stat").cast(DoubleType) /
+          col("n_pairs").cast(DoubleType), 6).as("tau"))
+      .orderBy("event_type")
+  }
+
   /** HOLT LINEAR-TREND SMOOTHING — the forecasting primitive on top of
     * [[tsEwma]]'s level-only smoother: per series, the classic
     * two-equation recursion l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
@@ -693,6 +769,40 @@ object TimeWindows {
                    * 1e6 + 0.5) / 1e6 AS ratio_to_mean
       FROM p JOIN t USING (event_type)
       ORDER BY event_type, dow""",
+    // the same dedup-first + 7-day contribution fan-out, range-joined in
+    // SQL where Spark explodes an equi key
+    "win_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            date_diff('day', DATE '1970-01-01',
+                                      CAST(date_trunc('day', ts) AS DATE))
+                              AS d
+                     FROM events),
+         b AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+         spine AS (SELECT unnest(generate_series(d0, d1)) AS rd FROM b),
+         hits AS (SELECT s.rd, ud.user_id, ud.d
+                  FROM spine s LEFT JOIN ud
+                    ON ud.d BETWEEN s.rd - 6 AND s.rd)
+         SELECT CAST(DATE '1970-01-01' + rd::INT AS STRING) AS day,
+                count(DISTINCT CASE WHEN d = rd THEN user_id END)
+                  AS users_1d,
+                count(DISTINCT user_id) AS users_7d
+         FROM hits GROUP BY rd ORDER BY day""",
+    // the identical per-series pair self-join and integer sign sum
+    "ts_mk_trend" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+                  CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type AND a.h < b.h)
+         SELECT event_type, count(*) AS n_pairs,
+                CAST(sum(sgn) AS BIGINT) AS s_stat,
+                floor(CAST(sum(sgn) AS BIGINT)::DOUBLE / count(*)::DOUBLE
+                      * 1e6 + 0.5) / 1e6 AS tau
+         FROM p GROUP BY 1 ORDER BY event_type""",
     // the identical per-step IEEE recursion, replayed as a recursive CTE
     // stepping the hour-ordered index
     "ts_holt" ->
@@ -898,6 +1008,8 @@ object TimeWindows {
     "ts_acf" -> tsAcf _,
     "ts_xcorr" -> tsXcorr _,
     "ts_holt" -> tsHolt _,
+    "win_rolling_distinct" -> winRollingDistinct _,
+    "ts_mk_trend" -> tsMkTrend _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_changepoint" -> tsChangepoint _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),

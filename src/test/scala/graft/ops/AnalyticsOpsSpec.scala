@@ -566,6 +566,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r(0).getDouble(1) < 0.0, s"Zipf slope must be negative: ${r(0)}")
   }
 
+  test("win_rolling_distinct: one activity serves 7 report days; silent days report 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(86400000L * (19000 + d))
+    // u1 active day 0 only; u2 active days 0 and 10; span forces a silent
+    // stretch days 7..9
+    val ev = Seq((1L, day(0)), (2L, day(0)), (2L, day(10)))
+      .toDF("user_id", "ts")
+    val got = TimeWindows.rollingDistinctOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 11, s"complete spine expected: ${got.toSeq}")
+    val d0 = got.head._1
+    assert(got.head == ((d0, 2L, 2L)), s"day 0 reach: ${got.toSeq}")
+    // days 1..6 still carry day-0 activity in the trailing window
+    assert(got(6)._3 == 2L && got(6)._2 == 0L, s"trailing reach: ${got.toSeq}")
+    assert(got(7)._3 == 0L && got(8)._3 == 0L && got(9)._3 == 0L,
+      s"silent stretch must report 0: ${got.toSeq}")
+    assert(got(10) == ((got(10)._1, 1L, 1L)), s"day 10: ${got.toSeq}")
+  }
+
+  test("ts_mk_trend: monotone series hits tau = 1, alternating stays near 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    // 'up': hour t carries t events (strictly increasing counts);
+    // 'alt': counts alternate 1,2,1,2 (taus cancel to ~0)
+    val rows =
+      (for { t <- 1 to 10; j <- 1 to t }
+        yield ("up", new Timestamp(base + t * 3600000L), 0L)) ++
+      (for { t <- 1 to 10; j <- 1 to (if (t % 2 == 0) 2 else 1) }
+        yield ("alt", new Timestamp(base + t * 3600000L), 0L))
+    val got = TimeWindows.mkTrendOf(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("up") == ((45L, 45L, 1.0)), s"$got")
+    // alternating: 15 up-pairs vs 10 down-pairs out of 45 -> tau = 1/9
+    assert(math.abs(got("alt")._3) < 0.2, s"$got")
+  }
+
   test("ts_holt: a pure linear ramp is a fixed point - level rides the line, trend is the slope") {
     import spark.implicits._
     import java.sql.Timestamp
