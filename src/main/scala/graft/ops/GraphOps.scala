@@ -153,6 +153,60 @@ object GraphOps {
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** EDGE RECIPROCITY of the directed trade graph — what share of
+    * supplier→customer nation flows run BOTH ways (the trade-balance
+    * structure question; a one-number directionality summary next to
+    * [[assortativity]]'s degree mixing). Self-loops (a nation supplying
+    * its own customers) are excluded — they are trivially reciprocal.
+    * One semi-join of the edge list against its own reversal, keyed
+    * equi both sides; at scale this is shuffle ∝ |E| with map-side
+    * dedup, no windows, no collects. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocityOf(tradeEdges(spark, dir))
+
+  /** Split out so the spec can drive hand graphs (a 2-cycle is fully
+    * reciprocal; a DAG scores 0). */
+  private[graft] def reciprocityOf(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = materialize(
+      edges.filter(col("src") =!= col("dst")).distinct())
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("r", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("r"), lit(0L))).as("n_reciprocal"))
+      .select(col("n_edges"), col("n_reciprocal"),
+        roundD(col("n_reciprocal").cast(DoubleType) /
+          col("n_edges").cast(DoubleType), 6).as("reciprocity"))
+  }
+
+  /** GLOBAL CLUSTERING COEFFICIENT of the co-purchase graph — the
+    * transitivity summary C = 3·|triangles| / |wedges| ("if two parts
+    * share a co-purchase partner, how often are they co-purchased
+    * themselves"), the one-number companion to [[triangleCount]]'s
+    * per-vertex profile and the sparsity sanity-check before any
+    * wedge-generating algorithm ([[jaccardLinks]]) is unleashed.
+    * Triangles ride the SAME degree-ordered oriented closure as
+    * [[triangleCountOf]] (each counted once at its lowest-ranked
+    * corner — the skew-safe O(Σdeg²)-bounded shape); wedges are a pure
+    * degree aggregate Σ d(d−1)/2 — no second pass over edges. */
+  def clusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val und = coPurchaseEdges(spark, dir)
+    val tri = triangleCountOf(und.select(col("a").as("src"),
+        col("b").as("dst")))
+      .agg(expr("sum(n_tri) div 3").as("n_triangles"))
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wed = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    wed.crossJoin(tri)
+      .select(col("n_vertices"), col("n_wedges"), col("n_triangles"),
+        roundD(lit(3.0) * col("n_triangles").cast(DoubleType) /
+          nullif(col("n_wedges").cast(DoubleType), lit(0.0)), 6)
+          .as("clustering_coef"))
+  }
+
   /** Part CO-PURCHASE edges: two parts are linked when some 2-item order
     * bought them together. Derived without a self-join — a 2-row group's
     * pair IS (min, max) — so the edge build is one keyed aggregate over
@@ -703,6 +757,47 @@ object GraphOps {
                          (COALESCE(c$out.qsum, 0)::DOUBLE / 1e12) AS pr
                 FROM v LEFT JOIN c$out USING (id))"""
     Map(
+      // the same dedup'd directed edge set and reversal membership
+      "graph_reciprocity" -> """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE s.s_nationkey <> c.c_nationkey)
+        SELECT count(*) AS n_edges,
+               CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e r
+                                          WHERE r.src = e.dst
+                                            AND r.dst = e.src)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+               floor(CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e r
+                                                WHERE r.src = e.dst
+                                                  AND r.dst = e.src)
+                                   THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+                     / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS reciprocity
+        FROM e""",
+      // triangles once each at a < b < c; wedges from the degree frame
+      "graph_clustering" -> """
+        WITH per AS MATERIALIZED (
+          SELECT min(l_partkey) AS a, max(l_partkey) AS b
+          FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
+        e AS MATERIALIZED (SELECT DISTINCT a, b FROM per),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        deg AS (SELECT v, count(*) AS d
+                FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+                GROUP BY v),
+        wed AS (SELECT count(*) AS n_vertices,
+                       CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg)
+        SELECT n_vertices, n_wedges, n_triangles,
+               floor(3.0 * n_triangles::DOUBLE
+                     / nullif(n_wedges::DOUBLE, 0.0) * 1e6 + 0.5) / 1e6
+                 AS clustering_coef
+        FROM wed, tri""",
       "graph_kcore" -> s"""
         WITH per AS MATERIALIZED (
           SELECT min(l_partkey) AS a, max(l_partkey) AS b
@@ -966,5 +1061,7 @@ object GraphOps {
     "graph_assortativity" -> assortativity _,
     "graph_kcore" -> kCore _,
     "graph_jaccard" -> jaccardLinks _,
+    "graph_reciprocity" -> reciprocity _,
+    "graph_clustering" -> clusteringCoef _,
   )
 }

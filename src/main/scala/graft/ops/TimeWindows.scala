@@ -328,6 +328,48 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** HAMPEL OUTLIER FILTER — the robust spike detector [[tsEwma]]'s mean
+    * smoothing smears and [[graft.ops.Relational.zscore]]'s global
+    * moments miss (one spike inflates its own yardstick): a point is an
+    * outlier when it sits more than 3 local MADs from the LOCAL rolling
+    * median of its centered 5-row window. Both the median and the MAD
+    * are order statistics of the same collected 5-element frame —
+    * exact integer cents end to end, no float enters any comparison.
+    * Edge rows without a full frame are never judged (a 3-row "window"
+    * would make its own endpoints outliers).
+    *
+    * Scale shape: the frame is a FIXED-width collect (5 elements — the
+    * winfn_median bounded-frame class) inside one per-series ordered
+    * window pass; everything after is expression-level array math and a
+    * keyed rollup. */
+  def tsHampel(spark: SparkSession, dir: String): DataFrame =
+    hampelOf(table(spark, dir, "events"))
+
+  /** Split out so the spec can drive a planted spike (flagged) against a
+    * level shift (NOT flagged — the median tracks a genuine regime
+    * change, which is exactly Hampel's advantage over a global fence). */
+  private[graft] def hampelOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-2, 2)
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .withColumn("fr", collect_list(col("cents")).over(w))
+      .filter(size(col("fr")) === 5)
+      .withColumn("med", expr("element_at(array_sort(fr), 3)"))
+      .withColumn("mad",
+        expr("element_at(array_sort(transform(fr, e -> abs(e - med))), 3)"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+      .filter(col("dev") > lit(3L) * col("mad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"), max("dev").as("max_dev_cents"))
+      .orderBy("event_type")
+  }
+
   /** MANN–KENDALL TREND TEST — the nonparametric "is this series
     * drifting" verdict next to [[tsAcf]] (which sees memory, not
     * direction) and [[tsHolt]] (which assumes the trend it measures):
@@ -787,6 +829,30 @@ object TimeWindows {
                   AS users_1d,
                 count(DISTINCT user_id) AS users_7d
          FROM hits GROUP BY rd ORDER BY day""",
+    // identical collected 5-frames, order statistics, and integer fence
+    "ts_hampel" ->
+      """WITH src AS (
+           SELECT event_type, ts, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         w AS (
+           SELECT event_type, cents,
+                  list(cents) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 2 PRECEDING
+                                             AND 2 FOLLOWING) AS fr
+           FROM src),
+         m AS (
+           SELECT event_type, cents, fr, list_sort(fr)[3] AS med
+           FROM w WHERE len(fr) = 5),
+         d AS (
+           SELECT event_type, abs(cents - med) AS dev,
+                  list_sort(list_transform(fr, e -> abs(e - med)))[3] AS mad
+           FROM m)
+         SELECT event_type, count(*) AS n_outliers,
+                max(dev) AS max_dev_cents
+         FROM d WHERE dev > 3 * mad
+         GROUP BY 1 ORDER BY event_type""",
     // the identical per-series pair self-join and integer sign sum
     "ts_mk_trend" ->
       """WITH hourly AS (
@@ -1010,6 +1076,7 @@ object TimeWindows {
     "ts_holt" -> tsHolt _,
     "win_rolling_distinct" -> winRollingDistinct _,
     "ts_mk_trend" -> tsMkTrend _,
+    "ts_hampel" -> tsHampel _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_changepoint" -> tsChangepoint _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),

@@ -19,6 +19,8 @@ object PlanAudit {
     ("zscore", "BroadcastNestedLoopJoin"),
     ("agg_stats", "BroadcastNestedLoopJoin"),
     ("agg_q_bins", "BroadcastNestedLoopJoin"), // one-row bounds frame
+    // one-row wedge frame x one-row triangle frame - 1x1 by design:
+    ("graph_clustering", "BroadcastNestedLoopJoin"),
     ("sim_ann_topk", "BroadcastNestedLoopJoin"),
     // broadcast the tiny query/centroid side against every row — the
     // documented brute-force/assignment shape:

@@ -586,6 +586,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(10) == ((got(10)._1, 1L, 1L)), s"day 10: ${got.toSeq}")
   }
 
+  test("ts_hampel: a planted spike is flagged; a level shift is not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    def series(tpe: String, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (tpe, new Timestamp(base + i * 1000L), i.toLong, v)
+    }
+    // 'spike': flat 10s with one 500 at position 5 (deviation 490 vs MAD 0
+    // -> flagged); 'shift': 10,10,10,10,10 then 50s - a genuine regime
+    // change the rolling median follows, so nothing may be flagged
+    val df = (series("spike", Seq(10, 10, 10, 10, 10, 500, 10, 10, 10, 10))
+      ++ series("shift", Seq(10, 10, 10, 10, 10, 50, 50, 50, 50, 50)))
+      .toDF("event_type", "ts", "event_id", "value")
+    val got = TimeWindows.hampelOf(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.get("spike").contains((1L, 49000L)), s"$got")
+    assert(!got.contains("shift"),
+      s"a level shift must not be flagged: $got")
+  }
+
   test("ts_mk_trend: monotone series hits tau = 1, alternating stays near 0") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -256,6 +256,30 @@ class GraphOpsSpec extends SparkSpec {
       s"last two rounds must agree (fixpoint): ${rows.toSeq}")
   }
 
+  test("reciprocity: a 2-cycle scores 1, a DAG scores 0, self-loops don't count") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val c = GraphOps.reciprocityOf(cyc).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getDouble(2)) == ((2L, 2L, 1.0)),
+      s"2-cycle: $c")
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val d = GraphOps.reciprocityOf(dag).collect()(0)
+    assert((d.getLong(0), d.getLong(1), d.getDouble(2)) == ((3L, 0L, 0.0)),
+      s"DAG: $d")
+  }
+
+  test("clustering: coefficient is consistent with the triangle and degree frames") {
+    val r = GraphOps.clusteringCoef(spark, "/root/testdata/sf0.001").collect()(0)
+    val (nv, nw, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv > 0 && nw >= nt * 3,
+      s"every triangle contributes 3 wedges: $r")
+    val cc = Option(r.get(3)).map(_.asInstanceOf[Double])
+    if (nw > 0) {
+      val expect = math.floor(3.0 * nt / nw * 1e6 + 0.5) / 1e6
+      assert(cc.contains(expect) && cc.get >= 0.0 && cc.get <= 1.0, s"$r")
+    } else assert(cc.isEmpty, s"zero wedges must yield NULL: $r")
+  }
+
   test("jaccard: shared-neighbor pairs score right, adjacent pairs are excluded") {
     import spark.implicits._
     // square 0-1-2-3-0: opposite corners share BOTH neighbors
