@@ -370,6 +370,46 @@ object DataQuality {
     }.reduce(_ unionByName _).orderBy("fd")
   }
 
+  /** COLUMN-ASSOCIATION PROFILE — the statistical companion to
+    * [[dqFd]]'s hard determinism verdict: χ² independence of event type
+    * against weekday, with Cramér's V as the normalized effect size
+    * ("is traffic mix a weekday artifact, and how strongly"). The answer
+    * gates whether a model may train on one and impute the other.
+    *
+    * Exactness: observed counts and both margins are exact integers; each
+    * cell's χ² contribution is one scalar double tree (identical both
+    * engines) QUANTIZED to the 1e−6 grid before summation, so the
+    * cross-cell sum is an exact BIGINT in any partition order (the
+    * dq_drift convention — never a float sum). The contingency frame is
+    * |types|×7 cells: margins broadcast, the one-row total rides a
+    * documented 1×|cells| broadcast nested loop. */
+  def dqAssoc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val o = materialize(table(spark, dir, "events")
+      .groupBy(col("event_type").as("rk"),
+        (dayofweek(col("ts")) - 1).as("ck"))
+      .agg(count(lit(1)).as("o")))
+    val rm = o.groupBy("rk").agg(sum("o").as("rn"))
+    val cm = o.groupBy("ck").agg(sum("o").as("cn"))
+    val nf = o.agg(sum("o").as("n"),
+      countDistinct("rk").as("nr"), countDistinct("ck").as("nc"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val num = d("o") * d("n") - d("rn") * d("cn")
+    val cells = o.join(broadcast(rm), "rk").join(broadcast(cm), "ck")
+      .crossJoin(broadcast(nf))
+      .select(col("n"), col("nr"), col("nc"),
+        floor(num * num / (d("n") * d("rn") * d("cn")) * 1e6 + 0.5)
+          .cast(LongType).as("q"))
+    cells.groupBy("n", "nr", "nc")
+      .agg(count(lit(1)).as("n_cells"), sum("q").as("qsum"))
+      .select(col("n").as("n_rows"), col("n_cells"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        (col("qsum").cast(DoubleType) / 1e6).as("chi2"),
+        roundD(sqrt(col("qsum").cast(DoubleType) / 1e6 /
+          (d("n") * least(col("nr") - 1, col("nc") - 1)
+            .cast(DoubleType))), 6).as("cramers_v"))
+  }
+
   /** Engine-portable row signature for [[dqChecksum]]/[[dqRecon]]: md5
     * over a '|'-joined canonical serialization — every field rendered
     * through an integer (epoch micros, money cents, decimal-string ids)
@@ -452,6 +492,34 @@ object DataQuality {
          COALESCE(props, 'null')))"""
 
   val oracles: Map[String, String] = Map(
+    // identical integer margins, per-cell double tree, 1e-6 quantized sum
+    "dq_assoc" ->
+      """WITH o AS (SELECT event_type AS rk, dayofweek(ts) AS ck,
+                           count(*) AS o
+                    FROM events GROUP BY 1, 2),
+         rm AS (SELECT rk, CAST(sum(o) AS BIGINT) AS rn FROM o GROUP BY 1),
+         cm AS (SELECT ck, CAST(sum(o) AS BIGINT) AS cn FROM o GROUP BY 1),
+         nf AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       count(DISTINCT rk) AS nr,
+                       count(DISTINCT ck) AS nc
+                FROM o),
+         cells AS (
+           SELECT n, nr, nc,
+                  CAST(floor((o.o::DOUBLE * n::DOUBLE
+                              - rn::DOUBLE * cn::DOUBLE)
+                             * (o.o::DOUBLE * n::DOUBLE
+                                - rn::DOUBLE * cn::DOUBLE)
+                             / (n::DOUBLE * rn::DOUBLE * cn::DOUBLE)
+                             * 1e6 + 0.5) AS BIGINT) AS q
+           FROM o JOIN rm USING (rk) JOIN cm USING (ck), nf)
+         SELECT n AS n_rows, count(*) AS n_cells,
+                (nr - 1) * (nc - 1) AS dof,
+                CAST(sum(q) AS BIGINT)::DOUBLE / 1e6 AS chi2,
+                floor(sqrt(CAST(sum(q) AS BIGINT)::DOUBLE / 1e6
+                           / (n::DOUBLE
+                              * least(nr - 1, nc - 1)::DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS cramers_v
+         FROM cells GROUP BY n, nr, nc""",
     "dq_fd" -> {
       def cand(t: String, det: String, dep: String) =
         s"""SELECT '$t.$det->$dep' AS fd, count(*) AS n_keys,
@@ -738,5 +806,6 @@ object DataQuality {
     "dq_checksum" -> dqChecksum _,
     "dq_recon" -> dqRecon _,
     "dq_fd" -> dqFd _,
+    "dq_assoc" -> dqAssoc _,
   )
 }

@@ -278,6 +278,70 @@ object EventOps {
       .orderBy("touch_type", "position")
   }
 
+  /** WELCH T-TEST READOUT — the continuous-metric companion to
+    * [[abTest]]'s proportion z²: arms compare on MEAN SPEND PER USER
+    * (the revenue metric experiments actually ship on), with the
+    * unequal-variance t statistic and Welch–Satterthwaite df. Same
+    * user-grain hashing (unit of randomization = user), same one-pass
+    * shape: per-user cents, then ONE global aggregate carrying both
+    * arms' exact integer moments (n, Σx, Σx²), then t and df derive in
+    * a single scalar double tree (identical both engines — the ts_acf
+    * convention; Σx² of cents brushes 2⁶³ at corpus scale, so the
+    * moments ride DECIMAL(38,0)). */
+  def abTtest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+    val arm = when(conv(substring(md5(concat(col("user_id")
+      .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
+      .cast(LongType) % 2L === 0L, "A").otherwise("B")
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .otherwise(0L)).as("cents"))
+      .select(arm.as("arm"), coalesce(col("cents"), lit(0L)).as("x"))
+    val dec = DecimalType(38, 0)
+    val m = perUser.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "A", col("x").cast(dec))).as("sa"),
+      sum(when(col("arm") === "A", (col("x") * col("x")).cast(dec))).as("qa"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "B", col("x").cast(dec))).as("sb"),
+      sum(when(col("arm") === "B", (col("x") * col("x")).cast(dec))).as("qb"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val va = (d("qa") - d("sa") * d("sa") / d("na")) / (d("na") - 1.0) / d("na")
+    val vb = (d("qb") - d("sb") * d("sb") / d("nb")) / (d("nb") - 1.0) / d("nb")
+    m.select(col("na").as("users_a"), col("nb").as("users_b"),
+      roundD(d("sa") / d("na") / 100.0, 6).as("mean_a"),
+      roundD(d("sb") / d("nb") / 100.0, 6).as("mean_b"),
+      roundD((d("sa") / d("na") - d("sb") / d("nb")) /
+        sqrt(va + vb), 6).as("t_stat"),
+      roundD((va + vb) * (va + vb) /
+        (va * va / (d("na") - 1.0) + vb * vb / (d("nb") - 1.0)), 6)
+        .as("welch_df"))
+  }
+
+  /** AUDIENCE OVERLAP — the Jaccard between every pair of event types'
+    * USER SETS ("do clickers also purchase"): the cross-product planning
+    * readout behind funnels and attribution. Dedup to (type, user)
+    * first (event volume never enters), one self-equi-join on user with
+    * the a < b canonicalization, margins broadcast back; exact integer
+    * permille. At most |types|² output rows. */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = table(spark, dir, "events")
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+    val both = tu.select(col("t").as("ta"), col("user_id"))
+      .join(tu.select(col("t").as("tb"), col("user_id")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+    val m = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    both
+      .join(broadcast(m.select(col("t").as("ta"), col("n").as("n_a"))), "ta")
+      .join(broadcast(m.select(col("t").as("tb"), col("n").as("n_b"))), "tb")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000 div (n_a + n_b - n_both)").as("jaccard_pm"))
+      .orderBy("ta", "tb")
+  }
+
   /** PATH TRANSITIONS — the first-order Markov view of user behavior:
     * count every consecutive (from → to) event-type pair within a user's
     * timeline, plus each edge's permille share of its from-state's
@@ -558,6 +622,59 @@ object EventOps {
              sum(vc * (1::BIGINT << (40 - age)::INT))::DOUBLE
                / 1099511627776.0 AS score
       FROM w GROUP BY user_id ORDER BY user_id""",
+    // identical md5 arms, exact decimal moments, identical double tree
+    "ab_ttest" ->
+      """WITH pu AS (
+           SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '#ab'), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+                  COALESCE(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END), 0) AS x
+           FROM events GROUP BY user_id),
+         m AS (
+           SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+                  sum(CASE WHEN arm = 'A' THEN CAST(x AS DECIMAL(38,0)) END)
+                    AS sa,
+                  sum(CASE WHEN arm = 'A'
+                    THEN CAST(x * x AS DECIMAL(38,0)) END) AS qa,
+                  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb,
+                  sum(CASE WHEN arm = 'B' THEN CAST(x AS DECIMAL(38,0)) END)
+                    AS sb,
+                  sum(CASE WHEN arm = 'B'
+                    THEN CAST(x * x AS DECIMAL(38,0)) END) AS qb
+           FROM pu),
+         v AS (
+           SELECT na, nb, sa::DOUBLE AS sa, qa::DOUBLE AS qa,
+                  sb::DOUBLE AS sb, qb::DOUBLE AS qb,
+                  (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+                    / (na::DOUBLE - 1.0) / na::DOUBLE AS va,
+                  (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE)
+                    / (nb::DOUBLE - 1.0) / nb::DOUBLE AS vb
+           FROM m)
+         SELECT na AS users_a, nb AS users_b,
+                floor(sa / na::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6 AS mean_a,
+                floor(sb / nb::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6 AS mean_b,
+                floor((sa / na::DOUBLE - sb / nb::DOUBLE) / sqrt(va + vb)
+                      * 1e6 + 0.5) / 1e6 AS t_stat,
+                floor((va + vb) * (va + vb)
+                      / (va * va / (na::DOUBLE - 1.0)
+                         + vb * vb / (nb::DOUBLE - 1.0)) * 1e6 + 0.5) / 1e6
+                  AS welch_df
+         FROM v""",
+    // the same dedup-first pair join and integer permille
+    "user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+         both_c AS (
+           SELECT a.t AS ta, b.t AS tb, count(*) AS n_both
+           FROM tu a JOIN tu b
+             ON a.user_id = b.user_id AND a.t < b.t
+           GROUP BY 1, 2),
+         m AS (SELECT t, count(*) AS n FROM tu GROUP BY 1)
+         SELECT ta, tb, ma.n AS n_a, mb.n AS n_b, n_both,
+                n_both * 1000 // (ma.n + mb.n - n_both) AS jaccard_pm
+         FROM both_c JOIN m ma ON ma.t = ta JOIN m mb ON mb.t = tb
+         ORDER BY ta, tb""",
     "ab_test" -> """
       WITH pu AS (
         SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '#ab'),
@@ -762,5 +879,7 @@ object EventOps {
     "funnel_latency" -> funnelLatency _,
     "cohort_ltv" -> cohortLtv _,
     "attr_position" -> attrPosition _,
+    "ab_ttest" -> abTtest _,
+    "user_overlap" -> userOverlap _,
   )
 }

@@ -21,6 +21,8 @@ object PlanAudit {
     ("agg_q_bins", "BroadcastNestedLoopJoin"), // one-row bounds frame
     // one-row wedge frame x one-row triangle frame - 1x1 by design:
     ("graph_clustering", "BroadcastNestedLoopJoin"),
+    // one-row (n, nr, nc) total frame x the |types|x7 contingency cells:
+    ("dq_assoc", "BroadcastNestedLoopJoin"),
     ("sim_ann_topk", "BroadcastNestedLoopJoin"),
     // broadcast the tiny query/centroid side against every row — the
     // documented brute-force/assignment shape:

@@ -547,6 +547,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.keySet == Set(-2, -1, 0, 1, 2))
   }
 
+  test("dq_assoc: the contingency geometry and effect-size bounds hold") {
+    val r = DataQuality.dqAssoc(spark, "/root/testdata/sf0.001").collect()(0)
+    val total = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .count()
+    assert(r.getLong(0) == total, s"$r")
+    assert(r.getLong(2) == 24L, s"5 types x 7 weekdays -> dof 24: $r")
+    assert(r.getDouble(3) >= 0.0, s"$r")
+    val v = r.getDouble(4)
+    assert(v >= 0.0 && v <= 1.0, s"Cramer's V out of range: $r")
+  }
+
   test("dq_fd: key and hierarchy dependencies hold, behavioral candidates fail") {
     val rows = DataQuality.dqFd(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap

@@ -116,6 +116,27 @@ class EventOpsSpec extends SparkSpec {
       "m=5 users must out-spend m=1 users on average")
   }
 
+  test("ab_ttest: arms partition the users; the statistic is finite and df is sane") {
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    val r = EventOps.abTtest(spark, dir).collect()(0)
+    assert(r.getLong(0) + r.getLong(1) == users, s"$r")
+    assert(r.getDouble(2) > 0 && r.getDouble(3) > 0, s"means: $r")
+    assert(!r.getDouble(4).isNaN && !r.getDouble(5).isNaN, s"$r")
+    assert(r.getDouble(5) > 1.0 && r.getDouble(5) < users.toDouble, s"df: $r")
+  }
+
+  test("user_overlap: every type pair reported once with a valid Jaccard") {
+    val got = EventOps.userOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 10, s"C(5,2) pairs expected: ${got.length}")
+    got.foreach { case (a, b, na, nb, both, j) =>
+      assert(a < b && both <= math.min(na, nb) && j >= 0 && j <= 1000,
+        s"invalid pair row: ($a,$b,$na,$nb,$both,$j)")
+    }
+  }
+
   test("attr_position: U-shaped splits per journey shape; trailing touches earn nothing") {
     import spark.implicits._
     // u1: view,click,view -> purchase (nt=3: 400/200/400)
