@@ -348,7 +348,17 @@ object TimeWindows {
   /** Split out so the spec can drive a planted spike (flagged) against a
     * level shift (NOT flagged — the median tracks a genuine regime
     * change, which is exactly Hampel's advantage over a global fence). */
-  private[graft] def hampelOf(events: DataFrame): DataFrame = {
+  private[graft] def hampelOf(events: DataFrame): DataFrame =
+    hampelFlags(events)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"), max("dev").as("max_dev_cents"))
+      .orderBy("event_type")
+
+  /** The row-level flags behind [[hampelOf]] — split out so the
+    * streaming twin ([[graft.streaming.StreamAssembly.hampelStream]])
+    * can assert row-exact parity. Returns one row per flagged event:
+    * (event_type, event_id, cents, med, dev). */
+  private[graft] def hampelFlags(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -365,9 +375,7 @@ object TimeWindows {
         expr("element_at(array_sort(transform(fr, e -> abs(e - med))), 3)"))
       .withColumn("dev", abs(col("cents") - col("med")))
       .filter(col("dev") > lit(3L) * col("mad"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_outliers"), max("dev").as("max_dev_cents"))
-      .orderBy("event_type")
+      .select("event_type", "event_id", "cents", "med", "dev")
   }
 
   /** MANN–KENDALL TREND TEST — the nonparametric "is this series

@@ -733,6 +733,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hampel alarm: flags match the batch centered-window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._2)).toIndexedSeq
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.hampelStream(events)
+      .writeStream.format("memory").queryName("hampel_stream")
+      .outputMode("append").start()
+    try {
+      // three uneven batches so ring state crosses micro-batch boundaries
+      val (a, rest) = src.splitAt(src.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData(c); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT event_type, event_id, cents, med, dev FROM hampel_stream
+           ORDER BY event_type, event_id""").collect().toSeq
+      val want = graft.ops.TimeWindows.hampelFlags(
+        graft.ops.table(spark, dir, "events"))
+        .orderBy("event_type", "event_id").collect().toSeq
+      assert(want.nonEmpty, "batch twin flagged nothing - fixture degenerate")
+      assert(got == want,
+        s"streaming hampel diverged: ${got.size} vs ${want.size} rows")
+    } finally q.stop()
+  }
+
   test("streaming top-k: hourly leaderboard matches the identical batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
