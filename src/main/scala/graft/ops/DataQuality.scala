@@ -429,7 +429,11 @@ object DataQuality {
         coalesce(col("props"), lit("null")))).as("sig"))
   }
 
-  /** PARTITION CHECKSUM — the cheap dataset-equality primitive: one
+  /** PARTITION CHECKSUM — the cheap dataset-equality primitive (the
+    * audit the reference's dual-sink mode implicitly owes: `--sink both`
+    * writes every row to CSV AND Postgres, `stream.py:169-188` /
+    * `writer_pg.py:174-196`, with nothing ever proving the two copies
+    * stayed equal): one
     * ORDER-INDEPENDENT checksum per day (sum of a 32-bit slice of each
     * row's [[rowSig]] md5) plus the row count. Two copies of a table
     * (a migration, a replica, a rewritten partition) compare by this

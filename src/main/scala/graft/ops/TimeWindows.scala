@@ -294,7 +294,10 @@ object TimeWindows {
   /** ROLLING DISTINCT REACH — exact 7-day rolling distinct users per
     * day (the DAU/WAU denominator), the window aggregate Spark's
     * windows refuse outright (no COUNT(DISTINCT) over a frame) and a
-    * naive per-day re-scan pays 7× for. Shape: dedup to (user, day)
+    * naive per-day re-scan pays 7× for. Reference seed: the windowed
+    * activity dashboards (`CHANGELOG.md:12-14`, `liq_simple.awk`
+    * "counts by exchange, windowed or all-time") — this is their
+    * distinct-entity counterpart. Shape: dedup to (user, day)
     * FIRST (event volume never enters), then each activity day
     * contributes itself to the 7 report days it can serve via one
     * `sequence` explode — an equi-shuffle of |user-days|·7 rows, exact
