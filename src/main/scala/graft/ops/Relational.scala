@@ -1018,6 +1018,32 @@ object Relational {
       .orderBy("epoch", "matched")
   }
 
+  /** NULL-SAFE JOIN (`<=>` / IS NOT DISTINCT FROM) — the join variant
+    * every "match on an optional attribute" pipeline eventually needs:
+    * plain equality silently DROPS every null-keyed row from both sides,
+    * while the null-safe operator pairs the null buckets like any other
+    * key. Demonstrated as a full-outer null-safe join of two KEYED
+    * AGGREGATES (views vs purchases bucketed by a nullable derived key):
+    * aggregating BEFORE the join is the load-bearing scale move — the
+    * null bucket is the canonical skew bomb (every null lands on one
+    * reducer), so at 100 TB you reduce each side to its key-grain counts
+    * first and the join touches |key-domain| rows, never the corpus. */
+  def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    def slice(t: String) = table(spark, dir, "events")
+      .filter(col("event_type") === t)
+      .select(when(col("value") >= 50.0,
+        floor(col("value")).cast(LongType) % 7L).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    slice("view").select(col("k").as("ka"), col("n").as("n_views"))
+      .join(slice("purchase").select(col("k").as("kb"),
+        col("n").as("n_purchases")), col("ka") <=> col("kb"), "full")
+      .select(coalesce(coalesce(col("ka"), col("kb")).cast(StringType),
+          lit("<null>")).as("key"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("key")
+  }
+
   /** Two-pass anomaly detection: per-group exact moment sums (the
     * [[aggStats]] DECIMAL technique) broadcast back onto the stream, rows
     * more than 3 sigma from their group mean flagged. This is the 100 TB
@@ -1781,6 +1807,23 @@ object Relational {
          SELECT k, cname, nbal, 1::BIGINT, NULL::BIGINT, TRUE
          FROM ch WHERE op <> 'D'
          ORDER BY k, valid_from""",
+    // the same keyed aggregates, paired with IS NOT DISTINCT FROM
+    "join_nullsafe" ->
+      """WITH s AS (SELECT event_type,
+                           CASE WHEN value >= 50.0
+                                THEN CAST(floor(value) AS BIGINT) % 7
+                           END AS k
+                    FROM events
+                    WHERE event_type IN ('view', 'purchase')),
+         a AS (SELECT k, count(*) AS n_views FROM s
+               WHERE event_type = 'view' GROUP BY 1),
+         b AS (SELECT k, count(*) AS n_purchases FROM s
+               WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT COALESCE(CAST(COALESCE(a.k, b.k) AS STRING), '<null>') AS key,
+                COALESCE(n_views, 0) AS n_views,
+                COALESCE(n_purchases, 0) AS n_purchases
+         FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY key""",
     // the same change-batch CTEs as upsert_scd2, re-joined as-of each
     // order's epoch — the interval predicate replayed verbatim
     "join_pit" ->
@@ -2079,6 +2122,7 @@ object Relational {
     "upsert" -> upsert _,
     "upsert_scd2" -> upsertScd2 _,
     "join_pit" -> joinPit _,
+    "join_nullsafe" -> joinNullsafe _,
     "join_bloom" -> joinBloom _,
     "topk" -> topk _,
     "set_ops" -> setOps _,

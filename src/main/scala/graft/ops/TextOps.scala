@@ -644,6 +644,26 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** LEXICAL DIVERSITY PROFILE — type/token ratio and hapax share per
+    * source: the vocabulary-richness quality axis next to
+    * [[textEntropy]] (mass concentration) and [[textZipf]] (rank
+    * structure) — templated or machine-generated feeds crater the TTR
+    * long before their entropy moves. One tokenize pass into the
+    * (source, token) count frame, then a single per-source rollup —
+    * exact integers, permille via `div`. */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        expr("n_types * 1000 div n_tokens").as("ttr_pm"),
+        expr("n_hapax * 1000 div n_types").as("hapax_pm"))
+      .orderBy("source")
+
   /** ZIPF SLOPE — how natural is the corpus' token frequency curve?
     * Natural language follows freq ∝ rank^(−s) with s ≈ 1; heavily
     * templated/boilerplate or synthetic text bends the curve, so the
@@ -1009,6 +1029,21 @@ object TextOps {
       FROM c ORDER BY id""",
     // identical u_i = c·nq + q·np integer masses, identical quantized
     // logs, identical final double tree
+    "text_ttr" ->
+      """WITH c AS (
+           SELECT source,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')) AS token
+           FROM documents),
+         tc AS (SELECT source, token, count(*) AS c FROM c GROUP BY 1, 2)
+         SELECT source, count(*) AS n_types,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                count(*) * 1000 // CAST(sum(c) AS BIGINT) AS ttr_pm,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000 // count(*) AS hapax_pm
+         FROM tc GROUP BY 1 ORDER BY source""",
     // identical top-K head, quantized logs, and final double fit tree
     "text_zipf" -> {
       def ql(x: String) =
@@ -1303,6 +1338,7 @@ object TextOps {
     "text_keywords" -> textKeywords _,
     "text_jsd" -> textJsd _,
     "text_zipf" -> textZipf _,
+    "text_ttr" -> textTtr _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,

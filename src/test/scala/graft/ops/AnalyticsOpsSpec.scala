@@ -547,6 +547,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.keySet == Set(-2, -1, 0, 1, 2))
   }
 
+  test("join_nullsafe: the null buckets pair up and no row is dropped") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.joinNullsafe(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.contains("<null>"),
+      s"null-safe join must keep the null bucket: $got")
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def n(t: String) = ev.filter(col("event_type") === t).count()
+    assert(got.values.map(_._1).sum == n("view"), s"views conserve: $got")
+    assert(got.values.map(_._2).sum == n("purchase"),
+      s"purchases conserve: $got")
+  }
+
+  test("text_ttr: types, hapax, and ratios stay inside their identities") {
+    val got = TextOps.textTtr(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (s, ty, to, ha, ttr, hpm) =>
+      assert(ty <= to && ha <= ty, s"identity broken: $s")
+      assert(ttr == ty * 1000 / to && hpm == ha * 1000 / ty, s"ratio: $s")
+    }
+  }
+
   test("dq_assoc: the contingency geometry and effect-size bounds hold") {
     val r = DataQuality.dqAssoc(spark, "/root/testdata/sf0.001").collect()(0)
     val total = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
