@@ -28,6 +28,22 @@ object Bucketing {
       .saveAsTable(fqTable)
   }
 
+  /** Bucketed tables are the PAY-THE-SHUFFLE-ONCE artifact — rewriting
+    * them before every co-located join would cancel the pattern's whole
+    * premise. Tracks which source dir each table was last written from
+    * (JVM-wide, same discipline as [[graft.ops.stagedFixture]]) and skips
+    * the write when the catalog already holds that build; a different dir
+    * (or a fresh catalog) rewrites. */
+  private val writtenFrom =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureBucketed(spark: SparkSession, dir: String,
+      fqTable: String)(write: => Unit): Unit =
+    if (writtenFrom.get(fqTable) != dir || !spark.catalog.tableExists(fqTable)) {
+      write
+      writtenFrom.put(fqTable, dir): Unit
+    }
+
   /** Join two same-bucketed tables on their bucket key. With matching
     * bucket specs the plan contains no shuffle — each task zips bucket i
     * of both sides. */
@@ -52,10 +68,14 @@ object Bucketing {
       val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bktq LOCATION '$wh'")
     }
-    writeBucketed(table(spark, dir, "orders").select("o_custkey", "o_totalprice"),
-      "graft_bktq.orders_by_cust", buckets = 8, key = "o_custkey")
-    writeBucketed(table(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
-      "graft_bktq.customer_by_key", buckets = 8, key = "c_custkey")
+    ensureBucketed(spark, dir, "graft_bktq.orders_by_cust") {
+      writeBucketed(table(spark, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_bktq.orders_by_cust", buckets = 8, key = "o_custkey")
+    }
+    ensureBucketed(spark, dir, "graft_bktq.customer_by_key") {
+      writeBucketed(table(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "graft_bktq.customer_by_key", buckets = 8, key = "c_custkey")
+    }
     coLocatedJoin(spark, "graft_bktq.orders_by_cust", "graft_bktq.customer_by_key",
         "o_custkey", "c_custkey")
       .groupBy("c_mktsegment")
@@ -108,14 +128,18 @@ object Bucketing {
       val wh = java.nio.file.Files.createTempDirectory("graft_bkts").toString
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkts LOCATION '$wh'")
     }
-    writeBucketed(
-      table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
-        .repartition(8, col("l_orderkey")),
-      "graft_bkts.lineitem_by_order", buckets = 8, key = "l_orderkey")
-    writeBucketed(
-      table(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
-        .repartition(8, col("o_orderkey")),
+    ensureBucketed(spark, dir, "graft_bkts.lineitem_by_order") {
+      writeBucketed(
+        table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .repartition(8, col("l_orderkey")),
+        "graft_bkts.lineitem_by_order", buckets = 8, key = "l_orderkey")
+    }
+    ensureBucketed(spark, dir, "graft_bkts.orders_by_key") {
+      writeBucketed(
+        table(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey")),
       "graft_bkts.orders_by_key", buckets = 8, key = "o_orderkey")
+    }
     val s = orderedSession(spark)
     // the overwrite above ran in the PARENT session — it invalidates the
     // parent's relation cache, not the child's; a cached child listing

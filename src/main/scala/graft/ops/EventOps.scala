@@ -100,10 +100,13 @@ object EventOps {
     * (the metric that decides where the product bleeds: a fast
     * signup→view but day-long view→purchase is a checkout problem):
     * per stage transition, converting-user count, the MEDIAN gap (GK
-    * sketch in the exact regime == DuckDB `quantile_disc` — the
-    * [[Extended.pctlAccuracy]] convention; group n is ≤ |users|) and the
-    * exact-integer mean. Built on [[funnel]]'s min-after-min times —
-    * same aggregate-join chain, same shuffle ∝ users. */
+    * sketch in the exact regime == DuckDB `quantile_disc`) and the
+    * exact-integer mean. The gap frame is a SINGLE global group, so the
+    * sketch runs at [[Extended.binsAccuracy]] — the same widened lossless
+    * bound the global histogram ops use; at `pctlAccuracy` a group past
+    * ~accuracy/2 rows lets the GK edges drift a rank off the oracle.
+    * Built on [[funnel]]'s min-after-min times — same aggregate-join
+    * chain, same shuffle ∝ users. */
   def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events").select("user_id", "event_type", "ts")
     val s1 = ev.filter(col("event_type") === "signup")
@@ -117,7 +120,7 @@ object EventOps {
     def stage(df: DataFrame, from: String, gap: Column, step: Int): DataFrame =
       df.select(gap.as("gap_us"))
         .agg(count(lit(1)).as("n_users"),
-          expr(s"approx_percentile(gap_us, 0.5D, ${Extended.pctlAccuracy})")
+          expr(s"approx_percentile(gap_us, 0.5D, ${Extended.binsAccuracy})")
             .as("p50_gap_us"),
           (sum(col("gap_us").cast(DecimalType(38, 0))).cast(DoubleType) /
             count(lit(1)).cast(DoubleType) / 1e6).as("mean0"))
@@ -409,8 +412,11 @@ object EventOps {
     * would zero the pooled-variance denominator). One aggregate over
     * events to the user grain, one tiny per-arm rollup; nothing shuffles
     * twice. Integer envelope: the cross-multiplied z² numerator is
-    * ~(c·u)²·(2u)·1000 — inside int64 through sf0.1 (~3e18); past that,
-    * lift the factors to DECIMAL(38,0) on both engines. */
+    * ~(c·u)²·(2u)·1000 — past sf0.1 that leaves int64 (~3e18), where
+    * non-ANSI Spark would wrap silently while DuckDB raises, so the
+    * factors are lifted to 128-bit integers on BOTH engines
+    * (DECIMAL(38,0) here, HUGEINT in the oracle — the ab_ttest moment
+    * convention) and only the ≤1e5-ish quotient lands back in BIGINT. */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     val arm = when(conv(substring(md5(concat(col("user_id")
       .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
@@ -439,8 +445,13 @@ object EventOps {
         //   (ca*ub - cb*ua)^2 * (ua+ub) * 1000
         //   ----------------------------------
         //   (ca+cb)(ua+ub-ca-cb) * ua * ub
-        expr("""(ca * ub - cb * ua) * (ca * ub - cb * ua) * (ua + ub) * 1000
-                div ((ca + cb) * (ua + ub - ca - cb) * ua * ub)""")
+        expr("""CAST(
+              ((CAST(ca AS DECIMAL(38,0)) * ub - CAST(cb AS DECIMAL(38,0)) * ua)
+               * (CAST(ca AS DECIMAL(38,0)) * ub - CAST(cb AS DECIMAL(38,0)) * ua)
+               * (ua + ub) * 1000)
+              div ((CAST(ca AS DECIMAL(38,0)) + cb)
+                   * (ua + ub - ca - cb) * ua * ub)
+            AS BIGINT)""")
           .as("z2_x1000"))
       .select(col("r.arm").as("arm"), col("r.users").as("users"),
         col("r.converters").as("converters"),
@@ -522,8 +533,10 @@ object EventOps {
     * Plan at 100 TB: ONE keyed aggregate builds the per-user frame
     * (shuffle ∝ purchasers, never events — map-side combined); quintile
     * edges come from one bounded-state GK pass over that frame
-    * ([[Extended.pctlAccuracy]] — exact == DuckDB `quantile_disc` in the
-    * lossless regime, the winsorize convention) and broadcast back; a
+    * ([[Extended.binsAccuracy]] — the widened single-group bound, since
+    * the quintile pass aggregates ALL purchasers in one global group;
+    * exact == DuckDB `quantile_disc` in the lossless regime) and
+    * broadcast back; a
     * per-user global rank window would single-partition a billion
     * purchasers for exactly the same cells. Scores compare against the
     * broadcast edges (ties land identically in both engines on the
@@ -542,7 +555,7 @@ object EventOps {
         expr("(now_us - last_us) div 86400000000").as("rec_days"))
     def quints(c: String) = expr(
       s"approx_percentile($c, array(0.2D, 0.4D, 0.6D, 0.8D), " +
-        s"${Extended.pctlAccuracy})")
+        s"${Extended.binsAccuracy})")
     val edges = withRec.agg(quints("rec_days").as("qr"),
       quints("f").as("qf"), quints("m_cents").as("qm"))
     def above(c: Column, q: String) = (1 to 4)
@@ -692,8 +705,13 @@ object EventOps {
                    max(CASE WHEN arm = 'B' THEN converters END) AS cb
             FROM arms)
       SELECT arm, users, converters, (converters * 1000) // users AS conv_pm,
-             ((ca * ub - cb * ua) * (ca * ub - cb * ua) * (ua + ub) * 1000)
-               // ((ca + cb) * (ua + ub - ca - cb) * ua * ub) AS z2_x1000
+             -- 128-bit lift (HUGEINT == Spark's DECIMAL(38,0) here): past
+             -- sf0.1 the cross-multiplied numerator leaves int64, where
+             -- DuckDB would raise and non-ANSI Spark would wrap
+             (((ca::HUGEINT * ub - cb::HUGEINT * ua)
+               * (ca::HUGEINT * ub - cb::HUGEINT * ua) * (ua + ub) * 1000)
+               // ((ca::HUGEINT + cb) * (ua + ub - ca - cb) * ua * ub)
+             )::BIGINT AS z2_x1000
       FROM arms, w ORDER BY arm""",
     "streaks" -> """
       WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),

@@ -633,8 +633,26 @@ object VectorOps {
     * This method trains the model and returns the pieces shared by
     * [[simPq]] (whole-corpus ADC scan) and [[simIvfPq]] (IVF-routed ADC):
     * (codes, dt) — every vector's M codes, and the per-query ADC distance
-    * tables for the vec_id<3 query batch (quantized-long cells). */
+    * tables for the vec_id<3 query batch (quantized-long cells).
+    *
+    * The trained model is a STORED INDEX ([[graft.ops.stagedFixture]],
+    * built once per (JVM, dir)): production trains PQ codebooks offline
+    * and every serving query reads the code table — so the two consumers
+    * measure the SEARCH, not a retrain. The parquet round-trip also gives
+    * codes and dt independent lineage, so their join in [[simIvfPq]]
+    * resolves to real left/right attributes (both sides of the `m`/`code`
+    * equality used to trace to the one `sv` subtree, which Spark folded
+    * into a trivially-true predicate — the r9 `'m == m'` warning). */
   private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = stagedFixture("pq_model", dir) { path =>
+      val (codes, dt) = pqTrain(spark, dir)
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      dt.write.mode("overwrite").parquet(s"$path/dt")
+    }
+    (spark.read.parquet(s"$p/codes"), spark.read.parquet(s"$p/dt"))
+  }
+
+  private def pqTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     // subvector grid: one row per (vector, subspace)
     val sv = emb.withColumn("m", explode(sequence(lit(0), lit(pqM - 1))))
@@ -745,12 +763,16 @@ object VectorOps {
         col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val item = struct(col("qdist"), col("vec_id").as("id"))
-    cand.join(codes, Seq("vec_id"))
-      .join(broadcast(dt),
-        col("q_id") === col("query_id") &&
-          dt("m") === codes("m") && dt("code") === codes("code"))
+    // explicit frame aliases: dataframe-ref equality (dt("m") ===
+    // codes("m")) is lineage-based and silently degrades to a trivially
+    // true predicate when both refs resolve to one attribute — the alias
+    // names pin each side to its own relation
+    cand.join(codes.as("cd"), Seq("vec_id"))
+      .join(broadcast(dt.as("dt")),
+        col("dt.q_id") === col("query_id") &&
+          col("dt.m") === col("cd.m") && col("dt.code") === col("cd.code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("qdist"))
+      .agg(sum(col("dt.qd")).as("qdist"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKStructs(item, k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))

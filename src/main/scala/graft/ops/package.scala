@@ -164,6 +164,42 @@ package object ops {
     if (df.sparkSession eq to) df
     else materialize(to.createDataFrame(df.rdd, df.schema))
 
+  /** Write-once STAGED FIXTURES, keyed by (fixture name, dataset dir) for
+    * the whole JVM — the stored-table half of every "maintained index"
+    * operator: a production lake does not rebuild its bootstrap snapshot,
+    * trained codebooks, or yesterday's component store before every query;
+    * it builds them ONCE (offline / by the previous run) and every query
+    * reads the stored artifact. This helper is that contract at fixture
+    * scale: the first caller pays the physical build (a parquet write into
+    * a fresh temp dir), every later caller — across queries, bench passes,
+    * and specs in the same JVM — re-plans lazy reads over the same staged
+    * path. Only the PATH is cached (never a Dataset — a cached Dataset
+    * would pin its SparkSession, the [[graft.ops.Formats]] travel-cache
+    * discipline), so the content must be deterministic in `dir` and, once
+    * built, read-only (mutating ops stage PRIVATE copies instead). Builds
+    * run inside computeIfAbsent: concurrent first callers of the same key
+    * serialize, a failed build caches nothing, and all staged dirs are
+    * removed by one JVM-exit hook. */
+  private val stagedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      stagedPaths.values().forEach(p => rm(new java.io.File(p)))
+    }))
+  }
+
+  private[graft] def stagedFixture(name: String, dir: String)(
+      build: String => Unit): String =
+    stagedPaths.computeIfAbsent(s"$name|$dir", { _ =>
+      val p = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
+      build(p.toString)
+      p.toString
+    })
+
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
     * Spark's round() goes through the decimal STRING representation
     * (BigDecimal.valueOf HALF_UP) while DuckDB rounds the BINARY double —

@@ -41,6 +41,25 @@ object SymbolDiscovery {
       .as[String].collect().toSeq
   }
 
+  /** The discovery endpoint the reference GETs
+    * (`bybit_adapter.py:108-112`): v5 instruments-info for the market's
+    * category. */
+  def instrumentsUrl(category: String = "linear"): String =
+    s"https://api.bybit.com/v5/market/instruments-info?category=$category"
+
+  /** The full bootstrap THROUGH THE TRANSPORT SEAM
+    * ([[graft.sources.HttpTransport]]): GET the instruments endpoint,
+    * parse the symbol list, emit the chunked subscribe frames — the exact
+    * `bybit_adapter.py:108-143` sequence. Production passes a real HTTP
+    * client; specs pass [[graft.sources.RecordedHttpTransport]] and get
+    * byte-identical frames, proving the seam changes no behavior. */
+  def discover(spark: SparkSession, http: HttpTransport,
+      category: String = "linear", chunk: Int = 100,
+      useAll: Boolean = true): Seq[String] =
+    subscribeFrames(
+      parseInstruments(spark, http.get(instrumentsUrl(category))),
+      chunk, useAll)
+
   /** Chunked subscribe frames (`bybit_adapter.py:124-143`): topics
     * `<prefix>.<SYM>`, at most `chunk` per frame, compact JSON. */
   def subscribeFrames(symbols: Seq[String], chunk: Int = 100,

@@ -44,6 +44,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     restarts, which is *stronger* than the reference's reconnect (the
   *     WS feed has no server-side cursor — frames during an outage are
   *     lost; `binance_adapter.py:126-129` just reconnects and moves on).
+  *   - **truncation / rotation recovery** — a capture shrunk in place or
+  *     rotated to a new inode under the same path starts a new
+  *     [[FrameIndex]] generation (the reference's tail reopen,
+  *     `hyperliquid_adapter.py:96-101`, `:307-312`): frame ids stay
+  *     monotonic across generations, the lost generation's unread slice
+  *     yields zero rows (never a crash, never an id reused for different
+  *     bytes), and new frames flow on the next trigger.
   *
   * Offsets are frame indexes; admission control paces `framesPerBatch`
   * frames per micro-batch (the analog of the reference's batched flush —
@@ -88,17 +95,45 @@ final class FrameIndex(path: String) {
   private var scanned = 0L      // bytes consumed by the scanner so far
   private var lineOpen = false  // byte at `scanned` continues an indexed line
   private var scannedTotal = 0L // lifetime bytes scanned (spec: no re-reads)
+  private var baseCount = 0L    // frame ids below this rotated away (empty)
+  private var fileKey: AnyRef = _ // inode identity of the current generation
+  private var rotationCount = 0L  // generations consumed (probe/telemetry)
+
+  private def currentKey(): AnyRef =
+    try java.nio.file.Files
+      .readAttributes(java.nio.file.Paths.get(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      .fileKey()
+    catch { case _: Exception => null }
 
   /** Index any appended bytes; returns the frame count. O(appended).
-    * A capture file that SHRANK is a hard error, not a re-index: committed
-    * offsets are frame ids, and silently rebuilding the index would replay
-    * different bytes under the same ids (rotate to a new path instead). */
+    *
+    * TRUNCATION / ROTATION RECOVERY — the reference's tail behavior
+    * (liq-stream `hyperliquid_adapter.py:96-101` detects a shrink,
+    * `:307-312` an inode change, and reopens): a capture that shrank in
+    * place or was rotated (new inode under the same path) starts a NEW
+    * GENERATION. The scanner rebases — already-assigned frame ids are
+    * frozen below `baseCount` and the new file's lines continue the id
+    * sequence after them, so committed offsets stay monotonic and no id
+    * is ever reused for different bytes. Ids of the lost generation map
+    * to EMPTY byte extents: a batch (or task retry) that still spans
+    * them yields zero rows instead of crashing — exactly the reference's
+    * "frames during the outage are lost; reopen and move on" contract,
+    * with the downstream dedup ring (`hyperliquid_adapter.py:153-154`'s
+    * analog in the normalize pipeline) absorbing any boundary overlap. */
   def refresh(): Long = synchronized {
     val len = new java.io.File(path).length()
-    require(len >= scanned,
-      s"capture file $path shrank from $scanned to $len bytes - committed " +
-        "replay offsets no longer identify the same frames; rotate captures " +
-        "to a new path instead of truncating in place")
+    val key = currentKey()
+    if (fileKey == null) fileKey = key
+    val rotated = key != null && fileKey != null && key != fileKey
+    if (rotated || len < scanned) {
+      baseCount += starts.size
+      starts.clear()
+      scanned = 0L
+      lineOpen = false
+      fileKey = key
+      rotationCount += 1
+    }
     if (len > scanned) {
       val in = new java.io.FileInputStream(path)
       try {
@@ -122,15 +157,38 @@ final class FrameIndex(path: String) {
         scanned = pos
       } finally in.close()
     }
-    starts.size.toLong
+    baseCount + starts.size
   }
 
-  def frames: Long = synchronized(starts.size.toLong)
+  def frames: Long = synchronized(baseCount + starts.size)
 
-  /** Start byte of frame i; the scanned end for i == frames (so a frame
-    * range `[s, e)` spans bytes `[byteOf(s), byteOf(e))`). */
+  /** Generations consumed so far (0 = the original file, untouched). */
+  def rotations: Long = synchronized(rotationCount)
+
+  /** First frame id with readable bytes — ids below it rotated away. */
+  def liveFloor: Long = synchronized(baseCount)
+
+  /** Stable string form of the current generation's inode identity (null
+    * when the filesystem exposes none). Shipped inside each planned
+    * partition so an executor-side reader can detect that the file
+    * rotated AFTER planning — its byte extents then describe bytes that
+    * no longer exist, and it must yield nothing rather than read the new
+    * generation's bytes under the old ids. */
+  def generationKey: String = synchronized {
+    if (fileKey == null) null else fileKey.toString
+  }
+
+  /** Start byte of frame i IN THE CURRENT GENERATION; the scanned end for
+    * i == frames (so a frame range `[s, e)` spans bytes
+    * `[byteOf(s), byteOf(e))`). Ids below `baseCount` belong to a
+    * rotated-away generation — they clamp to byte 0, so any slice lying
+    * entirely in the lost range is empty and a slice straddling the
+    * rotation reads only the surviving new-generation bytes. */
   def byteOf(i: Long): Long = synchronized {
-    if (i >= starts.size) scanned else starts(i.toInt)
+    val j = i - baseCount
+    if (j <= 0L) 0L
+    else if (j >= starts.size) scanned
+    else starts(j.toInt)
   }
 
   /** Lifetime bytes scanned — equals the file length when no byte was ever
@@ -248,16 +306,21 @@ class WsReplayMicroBatchStream(path: String, framesPerBatch: Int,
     * the index, so wide batches (Trigger.Once over a long capture) scan in
     * parallel and every reader seeks instead of rescanning from line 0. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WsOffset].frame
+    val s0 = start.asInstanceOf[WsOffset].frame
     val e = end.asInstanceOf[WsOffset].frame
+    index.refresh() // restart case: a fresh index scans the file once here
+    // rotation recovery: ids below the live floor have no bytes anymore —
+    // clamp the slice so surviving frames keep their true ids and the
+    // lost range contributes nothing (never crashes, never duplicates)
+    val s = math.max(s0, index.liveFloor)
     if (e <= s) Array.empty
     else {
-      index.refresh() // restart case: a fresh index scans the file once here
       val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
       var f = s
       while (f < e) {
         val g = math.min(f + framesPerPartition, e)
-        parts += WsReplayPartition(path, f, g, index.byteOf(f), index.byteOf(g))
+        parts += WsReplayPartition(path, f, g, index.byteOf(f),
+          index.byteOf(g), index.generationKey)
         f = g
       }
       parts.toArray
@@ -272,12 +335,13 @@ class WsReplayMicroBatchStream(path: String, framesPerBatch: Int,
 }
 
 case class WsReplayPartition(path: String, start: Long, end: Long,
-    startByte: Long, endByte: Long) extends InputPartition
+    startByte: Long, endByte: Long, genKey: String = null)
+    extends InputPartition
 
 class WsReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WsReplayPartition]
-    new WsReplayReader(p.path, p.start, p.end, p.startByte, p.endByte)
+    new WsReplayReader(p.path, p.start, p.end, p.startByte, p.endByte, p.genKey)
   }
 }
 
@@ -287,8 +351,24 @@ class WsReplayReaderFactory extends PartitionReaderFactory {
   * its slice. Control frames consume an offset but emit no row. Long frame
   * indexes end to end — offsets must survive multi-billion-frame captures. */
 class WsReplayReader(path: String, start: Long, end: Long,
-    startByte: Long, endByte: Long)
+    startByte: Long, endByte: Long, genKey: String = null)
     extends PartitionReader[InternalRow] {
+
+  /** Rotation guard: if the file's inode changed between planning and
+    * execution, the byte extents describe a dead generation — reading the
+    * NEW file's bytes at those offsets would emit wrong content under the
+    * planned ids. The reference's tail has the same window and resolves it
+    * the same way: the lost slice yields nothing and the stream moves on
+    * (`hyperliquid_adapter.py:307-312`). */
+  private val generationLive: Boolean = genKey == null || {
+    val now =
+      try java.nio.file.Files
+        .readAttributes(java.nio.file.Paths.get(path),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey()
+      catch { case _: Exception => null }
+    now != null && now.toString == genKey
+  }
 
   /** InputStream view of the byte slice — readLine() cannot run past the
     * partition boundary (frame `end`'s bytes belong to the next reader). */
@@ -316,6 +396,7 @@ class WsReplayReader(path: String, start: Long, end: Long,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (!generationLive) return false // file rotated after planning: slice lost
     while (idx < end) {
       val line = reader.readLine()
       if (line == null) return false // capture truncated under our feet

@@ -45,10 +45,14 @@ object JdbcSink {
     final def col(name: String): String = quote + name + quote
   }
 
-  /** The reference's dialect (`writer_pg.py:23-36`). */
+  /** The reference's dialect (`writer_pg.py:23-36`): `raw` is JSONB (the
+    * normalizers emit compact JSON strings — PG parses them on insert;
+    * Spark's JDBC writer needs `stringtype=unspecified` in the connection
+    * props so the driver lets the server coerce VARCHAR → JSONB, the
+    * asyncpg-adaptation analog). */
   case object Postgres extends SqlDialect {
     val textType = "TEXT"
-    val longTextType = "TEXT"
+    val longTextType = "JSONB"
     val ifNotExists = "IF NOT EXISTS "
     val alreadyExistsStates = Set.empty[String]
     val quote = ""
@@ -95,14 +99,17 @@ object JdbcSink {
          |  ${c("raw")} ${dialect.longTextType}
          |)""".stripMargin,
       s"CREATE INDEX $ine${idxName(table, "ts")} ON $table (${c("ts_exch_ms")})",
-      s"CREATE INDEX $ine${idxName(table, "emst")} ON $table (${c("exchange")}, ${c("market")}, ${c("symbol")}, ${c("ts_exch_ms")})",
+      s"CREATE INDEX $ine${idxName(table, "sym_ts")} ON $table (${c("exchange")}, ${c("market")}, ${c("symbol")}, ${c("ts_exch_ms")})",
     ) ++ (if (withBatchId)
       Seq(s"CREATE INDEX $ine${idxName(table, "bid")} ON $table (${c("batch_id")})")
     else Nil)
   }
 
+  /** Index naming is the reference's (`writer_pg.py:152-153`): the BARE
+    * table name (schema qualifier dropped) + `_ts_idx` / `_sym_ts_idx`. */
   private def idxName(table: String, suffix: String): String =
-    table.replaceAll("[^A-Za-z0-9_]", "_") + "_" + suffix + "_idx"
+    table.split('.').last.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + suffix + "_idx"
 
   /** One-time DDL bootstrap over a plain JDBC connection
     * (`writer_pg.py:123-137`). Idempotent: IF NOT EXISTS where the dialect

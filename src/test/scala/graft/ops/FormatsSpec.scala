@@ -185,6 +185,8 @@ class FormatsSpec extends SparkSpec {
     assert(bp.mergeOk, "disjoint write-sets must fast-forward merge")
     assert(bp.conflictRejected,
       "a branch overlapping main's commits must be rejected")
+    assert(bp.conflictPublishedNothing,
+      "a rejected merge must leave every published main byte untouched")
     // state semantics: exp sees its own rewrite but NOT main's (and vice
     // versa); the merge sees both
     val rows = bp.result.collect()

@@ -18,16 +18,27 @@ class JdbcSinkSpec extends SparkSpec {
   private val props = new Properties()
 
   test("PG dialect DDL is unchanged from the reference's writer_pg.py") {
-    val stmts = JdbcSink.ddl("liquidations")
-    assert(stmts.head.startsWith("CREATE TABLE IF NOT EXISTS liquidations"))
-    // the reference's exact column types (writer_pg.py:23-36)
-    assert(stmts.head.contains("exchange TEXT NOT NULL"))
-    assert(stmts.head.contains("qty DOUBLE PRECISION"))
-    assert(stmts.head.contains("ts_exch_ms BIGINT"))
-    assert(stmts.head.contains("raw TEXT"))
-    // the two serving indexes (writer_pg.py:38-57)
-    assert(stmts(1).contains("ON liquidations (ts_exch_ms)"))
-    assert(stmts(2).contains("ON liquidations (exchange, market, symbol, ts_exch_ms)"))
+    val stmts = JdbcSink.ddl("public.liquidations")
+    assert(stmts.head.startsWith("CREATE TABLE IF NOT EXISTS public.liquidations"))
+    // the reference's exact column list and types (writer_pg.py:23-36) —
+    // the full unified schema in order, raw as JSONB (not TEXT)
+    val cols = Seq(
+      "exchange TEXT NOT NULL", "market TEXT NOT NULL",
+      "symbol TEXT NOT NULL", "side TEXT",
+      "qty DOUBLE PRECISION", "price DOUBLE PRECISION",
+      "notional DOUBLE PRECISION",
+      "ts_exch_ms BIGINT", "ts_ingest_ms BIGINT", "raw JSONB")
+    cols.foreach(c => assert(stmts.head.contains(c), s"missing column: $c"))
+    assert(cols.map(c => stmts.head.indexOf(c)).sliding(2)
+      .forall { case Seq(a, b) => a >= 0 && a < b },
+      "columns must appear in the reference's order")
+    // the two serving indexes with the reference's names (idx_time and
+    // idx_sym_time derive from the BARE table name, writer_pg.py:152-153)
+    assert(stmts(1) ==
+      "CREATE INDEX IF NOT EXISTS liquidations_ts_idx ON public.liquidations (ts_exch_ms)")
+    assert(stmts(2) ==
+      "CREATE INDEX IF NOT EXISTS liquidations_sym_ts_idx ON public.liquidations (exchange, market, symbol, ts_exch_ms)")
+    assert(stmts.size == 3, "the default DDL is table + exactly two indexes")
   }
 
   test("derby: ensureSchema bootstraps idempotently, appendBatch round-trips") {

@@ -54,11 +54,19 @@ class WsReplaySpec extends SparkSpec {
     assert(fi.refresh() == 7)
     assert(fi.bytesScanned == len2,
       s"append must cost only the appended bytes: scanned ${fi.bytesScanned}, file $len2")
-    // in-place truncation invalidates committed offsets — must fail loudly,
-    // never silently re-index different bytes under the same frame ids
+    // in-place truncation starts a NEW GENERATION (the reference tail's
+    // reopen, hyperliquid_adapter.py:96-101): ids stay monotonic — the 7
+    // old ids freeze as a lost (byteless) range, the rewritten file's 4
+    // frames continue the sequence as ids 7..10, and no id ever points at
+    // different bytes than it was committed against
     Files.write(Paths.get(file), first.getBytes)
-    val e = intercept[IllegalArgumentException](fi.refresh())
-    assert(e.getMessage.contains("shrank"))
+    assert(fi.refresh() == 11, "4 new-generation frames continue after 7 old ids")
+    assert(fi.rotations == 1 && fi.liveFloor == 7)
+    assert(fi.byteOf(0) == 0 && fi.byteOf(7) == 0,
+      "lost ids clamp to empty extents; the new generation starts at byte 0")
+    assert(fi.byteOf(11) == len1)
+    assert(fi.bytesScanned == len2 + len1,
+      "the new generation is scanned once, old generations never re-read")
   }
 
   test("a batch splits into seekable range partitions covering the slice exactly") {
@@ -162,6 +170,40 @@ class WsReplaySpec extends SparkSpec {
           .mkString("\n")).getBytes, APPEND)
       q.processAllAvailable()
       assert(spark.read.parquet(outDir).count() == 7)
+    } finally q.stop()
+  }
+
+  test("in-place truncation mid-stream: the stream resumes, no duplicates, no crash") {
+    val framesFile = s"${tmp("ws_rot")}/frames.jsonl"
+    Files.write(Paths.get(framesFile),
+      (1 to 4).map(i => frame(s"OLD${i}USDT", 1710000000000L + i))
+        .mkString("\n").getBytes)
+    val outDir = tmp("ws_rot_out"); val ckpt = tmp("ws_rot_ckpt")
+    val raw = spark.readStream
+      .format("graft.sources.WsReplayProvider")
+      .option("path", framesFile)
+      .option("framesPerBatch", 10)
+      .load()
+    val q = Normalizers.binance(raw.select(col("raw")), "usdt")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 4)
+      // the capture is truncated IN PLACE (a log rotation that reuses the
+      // path, hyperliquid_adapter.py:96-101): the source must detect the
+      // shrink, rebase to the new generation, and keep streaming — the old
+      // behavior errored the stream here
+      Files.write(Paths.get(framesFile),
+        (1 to 2).map(i => frame(s"NEW${i}USDT", 1710000001000L + i))
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 6, "2 new-generation frames after the 4 old ones")
+      assert(out.select("symbol").distinct().count() == 6,
+        "no frame may be emitted twice across the rotation")
     } finally q.stop()
   }
 }
