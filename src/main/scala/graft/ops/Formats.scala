@@ -668,7 +668,7 @@ object Formats {
     * session keys actually collect. The multi-job physical build runs
     * under the per-SESSION map's lock, not the global one — one session's
     * build never blocks another session. [[vacuumPlan]] deliberately
-    * bypasses the cache ([[buildTravelLayout]] direct) because it DELETES
+    * bypasses the cache (a private [[cloneTravelLayout]] copy) because it DELETES
     * its layout's files — each vacuum run gets a private layout, and
     * cached read-only layouts stay intact. */
   private val travelCache =
@@ -703,8 +703,11 @@ object Formats {
       l.hitFiles, l.rewriteFiles, l.appendFiles)
   }
 
-  private def buildTravelLayout(spark: SparkSession, dir: String): TravelLayout = {
-    val out = tmp("graft_travel")
+  private def buildTravelLayout(spark: SparkSession, dir: String): TravelLayout =
+    buildTravelLayoutAt(spark, dir, tmp("graft_travel"))
+
+  private def buildTravelLayoutAt(spark: SparkSession, dir: String,
+      out: String): TravelLayout = {
     table(spark, dir, "events")
       .repartitionByRange(8, col("user_id"))
       .write.mode("overwrite").parquet(s"$out/data")
@@ -731,6 +734,47 @@ object Formats {
     // the "commit log": one manifest per version, file lists only
     TravelLayout(v1.toIndexedSeq, v2, carried.toIndexedSeq,
       hit.toIndexedSeq, parts(s"$out/rewrite"), parts(s"$out/append"))
+  }
+
+  /** Private clone of the travel layout for the ONE consumer that mutates
+    * it: [[vacuumPlan]] deletes files, so it can never share the cached
+    * read-only layout — but rebuilding the physical snapshots per run
+    * would charge vacuum for a bootstrap the lake paid long before the
+    * maintenance job ran. ONE template layout stages per (JVM, dir)
+    * ([[graft.ops.stagedFixture]]) with its file lists persisted as
+    * relative paths; each vacuum run then clones the tree with plain NIO
+    * copies (no Spark jobs) into a private dir and rebinds the lists. */
+  private def cloneTravelLayout(spark: SparkSession, dir: String): TravelLayout = {
+    import java.nio.file.{Files, Paths}
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val tpl = stagedFixture("travel_template", dir) { p =>
+      val l = buildTravelLayoutAt(spark, dir, p)
+      val root = Paths.get(p).toRealPath().toString
+      def rel(s: Seq[String]): String = s.map { f =>
+        val lp = Paths.get(localPath(f)).toRealPath().toString
+        require(lp.startsWith(root + "/"), s"layout file outside template: $f")
+        lp.stripPrefix(root + "/")
+      }.mkString("\t")
+      Files.writeString(Paths.get(s"$p/layout.txt"), Seq(
+        l.v1Files, l.v2Files, l.carried,
+        l.hitFiles, l.rewriteFiles, l.appendFiles).map(rel).mkString("\n")): Unit
+    }
+    val fresh = tmp("graft_travel")
+    val tplPath = Paths.get(tpl)
+    Files.walk(tplPath).forEach { src =>
+      val dst = Paths.get(fresh).resolve(tplPath.relativize(src).toString)
+      if (Files.isDirectory(src)) Files.createDirectories(dst)
+      else Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      ()
+    }
+    val lists = Files.readString(Paths.get(s"$tpl/layout.txt"))
+      .split("\n", -1).toSeq.map { line =>
+        if (line.isEmpty) Seq.empty[String]
+        else line.split("\t").toSeq.map(r => s"$fresh/$r")
+      }
+    TravelLayout(lists(0), lists(1), lists(2), lists(3), lists(4), lists(5))
   }
 
   def scanTimeTravel(spark: SparkSession, dir: String): DataFrame =
@@ -789,8 +833,12 @@ object Formats {
     def localPath(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
     // fresh PRIVATE layout — this op deletes files; the shared cached
-    // layout must stay readable for the time-travel/CDF consumers
-    val tt = planOf(spark, buildTravelLayout(spark, dir))
+    // layout must stay readable for the time-travel/CDF consumers. The
+    // private copy is CLONED from a staged template byte-for-byte (plain
+    // NIO file copies, no Spark jobs): what vacuum measures is the
+    // retention arithmetic and the deletion itself, not a table bootstrap
+    // the lake built long before the maintenance job ran.
+    val tt = planOf(spark, cloneTravelLayout(spark, dir))
     // v1 = carried ∪ hit, v2 = carried ∪ rewrite ∪ append ⇒ v1 ∖ v2 = hit
     val expired = tt.hitFiles
     val now = System.currentTimeMillis()

@@ -32,9 +32,8 @@ import org.apache.spark.sql.types._
   * decoder-independent outputs (container dims) are oracle-checked and the
   * error bound is spec-asserted. FLAC is a pure-JVM implementation of the
   * published format (magic, STREAMINFO + sample MD5, synced/CRC'd frames)
-  * with real compression — fixed-predictor + Rice-coded subframes beside
-  * the verbatim form; only arbitrary-order LPC is left to a libflac
-  * binding behind the same seam.
+  * with real compression — fixed-predictor and LPC (order ≤ 8,
+  * Levinson-Durbin) Rice-coded subframes beside the verbatim form.
   */
 object Multimodal {
 
@@ -382,10 +381,11 @@ object Multimodal {
     // oracle's arithmetic) and ACTUAL COMPRESSION
     // ([[encodeFlacCompressed]] — per-frame best of verbatim and
     // FIXED-predictor orders 0-4 with Rice-coded residuals, MSB-first bit
-    // packing). The decoder handles CONSTANT, VERBATIM, and FIXED
-    // subframes at any equal-size partition order and verifies every CRC
-    // plus the stream MD5. The one omission vs libFLAC: arbitrary-order
-    // LPC (the fixed predictors are FLAC's own fast-mode subset).
+    // packing), plus LPC prediction up to order 8 ([[encodeFlacLpc]] —
+    // Levinson-Durbin coefficients quantized to 15 bits, the form
+    // libFLAC's default levels emit). The decoder handles CONSTANT,
+    // VERBATIM, FIXED, and LPC(1-8) subframes at any equal-size
+    // partition order and verifies every CRC plus the stream MD5.
 
     private def crc8(b: Array[Byte], until: Int): Int = {
       var crc = 0; var i = 0
@@ -647,6 +647,120 @@ object Multimodal {
     def encodeFlacCompressed(sampleRate: Int, samples: Array[Int]): Array[Byte] =
       flacStream(sampleRate, samples, bestSubframe)
 
+    /** LPC subframe (order 1-8): block autocorrelation → Levinson-Durbin
+      * reflection recursion → coefficients quantized to 15 bits at shift
+      * 12, integer residuals Rice-coded exactly like the FIXED path. The
+      * residual arithmetic mirrors the decoder bit-for-bit (64-bit
+      * accumulator, arithmetic shift), so the round-trip is lossless for
+      * ANY coefficient set — the model only decides how SMALL the
+      * residuals get. Falls back to the FIXED/VERBATIM chooser when the
+      * block is shorter than the order, energyless (silence — the fixed
+      * predictors already code that in a handful of bits), or when the
+      * LPC form simply isn't smaller: the encoder never emits a larger
+      * stream than [[encodeFlacCompressed]] would. */
+    private def lpcSubframe(samples: Array[Int], off: Int, n: Int,
+        maxOrder: Int): Array[Byte] = {
+      val fallback = bestSubframe(samples, off, n)
+      val order0 = math.min(math.min(maxOrder, 8), n - 1)
+      if (order0 < 1) return fallback
+      // autocorrelation over the block
+      val r = new Array[Double](order0 + 1)
+      var lag = 0
+      while (lag <= order0) {
+        var s = 0.0; var i = lag
+        while (i < n) {
+          s += samples(off + i).toDouble * samples(off + i - lag); i += 1
+        }
+        r(lag) = s; lag += 1
+      }
+      if (r(0) == 0.0) return fallback
+      // Levinson-Durbin: a(j) predict x[i] ≈ Σ a(j)·x[i-j]; stop early if
+      // the prediction error collapses (perfectly predictable signal)
+      val a = new Array[Double](order0 + 1)
+      var err = r(0)
+      var order = 0
+      var m = 1
+      var go = true
+      while (m <= order0 && go) {
+        var acc = r(m)
+        var j = 1
+        while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+        val k = acc / err
+        val na = new Array[Double](m + 1)
+        na(m) = k
+        j = 1
+        while (j < m) { na(j) = a(j) - k * a(m - j); j += 1 }
+        System.arraycopy(na, 1, a, 1, m)
+        err *= (1 - k * k)
+        order = m
+        if (err <= 0) go = false
+        m += 1
+      }
+      // quantize: precision 15 (precM1 = 14), shift 12 — libFLAC's
+      // default headroom for 16-bit input
+      val shift = 12
+      val qc = new Array[Long](order)
+      var j = 0
+      while (j < order) {
+        qc(j) = math.max(-16384L, math.min(16383L,
+          math.round(a(j + 1) * (1L << shift)).toLong))
+        j += 1
+      }
+      // residuals with the DECODER'S integer arithmetic
+      val res = new Array[Long](n - order)
+      var i = order
+      while (i < n) {
+        var acc = 0L
+        j = 0
+        while (j < order) { acc += qc(j) * samples(off + i - 1 - j); j += 1 }
+        res(i - order) = samples(off + i).toLong - (acc >> shift)
+        i += 1
+      }
+      val u = res.map(v => (v << 1) ^ (v >> 63)) // zigzag
+      var bestK = 0; var bestBits = Long.MaxValue
+      var k = 0
+      while (k <= 14) {
+        var bits = 0L
+        j = 0
+        while (j < u.length) { bits += (u(j) >>> k) + 1 + k; j += 1 }
+        if (bits < bestBits) { bestBits = bits; bestK = k }
+        k += 1
+      }
+      val subframeBits =
+        8L + 16L * order + 4 + 5 + 15L * order + 2 + 4 + 4 + bestBits
+      if ((subframeBits + 7) / 8 >= fallback.length) return fallback
+      val bw = new BitWriter
+      bw.writeBits((0x20 | (order - 1)) << 1, 8) // 0 | 1<order-1> LPC | wasted 0
+      var w = 0
+      while (w < order) { bw.writeBits(samples(off + w) & 0xffff, 16); w += 1 }
+      bw.writeBits(14, 4)    // qlp precision - 1 = 14 → 15-bit coefficients
+      bw.writeBits(shift, 5) // qlp shift (non-negative)
+      j = 0
+      while (j < order) { bw.writeBits(qc(j) & 0x7fff, 15); j += 1 }
+      bw.writeBits(0, 2)     // residual method: 4-bit Rice
+      bw.writeBits(0, 4)     // partition order 0 = one partition
+      bw.writeBits(bestK, 4)
+      j = 0
+      while (j < u.length) {
+        bw.writeUnary((u(j) >>> bestK).toInt)
+        bw.writeBits(u(j) & ((1L << bestK) - 1), bestK)
+        j += 1
+      }
+      bw.toBytes
+    }
+
+    /** Encode with LPC prediction (order ≤ 8) — the arbitrary-order half
+      * real-world FLAC ingest hits immediately (libFLAC's default levels
+      * emit LPC, not just the FIXED fast-mode subset): per frame the
+      * smallest of the LPC form and the FIXED/VERBATIM chooser, so output
+      * never regresses below [[encodeFlacCompressed]]. Decoded by
+      * [[decodeFlac]]'s LPC branch (CRC'd, MD5'd); CodecPropertySpec
+      * round-trips it and asserts LPC subframes actually appear. */
+    def encodeFlacLpc(sampleRate: Int, samples: Array[Int],
+        maxOrder: Int = 8): Array[Byte] =
+      flacStream(sampleRate, samples,
+        (s, off, n) => lpcSubframe(s, off, n, maxOrder))
+
     /** TEST-ONLY encoder exercising the Rice ESCAPE path (k=15): FIXED
       * order-0 subframes whose single partition stores residuals verbatim
       * at a fixed 16-bit width. The size-optimal encoder never emits the
@@ -708,6 +822,50 @@ object Multimodal {
       require(total <= Int.MaxValue, s"stream too long: $total samples")
       val outSamples = new Array[Int](total.toInt)
       var got = 0
+      // Partitioned-Rice residual walk + prediction, shared by the FIXED
+      // and LPC subframe decoders (identical residual coding, different
+      // predictor): reads `n - order` residuals, reconstructing
+      // outSamples(got + idx) = pred(got + idx) + residual as it goes.
+      def walkResiduals(br: BitReader, n: Int, order: Int, got: Int)(
+          pred: Int => Long): Unit = {
+        require(br.readBits(2) == 0, "only 4-bit Rice partitions supported")
+        val po = br.readBits(4).toInt
+        val parts = 1 << po
+        require(n % parts == 0, "partition size must divide blocksize")
+        require(order <= (n >> po),
+          "warm-up exceeds the first partition") // else cnt goes negative
+        var p = 0
+        var idx = order
+        while (p < parts) {
+          val k = br.readBits(4).toInt
+          // k == 15 is the ESCAPE code: a 5-bit raw width follows and
+          // the partition's residuals are stored VERBATIM in two's
+          // complement (no zigzag) — a conforming encoder emits it
+          // when Rice coding would expand (pathological noise). Our
+          // encoder's parameter search stops at 14, so only external
+          // streams exercise this branch (CodecPropertySpec covers it
+          // via the test-only escape encoder).
+          val esc = k == 15
+          val escBits = if (esc) br.readBits(5).toInt else 0
+          val cnt = (n / parts) - (if (p == 0) order else 0)
+          var j = 0
+          while (j < cnt) {
+            val r = if (esc) {
+              if (escBits == 0) 0
+              else ((br.readBits(escBits) << (64 - escBits)) >> (64 - escBits)).toInt
+            } else {
+              val q = br.readUnary()
+              val u = (q.toLong << k) | br.readBits(k)
+              // unzigzag: even → u/2, odd → -(u+1)/2
+              ((u >>> 1) ^ -(u & 1L)).toInt
+            }
+            val s0 = got + idx
+            outSamples(s0) = (pred(s0) + r).toInt
+            idx += 1; j += 1
+          }
+          p += 1
+        }
+      }
       // a truncated frame surfaces as an out-of-bounds read somewhere in
       // the bit walk — the catch below rethrows it as the decoder's
       // loud-failure contract (sibling decoders use explicit truncation
@@ -755,52 +913,44 @@ object Multimodal {
               outSamples(got + i) = (br.readBits(16).toInt << 16) >> 16
               i += 1
             }
-            require(br.readBits(2) == 0, "only 4-bit Rice partitions supported")
-            val po = br.readBits(4).toInt
-            val parts = 1 << po
-            require(n % parts == 0, "partition size must divide blocksize")
-            require(order <= (n >> po),
-              "warm-up exceeds the first partition") // else cnt goes negative
-            var p = 0
-            var idx = order
-            while (p < parts) {
-              val k = br.readBits(4).toInt
-              // k == 15 is the ESCAPE code: a 5-bit raw width follows and
-              // the partition's residuals are stored VERBATIM in two's
-              // complement (no zigzag) — a conforming encoder emits it
-              // when Rice coding would expand (pathological noise). Our
-              // encoder's parameter search stops at 14, so only external
-              // streams exercise this branch (CodecPropertySpec covers it
-              // via the test-only escape encoder).
-              val esc = k == 15
-              val escBits = if (esc) br.readBits(5).toInt else 0
-              val cnt = (n / parts) - (if (p == 0) order else 0)
-              var j = 0
-              while (j < cnt) {
-                val r = if (esc) {
-                  if (escBits == 0) 0
-                  else ((br.readBits(escBits) << (64 - escBits)) >> (64 - escBits)).toInt
-                } else {
-                  val q = br.readUnary()
-                  val u = (q.toLong << k) | br.readBits(k)
-                  // unzigzag: even → u/2, odd → -(u+1)/2
-                  ((u >>> 1) ^ -(u & 1L)).toInt
-                }
-                // fixed-predictor reconstruction
-                val s0 = got + idx
-                val pred = order match {
-                  case 0 => 0
-                  case 1 => outSamples(s0 - 1)
-                  case 2 => 2 * outSamples(s0 - 1) - outSamples(s0 - 2)
-                  case 3 => 3 * outSamples(s0 - 1) - 3 * outSamples(s0 - 2) +
-                    outSamples(s0 - 3)
-                  case _ => 4 * outSamples(s0 - 1) - 6 * outSamples(s0 - 2) +
-                    4 * outSamples(s0 - 3) - outSamples(s0 - 4)
-                }
-                outSamples(s0) = pred + r
-                idx += 1; j += 1
+            walkResiduals(br, n, order, got) { s0 =>
+              order match { // fixed-predictor reconstruction
+                case 0 => 0L
+                case 1 => outSamples(s0 - 1).toLong
+                case 2 => 2L * outSamples(s0 - 1) - outSamples(s0 - 2)
+                case 3 => 3L * outSamples(s0 - 1) - 3L * outSamples(s0 - 2) +
+                  outSamples(s0 - 3)
+                case _ => 4L * outSamples(s0 - 1) - 6L * outSamples(s0 - 2) +
+                  4L * outSamples(s0 - 3) - outSamples(s0 - 4)
               }
-              p += 1
+            }
+            o = br.byteAligned // frame pads to the byte boundary
+          case t if t >= 0x20 && t <= 0x27 => // LPC, order = (t & 0x1f) + 1 ≤ 8
+            val order = (t & 0x1f) + 1
+            require(order <= n, s"LPC order $order exceeds blocksize $n")
+            val br = new BitReader(b, o.toLong * 8)
+            var i = 0
+            while (i < order) { // warm-up samples, 16-bit two's complement
+              outSamples(got + i) = (br.readBits(16).toInt << 16) >> 16
+              i += 1
+            }
+            val precM1 = br.readBits(4).toInt
+            require(precM1 != 15, "invalid qlp coefficient precision")
+            val prec = precM1 + 1
+            val shift = ((br.readBits(5).toInt << 27) >> 27) // signed 5-bit
+            require(shift >= 0, "negative qlp shift unsupported")
+            val coefs = new Array[Long](order)
+            i = 0
+            while (i < order) { // signed `prec`-bit coefficients
+              coefs(i) = (br.readBits(prec) << (64 - prec)) >> (64 - prec)
+              i += 1
+            }
+            walkResiduals(br, n, order, got) { s0 =>
+              // qlp prediction: Σ coef(j)·s[i-1-j], arithmetic-shifted —
+              // the 64-bit accumulator is the spec's required headroom
+              var acc = 0L; var j = 0
+              while (j < order) { acc += coefs(j) * outSamples(s0 - 1 - j); j += 1 }
+              acc >> shift
             }
             o = br.byteAligned // frame pads to the byte boundary
           case t => throw new IllegalArgumentException(s"unsupported subframe type $t")

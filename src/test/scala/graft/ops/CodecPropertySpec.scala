@@ -192,6 +192,37 @@ class CodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("FLAC LPC: order-1..8 subframes round-trip exactly and appear in the stream") {
+    // a HIGH-FREQUENCY resonance: the k-th difference operator amplifies
+    // it by (2·sin(ω/2))^k ≈ 1.78^k, so every FIXED predictor is WORSE
+    // than coding raw samples — while the two-pole LPC model
+    // s[i] ≈ 2cos(ω)·s[i-1] − s[i-2] predicts it to rounding noise
+    val osc = Array.tabulate(6000)(i =>
+      math.round(10000.0 * math.sin(2.2 * i) + (i % 3)).toInt)
+    val lpc = Codec.encodeFlacLpc(8000, osc)
+    val (rate, back) = Codec.decodeFlac(lpc)
+    assert(rate == 8000 && back.toSeq == osc.toSeq,
+      "LPC round-trip lost samples")
+    // the first frame's subframe header sits right after the fixed frame
+    // header (42 container bytes + 4 sync/cfg + 1 UTF-8 frame number +
+    // 2 blocksize + 1 CRC-8): type bits 1xxxxx = LPC, order = xxxxx + 1
+    val typ6 = (lpc(50) >> 1) & 0x3f
+    assert(typ6 >= 0x20 && typ6 <= 0x27,
+      s"first subframe should be LPC(1-8), got type ${typ6.toHexString}")
+    // never larger than the FIXED/VERBATIM chooser (the fallback rule)
+    assert(lpc.length <= Codec.encodeFlacCompressed(8000, osc).length)
+    // degenerate inputs fall back and still round-trip: silence, constants,
+    // tiny blocks, plus randomized full-range signals
+    val cases = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+      .sample.getOrElse(Nil)
+    assert(cases.nonEmpty)
+    (List(0, 0, 0) :: List(7) :: List.fill(300)(-123) :: cases).foreach { vals =>
+      val (_, b2) = Codec.decodeFlac(Codec.encodeFlacLpc(8000, vals.toArray))
+      assert(b2.toSeq == vals, s"LPC-path round-trip lost samples (n=${vals.length})")
+    }
+  }
+
   test("FLAC: Rice escape partitions (k=15, verbatim residuals) decode exactly") {
     // the size-optimal encoder never emits the escape (search stops at 14);
     // a conforming external stream may — decode it, full signed range
