@@ -54,4 +54,25 @@ class BucketingSpec extends SparkSpec {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(j.count() == want && want > 0)
   }
+
+  test("bucketed tables write once: a repeat join reads, never rewrites") {
+    val dir = "/root/testdata/sf0.001"
+    val r1 = Bucketing.joinBucketed(spark, dir).collect().toSeq
+    def norm(p: String) =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val files = spark.table("graft_bktq.orders_by_cust").inputFiles
+      .map(norm) ++
+      spark.table("graft_bktq.customer_by_key").inputFiles.map(norm)
+    assert(files.nonEmpty)
+    val before = files.map(f => f -> new java.io.File(f).lastModified()).toMap
+    // pay-the-shuffle-once contract: the second call must plan over the
+    // SAME files (same paths, same mtimes) and still agree on the result
+    val r2 = Bucketing.joinBucketed(spark, dir).collect().toSeq
+    assert(r2 == r1)
+    before.foreach { case (f, m) =>
+      val now = new java.io.File(f)
+      assert(now.exists && now.lastModified() == m,
+        s"repeat join rewrote bucketed file $f")
+    }
+  }
 }
