@@ -79,6 +79,35 @@ class StagedFixtureSpec extends SparkSpec {
     assert(rows(Formats.deleteMor(spark, dir)) == mor1)
   }
 
+  test("staged consumers scan their stored artifacts, not a rebuild (plan locks)") {
+    val dir = "/root/testdata/sf0.001"
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // force execution so any lazy staging has happened
+      df.queryExecution.executedPlan.toString
+    }
+    def stagedPath(name: String): String =
+      stagedFixture(name, dir)(_ =>
+        fail(s"fixture $name must already be staged by the op"))
+    // SemDeDup reads the stored kmeans assignment
+    val semPlan = planOf(VectorOps.dedupSemantic(spark, dir))
+    assert(semPlan.contains(stagedPath("kmeans_assign")),
+      "dedup_sem must scan the stored cluster assignment")
+    // IVF-PQ reads the stored code table and ADC tables
+    val pqPlan = planOf(VectorOps.simIvfPq(spark, dir))
+    val pqRoot = stagedPath("pq_model")
+    assert(pqPlan.contains(s"$pqRoot/codes") && pqPlan.contains(s"$pqRoot/dt"),
+      "sim_ivfpq must scan the stored PQ model")
+    // the incremental CC reads the stored base star set
+    val ccPlan = planOf(GraphOps.connectedComponentsIncr(spark, dir))
+    assert(ccPlan.contains(stagedPath("ccincr_stars")),
+      "graph_cc_incr must scan the stored base star set")
+    // the incremental join view reads its stored bootstrap (also asserted
+    // in FormatsSpec; repeated here against the staged path directly)
+    val jiPlan = planOf(Formats.joinIncr(spark, dir))
+    assert(jiPlan.contains(stagedPath("joinincr_view")),
+      "join_incr must scan the stored view")
+  }
+
   test("graph_cc_incr: the staged base star store serves repeated runs identically") {
     val dir = "/root/testdata/sf0.01"
     val r1 = GraphOps.connectedComponentsIncr(spark, dir).collect().toSeq
