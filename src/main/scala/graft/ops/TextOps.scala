@@ -572,6 +572,78 @@ object TextOps {
       .orderBy("id")
   }
 
+  /** Piece table of the SHIPPED subword tokenizer [[tokEncode]] applies —
+    * grouped by piece length for the greedy longest-match walk. A
+    * production tokenizer's vocabulary/merge table is a pretrained MODEL
+    * ARTIFACT distributed with the pipeline, not derived from the corpus
+    * being encoded, so it is a literal here (the VectorOps `weight(i,j)`
+    * convention: the same constants generate the Spark expression and the
+    * DuckDB CASE arms, one source of truth). */
+  private[graft] val encPieces: Map[Int, Seq[String]] = Map(
+    4 -> Seq("batc", "colu", "fast", "filt", "grou", "hash", "join", "line",
+      "merg", "orde", "part", "quer", "scan", "slow", "sort", "spar", "stre",
+      "tabl", "valu", "vect", "wind"),
+    3 -> Seq("agg", "eam", "ery", "ine", "key", "row", "the", "umn"),
+    2 -> Seq("am", "ch", "er", "mn", "ow", "or", "ry", "ta", "ue", "up"))
+
+  /** Greedy longest-match piece length at `pos` (0-based) in `w`: try the
+    * 4-char pieces, then 3, then 2; any unmatched character is its own
+    * piece (the byte-fallback rule every production tokenizer ends with). */
+  private def pieceLen(w: Column, pos: Column): Column =
+    when(w.substr(pos + lit(1L), lit(4L)).isin(encPieces(4): _*), lit(4L))
+      .when(w.substr(pos + lit(1L), lit(3L)).isin(encPieces(3): _*), lit(3L))
+      .when(w.substr(pos + lit(1L), lit(2L)).isin(encPieces(2): _*), lit(2L))
+      .otherwise(lit(1L))
+
+  /** Subword piece count of one word under the greedy walk. The fold
+    * state packs (pos, count) into ONE long (pos·10⁶ + count — word
+    * lengths are nowhere near 10⁶), so the DuckDB twin can replay the
+    * identical integer recursion through a homogeneous `list_reduce`;
+    * the walk runs `length(w)` steps (each advances ≥ 1 char, so it
+    * always finishes) and stalls at the end-of-word guard. */
+  private[graft] def pieceCount(w: Column): Column = {
+    val stepped = aggregate(sequence(lit(1), length(w)), lit(0L), (acc, _) => {
+      val pos = floor(acc.cast(DoubleType) / 1e6).cast(LongType)
+      val bl = pieceLen(w, pos)
+      when(pos >= length(w).cast(LongType), acc)
+        .otherwise((pos + bl) * lit(1000000L) + pmod(acc, lit(1000000L)) + lit(1L))
+    })
+    pmod(stepped, lit(1000000L))
+  }
+
+  /** TOKENIZER APPLY — encode the corpus against the shipped subword
+    * vocabulary ([[encPieces]]) and report per-document token-economy
+    * stats: whitespace-token count, subword-piece count, and
+    * pieces-per-token (the compression ratio that decides context-window
+    * cost and is the standard "is this tokenizer a fit for this corpus"
+    * diagnostic). Completes the tokenizer family: [[textBpe]] counts the
+    * merge candidates TRAINING would take, [[vocabBuild]] assigns ids —
+    * this is the APPLY step every training-data pipeline actually runs
+    * per document.
+    *
+    * Scale shape — encode the VOCABULARY, not the corpus: the greedy
+    * walk runs once per DISTINCT word (a Zipf-bounded frame, tiny next
+    * to the token stream at 100 TB), and per-document totals come from
+    * joining the per-(doc, word) count frame — built in the same single
+    * tokenize pass — against the |vocab|-row encoded frame (broadcast).
+    * Per-token work never multiplies by word length; the fold itself is
+    * one codegen-friendly higher-order aggregate, no UDF. */
+  def tokEncode(spark: SparkSession, dir: String): DataFrame = {
+    val perDocWord = materialize(table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c")))
+    val encoded = perDocWord.select("w").distinct()
+      .select(col("w"), pieceCount(col("w")).as("p"))
+    perDocWord.join(broadcast(encoded), "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("p")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        roundD(col("n_pieces").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("pieces_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Comparison vocabulary size for [[textJsd]] — the corpus top-50 plus
     * an `<other>` bucket, so the divergence runs over a BOUNDED symbol
     * set regardless of corpus vocabulary. */
@@ -872,7 +944,45 @@ object TextOps {
 
   private[graft] val stopList = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
+  private def encInList(n: Int): String =
+    encPieces(n).map(p => s"'$p'").mkString("(", ",", ")")
+
   val oracles: Map[String, String] = Map(
+    // the identical greedy walk as a RECURSIVE CTE (the ts_holt oracle
+    // convention — one row per live (word, pos) state, recursion depth =
+    // pieces per word); piece lists interpolate from the SAME Scala
+    // constants as the Spark expression. Deliberately NOT a list_reduce
+    // lambda: DuckDB 1.0.0's vectorized lambda evaluation returns wrong
+    // piece counts for a subset of rows when run over the full word set
+    // (reproducibly 'part'/'scan' → 2, correct when filtered) — an
+    // engine bug the recursive form sidesteps.
+    "tok_encode" -> s"""
+      WITH RECURSIVE perdw AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                       t -> t <> '')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      walk AS (
+        SELECT w, 0::BIGINT AS pos, 0::BIGINT AS n
+        FROM (SELECT DISTINCT w FROM perdw)
+        UNION ALL
+        SELECT w,
+               pos + CASE
+                 WHEN substr(w, (pos + 1)::INT, 4) IN ${encInList(4)} THEN 4
+                 WHEN substr(w, (pos + 1)::INT, 3) IN ${encInList(3)} THEN 3
+                 WHEN substr(w, (pos + 1)::INT, 2) IN ${encInList(2)} THEN 2
+                 ELSE 1 END,
+               n + 1
+        FROM walk WHERE pos < length(w)),
+      enc AS (SELECT w, max(n) AS p FROM walk GROUP BY w)
+      SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+             SUM(c * p)::BIGINT AS n_pieces,
+             floor(SUM(c * p)::DOUBLE / SUM(c)::DOUBLE * 1e6 + 0.5) / 1e6
+               AS pieces_per_token
+      FROM perdw JOIN enc USING (w)
+      GROUP BY doc_id ORDER BY doc_id""",
     // plain exact GROUP BY/HAVING — the sketch must be invisible in the
     // result (it only nominates candidates for the exact pass)
     "freq_topk" ->
@@ -1342,5 +1452,6 @@ object TextOps {
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,
     "freq_topk" -> freqTopk _,
+    "tok_encode" -> tokEncode _,
   )
 }

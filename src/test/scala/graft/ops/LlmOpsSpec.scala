@@ -590,4 +590,57 @@ class LlmOpsSpec extends SparkSpec {
     // saturation sanity: scores positive (non-negative idf variant)
     assert(got.forall(_._3 > 0L))
   }
+
+  test("tok_encode: greedy longest-match segmentation, byte fallback, corpus replay") {
+    import spark.implicits._
+    // hand cases against the shipped piece table: whole-word 4-piece hit,
+    // 4+2 split, 4+1+3 split, 3-piece word, pure byte fallback
+    val cases = Seq(
+      "part" -> 1L,     // 'part' ∈ P4
+      "window" -> 2L,   // wind|ow
+      "filter" -> 2L,   // filt|er
+      "orderkey" -> 3L, // orde|r|key (greedy: no piece at 'rkey')
+      "the" -> 1L,      // ∈ P3
+      "stream" -> 2L,   // stre|am
+      "zzz" -> 3L,      // byte fallback, one piece per char
+      "x" -> 1L)
+    import org.apache.spark.sql.functions.col
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), TextOps.pieceCount(col("w")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cases.foreach { case (w, p) =>
+      assert(got(w) == p, s"'$w' segmented into ${got(w)} pieces, want $p")
+    }
+    // corpus replay: the distributed per-doc totals equal a driver-side
+    // greedy walk over the same whitespace tokens
+    val dir = "/root/testdata/sf0.001"
+    val p4 = TextOps.encPieces(4).toSet
+    val p3 = TextOps.encPieces(3).toSet
+    val p2 = TextOps.encPieces(2).toSet
+    def pieces(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val bl =
+          if (pos + 4 <= w.length && p4(w.substring(pos, pos + 4))) 4
+          else if (pos + 3 <= w.length && p3(w.substring(pos, pos + 3))) 3
+          else if (pos + 2 <= w.length && p2(w.substring(pos, pos + 2))) 2
+          else 1
+        pos += bl; n += 1
+      }
+      n
+    }
+    val expect = graft.ops.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        (r.getLong(0), toks.length.toLong, toks.map(pieces).sum)
+      }.sortBy(_._1).toSeq
+    val out = TextOps.tokEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expect, "distributed encode diverged from the driver replay")
+    // the vocabulary actually bites: pieces/token must sit strictly
+    // between 1 (everything a known word) and the all-fallback bound
+    val ratio = out.map(_._3).sum.toDouble / out.map(_._2).sum
+    assert(ratio > 1.0 && ratio < 4.0, s"suspicious compression ratio $ratio")
+  }
 }
