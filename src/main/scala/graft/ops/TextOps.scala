@@ -597,10 +597,12 @@ object TextOps {
 
   /** Subword piece count of one word under the greedy walk. The fold
     * state packs (pos, count) into ONE long (pos·10⁶ + count — word
-    * lengths are nowhere near 10⁶), so the DuckDB twin can replay the
-    * identical integer recursion through a homogeneous `list_reduce`;
-    * the walk runs `length(w)` steps (each advances ≥ 1 char, so it
-    * always finishes) and stalls at the end-of-word guard. */
+    * lengths are nowhere near 10⁶), keeping the accumulator homogeneous
+    * (Spark's `aggregate` needs one state type); the oracle replays the
+    * identical integer walk as a recursive CTE (see the tok_encode
+    * oracle's note on why NOT `list_reduce`). The walk runs `length(w)`
+    * steps (each advances ≥ 1 char, so it always finishes) and stalls at
+    * the end-of-word guard. */
   private[graft] def pieceCount(w: Column): Column = {
     val stepped = aggregate(sequence(lit(1), length(w)), lit(0L), (acc, _) => {
       val pos = floor(acc.cast(DoubleType) / 1e6).cast(LongType)
