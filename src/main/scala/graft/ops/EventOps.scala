@@ -374,6 +374,126 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Iterations / value scale for [[attrMarkov]] — fixed, so both engines
+    * run the identical integer absorption recursion. */
+  val markovIters = 12
+  val markovScale = 1000000L
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven multi-touch
+    * model that completes the attribution family ([[attrLastTouch]]'s
+    * single credit, [[attrPosition]]'s fixed 40/20/40 split): journeys
+    * are each user's pre-first-purchase touch sequence, fitted as a
+    * first-order Markov chain (START → touches → CONV/NULL), and a
+    * channel's credit is its REMOVAL EFFECT — how much the chain's
+    * START→CONV absorption probability drops when that channel's
+    * incoming mass is redirected to NULL (Anderl et al. 2016's framework;
+    * the standard alternative to position heuristics).
+    *
+    * Cross-engine exactness: absorption probabilities are NOT solved
+    * (matrix inversion has no deterministic SQL twin) but iterated a
+    * FIXED [[markovIters]] Jacobi rounds in pure integer arithmetic —
+    * value(s) in micro-units, each round `Σ n(s,t)·value(t) div out(s)`
+    * with 128-bit products (BigInt here, HUGEINT in the oracle) — so
+    * both engines walk bit-identical states; the oracle unrolls the same
+    * rounds as chained CTEs over the same (scenario, from, to, n) frame.
+    *
+    * Plan at 100 TB: the DATA-sized work — the first-purchase aggregate,
+    * the pre-purchase filter, one lead/row_number window per user, and
+    * the (from, to) hash rollup — is all distributed ([[pathTransitions]]'
+    * shuffle shape, ∝ touches). What reaches the driver is the transition
+    * MATRIX: at most (|channels|+1)·(|channels|+2) rows regardless of
+    * corpus size (the [[graft.ops.TextOps]] metadata-scale-fold
+    * convention), and the scenario fold is |channels|+1 reruns of a
+    * |states|²-cost loop on those counts. */
+  def attrMarkov(spark: SparkSession, dir: String): DataFrame =
+    attrMarkovOf(table(spark, dir, "events"))
+
+  /** The journey build + absorption fold over any (user_id, event_type,
+    * ts, event_id) frame — split out so the spec can drive hand-built
+    * journeys whose removal effects are known in closed form. */
+  private[graft] def attrMarkovOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    val ev = events.select("user_id", "event_type", "ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // first purchase per user — stamped by a full-partition window on the
+    // SAME (partition, order) spec as the sequence windows below, so the
+    // whole journey build costs ONE user_id exchange (a join against a
+    // first-purchase aggregate would add a second)
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val stamped = ev.withColumn("p",
+      min(when(col("event_type") === "purchase",
+        struct(col("ts"), col("event_id")))).over(wFull))
+    val touches = stamped.filter(col("event_type") =!= "purchase" &&
+      (col("p").isNull || struct(col("ts"), col("event_id")) < col("p")))
+    // ONE more window pass (same spec — no re-exchange) emits every
+    // transition the row owns: its outgoing edge, plus the START edge
+    // when it opens the journey
+    val seq = touches
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val ownEdge = struct(col("event_type").as("f"),
+      coalesce(col("nxt"),
+        when(col("p").isNotNull, lit("CONV")).otherwise(lit("NULL"))).as("t"))
+    val startEdge = struct(lit("START").as("f"), col("event_type").as("t"))
+    val edges = seq.select(explode(
+        when(col("rn") === 1, array(startEdge, ownEdge))
+          .otherwise(array(ownEdge))).as("e"))
+      .select(col("e.f").as("f"), col("e.t").as("t"))
+    // converters who never touched before buying: START → CONV directly —
+    // one keyed aggregate (first purchase vs first touch per user), no join
+    val organic = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase",
+          struct(col("ts"), col("event_id")))).as("p"),
+        min(when(col("event_type") =!= "purchase",
+          struct(col("ts"), col("event_id")))).as("t0"))
+      .filter(col("p").isNotNull &&
+        (col("t0").isNull || !(col("t0") < col("p"))))
+      .select(lit("START").as("f"), lit("CONV").as("t"))
+    // one merged rollup → ONE collect job for the whole |states|² matrix
+    val matrix = edges.unionByName(organic)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> BigInt(r.getLong(2)))
+      .toMap
+    // ---- driver fold over the |states|^2 matrix (never data-sized) ----
+    val scale = BigInt(markovScale)
+    def absorb(n: Map[(String, String), BigInt]): BigInt = {
+      val outs = n.toSeq.groupBy(_._1._1)
+        .map { case (s, rows) => s -> rows.map(_._2).sum }
+      var pq = Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      for (_ <- 1 to markovIters) {
+        val prev = pq // Jacobi: every state reads the PREVIOUS round
+        pq = outs.map { case (s, out) =>
+          val acc = n.iterator.collect { case ((`s`, t), c) =>
+            c * (t match {
+              case "CONV" => scale
+              case "NULL" => BigInt(0)
+              case other  => prev(other)
+            })
+          }.sum
+          s -> acc / out
+        }.withDefaultValue(BigInt(0))
+      }
+      pq("START")
+    }
+    def removed(c: String): Map[(String, String), BigInt] =
+      matrix.toSeq.collect { case ((s, t), v) if s != c =>
+        (s, if (t == c) "NULL" else t) -> v
+      }.groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sum }
+    val base = absorb(matrix)
+    val channels = matrix.keys.map(_._1).filter(_ != "START").toSeq.sorted
+    val deltas = channels.map(c => c -> (base - absorb(removed(c))))
+    val totalDelta = deltas.map(_._2).sum
+    val rows = deltas.map { case (c, d) =>
+      val effect = if (base == 0) BigInt(0) else d * 1000 / base
+      val share = if (totalDelta == 0) BigInt(0) else d * 1000 / totalDelta
+      (c, effect.toLong, share.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("channel", "removal_effect_pm", "attr_pm").orderBy("channel")
+  }
+
   /** LONGEST ACTIVITY STREAK per user — the gaps-and-islands engagement
     * metric (consecutive active DAYS): distinct (user, day), then the
     * island key day − row_number(per-user day order) is constant exactly
@@ -572,7 +692,74 @@ object EventOps {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** One unrolled Jacobi round of the [[attrMarkov]] absorption iteration
+    * as a DuckDB CTE — every round reads ONLY the previous round's frame
+    * (the `pp` left join), exactly like the Scala fold's `prev`. */
+  private def markovIterCte(k: Int): String = s"""
+      p$k AS (
+        SELECT st.rm, st.f AS s,
+               sum(st.n * CASE WHEN st.t = 'CONV' THEN $markovScale::HUGEINT
+                               WHEN st.t = 'NULL' THEN 0::HUGEINT
+                               ELSE coalesce(pp.pq, 0::HUGEINT) END)
+                 // min(o.outn) AS pq
+        FROM st JOIN outs o ON o.rm = st.rm AND o.f = st.f
+        LEFT JOIN p${k - 1} pp ON pp.rm = st.rm AND pp.s = st.t
+        GROUP BY st.rm, st.f)"""
+
   val oracles: Map[String, String] = Map(
+    // the identical journey build (first-purchase cut, lead/row_number
+    // windows, START/CONV/NULL framing), then the identical fixed-round
+    // integer absorption recursion, unrolled one CTE per round; HUGEINT
+    // == the Scala fold's BigInt (the ab_test 128-bit-lift convention)
+    "attr_markov" -> s"""
+      WITH fp AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_eid FROM (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+      touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id,
+               p.user_id IS NOT NULL AS cv
+        FROM events e LEFT JOIN fp p ON e.user_id = p.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (p.user_id IS NULL OR (e.ts, e.event_id) < (p.p_ts, p.p_eid))),
+      sq AS (
+        SELECT user_id, event_type, cv,
+               lead(event_type) OVER w AS nxt,
+               row_number() OVER w AS rn
+        FROM touches
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tr0 AS (
+        SELECT event_type AS f, nxt AS t FROM sq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT 'START', event_type FROM sq WHERE rn = 1
+        UNION ALL
+        SELECT event_type, CASE WHEN cv THEN 'CONV' ELSE 'NULL' END
+        FROM sq WHERE nxt IS NULL
+        UNION ALL
+        SELECT 'START', 'CONV' FROM fp
+        WHERE user_id NOT IN (SELECT user_id FROM touches)),
+      tr AS (SELECT f, t, count(*)::HUGEINT AS n FROM tr0 GROUP BY 1, 2),
+      scen AS (SELECT 'BASE' AS rm
+               UNION ALL SELECT DISTINCT f FROM tr WHERE f <> 'START'),
+      st AS (SELECT s.rm, tr.f,
+                    CASE WHEN tr.t = s.rm THEN 'NULL' ELSE tr.t END AS t,
+                    sum(tr.n) AS n
+             FROM scen s CROSS JOIN tr WHERE tr.f <> s.rm GROUP BY 1, 2, 3),
+      outs AS (SELECT rm, f, sum(n) AS outn FROM st GROUP BY 1, 2),
+      p0 AS (SELECT rm, f AS s, 0::HUGEINT AS pq FROM outs),
+      ${(1 to markovIters).map(markovIterCte).mkString(",")},
+      res AS (SELECT rm, pq FROM p$markovIters WHERE s = 'START'),
+      base AS (SELECT pq AS bq FROM res WHERE rm = 'BASE'),
+      eff AS (SELECT rm AS channel, bq - pq AS d, bq
+              FROM res CROSS JOIN base WHERE rm <> 'BASE')
+      SELECT channel,
+             (CASE WHEN bq = 0 THEN 0::HUGEINT
+                   ELSE d * 1000 // bq END)::BIGINT AS removal_effect_pm,
+             (CASE WHEN sum(d) OVER () = 0 THEN 0::HUGEINT
+                   ELSE d * 1000 // sum(d) OVER () END)::BIGINT AS attr_pm
+      FROM eff ORDER BY channel""",
     "pattern_vshape" -> """
       WITH p AS (
         SELECT event_type, ts,
@@ -899,5 +1086,6 @@ object EventOps {
     "attr_position" -> attrPosition _,
     "ab_ttest" -> abTtest _,
     "user_overlap" -> userOverlap _,
+    "attr_markov" -> attrMarkov _,
   )
 }

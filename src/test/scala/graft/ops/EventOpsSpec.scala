@@ -164,4 +164,51 @@ class EventOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3000L,
       s"every converted journey distributes exactly 1000 permille: $got")
   }
+
+  test("attr_markov: removal effects match the closed-form chain") {
+    import spark.implicits._
+    // u1 view→CONV, u2 click→CONV, u3 view→NULL, u4 organic (no touches):
+    //   START out=4: view 2, click 1, CONV 1 (organic)
+    //   p(view) = (1·1e6 + 1·0)/2 = 500000; p(click) = 1e6
+    //   base = (2·500000 + 1e6 + 1e6)/4 = 750000
+    //   remove view:  (2·0 + 1e6 + 1e6)/4 = 500000 → Δ 250000 → 333‰
+    //   remove click: (2·500000 + 0 + 1e6)/4 = 500000 → Δ 250000 → 333‰
+    //   shares: 250000·1000 div 500000 = 500‰ each
+    val ev = Seq(
+      (1L, "view", ts(10), 10L), (1L, "purchase", ts(20), 11L),
+      (2L, "click", ts(10), 20L), (2L, "purchase", ts(20), 21L),
+      (3L, "view", ts(10), 30L),
+      (4L, "purchase", ts(10), 40L),
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventOps.attrMarkovOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq("click" -> ((333L, 500L)), "view" -> ((333L, 500L))),
+      s"$got")
+  }
+
+  test("attr_markov: post-purchase touches never enter a journey") {
+    import spark.implicits._
+    // u1's only touch is AFTER the first purchase: the journey is organic
+    // (START→CONV) and the touch channel earns zero — no channel rows at
+    // all, since 'view' never appears as a journey state.
+    val ev = Seq(
+      (1L, "purchase", ts(10), 10L), (1L, "view", ts(20), 11L),
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    assert(EventOps.attrMarkovOf(ev).collect().isEmpty)
+  }
+
+  test("attr_markov: real-data effects and shares are bounded permille") {
+    val rows = EventOps.attrMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    rows.foreach { case (c, eff, share) =>
+      assert(eff >= 0L && eff <= 1000L, s"$c effect $eff out of [0,1000]")
+      assert(share >= 0L && share <= 1000L, s"$c share $share out of [0,1000]")
+    }
+    // floor division loses at most 1‰ per channel
+    val total = rows.map(_._3).sum
+    assert(total <= 1000L && total >= 1000L - rows.length,
+      s"attribution shares must partition (up to floor loss): $total")
+  }
 }
