@@ -33,7 +33,9 @@ import org.apache.spark.sql.types._
   * error bound is spec-asserted. FLAC is a pure-JVM implementation of the
   * published format (magic, STREAMINFO + sample MD5, synced/CRC'd frames)
   * with real compression — fixed-predictor and LPC (order ≤ 8,
-  * Levinson-Durbin) Rice-coded subframes beside the verbatim form.
+  * Levinson-Durbin) Rice-coded subframes beside the verbatim form, mono
+  * and stereo with per-frame inter-channel decorrelation (independent,
+  * left/side, right/side, mid/side; 17-bit side channels).
   */
 object Multimodal {
 
@@ -383,9 +385,13 @@ object Multimodal {
     // FIXED-predictor orders 0-4 with Rice-coded residuals, MSB-first bit
     // packing), plus LPC prediction up to order 8 ([[encodeFlacLpc]] —
     // Levinson-Durbin coefficients quantized to 15 bits, the form
-    // libFLAC's default levels emit). The decoder handles CONSTANT,
-    // VERBATIM, FIXED, and LPC(1-8) subframes at any equal-size
-    // partition order and verifies every CRC plus the stream MD5.
+    // libFLAC's default levels emit) and STEREO with per-frame
+    // inter-channel decorrelation ([[encodeFlacStereo]] — bit-cheapest
+    // of independent/left-side/right-side/mid-side, 17-bit side
+    // subframes bit-packed unaligned). The decoder handles CONSTANT,
+    // VERBATIM, FIXED, and LPC(1-32) subframes at any equal-size
+    // partition order, all four channel assignments, and verifies every
+    // CRC plus the stream MD5.
 
     private def crc8(b: Array[Byte], until: Int): Int = {
       var crc = 0; var i = 0
@@ -485,29 +491,38 @@ object Multimodal {
       }
       def alignByte(): Unit = if (nbits != 0) writeBits(0, 8 - nbits)
       def toBytes: Array[Byte] = { alignByte(); out.toByteArray }
+      /** Exact bit count written so far (before any alignment pad). */
+      def bitLength: Long = out.size.toLong * 8 + nbits
+      /** Append this buffer's bits into `dst` WITHOUT aligning — the
+        * FLAC stereo frame layout (subframes bit-pack back to back; only
+        * the frame pads to a byte boundary). */
+      def writeTo(dst: BitWriter): Unit = {
+        out.toByteArray.foreach(b => dst.writeBits(b & 0xffL, 8))
+        if (nbits > 0) dst.writeBits(cur & ((1 << nbits) - 1), nbits)
+      }
     }
 
-    /** Byte-aligned VERBATIM subframe: header byte + big-endian samples. */
-    private def verbatimSubframe(samples: Array[Int], off: Int, n: Int): Array[Byte] = {
-      val sb = new Array[Byte](1 + 2 * n)
-      sb(0) = 0x02 // 0 | 000001 VERBATIM | wasted 0
+    /** VERBATIM subframe: header byte + `bps`-bit big-endian samples —
+      * a bit buffer, because a stereo frame's second subframe starts at
+      * an arbitrary bit offset (subframes pack back to back; 17-bit side
+      * channels are never byte-aligned). */
+    private def verbatimSubframe(samples: Array[Int], off: Int, n: Int,
+        bps: Int = 16): BitWriter = {
+      val bw = new BitWriter
+      bw.writeBits(0x02, 8) // 0 | 000001 VERBATIM | wasted 0
+      val mask = (1L << bps) - 1
       var i = 0
-      while (i < n) {
-        val v = samples(off + i)
-        sb(1 + 2 * i) = ((v >> 8) & 0xff).toByte
-        sb(2 + 2 * i) = (v & 0xff).toByte
-        i += 1
-      }
-      sb
+      while (i < n) { bw.writeBits(samples(off + i) & mask, bps); i += 1 }
+      bw
     }
 
     /** Smallest of VERBATIM and FIXED(0-4)+Rice for this frame — the real
       * compression path. Order is chosen by minimum residual magnitude,
       * the Rice parameter by exact coded-bit count; if no fixed form beats
       * verbatim (random data), verbatim wins — FLAC's own fallback rule. */
-    private def bestSubframe(samples: Array[Int], off: Int, n: Int): Array[Byte] = {
-      val verb = verbatimSubframe(samples, off, n)
-      var best = verb
+    private def bestSubframe(samples: Array[Int], off: Int, n: Int,
+        bps: Int = 16): BitWriter = {
+      var best = verbatimSubframe(samples, off, n, bps)
       val maxOrder = math.min(4, n - 1)
       var order = 0
       while (order <= maxOrder) {
@@ -536,12 +551,13 @@ object Multimodal {
           if (bits < bestBits) { bestBits = bits; bestK = k }
           k += 1
         }
-        val subframeBits = 8L + 16L * order + 2 + 4 + 4 + bestBits
-        if ((subframeBits + 7) / 8 < best.length) {
+        val subframeBits = 8L + bps.toLong * order + 2 + 4 + 4 + bestBits
+        if (subframeBits < best.bitLength) {
           val bw = new BitWriter
           bw.writeBits((8 + order) << 1, 8) // 0 | 001<order> FIXED | wasted 0
+          val mask = (1L << bps) - 1
           var w = 0
-          while (w < order) { bw.writeBits(samples(off + w) & 0xffff, 16); w += 1 }
+          while (w < order) { bw.writeBits(samples(off + w) & mask, bps); w += 1 }
           bw.writeBits(0, 2) // residual method: 4-bit Rice
           bw.writeBits(0, 4) // partition order 0 = one partition
           bw.writeBits(bestK, 4)
@@ -551,25 +567,34 @@ object Multimodal {
             bw.writeBits(u(j) & ((1L << bestK) - 1), bestK)
             j += 1
           }
-          best = bw.toBytes
+          best = bw
         }
         order += 1
       }
       best
     }
 
-    /** Shared stream assembly: magic + STREAMINFO (+ sample MD5) + synced,
-      * CRC'd frames, each frame's subframe produced by `subframe`. */
-    private def flacStream(sampleRate: Int, samples: Array[Int],
-        subframe: (Array[Int], Int, Int) => Array[Byte]): Array[Byte] = {
-      require(samples.nonEmpty, "empty FLAC stream")
+    /** Shared stream assembly over 1 or 2 CHANNELS: magic + STREAMINFO
+      * (+ interleaved sample MD5) + synced, CRC'd frames. Per frame,
+      * `build(off, n)` returns the channel-assignment nibble and the
+      * per-channel subframe bit buffers — packed back to back at BIT
+      * granularity (a 17-bit side channel leaves the second subframe
+      * unaligned; only the frame pads to the byte boundary, per spec). */
+    private def flacFrames(sampleRate: Int, chans: Array[Array[Int]],
+        build: (Int, Int) => (Int, Seq[BitWriter])): Array[Byte] = {
+      val nch = chans.length
+      require(nch >= 1 && nch <= 2, "1 or 2 channels")
+      require(chans.forall(_.length == chans(0).length), "channel length mismatch")
+      val nSamp = chans(0).length
+      require(nSamp > 0, "empty FLAC stream")
       require(sampleRate > 0 && sampleRate < (1 << 20), "sample rate range")
       // out-of-range samples would encode mod 2^16 into a stream whose
       // CRCs and MD5 all pass (both sides hash the low 16 bits) — the one
       // corruption the container checks cannot catch, so refuse it here
-      require(samples.forall(v => v >= Short.MinValue && v <= Short.MaxValue),
-        "sample out of 16-bit range")
-      val out = new java.io.ByteArrayOutputStream(64 + samples.length * 2)
+      chans.foreach(c => require(
+        c.forall(v => v >= Short.MinValue && v <= Short.MaxValue),
+        "sample out of 16-bit range"))
+      val out = new java.io.ByteArrayOutputStream(64 + nSamp * 2 * nch)
       out.write('f'); out.write('L'); out.write('a'); out.write('C')
       // metadata block header: last-block flag | type 0 (STREAMINFO), len 34
       out.write(0x80); out.write(0); out.write(0); out.write(34)
@@ -579,36 +604,45 @@ object Multimodal {
       }
       put16(0, flacBlockSize); put16(2, flacBlockSize) // min/max block size
       // bytes 4..9: min/max frame size = 0 (unknown, allowed)
-      val total = samples.length.toLong
-      // 20 bits rate | 3 bits channels-1 (=0) | 5 bits bps-1 (=15) | 36 bits total
+      val total = nSamp.toLong // inter-channel sample frames, NOT values
+      // 20 bits rate | 3 bits channels-1 | 5 bits bps-1 (=15) | 36 bits total
       si(10) = ((sampleRate >> 12) & 0xff).toByte
       si(11) = ((sampleRate >> 4) & 0xff).toByte
-      si(12) = (((sampleRate & 0xf) << 4) | (0 << 1) | (15 >> 4)).toByte
+      si(12) = (((sampleRate & 0xf) << 4) | ((nch - 1) << 1) | (15 >> 4)).toByte
       si(13) = (((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
       si(14) = ((total >> 24) & 0xff).toByte
       si(15) = ((total >> 16) & 0xff).toByte
       si(16) = ((total >> 8) & 0xff).toByte
       si(17) = (total & 0xff).toByte
       val md = java.security.MessageDigest.getInstance("MD5")
-      samples.foreach { v =>
-        md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte)
+      var mi = 0
+      while (mi < nSamp) { // spec: MD5 over the INTERLEAVED LE stream
+        var c = 0
+        while (c < nch) {
+          val v = chans(c)(mi)
+          md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte)
+          c += 1
+        }
+        mi += 1
       }
       System.arraycopy(md.digest(), 0, si, 18, 16)
       out.write(si)
       var off = 0; var frameNo = 0
-      while (off < samples.length) {
-        val n = math.min(flacBlockSize, samples.length - off)
-        val fr = new java.io.ByteArrayOutputStream(8 + n * 2)
+      while (off < nSamp) {
+        val n = math.min(flacBlockSize, nSamp - off)
+        val (chanCode, subs) = build(off, n)
+        val fr = new java.io.ByteArrayOutputStream(8 + n * 2 * nch)
         fr.write(0xff); fr.write(0xf8) // sync 11111111_111110, rsvd 0, fixed-bs 0
         fr.write(0x70)                 // bs code 0111 (16-bit at end) | rate code 0000
-        fr.write(0x08)                 // channel 0000 | bps 100 (16-bit) | rsvd 0
+        fr.write((chanCode << 4) | 0x08) // channel nibble | bps 100 (16-bit) | rsvd 0
         writeUtf8Num(fr, frameNo)      // UTF-8 frame number (multi-byte past 127)
         fr.write(((n - 1) >> 8) & 0xff); fr.write((n - 1) & 0xff)
         val hb = fr.toByteArray
         fr.write(crc8(hb, hb.length))
-        val sb = subframe(samples, off, n)
-        fr.write(sb, 0, sb.length)
-        val fb = fr.toByteArray
+        val bw = new BitWriter
+        fr.toByteArray.foreach(b => bw.writeBits(b & 0xffL, 8))
+        subs.foreach(_.writeTo(bw))
+        val fb = bw.toBytes // pads the frame to the byte boundary
         val c16 = crc16(fb, 0, fb.length)
         out.write(fb); out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
         off += n; frameNo += 1
@@ -616,11 +650,78 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Mono stream assembly — channel code 0000, one subframe per frame. */
+    private def flacStream(sampleRate: Int, samples: Array[Int],
+        subframe: (Array[Int], Int, Int) => BitWriter): Array[Byte] =
+      flacFrames(sampleRate, Array(samples),
+        (off, n) => (0x0, Seq(subframe(samples, off, n))))
+
+    /** Per-frame mid/side companions of a stereo block. */
+    private def midSide(left: Array[Int], right: Array[Int], off: Int,
+        n: Int): (Array[Int], Array[Int]) = {
+      val mid = new Array[Int](n); val side = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val l = left(off + i); val r = right(off + i)
+        mid(i) = (l + r) >> 1 // floor; the dropped bit rides in side's LSB
+        side(i) = l - r       // 17-bit channel
+        i += 1
+      }
+      (mid, side)
+    }
+
+    /** Encode 16-bit STEREO with inter-channel decorrelation — the form
+      * every real-world stereo stream uses: per frame the bit-cheapest of
+      * independent L/R (0001), left/side (1000), right/side (1001) and
+      * mid/side (1010), each channel coded by the LPC/FIXED/VERBATIM
+      * chooser; the side channel is L−R at 17 bits per spec. Ties prefer
+      * the earlier candidate (independent), so the choice is
+      * deterministic. `allowDecorrelation = false` pins independent
+      * coding — the spec uses it to prove decorrelation actually engages
+      * (correlated input must code strictly smaller with it on). */
+    def encodeFlacStereo(sampleRate: Int, left: Array[Int],
+        right: Array[Int], maxOrder: Int = 8,
+        allowDecorrelation: Boolean = true): Array[Byte] =
+      flacFrames(sampleRate, Array(left, right), (off, n) => {
+        val ls = lpcSubframe(left, off, n, maxOrder)
+        val rs = lpcSubframe(right, off, n, maxOrder)
+        if (!allowDecorrelation) (0x1, Seq(ls, rs))
+        else {
+          val (mid, side) = midSide(left, right, off, n)
+          val ms = lpcSubframe(mid, 0, n, maxOrder)
+          val ss = lpcSubframe(side, 0, n, maxOrder, bps = 17)
+          Seq((0x1, Seq(ls, rs)), (0x8, Seq(ls, ss)),
+            (0x9, Seq(ss, rs)), (0xA, Seq(ms, ss)))
+            .minBy(_._2.map(_.bitLength).sum)
+        }
+      })
+
+    /** TEST-ONLY: stereo with a FORCED channel assignment, so the spec
+      * can round-trip every decoder reconstruction branch (left/side,
+      * right/side, mid/side) regardless of which one the size chooser
+      * would pick on a given signal. */
+    private[ops] def encodeFlacStereoMode(sampleRate: Int, left: Array[Int],
+        right: Array[Int], mode: Int): Array[Byte] =
+      flacFrames(sampleRate, Array(left, right), (off, n) => {
+        lazy val (mid, side) = midSide(left, right, off, n)
+        mode match {
+          case 0x1 => (0x1, Seq(bestSubframe(left, off, n),
+            bestSubframe(right, off, n)))
+          case 0x8 => (0x8, Seq(bestSubframe(left, off, n),
+            bestSubframe(side, 0, n, bps = 17)))
+          case 0x9 => (0x9, Seq(bestSubframe(side, 0, n, bps = 17),
+            bestSubframe(right, off, n)))
+          case 0xA => (0xA, Seq(bestSubframe(mid, 0, n),
+            bestSubframe(side, 0, n, bps = 17)))
+          case m => throw new IllegalArgumentException(s"bad stereo mode $m")
+        }
+      })
+
     /** Encode 16-bit mono samples as a FLAC stream (VERBATIM subframes —
       * deterministic container size, the [[mmFlacRoundtrip]] oracle's
       * 53 + 2n formula). */
     def encodeFlac(sampleRate: Int, samples: Array[Int]): Array[Byte] =
-      flacStream(sampleRate, samples, verbatimSubframe)
+      flacStream(sampleRate, samples, verbatimSubframe(_, _, _))
 
     /** Closed-form [[encodeFlac]] output size: 42 stream/STREAMINFO bytes
       * + 10 fixed overhead bytes per frame + the frame's UTF-8-coded
@@ -645,7 +746,7 @@ object Multimodal {
       * signals (anything with local structure) code well below 16 bits
       * per sample; uncorrelated noise falls back to verbatim. */
     def encodeFlacCompressed(sampleRate: Int, samples: Array[Int]): Array[Byte] =
-      flacStream(sampleRate, samples, bestSubframe)
+      flacStream(sampleRate, samples, bestSubframe(_, _, _))
 
     /** LPC subframe (order 1-8): block autocorrelation → Levinson-Durbin
       * reflection recursion → coefficients quantized to 15 bits at shift
@@ -659,8 +760,8 @@ object Multimodal {
       * LPC form simply isn't smaller: the encoder never emits a larger
       * stream than [[encodeFlacCompressed]] would. */
     private def lpcSubframe(samples: Array[Int], off: Int, n: Int,
-        maxOrder: Int): Array[Byte] = {
-      val fallback = bestSubframe(samples, off, n)
+        maxOrder: Int, bps: Int = 16): BitWriter = {
+      val fallback = bestSubframe(samples, off, n, bps)
       val order0 = math.min(math.min(maxOrder, 8), n - 1)
       if (order0 < 1) return fallback
       // autocorrelation over the block
@@ -727,12 +828,13 @@ object Multimodal {
         k += 1
       }
       val subframeBits =
-        8L + 16L * order + 4 + 5 + 15L * order + 2 + 4 + 4 + bestBits
-      if ((subframeBits + 7) / 8 >= fallback.length) return fallback
+        8L + bps.toLong * order + 4 + 5 + 15L * order + 2 + 4 + 4 + bestBits
+      if (subframeBits >= fallback.bitLength) return fallback
       val bw = new BitWriter
       bw.writeBits((0x20 | (order - 1)) << 1, 8) // 0 | 1<order-1> LPC | wasted 0
+      val mask = (1L << bps) - 1
       var w = 0
-      while (w < order) { bw.writeBits(samples(off + w) & 0xffff, 16); w += 1 }
+      while (w < order) { bw.writeBits(samples(off + w) & mask, bps); w += 1 }
       bw.writeBits(14, 4)    // qlp precision - 1 = 14 → 15-bit coefficients
       bw.writeBits(shift, 5) // qlp shift (non-negative)
       j = 0
@@ -746,7 +848,7 @@ object Multimodal {
         bw.writeBits(u(j) & ((1L << bestK) - 1), bestK)
         j += 1
       }
-      bw.toBytes
+      bw
     }
 
     /** Encode with LPC prediction (order ≤ 8) — the arbitrary-order half
@@ -777,22 +879,32 @@ object Multimodal {
         bw.writeBits(16, 5)     // raw residual width: 16-bit two's complement
         var i = 0
         while (i < n) { bw.writeBits(s(off + i).toLong & 0xffff, 16); i += 1 }
-        bw.toBytes
+        bw
       })
 
-    /** Decode a 16-bit mono FLAC stream — CONSTANT, VERBATIM, and
-      * FIXED(0-4)+Rice subframes at any equal-size partition order (both
-      * [[encodeFlac]] and [[encodeFlacCompressed]] output, plus
-      * fast-mode streams from any conforming encoder): walks metadata
+    /** Decode a 16-bit mono FLAC stream; rejects multichannel input
+      * (use [[decodeFlacAll]]). Returns (sampleRate, samples). */
+    def decodeFlac(b: Array[Byte]): (Int, Array[Int]) = {
+      val (rate, channels, samples) = decodeFlacAll(b)
+      require(channels == 1, s"$channels-channel stream: use decodeFlacAll")
+      (rate, samples)
+    }
+
+    /** Decode a 16-bit mono or stereo FLAC stream — CONSTANT, VERBATIM,
+      * FIXED(0-4)+Rice and LPC subframes at any equal-size partition
+      * order, all four stereo channel assignments (independent,
+      * left/side, right/side, mid/side — side decoded at 17 bits and
+      * the mid/side lost LSB recovered per spec), from both our encoders
+      * and fast-mode streams of any conforming encoder: walks metadata
       * blocks, validates every frame's sync, CRC-8 and CRC-16, and
       * finally the STREAMINFO MD5 against the decoded samples —
       * losslessness is CHECKED, not assumed. Returns
-      * (sampleRate, samples). */
-    def decodeFlac(b: Array[Byte]): (Int, Array[Int]) = {
+      * (sampleRate, channels, interleaved samples). */
+    def decodeFlacAll(b: Array[Byte]): (Int, Int, Array[Int]) = {
       require(b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C',
         "not a FLAC stream")
       var o = 4
-      var sampleRate = 0; var total = 0L
+      var sampleRate = 0; var total = 0L; var channels = 1
       var md5 = new Array[Byte](16)
       var last = false
       while (!last) {
@@ -807,7 +919,8 @@ object Multimodal {
           require(len == 34, "bad STREAMINFO length")
           sampleRate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
             ((b(s + 12) & 0xff) >> 4)
-          require(((b(s + 12) >> 1) & 0x7) == 0, "mono only")
+          channels = ((b(s + 12) >> 1) & 0x7) + 1
+          require(channels <= 2, s"$channels-channel streams unsupported")
           require((((b(s + 12) & 1) << 4) | ((b(s + 13) & 0xff) >> 4)) == 15, "16-bit only")
           total = ((b(s + 13) & 0xfL) << 32) | ((b(s + 14) & 0xffL) << 24) |
             ((b(s + 15) & 0xffL) << 16) | ((b(s + 16) & 0xffL) << 8) | (b(s + 17) & 0xffL)
@@ -819,14 +932,14 @@ object Multimodal {
       // count a JVM array cannot hold — refuse loudly instead of letting
       // .toInt alias it into a NegativeArraySizeException (or worse, a
       // small positive size the sample-count check only catches later)
-      require(total <= Int.MaxValue, s"stream too long: $total samples")
-      val outSamples = new Array[Int](total.toInt)
+      require(total * channels <= Int.MaxValue, s"stream too long: $total samples")
+      val outSamples = new Array[Int]((total * channels).toInt)
       var got = 0
       // Partitioned-Rice residual walk + prediction, shared by the FIXED
       // and LPC subframe decoders (identical residual coding, different
-      // predictor): reads `n - order` residuals, reconstructing
-      // outSamples(got + idx) = pred(got + idx) + residual as it goes.
-      def walkResiduals(br: BitReader, n: Int, order: Int, got: Int)(
+      // predictor): reads `n - order` residuals into the CHANNEL buffer,
+      // reconstructing buf(idx) = pred(idx) + residual as it goes.
+      def walkResiduals(br: BitReader, n: Int, order: Int, buf: Array[Int])(
           pred: Int => Long): Unit = {
         require(br.readBits(2) == 0, "only 4-bit Rice partitions supported")
         val po = br.readBits(4).toInt
@@ -859,12 +972,68 @@ object Multimodal {
               // unzigzag: even → u/2, odd → -(u+1)/2
               ((u >>> 1) ^ -(u & 1L)).toInt
             }
-            val s0 = got + idx
-            outSamples(s0) = (pred(s0) + r).toInt
+            buf(idx) = (pred(idx) + r).toInt
             idx += 1; j += 1
           }
           p += 1
         }
+      }
+      // One subframe off the shared BitReader into a fresh channel buffer
+      // (subframes bit-pack back to back; `bps` is 17 for side channels).
+      def decodeSubframe(br: BitReader, n: Int, bps: Int): Array[Int] = {
+        val buf = new Array[Int](n)
+        def sext(v: Long): Int = ((v << (64 - bps)) >> (64 - bps)).toInt
+        val sub = br.readBits(8).toInt
+        require((sub & 1) == 0, "wasted bits unsupported")
+        val typ6 = (sub >> 1) & 0x3f
+        typ6 match {
+          case 0x00 => // CONSTANT: one value replicated
+            val v = sext(br.readBits(bps))
+            var i = 0; while (i < n) { buf(i) = v; i += 1 }
+          case 0x01 => // VERBATIM
+            var i = 0
+            while (i < n) { buf(i) = sext(br.readBits(bps)); i += 1 }
+          case t if t >= 0x08 && t <= 0x0c => // FIXED, order = t - 8
+            val order = t - 8
+            require(order <= n, s"FIXED order $order exceeds blocksize $n")
+            var i = 0
+            while (i < order) { buf(i) = sext(br.readBits(bps)); i += 1 }
+            walkResiduals(br, n, order, buf) { s0 =>
+              order match { // fixed-predictor reconstruction
+                case 0 => 0L
+                case 1 => buf(s0 - 1).toLong
+                case 2 => 2L * buf(s0 - 1) - buf(s0 - 2)
+                case 3 => 3L * buf(s0 - 1) - 3L * buf(s0 - 2) + buf(s0 - 3)
+                case _ => 4L * buf(s0 - 1) - 6L * buf(s0 - 2) +
+                  4L * buf(s0 - 3) - buf(s0 - 4)
+              }
+            }
+          case t if t >= 0x20 && t <= 0x3f => // LPC, order = (t & 0x1f) + 1
+            val order = (t & 0x1f) + 1
+            require(order <= n, s"LPC order $order exceeds blocksize $n")
+            var i = 0
+            while (i < order) { buf(i) = sext(br.readBits(bps)); i += 1 }
+            val precM1 = br.readBits(4).toInt
+            require(precM1 != 15, "invalid qlp coefficient precision")
+            val prec = precM1 + 1
+            val shift = ((br.readBits(5).toInt << 27) >> 27) // signed 5-bit
+            require(shift >= 0, "negative qlp shift unsupported")
+            val coefs = new Array[Long](order)
+            i = 0
+            while (i < order) { // signed `prec`-bit coefficients
+              coefs(i) = (br.readBits(prec) << (64 - prec)) >> (64 - prec)
+              i += 1
+            }
+            walkResiduals(br, n, order, buf) { s0 =>
+              // qlp prediction: Σ coef(j)·s[i-1-j], arithmetic-shifted —
+              // the 64-bit accumulator is the spec's required headroom
+              var acc = 0L; var j = 0
+              while (j < order) { acc += coefs(j) * buf(s0 - 1 - j); j += 1 }
+              acc >> shift
+            }
+          case t => throw new IllegalArgumentException(s"unsupported subframe type $t")
+        }
+        buf
       }
       // a truncated frame surfaces as an out-of-bounds read somewhere in
       // the bit walk — the catch below rethrows it as the decoder's
@@ -875,7 +1044,8 @@ object Multimodal {
         require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xfe) == 0xf8, "bad frame sync")
         val bsCode = (b(o + 2) & 0xf0) >> 4
         require((b(o + 2) & 0x0f) == 0, "rate must come from STREAMINFO")
-        require((b(o + 3) & 0xff) == 0x08, "mono 16-bit frames only")
+        val chanCode = (b(o + 3) & 0xf0) >> 4
+        require((b(o + 3) & 0x0f) == 0x08, "16-bit frames only")
         o += 4
         // UTF-8-coded frame number (general multi-byte walk)
         val lead = b(o) & 0xff; o += 1
@@ -891,69 +1061,52 @@ object Multimodal {
         require(crc8(java.util.Arrays.copyOfRange(b, start, o), o - start) == (b(o) & 0xff),
           "frame header CRC-8 mismatch")
         o += 1
-        val sub = b(o) & 0xff; o += 1
-        require((sub & 1) == 0, "wasted bits unsupported")
-        val typ6 = (sub >> 1) & 0x3f
-        typ6 match {
-          case 0x00 => // CONSTANT: one 16-bit value replicated
-            val v = ((b(o) << 8) | (b(o + 1) & 0xff)); o += 2
-            var i = 0; while (i < n) { outSamples(got + i) = v; i += 1 }
-          case 0x01 => // VERBATIM
-            var i = 0
-            while (i < n) {
-              outSamples(got + i) = (b(o) << 8) | (b(o + 1) & 0xff) // sign-extends through b(o)
-              o += 2; i += 1
-            }
-          case t if t >= 0x08 && t <= 0x0c => // FIXED, order = t - 8
-            val order = t - 8
-            require(order <= n, s"FIXED order $order exceeds blocksize $n")
-            val br = new BitReader(b, o.toLong * 8)
-            var i = 0
-            while (i < order) { // warm-up samples, 16-bit two's complement
-              outSamples(got + i) = (br.readBits(16).toInt << 16) >> 16
-              i += 1
-            }
-            walkResiduals(br, n, order, got) { s0 =>
-              order match { // fixed-predictor reconstruction
-                case 0 => 0L
-                case 1 => outSamples(s0 - 1).toLong
-                case 2 => 2L * outSamples(s0 - 1) - outSamples(s0 - 2)
-                case 3 => 3L * outSamples(s0 - 1) - 3L * outSamples(s0 - 2) +
-                  outSamples(s0 - 3)
-                case _ => 4L * outSamples(s0 - 1) - 6L * outSamples(s0 - 2) +
-                  4L * outSamples(s0 - 3) - outSamples(s0 - 4)
-              }
-            }
-            o = br.byteAligned // frame pads to the byte boundary
-          case t if t >= 0x20 && t <= 0x27 => // LPC, order = (t & 0x1f) + 1 ≤ 8
-            val order = (t & 0x1f) + 1
-            require(order <= n, s"LPC order $order exceeds blocksize $n")
-            val br = new BitReader(b, o.toLong * 8)
-            var i = 0
-            while (i < order) { // warm-up samples, 16-bit two's complement
-              outSamples(got + i) = (br.readBits(16).toInt << 16) >> 16
-              i += 1
-            }
-            val precM1 = br.readBits(4).toInt
-            require(precM1 != 15, "invalid qlp coefficient precision")
-            val prec = precM1 + 1
-            val shift = ((br.readBits(5).toInt << 27) >> 27) // signed 5-bit
-            require(shift >= 0, "negative qlp shift unsupported")
-            val coefs = new Array[Long](order)
-            i = 0
-            while (i < order) { // signed `prec`-bit coefficients
-              coefs(i) = (br.readBits(prec) << (64 - prec)) >> (64 - prec)
-              i += 1
-            }
-            walkResiduals(br, n, order, got) { s0 =>
-              // qlp prediction: Σ coef(j)·s[i-1-j], arithmetic-shifted —
-              // the 64-bit accumulator is the spec's required headroom
-              var acc = 0L; var j = 0
-              while (j < order) { acc += coefs(j) * outSamples(s0 - 1 - j); j += 1 }
-              acc >> shift
-            }
-            o = br.byteAligned // frame pads to the byte boundary
-          case t => throw new IllegalArgumentException(s"unsupported subframe type $t")
+        // channel assignment: 0000 mono, 0001 independent stereo,
+        // 1000 left/side, 1001 right/side (ch0 IS the side), 1010
+        // mid/side; the side channel carries one extra bit (L−R spans
+        // 17 bits for 16-bit input)
+        val nch = chanCode match {
+          case 0x0           => 1
+          case 0x1           => 2
+          case 0x8 | 0x9 | 0xA => 2
+          case c => throw new IllegalArgumentException(s"unsupported channel assignment $c")
+        }
+        require(nch == channels,
+          s"frame channel count $nch != STREAMINFO $channels")
+        val br = new BitReader(b, o.toLong * 8)
+        val bufs = new Array[Array[Int]](nch)
+        var ch = 0
+        while (ch < nch) {
+          val bps = chanCode match {
+            case 0x8 if ch == 1 => 17 // left/side: ch1 is the side
+            case 0x9 if ch == 0 => 17 // right/side: ch0 is the side
+            case 0xA if ch == 1 => 17 // mid/side: ch1 is the side
+            case _              => 16
+          }
+          bufs(ch) = decodeSubframe(br, n, bps)
+          ch += 1
+        }
+        o = br.byteAligned // frame pads to the byte boundary
+        // inter-channel reconstruction + interleave into the output
+        var i = 0
+        while (i < n) {
+          val base = (got + i) * channels
+          chanCode match {
+            case 0x0 => outSamples(base) = bufs(0)(i)
+            case 0x1 =>
+              outSamples(base) = bufs(0)(i); outSamples(base + 1) = bufs(1)(i)
+            case 0x8 => // left/side: R = L − side
+              outSamples(base) = bufs(0)(i)
+              outSamples(base + 1) = bufs(0)(i) - bufs(1)(i)
+            case 0x9 => // right/side: L = R + side
+              outSamples(base) = bufs(1)(i) + bufs(0)(i)
+              outSamples(base + 1) = bufs(1)(i)
+            case _ => // mid/side: the floored mid bit rides in side's LSB
+              val m2 = (bufs(0)(i) << 1) | (bufs(1)(i) & 1)
+              outSamples(base) = (m2 + bufs(1)(i)) >> 1
+              outSamples(base + 1) = (m2 - bufs(1)(i)) >> 1
+          }
+          i += 1
         }
         got += n
         val c16 = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -969,7 +1122,7 @@ object Multimodal {
         md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte)
       }
       require(java.util.Arrays.equals(md.digest(), md5), "STREAMINFO MD5 mismatch")
-      (sampleRate, outSamples)
+      (sampleRate, channels, outSamples)
     }
 
     // ---- compressed image codecs (JDK ImageIO: PNG, JPEG) -------------

@@ -252,6 +252,48 @@ class CodecPropertySpec extends SparkSpec {
       "multi-byte frame numbers broke the round-trip")
   }
 
+  test("FLAC stereo: decorrelation round-trips exactly and engages on correlated input") {
+    val n = 6000 // > one 4096-sample frame, so multi-frame stereo is covered
+    val left = Array.tabulate(n)(i =>
+      math.round(8000.0 * math.sin(0.01 * i)).toInt + (i % 5))
+    val right = Array.tabulate(n)(i => left(i) - 3 + (i % 2)) // R ≈ L: tiny side
+    val dec = Codec.encodeFlacStereo(8000, left, right)
+    val ind = Codec.encodeFlacStereo(8000, left, right, allowDecorrelation = false)
+    val inter = Array.tabulate(2 * n)(k => if (k % 2 == 0) left(k / 2) else right(k / 2))
+    val (r1, ch1, s1) = Codec.decodeFlacAll(dec)
+    val (r2, ch2, s2) = Codec.decodeFlacAll(ind)
+    assert(r1 == 8000 && ch1 == 2 && s1.toSeq == inter.toSeq,
+      "decorrelated stereo round-trip lost samples")
+    assert(r2 == 8000 && ch2 == 2 && s2.toSeq == inter.toSeq,
+      "independent stereo round-trip lost samples")
+    // a correlated pair's side channel is nearly silent: a side-coded mode
+    // must be chosen and must code strictly smaller than independent L/R
+    assert(dec.length < ind.length,
+      s"decorrelation never engaged: ${dec.length}B vs independent ${ind.length}B")
+    // the mono decode API refuses multichannel input loudly
+    val e = intercept[IllegalArgumentException](Codec.decodeFlac(dec))
+    assert(e.getMessage.contains("decodeFlacAll"))
+  }
+
+  test("FLAC stereo: all four channel assignments round-trip, incl. the 17-bit side") {
+    // full-range L/R: the side channel L−R spans ±65535 — every mode's
+    // reconstruction (left/side, right/side, mid/side LSB recovery) must
+    // be bit-exact at the 17-bit extremes
+    val cases = Seq(
+      (Array(Short.MaxValue.toInt, Short.MinValue.toInt, 0, 123),
+        Array(Short.MinValue.toInt, Short.MaxValue.toInt, -1, -123)),
+      (Array.tabulate(5000)(i => ((i * 7919) % 65536) - 32768),
+        Array.tabulate(5000)(i => ((i * 104729) % 65536) - 32768)))
+    for ((l, r) <- cases; mode <- Seq(0x1, 0x8, 0x9, 0xA)) {
+      val b = Codec.encodeFlacStereoMode(8000, l, r, mode)
+      val (rate, ch, s) = Codec.decodeFlacAll(b)
+      val inter = Array.tabulate(2 * l.length)(k =>
+        if (k % 2 == 0) l(k / 2) else r(k / 2))
+      assert(rate == 8000 && ch == 2 && s.toSeq == inter.toSeq,
+        s"stereo mode 0x${mode.toHexString} lost samples (n=${l.length})")
+    }
+  }
+
   test("FLAC: corrupt STREAMINFO total-samples fails loudly, not as a JVM error") {
     val flac = Codec.encodeFlac(8000, Array(1, 2, 3))
     // STREAMINFO total is bytes 13(low nibble)..17 of the block at offset 8
