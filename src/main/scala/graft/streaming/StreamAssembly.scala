@@ -809,6 +809,60 @@ object StreamAssembly {
           col("cnt") * col("n_trail") * 2L < col("trail_sum")).as("dropped"))
   }
 
+  /** Shipped reference traffic profile for [[driftStream]] — the baseline
+    * distribution the live mix is compared against (production broadcasts
+    * yesterday's profile; a literal here, the model-artifact convention of
+    * [[graft.ops.TextOps.encPieces]]). Traffic outside the profile falls
+    * into an implicit `other` bucket whose baseline mass is zero — JSD
+    * stays finite by construction, so an unknown event type registers as
+    * drift instead of an error. */
+  private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
+    "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
+    "signup" -> 0.20, "view" -> 0.30)
+
+  /** STREAMING DISTRIBUTION-DRIFT MONITOR — the in-flight twin of the
+    * batch drift audits (`dq_drift`, `text_jsd`): per closed event-time
+    * hour, the Jensen–Shannon divergence (base 2, ∈ [0, 1]) between the
+    * hour's event-type mix and [[driftBaseline]] — the alarm a training-
+    * data ingest keeps on its source mix, raised while the data is still
+    * in flight rather than at the nightly audit. ONE windowed aggregate
+    * (streaming-legal in append mode; emits when the watermark closes the
+    * hour): the histogram is conditional counts over the profile's FIXED
+    * symbol set plus the other-bucket remainder, so per-window state is
+    * |profile|+1 longs no matter the traffic volume. */
+  def driftStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    driftAgg(events.withWatermark("ts", watermark))
+
+  /** The shared batch/stream drift aggregation — one definition, two
+    * runtimes (the candles/topk parity convention). The JSD expression
+    * tree is generated from [[driftBaseline]] in its fixed order over
+    * INTEGER conditional counts, so the double arithmetic runs on
+    * identical inputs in an identical shape in both runtimes. */
+  private[graft] def driftAgg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val counts = driftBaseline.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val agged = events
+      .select(col("ts"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(counts.head, counts.tail :+ count(lit(1)).as("n"): _*)
+    val nD = col("n").cast(DoubleType)
+    // JS(p, q) = Σ [p·log2(p/m) + q·log2(q/m)] / 2 with m = (p+q)/2 and
+    // the 0·log 0 = 0 convention — symmetric, finite, ≤ 1 in base 2
+    def term(p: Column, q: Column): Column =
+      when(p > 0.0, p * log2(p / ((p + q) / 2.0))).otherwise(lit(0.0))
+    val pairs = driftBaseline.zipWithIndex.map { case ((_, qv), i) =>
+      (col(s"c$i").cast(DoubleType) / nD, lit(qv))
+    } :+ ((col("n") - driftBaseline.indices.map(i => col(s"c$i"))
+      .reduce(_ + _)).cast(DoubleType) / nD, lit(0.0))
+    val jsd = pairs.map { case (p, q) => (term(p, q) + term(q, p)) / 2.0 }
+      .reduce(_ + _)
+    agged.select(unix_millis(col("w.start")).as("hour_ms"), col("n"),
+      jsd.as("jsd"))
+  }
+
   def topkStream(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     topkAgg(events.withWatermark("ts", watermark))

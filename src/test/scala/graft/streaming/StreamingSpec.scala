@@ -503,6 +503,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: JSD per closed hour, exact zero on the baseline mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 10 replays the baseline mix EXACTLY (20 events at the profile's
+    // proportions) → p == q → every JSD term is p·log2(1) = 0.0, exactly;
+    // hour 11 is all-error plus an off-profile type → heavy drift
+    val baselineMix = StreamAssembly.driftBaseline.flatMap { case (t, q) =>
+      Seq.fill((q * 20).round.toInt)(t)
+    }
+    val h10 = baselineMix.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(f"2024-03-01 10:00:${i % 60}%02d"), t, 1.0)
+    }
+    val h11 = Seq(
+      (100L, ts("2024-03-01 11:00:01"), "error", 1.0),
+      (101L, ts("2024-03-01 11:00:02"), "error", 1.0),
+      (102L, ts("2024-03-01 11:00:03"), "gift_card", 1.0)) // off-profile
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamAssembly.driftStream(events)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(h10); q.processAllAvailable()
+      mem.addData(h11); q.processAllAvailable()
+      // advance the watermark far past hour 11 so both hours close
+      mem.addData((999L, ts("2024-03-01 23:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(got.length == 2, got.mkString("; "))
+      assert(got(0)._2 == 20L && got(0)._3 == 0.0,
+        s"baseline-mix hour must score exactly zero drift: ${got(0)}")
+      assert(got(1)._2 == 3L && got(1)._3 > 0.5 && got(1)._3 <= 1.0,
+        s"all-error + off-profile hour must score heavy drift: ${got(1)}")
+      // batch parity: the shared aggregation over the same rows yields the
+      // identical bits for the closed hours (one definition, two runtimes)
+      val batch = StreamAssembly.driftAgg(
+          (h10 ++ h11).toDF("event_id", "ts", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(batch.toSeq == got.toSeq,
+        s"stream/batch drift diverged: batch=${batch.toSeq} stream=${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: every feed row decorated, new listings survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
