@@ -108,6 +108,30 @@ class StagedFixtureSpec extends SparkSpec {
       "join_incr must scan the stored view")
   }
 
+  test("graph queries build and read the stored edge projections") {
+    val dir = "/root/testdata/sf0.001"
+    GraphOps.pageRank(spark, dir).collect() // a trade-graph consumer
+    GraphOps.kCore(spark, dir).collect()    // a co-purchase consumer
+    // both projections must now be staged (the probe builder fails if not)
+    val tp = stagedFixture("trade_pairs", dir)(_ =>
+      fail("trade_pairs must already be staged by the op"))
+    val cp = stagedFixture("copurchase_edges", dir)(_ =>
+      fail("copurchase_edges must already be staged by the op"))
+    // the stored projections carry their documented grains
+    val tpDf = spark.read.parquet(tp)
+    assert(tpDf.columns.toSeq == Seq("src", "dst", "cnt"))
+    assert(tpDf.groupBy("src", "dst").count()
+      .filter(col("count") > 1).count() == 0, "pair grain must be unique")
+    assert(spark.read.parquet(cp).columns.toSeq == Seq("a", "b"))
+    // the edge view PLANS as a scan of the stored table — the fact-table
+    // join chain must never re-enter a consumer's plan
+    val plan = GraphOps.tradeEdges(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(tp), "tradeEdges must scan the staged projection")
+    assert(!plan.contains("lineitem"),
+      "tradeEdges re-derives from the fact tables")
+  }
+
   test("graph_cc_incr: the staged base star store serves repeated runs identically") {
     val dir = "/root/testdata/sf0.01"
     val r1 = GraphOps.connectedComponentsIncr(spark, dir).collect().toSeq
