@@ -463,6 +463,38 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  /** SOFT-DEDUP SAMPLING WEIGHTS — the curation policy BETWEEN dropping
+    * duplicates ([[dedupClusters]]' keep flag) and ignoring them: every
+    * copy stays in the corpus but each near-dup cluster's total sampling
+    * mass is normalized to one document (weight_ppm = 10⁶ div cluster
+    * size — the count-based down-weighting several published data
+    * recipes use instead of hard dedup, preserving natural duplication
+    * signal at reduced amplitude). Integer ppm with `div` on both
+    * engines, so the weights are hash-exact.
+    *
+    * Consumes the STORED cluster assignment ([[graft.ops.stagedFixture]]
+    * `dup_labels`, built once per (JVM, dir) from the same live
+    * resolution `dedup_clusters` runs): production derives weight tables
+    * from the maintained cluster store, not by re-resolving clusters per
+    * downstream consumer. Cost at any scale: one corpus left join against
+    * the label store plus one cluster-sized count aggregate. */
+  def curateDupweight(spark: SparkSession, dir: String): DataFrame = {
+    val p = stagedFixture("dup_labels", dir) { path =>
+      clusterLabels(verifiedEdges(spark, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    val labels = spark.read.parquet(p)
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val lab = docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        expr("1000000 div csize").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** PAIRWISE ASSOCIATION RULES over 2-item market baskets, at the BRAND
     * grain — the frequent-itemset base case that actually scales:
     * restrict baskets to bounded size (here exactly 2 — the general
@@ -691,6 +723,23 @@ object Extended {
              (d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS keep
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
       ORDER BY doc_id""",
+    // the same min-label closure, then cluster sizes → integer-ppm
+    // soft-dedup weights (1e6 div size; `//` == Spark `div` on positives)
+    "curate_dupweight" -> s"""
+      WITH RECURSIVE
+      verified AS ($verifyEditdistSql),
+      edges AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      sz AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
+      SELECT l.doc_id, l.cluster_id, s.csize,
+             1000000 // s.csize AS weight_ppm
+      FROM lab l JOIN sz s USING (cluster_id) ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -708,6 +757,7 @@ object Extended {
     "zorder" -> zorder _,
     "dedup_verify" -> dedupVerifyEditdist _,
     "dedup_clusters" -> dedupClusters _,
+    "curate_dupweight" -> curateDupweight _,
     "assoc_rules" -> assocRules _,
   )
 }

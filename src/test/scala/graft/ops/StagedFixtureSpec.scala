@@ -132,6 +132,33 @@ class StagedFixtureSpec extends SparkSpec {
       "tradeEdges re-derives from the fact tables")
   }
 
+  test("curate_dupweight: reads the stored cluster labels; weights partition clusters") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Extended.curateDupweight(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the label store must now be staged (probe builder fails if absent)
+    val p = stagedFixture("dup_labels", dir)(_ =>
+      fail("dup_labels must already be staged by the op"))
+    assert(df.queryExecution.executedPlan.toString.contains(p),
+      "curate_dupweight must scan the stored cluster labels")
+    // singletons carry full weight; every cluster's mass sums to ≤ 1e6
+    // (floor loss < csize ppm) and > 1e6 - csize
+    rows.filter(_._3 == 1L).foreach { r =>
+      assert(r._4 == 1000000L, s"singleton down-weighted: $r")
+    }
+    rows.groupBy(_._2).foreach { case (cid, rs) =>
+      val mass = rs.map(_._4).sum
+      val n = rs.length
+      assert(n.toLong == rs.head._3, s"cluster $cid size column disagrees")
+      assert(mass <= 1000000L && mass > 1000000L - n,
+        s"cluster $cid mass $mass not normalized")
+    }
+    // at least one real near-dup cluster exists, or the policy is vacuous
+    assert(rows.exists(_._3 > 1L), "no multi-doc cluster in fixture")
+  }
+
   test("graph_cc_incr: the staged base star store serves repeated runs identically") {
     val dir = "/root/testdata/sf0.01"
     val r1 = GraphOps.connectedComponentsIncr(spark, dir).collect().toSeq
