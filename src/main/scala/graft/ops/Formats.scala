@@ -309,7 +309,8 @@ object Formats {
   private[graft] def scanManifestPlan(spark: SparkSession, dir: String): ManifestScan = {
     val data = eventsByUser8(spark, dir)
     // the manifest is table metadata — maintained WITH the table, so it
-    // stages beside it (sequential stagedFixture calls, never nested)
+    // stages beside it (sequential stagedFixture calls; nesting is also
+    // supported now — the helper builds outside the map's bin locks)
     val manifestPath = stagedFixture("events_byuser8_manifest", dir) { p =>
       spark.read.parquet(data)
         .groupBy(input_file_name().as("file"))
@@ -596,7 +597,8 @@ object Formats {
     val m = 1 << 18
     val data = eventsByUser8(spark, dir)
     // membership sketches are table metadata maintained with the layout —
-    // staged beside the shared base (sequential fixtures, never nested)
+    // staged beside the shared base (sequential fixtures; see
+    // stagedFixture's reentrancy contract for when nesting is OK)
     val manifestPath = stagedFixture("events_byuser8_bloom", dir) { p =>
       spark.read.parquet(data)
         .groupBy(input_file_name().as("file"))

@@ -176,29 +176,63 @@ package object ops {
     * path. Only the PATH is cached (never a Dataset — a cached Dataset
     * would pin its SparkSession, the [[graft.ops.Formats]] travel-cache
     * discipline), so the content must be deterministic in `dir` and, once
-    * built, read-only (mutating ops stage PRIVATE copies instead). Builds
-    * run inside computeIfAbsent: concurrent first callers of the same key
-    * serialize, a failed build caches nothing, and all staged dirs are
-    * removed by one JVM-exit hook. */
-  private val stagedPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * built, read-only (mutating ops stage PRIVATE copies instead).
+    *
+    * Concurrency + REENTRANCY contract: the map holds per-key memo CELLS
+    * installed by a pure-allocation computeIfAbsent; the build itself runs
+    * under the cell's own monitor, never inside a CHM bin lock. So a build
+    * closure MAY itself call stagedFixture for another key — the fixture
+    * DAG is real (verified pairs → dup_labels; kmeans → semantic dedup;
+    * pq model → codes/ADC tables; see SURVEY §8) and composed fixtures
+    * must resolve their upstream artifacts on a cold JVM regardless of
+    * which consumer runs first. A naive build-inside-computeIfAbsent would
+    * throw IllegalStateException("Recursive update") exactly on that
+    * first-consumer path. Only a dependency CYCLE can deadlock (two cells
+    * building each other); the DAG has none and new fixtures must keep it
+    * acyclic. Concurrent first callers of the same key still serialize on
+    * the cell; a failed build caches no path and the next caller retries
+    * the build; every temp dir ever created (including those of failed
+    * builds) is removed by one JVM-exit hook. */
+  private final class StagedCell(name: String) {
+    private var built: String = null
+    def resolve(key: String, build: String => Unit): String = synchronized {
+      if (built == null) {
+        val p = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
+        stagedDirs.add(p.toString): Unit
+        try {
+          build(p.toString)
+          built = p.toString
+        } catch {
+          case e: Throwable =>
+            // evict so the next caller retries with ITS closure (and a
+            // fresh temp dir); the failed dir is still on the exit-hook list
+            stagedCells.remove(key, this): Unit
+            throw e
+        }
+      }
+      built
+    }
+  }
+  private val stagedCells =
+    new java.util.concurrent.ConcurrentHashMap[String, StagedCell]()
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      stagedPaths.values().forEach(p => rm(new java.io.File(p)))
+      stagedDirs.forEach(p => rm(new java.io.File(p)))
     }))
   }
 
   private[graft] def stagedFixture(name: String, dir: String)(
-      build: String => Unit): String =
-    stagedPaths.computeIfAbsent(s"$name|$dir", { _ =>
-      val p = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
-      build(p.toString)
-      p.toString
-    })
+      build: String => Unit): String = {
+    val key = s"$name|$dir"
+    stagedCells.computeIfAbsent(key, _ => new StagedCell(name))
+      .resolve(key, build)
+  }
 
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.
     * Spark's round() goes through the decimal STRING representation

@@ -48,6 +48,93 @@ class StagedFixtureSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/ok.txt")))
   }
 
+  test("stagedFixture: a build may stage its upstream fixture (nested builds)") {
+    // the fixture DAG is real (verified pairs → dup_labels, pq model →
+    // codes): a composed fixture's build closure resolves its upstream
+    // fixture INSIDE the outer build. Round 10 shipped this exact shape
+    // and it threw IllegalStateException("Recursive update") on any
+    // fresh JVM where the consumer ran before its producer — builds ran
+    // inside ConcurrentHashMap.computeIfAbsent, whose mapping function
+    // must not insert other keys. This pins the reentrancy contract.
+    val inner = new AtomicInteger(0)
+    val outer = new AtomicInteger(0)
+    def innerFixture(): String = stagedFixture("sfspec_nest_in", "dirN") { q =>
+      inner.incrementAndGet()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$q/in.txt"), "upstream"): Unit
+    }
+    val p = stagedFixture("sfspec_nest_out", "dirN") { po =>
+      outer.incrementAndGet()
+      val pi = innerFixture() // nested: builds the upstream fixture
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$po/out.txt"),
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$pi/in.txt"))): Unit
+    }
+    assert(outer.get() == 1 && inner.get() == 1,
+      "each fixture must build exactly once")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$p/out.txt")) == "upstream")
+    // the upstream fixture staged from inside the build is now shared:
+    // a direct caller gets a cache hit, never a rebuild
+    innerFixture(): Unit
+    assert(inner.get() == 1, "the nested build must have been cached")
+  }
+
+  /** A cold dataset dir: symlinks to every sf0.001 table under a fresh
+    * path, so every (fixture, dir) key is unstaged — the "first query of
+    * the day" state a production cluster is in every morning. */
+  private def freshDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet")): Unit
+    }
+    dir
+  }
+
+  test("fixture-order independence: most-dependent consumers run FIRST on a cold dir") {
+    // Each of these ops consumes a staged artifact whose build itself
+    // depends on other staged/derived state. Running them before ANY
+    // upstream producer has staged anything must work and must return
+    // exactly what the warmed canonical dir returns — correctness must
+    // not be build-order-dependent (the r10 curate_dupweight bug).
+    val dir = freshDir("cold_first")
+    val canon = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val checks = Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("curate_dupweight", Extended.curateDupweight), // dup_labels → verified pairs (nested)
+      ("sim_ivfpq", (s, d) => VectorOps.simIvfPq(s, d)), // codes + ADC ← pq model
+      ("graph_cc_incr", (s, d) => GraphOps.connectedComponentsIncr(s, d)),
+      ("join_incr", (s, d) => Formats.joinIncr(s, d)))
+    checks.foreach { case (name, fn) =>
+      val cold = rows(fn(spark, dir))
+      assert(cold.nonEmpty, s"$name returned no rows on the cold dir")
+      assert(cold == rows(fn(spark, canon)),
+        s"$name diverges between cold-dir-first and warmed runs")
+    }
+  }
+
+  test("every registered query constructs in seeded-SHUFFLED order on a cold dir") {
+    // The driver's Verify pass and the bench both run queries in one
+    // fixed order, so a build-order-dependent bug can sit green in every
+    // artifact (r10: curate_dupweight). This sweep is the ordering
+    // blind-spot guard: a cold dir, a seeded shuffle over the whole
+    // registry, construction (= eager analysis, and execution for the
+    // sink-shaped ops) of each query in that order.
+    val dir = freshDir("cold_shuffled")
+    val order = new scala.util.Random(0xC0FFEE)
+      .shuffle(graft.SparkEntry.queries.toSeq.sortBy(_._1))
+    assert(order.size >= 250, "registry unexpectedly small — sweep vacuous")
+    order.foreach { case (name, fn) =>
+      withClue(s"$name (shuffled order, cold dir): ") {
+        fn(spark, dir).queryExecution.analyzed: Unit
+      }
+    }
+  }
+
   test("agg_incr: a re-run over the shared staged table is idempotent") {
     val dir = "/root/testdata/sf0.01"
     // first call may build the bootstrap AND apply the delta; the second
