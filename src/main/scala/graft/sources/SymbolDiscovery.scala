@@ -56,9 +56,15 @@ object SymbolDiscovery {
   def discover(spark: SparkSession, http: HttpTransport,
       category: String = "linear", chunk: Int = 100,
       useAll: Boolean = true): Seq[String] =
-    subscribeFrames(
-      parseInstruments(spark, http.get(instrumentsUrl(category))),
-      chunk, useAll)
+    discoverAt(spark, http, instrumentsUrl(category), chunk, useAll)
+
+  /** [[discover]] against an explicit endpoint — the same bootstrap with
+    * the host under the caller's control (a proxy, a mirror, or
+    * LiveTransportSpec's loopback HTTP server driving the LIVE transport
+    * with real socket bytes). Everything after the URL is shared. */
+  def discoverAt(spark: SparkSession, http: HttpTransport, url: String,
+      chunk: Int = 100, useAll: Boolean = true): Seq[String] =
+    subscribeFrames(parseInstruments(spark, http.get(url)), chunk, useAll)
 
   /** Chunked subscribe frames (`bybit_adapter.py:124-143`): topics
     * `<prefix>.<SYM>`, at most `chunk` per frame, compact JSON. */

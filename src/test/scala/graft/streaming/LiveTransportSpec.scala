@@ -1,0 +1,278 @@
+package graft.streaming
+
+import java.io.{DataInputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.SparkSpec
+import graft.sources.{LiveTransport, RecordedHttpTransport, RecordedWsTransport,
+  SymbolDiscovery, WsTransport}
+
+/** The LIVE half of the transport seams on REAL localhost sockets — the
+  * r10 verdict's top "missing" item: both sides of `WsTransport.connect`
+  * / `HttpTransport.get` had only ever met recorded doubles. Here an
+  * in-test RFC 6455 server (HTTP Upgrade handshake, Sec-WebSocket-Accept,
+  * masked client frames, scripted abrupt drops) and a one-shot HTTP
+  * server drive [[graft.sources.LiveTransport]]'s JDK-client
+  * implementations end-to-end with real bytes and ZERO egress:
+  *
+  *   - the Bybit REST bootstrap (`bybit_adapter.py:108-143`) runs through
+  *     a live GET and must emit byte-identical subscribe frames to the
+  *     recorded-double path;
+  *   - the connect/subscribe loop (`binance_adapter.py:96-129`) pumps a
+  *     live socket into the capture file the replay source serves, and
+  *     the subscribe handshake observed ON THE WIRE must equal the one
+  *     the recorded double logs;
+  *   - an abrupt mid-stream drop exercises the reconnect+resubscribe
+  *     path (the reference's while-True/backoff loop) without data loss
+  *     after the resume. */
+class LiveTransportSpec extends SparkSpec {
+
+  // ---- minimal RFC 6455 server-side plumbing (test-only) ----
+
+  private def acceptKey(key: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1").digest(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8)))
+
+  /** Read the HTTP request head; return its lines. */
+  private def readHead(in: DataInputStream): Seq[String] = {
+    val lines = ArrayBuffer[String]()
+    val cur = new java.lang.StringBuilder
+    var prev = 0
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b < 0) done = true
+      else if (b == '\n' && prev == '\r') {
+        if (cur.length() == 0) done = true
+        else { lines += cur.toString; cur.setLength(0) }
+      } else if (b != '\r') cur.append(b.toChar)
+      prev = b
+    }
+    lines.toSeq
+  }
+
+  /** One masked-or-not frame: (opcode, payload). Client→server frames are
+    * masked per RFC 6455 §5.3 — unmask with the 4-byte key. */
+  private def readFrame(in: DataInputStream): (Int, Array[Byte]) = {
+    val b0 = in.readUnsignedByte()
+    val opcode = b0 & 0x0f
+    val b1 = in.readUnsignedByte()
+    val masked = (b1 & 0x80) != 0
+    var len: Long = (b1 & 0x7f).toLong
+    if (len == 126) len = in.readUnsignedShort().toLong
+    else if (len == 127) len = in.readLong()
+    val mask = if (masked) {
+      val m = new Array[Byte](4); in.readFully(m); m
+    } else null
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(payload)
+    if (masked) payload.indices.foreach { i =>
+      payload(i) = (payload(i) ^ mask(i % 4)).toByte
+    }
+    (opcode, payload)
+  }
+
+  private def writeFrame(out: OutputStream, opcode: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode) // FIN + opcode; server frames are unmasked
+    if (payload.length < 126) out.write(payload.length)
+    else if (payload.length < 65536) {
+      out.write(126)
+      out.write(payload.length >> 8); out.write(payload.length & 0xff)
+    } else sys.error("test frames are short")
+    out.write(payload)
+    out.flush()
+  }
+
+  private case class WsScript(frames: Seq[String], cleanClose: Boolean)
+
+  /** A scripted loopback WS server: for each script, accept ONE
+    * connection, perform the 101 upgrade, record `expectSubs` incoming
+    * text frames (the subscribe handshake as seen on the wire), serve the
+    * script's frames, then either close cleanly (close frame, await the
+    * client's reply) or drop the TCP socket abruptly. */
+  private final class LoopbackWs(expectSubs: Int, scripts: Seq[WsScript]) {
+    private val server =
+      new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    // appended only by the server thread; read after join() (the join is
+    // the happens-before edge), so no synchronization wrapper is needed
+    val received = ArrayBuffer[Seq[String]]()
+    @volatile var failure: Throwable = null
+    private val thread = new Thread(() => {
+      try scripts.foreach { script =>
+        val sock = server.accept()
+        try handle(sock, script) finally sock.close()
+      } catch { case t: Throwable => failure = t }
+      finally server.close()
+    })
+    thread.setDaemon(true)
+    thread.start()
+
+    private def handle(sock: Socket, script: WsScript): Unit = {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = sock.getOutputStream
+      val head = readHead(in)
+      val key = head.collectFirst {
+        case h if h.toLowerCase.startsWith("sec-websocket-key:") =>
+          h.substring(h.indexOf(':') + 1).trim
+      }.getOrElse(sys.error(s"no Sec-WebSocket-Key in $head"))
+      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val subs = ArrayBuffer[String]()
+      while (subs.size < expectSubs) {
+        val (op, payload) = readFrame(in)
+        if (op == 0x1) subs += new String(payload, UTF_8)
+      }
+      received += subs.toSeq
+      script.frames.foreach(f => writeFrame(out, 0x1, f.getBytes(UTF_8)))
+      if (script.cleanClose) {
+        writeFrame(out, 0x8, Array(0x03.toByte, 0xE8.toByte)) // 1000
+        // await the client's close reply (or EOF)
+        try { while (readFrame(in)._1 != 0x8) () }
+        catch { case _: java.io.IOException => }
+      }
+      // else: fall through — the socket closes abruptly, no close frame
+    }
+
+    def join(): Unit = {
+      thread.join(20000)
+      if (failure != null) throw failure
+      assert(!thread.isAlive, "loopback ws server did not finish")
+    }
+  }
+
+  /** One-shot loopback HTTP server: accept one connection, record the
+    * request line, answer with the scripted status + body. */
+  private def serveHttpOnce(status: Int, body: String): (Int, () => String) = {
+    val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    val requestLine = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val sock = server.accept()
+      try {
+        val in = new DataInputStream(sock.getInputStream)
+        val head = readHead(in)
+        val bytes = body.getBytes(UTF_8)
+        val reason = if (status == 200) "OK" else "Not Found"
+        sock.getOutputStream.write(
+          (s"HTTP/1.1 $status $reason\r\nContent-Type: application/json\r\n" +
+            s"Content-Length: ${bytes.length}\r\nConnection: close\r\n\r\n")
+            .getBytes(UTF_8))
+        sock.getOutputStream.write(bytes)
+        sock.getOutputStream.flush()
+        requestLine.put(head.headOption.getOrElse(""))
+      } finally { sock.close(); server.close() }
+    })
+    t.setDaemon(true)
+    t.start()
+    (server.getLocalPort, () => requestLine.poll(20, java.util.concurrent.TimeUnit.SECONDS))
+  }
+
+  private val restFixture =
+    """{"retCode":0,"result":{"category":"linear","list":[
+      {"symbol":"BTCUSDT","status":"Trading"},
+      {"symbol":"ETHUSDT","status":"Trading"},
+      {"symbol":"SOLUSDT","status":"Trading"}]}}""".replaceAll("\n\\s*", "")
+
+  test("http live: the REST bootstrap over a real socket equals the recorded-double path") {
+    val (port, requestLine) = serveHttpOnce(200, restFixture)
+    val live = SymbolDiscovery.discoverAt(spark,
+      new LiveTransport.JdkHttpTransport(),
+      s"http://127.0.0.1:$port/v5/market/instruments-info?category=linear",
+      chunk = 2)
+    // byte-for-byte the frames the recorded double yields from the same body
+    val doubled = SymbolDiscovery.discover(spark,
+      new RecordedHttpTransport(
+        Map(SymbolDiscovery.instrumentsUrl("linear") -> restFixture)),
+      chunk = 2)
+    assert(live == doubled && live.size == 2)
+    // and the GET really hit the wire with the reference's path + query
+    assert(requestLine() ==
+      "GET /v5/market/instruments-info?category=linear HTTP/1.1")
+  }
+
+  test("http live: a non-2xx bootstrap response throws through the seam") {
+    val (port, _) = serveHttpOnce(404, """{"retCode":1}""")
+    intercept[java.io.IOException] {
+      new LiveTransport.JdkHttpTransport().get(s"http://127.0.0.1:$port/nope")
+    }
+  }
+
+  test("ws live: connect+subscribe+pump over a real socket; wire handshake equals the double's") {
+    val dataFrames = Seq(
+      """{"topic":"allLiquidation.BTCUSDT","ts":1739502302929,"data":[{"T":1739502302929,"s":"BTCUSDT","S":"Sell","v":"2","p":"30000"}]}""",
+      """{"op":"pong"}""",
+      """{"topic":"allLiquidation.ETHUSDT","ts":1739502302930,"data":[{"T":1739502302930,"s":"ETHUSDT","S":"Buy","v":"1","p":"2000"}]}""")
+    val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT", "ETHUSDT"))
+    val server = new LoopbackWs(expectSubs = subs.size,
+      Seq(WsScript(dataFrames, cleanClose = true)))
+    val capture =
+      s"${Files.createTempDirectory("ws_live").toString}/bybit.jsonl"
+    val n = WsTransport.pumpTo(new LiveTransport.JdkWsTransport(),
+      s"ws://127.0.0.1:${server.port}/v5/public/linear", subs, capture)
+    server.join()
+    assert(n == 3, "every frame the server sent lands in the capture")
+    assert(Files.readAllLines(Paths.get(capture)).size() == 3)
+    // the subscribe handshake AS SEEN ON THE WIRE is byte-for-byte the one
+    // the recorded-double path logs for the same inputs
+    val double = new RecordedWsTransport(dataFrames)
+    WsTransport.pumpTo(double, "wss://stream.bybit.com/v5/public/linear",
+      subs, s"${Files.createTempDirectory("ws_double").toString}/d.jsonl"): Unit
+    assert(server.received.toSeq == Seq(double.connections.head._2))
+    // the capture feeds the replay machinery identically to the double's:
+    // control frames drop, both data frames replay
+    val idx = graft.sources.WsReplay.indexFor(capture)
+    assert(idx.refresh() == 3)
+    val reader = new graft.sources.WsReplayReader(capture, 0L, 3L,
+      idx.byteOf(0L), idx.byteOf(3L))
+    val rows = ArrayBuffer[String]()
+    while (reader.next()) rows += reader.get().getUTF8String(1).toString
+    reader.close()
+    assert(rows.size == 2 && rows.forall(_.contains("allLiquidation")))
+  }
+
+  test("ws live: an abrupt drop reconnects, resubscribes, and resumes the pump") {
+    val first = Seq("""{"topic":"allLiquidation.BTCUSDT","ts":1,"data":[]}""",
+      """{"topic":"allLiquidation.BTCUSDT","ts":2,"data":[]}""")
+    val second = Seq("""{"topic":"allLiquidation.BTCUSDT","ts":3,"data":[]}""",
+      """{"topic":"allLiquidation.BTCUSDT","ts":4,"data":[]}""")
+    val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT"))
+    val server = new LoopbackWs(expectSubs = subs.size, Seq(
+      WsScript(first, cleanClose = false), // TCP drop, no close frame
+      WsScript(second, cleanClose = true)))
+    val capture =
+      s"${Files.createTempDirectory("ws_reconn").toString}/bybit.jsonl"
+    val n = WsTransport.pumpTo(
+      new LiveTransport.JdkWsTransport(backoffMs = 5L),
+      s"ws://127.0.0.1:${server.port}/v5/public/linear", subs, capture)
+    server.join()
+    assert(n == 4, "frames from BOTH connections land in one capture")
+    assert(Files.readAllLines(Paths.get(capture)).size() == 4)
+    // the reconnect re-ran the full subscribe handshake (the reference's
+    // while-True loop resubscribes after every reconnect)
+    assert(server.received.toSeq == Seq(subs, subs))
+  }
+
+  test("ws live: reconnect budget exhausts loudly when the peer keeps dropping") {
+    val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT"))
+    val server = new LoopbackWs(expectSubs = subs.size, Seq(
+      WsScript(Seq("""{"topic":"t","ts":1,"data":[]}"""), cleanClose = false),
+      WsScript(Nil, cleanClose = false)))
+    val capture =
+      s"${Files.createTempDirectory("ws_budget").toString}/b.jsonl"
+    intercept[java.io.IOException] {
+      WsTransport.pumpTo(
+        new LiveTransport.JdkWsTransport(maxReconnects = 1, backoffMs = 5L),
+        s"ws://127.0.0.1:${server.port}/v5/public/linear", subs, capture)
+    }
+    // what arrived before the failure is still durably captured
+    assert(Files.readAllLines(Paths.get(capture)).size() == 1)
+  }
+}
