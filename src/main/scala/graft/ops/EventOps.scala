@@ -536,7 +536,22 @@ object EventOps {
     * non-ANSI Spark would wrap silently while DuckDB raises, so the
     * factors are lifted to 128-bit integers on BOTH engines
     * (DECIMAL(38,0) here, HUGEINT in the oracle — the ab_ttest moment
-    * convention) and only the ≤1e5-ish quotient lands back in BIGINT. */
+    * convention) and only the ≤1e5-ish quotient lands back in BIGINT.
+    *
+    * THE 128-BIT ENVELOPE IS ITSELF BOUNDED (precision 38 ≈ 1e38): with
+    * u users per arm and c ≤ u converters, the numerator is at most
+    * (c·u)²·(2u)·1000 ≤ 2000·u⁵, which stays under 1e38 while
+    * u < ~8.7e6 per arm (~1.7e7 total users; this generator makes
+    * 15,000 users per SF and ~90% convert, so the envelope holds to
+    * SF ≈ 1.2e3 ≈ 1.2e9 events). Past it the two engines diverge IN
+    * FAILURE MODE, not value: non-ANSI Spark's decimal overflow yields
+    * NULL silently while DuckDB's HUGEINT raises (both overflow near the
+    * same magnitude — HUGEINT caps at 1.7e38). A corpus beyond that user
+    * count needs the z² factored down first (divide (ua+ub−ca−cb)·ua·ub
+    * into the squared term before multiplying — loses bit-exactness) or
+    * `spark.sql.ansi.enabled=true` so Spark fails as loudly as the
+    * oracle. The same reasoning bounds [[abTtest]]'s spend moments,
+    * whose x⁴-scale products cross 1e38 around the same SF. */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     val arm = when(conv(substring(md5(concat(col("user_id")
       .cast(StringType), lit("#ab"))), 1, 8), 16, 10)

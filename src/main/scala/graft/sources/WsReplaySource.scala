@@ -50,7 +50,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `hyperliquid_adapter.py:96-101`, `:307-312`): frame ids stay
   *     monotonic across generations, the lost generation's unread slice
   *     yields zero rows (never a crash, never an id reused for different
-  *     bytes), and new frames flow on the next trigger.
+  *     bytes), and new frames flow on the next trigger. The rebase state
+  *     persists in a `<capture>.gen` sidecar beside the capture, so the
+  *     no-reuse invariant survives DRIVER RESTARTS too: a rotation that
+  *     straddles a restart rebases past the persisted id high-water
+  *     instead of reinterpreting committed offsets against the new file.
   *
   * Offsets are frame indexes; admission control paces `framesPerBatch`
   * frames per micro-batch (the analog of the reference's batched flush —
@@ -98,6 +102,8 @@ final class FrameIndex(path: String) {
   private var baseCount = 0L    // frame ids below this rotated away (empty)
   private var fileKey: AnyRef = _ // inode identity of the current generation
   private var rotationCount = 0L  // generations consumed (probe/telemetry)
+  private var restoredState = false // sidecar consulted (once, first refresh)
+  private var persisted: String = null // last sidecar line written (dedup)
 
   private def currentKey(): AnyRef =
     try java.nio.file.Files
@@ -105,6 +111,66 @@ final class FrameIndex(path: String) {
         classOf[java.nio.file.attribute.BasicFileAttributes])
       .fileKey()
     catch { case _: Exception => null }
+
+  /** GENERATION STATE SIDECAR (`<capture>.gen`) — the rebase state
+    * (generation inode key, live floor, id high-water, scanned bytes)
+    * persisted beside the capture so the no-id-reuse invariant holds ACROSS DRIVER
+    * RESTARTS, not just within one JVM: a fresh index restoring from the
+    * sidecar either resumes the same generation's id space (same inode →
+    * same baseCount, so committed offsets keep meaning the same bytes) or
+    * — when the file rotated while the driver was down — rebases past
+    * every id the previous life ever assigned, so the new file's frames
+    * continue the sequence instead of silently reusing committed ids for
+    * different bytes. Best-effort I/O: an unwritable capture dir degrades
+    * to the in-JVM-only guarantee (documented below), never to an error.
+    * The write is tmp + atomic-move and happens only when the state line
+    * actually changed. On filesystems that expose no inode identity the
+    * sidecar stores `-` and a restart assumes the same generation
+    * (rotation detection there is length-based only, as live). */
+  private val genPath = path + ".gen"
+
+  private def readSidecar(): Option[(String, Long, Long, Long)] =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(genPath)),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split('\t')
+      if (parts.length == 4)
+        Some((parts(0), parts(1).toLong, parts(2).toLong, parts(3).toLong))
+      else None
+    } catch { case _: Exception => None }
+
+  private def persistSidecar(key: AnyRef): Unit = {
+    val line = s"${if (key == null) "-" else key.toString}" +
+      s"\t$baseCount\t${baseCount + starts.size}\t$scanned"
+    if (line != persisted) try {
+      val tmp = java.nio.file.Paths.get(genPath + ".tmp")
+      java.nio.file.Files.write(tmp,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(genPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      persisted = line
+    } catch { case _: Exception => } // best-effort: degrade to in-JVM state
+  }
+
+  /** First refresh of a fresh index: restore the persisted generation
+    * state. Same inode as persisted → same id space (resume). Different
+    * (or vanished) inode → the capture rotated while this driver was
+    * down: rebase past the persisted high-water so no previously-assigned
+    * id can name the new generation's bytes. */
+  private def restoreState(key: AnyRef, len: Long): Unit = {
+    restoredState = true
+    readSidecar().foreach { case (savedKey, savedBase, savedTotal, savedScanned) =>
+      // same generation = same inode AND the file did not shrink below
+      // what the previous life had scanned (delete+recreate can REUSE an
+      // inode number, so the length heuristic backs the identity check —
+      // the same pairing the live `len < scanned` rotation test uses)
+      val sameGen = (if (savedKey == "-") key == null
+        else key != null && key.toString == savedKey) && len >= savedScanned
+      if (sameGen) baseCount = savedBase
+      else { baseCount = savedTotal; rotationCount += 1 }
+    }
+  }
 
   /** Index any appended bytes; returns the frame count. O(appended).
     *
@@ -120,10 +186,14 @@ final class FrameIndex(path: String) {
     * them yields zero rows instead of crashing — exactly the reference's
     * "frames during the outage are lost; reopen and move on" contract,
     * with the downstream dedup ring (`hyperliquid_adapter.py:153-154`'s
-    * analog in the normalize pipeline) absorbing any boundary overlap. */
+    * analog in the normalize pipeline) absorbing any boundary overlap.
+    * The rebase state persists in the generation sidecar (above), so the
+    * recovery — and the no-reuse invariant — also holds across driver
+    * restarts, not just within one JVM. */
   def refresh(): Long = synchronized {
     val len = new java.io.File(path).length()
     val key = currentKey()
+    if (!restoredState) restoreState(key, len)
     if (fileKey == null) fileKey = key
     val rotated = key != null && fileKey != null && key != fileKey
     if (rotated || len < scanned) {
@@ -157,6 +227,7 @@ final class FrameIndex(path: String) {
         scanned = pos
       } finally in.close()
     }
+    persistSidecar(fileKey)
     baseCount + starts.size
   }
 

@@ -43,19 +43,28 @@ object JdbcSink {
       * a case-sensitive session. */
     def quote: String
     final def col(name: String): String = quote + name + quote
+    /** Connection properties the dialect REQUIRES for correct binding.
+      * Injected by every connection this object opens ([[ensureSchema]],
+      * [[appendBatch]], [[appendBatchExactlyOnce]]) via
+      * [[withDialectProps]] — a caller-set value for the same key wins,
+      * but absence can no longer break the sink. */
+    def requiredProps: Map[String, String] = Map.empty
   }
 
   /** The reference's dialect (`writer_pg.py:23-36`): `raw` is JSONB (the
-    * normalizers emit compact JSON strings — PG parses them on insert;
-    * Spark's JDBC writer needs `stringtype=unspecified` in the connection
-    * props so the driver lets the server coerce VARCHAR → JSONB, the
-    * asyncpg-adaptation analog). */
+    * normalizers emit compact JSON strings — PG parses them on insert).
+    * Spark's JDBC writer binds strings as VARCHAR, which PG rejects for a
+    * JSONB column unless the connection sets `stringtype=unspecified`
+    * (server-side coercion, the asyncpg-adaptation analog) — so that
+    * property is part of the dialect itself and injected on every
+    * connection, not a comment callers must remember to read. */
   case object Postgres extends SqlDialect {
     val textType = "TEXT"
     val longTextType = "JSONB"
     val ifNotExists = "IF NOT EXISTS "
     val alreadyExistsStates = Set.empty[String]
     val quote = ""
+    override val requiredProps = Map("stringtype" -> "unspecified")
   }
 
   /** Embedded Derby (ships with Spark): no TEXT, no IF NOT EXISTS;
@@ -111,12 +120,25 @@ object JdbcSink {
     table.split('.').last.replaceAll("[^A-Za-z0-9_]", "_") +
       "_" + suffix + "_idx"
 
+  /** The caller's properties with the dialect's [[SqlDialect.requiredProps]]
+    * filled in underneath (a caller-set key is never overridden). The
+    * original Properties object is never mutated. */
+  def withDialectProps(props: java.util.Properties,
+      dialect: SqlDialect): java.util.Properties = {
+    val merged = new java.util.Properties()
+    merged.putAll(props)
+    dialect.requiredProps.foreach { case (k, v) =>
+      if (!merged.containsKey(k)) merged.setProperty(k, v): Unit
+    }
+    merged
+  }
+
   /** One-time DDL bootstrap over a plain JDBC connection
     * (`writer_pg.py:123-137`). Idempotent: IF NOT EXISTS where the dialect
     * has it, tolerated already-exists SQLStates where it doesn't. */
   def ensureSchema(url: String, table: String, props: java.util.Properties,
       dialect: SqlDialect = Postgres, withBatchId: Boolean = false): Unit = {
-    val conn = DriverManager.getConnection(url, props)
+    val conn = DriverManager.getConnection(url, withDialectProps(props, dialect))
     try {
       val st = conn.createStatement()
       try ddl(table, dialect, withBatchId).foreach { sql =>
@@ -135,11 +157,11 @@ object JdbcSink {
     * caps connections like the reference's pool max of 10. */
   def appendBatch(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 500,
-      maxConnections: Int = 10): Unit =
+      maxConnections: Int = 10, dialect: SqlDialect = Postgres): Unit =
     df.coalesce(maxConnections)
       .write.mode("append")
       .option("batchsize", batchSize)
-      .jdbc(url, table, props)
+      .jdbc(url, table, withDialectProps(props, dialect))
 
   /** Exactly-once micro-batch append: a retried batch REPLACES its own
     * rows instead of duplicating them. Structured Streaming re-runs a
@@ -155,7 +177,7 @@ object JdbcSink {
   def appendBatchExactlyOnce(df: DataFrame, batchId: Long, url: String,
       table: String, props: java.util.Properties, batchSize: Int = 500,
       maxConnections: Int = 10, dialect: SqlDialect = Postgres): Unit = {
-    val conn = DriverManager.getConnection(url, props)
+    val conn = DriverManager.getConnection(url, withDialectProps(props, dialect))
     try {
       val st = conn.createStatement()
       try st.executeUpdate(
@@ -164,6 +186,6 @@ object JdbcSink {
     } finally conn.close()
     appendBatch(
       df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
-      url, table, props, batchSize, maxConnections)
+      url, table, props, batchSize, maxConnections, dialect)
   }
 }

@@ -41,6 +41,26 @@ class JdbcSinkSpec extends SparkSpec {
     assert(stmts.size == 3, "the default DDL is table + exactly two indexes")
   }
 
+  test("pg dialect: stringtype=unspecified is injected, caller overrides win") {
+    // Spark's JDBC writer binds strings as VARCHAR; PG rejects VARCHAR →
+    // JSONB unless the connection carries stringtype=unspecified. The
+    // dialect now owns that requirement: every connection the sink opens
+    // gets it injected, so the raw JSONB column can't fail on a default
+    // connection because a caller didn't read a comment.
+    assert(JdbcSink.Postgres.requiredProps == Map("stringtype" -> "unspecified"))
+    assert(JdbcSink.Derby.requiredProps.isEmpty)
+    val empty = new java.util.Properties()
+    val merged = JdbcSink.withDialectProps(empty, JdbcSink.Postgres)
+    assert(merged.getProperty("stringtype") == "unspecified")
+    assert(empty.getProperty("stringtype") == null,
+      "the caller's Properties object must not be mutated")
+    // an explicit caller choice is never overridden
+    val custom = new java.util.Properties()
+    custom.setProperty("stringtype", "varchar")
+    assert(JdbcSink.withDialectProps(custom, JdbcSink.Postgres)
+      .getProperty("stringtype") == "varchar")
+  }
+
   test("derby: ensureSchema bootstraps idempotently, appendBatch round-trips") {
     val tbl = "liq_events"
     JdbcSink.ensureSchema(url, tbl, props, JdbcSink.Derby)
@@ -55,9 +75,11 @@ class JdbcSinkSpec extends SparkSpec {
     val expected = unified.count()
     assert(expected > 0)
 
-    JdbcSink.appendBatch(unified, url, tbl, props, batchSize = 2)
+    JdbcSink.appendBatch(unified, url, tbl, props, batchSize = 2,
+      dialect = JdbcSink.Derby)
     // second batch: append mode must not truncate
-    JdbcSink.appendBatch(unified, url, tbl, props, batchSize = 2)
+    JdbcSink.appendBatch(unified, url, tbl, props, batchSize = 2,
+      dialect = JdbcSink.Derby)
 
     val back = spark.read.jdbc(url, tbl, props)
     assert(back.count() == expected * 2)
@@ -92,9 +114,11 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.filter(col("batch_id") === 0L).count() == n)
     // the plain at-least-once path would have duplicated: same call twice
     JdbcSink.appendBatch(unified.withColumn("batch_id",
-      org.apache.spark.sql.functions.lit(2L)), url, tbl, props)
+      org.apache.spark.sql.functions.lit(2L)), url, tbl, props,
+      dialect = JdbcSink.Derby)
     JdbcSink.appendBatch(unified.withColumn("batch_id",
-      org.apache.spark.sql.functions.lit(2L)), url, tbl, props)
+      org.apache.spark.sql.functions.lit(2L)), url, tbl, props,
+      dialect = JdbcSink.Derby)
     assert(back.filter(col("batch_id") === 2L).count() == 2 * n)
   }
 
@@ -109,7 +133,7 @@ class JdbcSinkSpec extends SparkSpec {
       1L, 0L, bigRaw))
       .toDF("exchange", "market", "symbol", "side", "qty", "price",
         "notional", "ts_exch_ms", "ts_ingest_ms", "raw")
-    JdbcSink.appendBatch(row, url, tbl, props)
+    JdbcSink.appendBatch(row, url, tbl, props, dialect = JdbcSink.Derby)
     val back = spark.read.jdbc(url, tbl, props)
     assert(back.count() == 1)
     assert(back.select("raw").head.getString(0).length == 20000)

@@ -69,6 +69,45 @@ class WsReplaySpec extends SparkSpec {
       "the new generation is scanned once, old generations never re-read")
   }
 
+  test("generation state survives a driver restart: same inode resumes the id space") {
+    val file = s"${tmp("ws_gen_same")}/frames.jsonl"
+    Files.write(Paths.get(file),
+      (1 to 4).map(i => frame(s"A${i}USDT", i.toLong)).mkString("\n").getBytes)
+    val fi1 = new graft.sources.FrameIndex(file)
+    assert(fi1.refresh() == 4)
+    // in-place truncation (same inode): rebase to base=4, total=7
+    Files.write(Paths.get(file),
+      (1 to 3).map(i => frame(s"B${i}USDT", i.toLong)).mkString("\n").getBytes)
+    assert(fi1.refresh() == 7 && fi1.liveFloor == 4)
+    // "driver restart": a FRESH index on the same path must restore the
+    // rebase from the sidecar, not restart ids at 0 — committed offsets
+    // (4..7) keep naming exactly the bytes they were committed against
+    val fi2 = new graft.sources.FrameIndex(file)
+    assert(fi2.refresh() == 7, "restored index must continue the id space")
+    assert(fi2.liveFloor == 4 && fi2.rotations == 0)
+    assert(fi2.byteOf(4) == 0 && fi2.byteOf(7) == fi1.byteOf(7),
+      "restored ids map to the same bytes as before the restart")
+  }
+
+  test("rotation across a driver restart rebases past every previously-assigned id") {
+    val file = s"${tmp("ws_gen_rot")}/frames.jsonl"
+    Files.write(Paths.get(file),
+      (1 to 4).map(i => frame(s"A${i}USDT", i.toLong)).mkString("\n").getBytes)
+    assert(new graft.sources.FrameIndex(file).refresh() == 4)
+    // rotation WHILE THE DRIVER IS DOWN: delete + recreate (new inode)
+    Files.delete(Paths.get(file))
+    Files.write(Paths.get(file),
+      (1 to 2).map(i => frame(s"N${i}USDT", i.toLong)).mkString("\n").getBytes)
+    val fi2 = new graft.sources.FrameIndex(file)
+    // without the sidecar this would report 2 frames with ids 0..2 — ids
+    // a previous life already committed against DIFFERENT bytes
+    assert(fi2.refresh() == 6,
+      "new generation must continue past the persisted id high-water")
+    assert(fi2.liveFloor == 4 && fi2.rotations == 1)
+    assert(fi2.byteOf(3) == 0 && fi2.byteOf(4) == 0,
+      "the lost generation's ids clamp to empty extents")
+  }
+
   test("a batch splits into seekable range partitions covering the slice exactly") {
     import graft.sources.{WsOffset, WsReplayMicroBatchStream, WsReplayPartition, WsReplayReaderFactory}
     val file = s"${tmp("ws_parts")}/frames.jsonl"
