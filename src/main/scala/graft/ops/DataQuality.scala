@@ -410,6 +410,25 @@ object DataQuality {
             .cast(DoubleType))), 6).as("cramers_v"))
   }
 
+  /** HOURLY EVENT-MIX ENTROPY — the Shannon companion to [[dqDrift]]'s
+    * pairwise χ² and `driftStream`'s JSD-vs-profile: per hour, the
+    * entropy (bits) of the event-type distribution over the streaming
+    * monitor's fixed symbol set + other-bucket. Entropy catches the
+    * DEGENERACY pathology divergence misses (a feed collapsing to one
+    * event type craters H even when that type dominates the baseline
+    * too) — the alarm pair a training-data ingest wants on its mix.
+    *
+    * One definition, two runtimes: this is the BATCH run of
+    * [[graft.streaming.StreamAssembly.entropyAgg]], the identical
+    * aggregation `entropyStream` executes per watermark-closed hour
+    * (StreamingSpec pins bit-exact parity) — so the oracle that verifies
+    * this query verifies the streaming monitor's arithmetic with it.
+    * Exactness: the `text_jsd` quantized-log2 closed form; scale shape:
+    * one map-side-combined conditional-count aggregate, rows = hours. */
+  def dqEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAssembly.entropyAgg(table(spark, dir, "events"))
+      .orderBy("hour_ms")
+
   /** Engine-portable row signature for [[dqChecksum]]/[[dqRecon]]: md5
     * over a '|'-joined canonical serialization — every field rendered
     * through an integer (epoch micros, money cents, decimal-string ids)
@@ -730,6 +749,32 @@ object DataQuality {
             ON strftime(CAST(a.day AS DATE) + 1, '%Y-%m-%d') = b.day
           ORDER BY day1"""
     },
+    // the streaming entropy monitor's aggregation replayed over integer
+    // conditional counts: same fixed symbol order, same quantized-log2
+    // closed form, same final double tree (6 dp)
+    "dq_entropy" -> {
+      val symbols = graft.streaming.StreamAssembly.driftBaseline.map(_._1)
+      def ql(x: String) =
+        s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+      val condCounts = symbols.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+      }.mkString(", ")
+      val other = s"(n - ${symbols.indices.map(i => s"c$i").mkString(" - ")})"
+      val terms = (symbols.indices.map(i => s"c$i") :+ other)
+        .map(c => s"CASE WHEN $c > 0 THEN $c * ${ql(c)} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH h AS (
+        SELECT epoch_ms(ts) // 3600000 * 3600000 AS hour_ms,
+               $condCounts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1)
+      SELECT hour_ms, n,
+             floor(((n::DOUBLE * ${ql("n")}::DOUBLE - ($terms)::DOUBLE)
+                      / (n::DOUBLE * 1e6)) * 1e6 + 0.5) / 1e6
+               AS entropy_bits
+      FROM h ORDER BY hour_ms"""
+    },
     "dq_cardinality" -> {
       def one(name: String, lt: String, lk: String, rt: String, rk: String) =
         s"""SELECT '$name' AS join_key,
@@ -811,5 +856,6 @@ object DataQuality {
     "dq_recon" -> dqRecon _,
     "dq_fd" -> dqFd _,
     "dq_assoc" -> dqAssoc _,
+    "dq_entropy" -> dqEntropy _,
   )
 }

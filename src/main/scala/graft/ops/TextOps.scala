@@ -718,6 +718,61 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** SHANNON SOURCE-ENTROPY DRIFT — per document source, the unigram
+    * entropy (bits) of its token mix over the same bounded
+    * [[jsdVocab]]+`<other>` symbol set [[textJsd]] compares on, SIGNED
+    * against the corpus-wide entropy: drift = H_source − H_corpus. The
+    * directional companion to JSD's magnitude-only divergence — a
+    * templated/boilerplate feed shows NEGATIVE drift (mass concentrates)
+    * long before its JSD crosses an alarm threshold, while vocabulary
+    * contamination shows POSITIVE drift; the sign is the triage bit the
+    * curation gate acts on.
+    *
+    * Exactness: both entropies take [[textJsd]]'s closed form
+    * H = (N·qlog2(N) − Σ c·qlog2(c)) / (N·10⁶) over exact integer counts
+    * on the 1e−6 log grid; c·qlog2(c) products sum in DECIMAL(38,0)
+    * (the text_jsd moment convention), and only the final H/drift
+    * arithmetic is one identical double tree, rounded 6 dp.
+    *
+    * Scale shape: one tokenize pass into the (source, token) count
+    * frame; the top-50 vocabulary folds out of it (bounded driver
+    * collect, the Misra-Gries-candidate convention); everything after is
+    * O(sources·vocab) with the one-row corpus moments broadcast. */
+  def textEntropyDrift(spark: SparkSession, dir: String): DataFrame = {
+    def ql(c: Column): Column =
+      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+    val tokCounts = materialize(
+      table(spark, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c")))
+    val top = tokCounts.groupBy("token").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("token")).limit(jsdVocab)
+      .select("token").collect().map(_.getString(0)).toSeq
+    val sym = materialize(tokCounts
+      .select(col("source"),
+        when(col("token").isin(top: _*), col("token"))
+          .otherwise(lit("<other>")).as("sym"),
+        col("c"))
+      .groupBy("source", "sym").agg(sum("c").cast(LongType).as("c")))
+    val nqF = sym.groupBy("sym").agg(sum("c").cast(LongType).as("q"))
+      .agg(sum("q").cast(LongType).as("nq"),
+        sum((col("q") * ql(col("q"))).cast(DecimalType(38, 0))).as("sum_q"))
+    val per = sym.groupBy("source")
+      .agg(sum("c").cast(LongType).as("np"),
+        sum((col("c") * ql(col("c"))).cast(DecimalType(38, 0))).as("sum_c"))
+    val npd = col("np").cast(DoubleType)
+    val nqd = col("nq").cast(DoubleType)
+    val hp = (npd * ql(col("np")).cast(DoubleType) -
+      col("sum_c").cast(DoubleType)) / (npd * 1e6)
+    val hq = (nqd * ql(col("nq")).cast(DoubleType) -
+      col("sum_q").cast(DoubleType)) / (nqd * 1e6)
+    per.crossJoin(broadcast(nqF)) // one-row corpus moments: bounded fold
+      .select(col("source"), col("np").as("n_tokens"),
+        roundD(hp, 6).as("h_bits"),
+        roundD(hp - hq, 6).as("drift_bits"))
+      .orderBy("source")
+  }
+
   /** LEXICAL DIVERSITY PROFILE — type/token ratio and hapax share per
     * source: the vocabulary-richness quality axis next to
     * [[textEntropy]] (mass concentration) and [[textZipf]] (rank
@@ -1232,6 +1287,45 @@ object TextOps {
              ) * 1e6 + 0.5) / 1e6 AS jsd_bits
       FROM per ORDER BY source"""
     },
+    // the text_jsd machinery minus the midpoint: per-source and corpus
+    // entropies in the same quantized-log2 closed form, drift = signed
+    // difference of the two identical double trees
+    "text_entropy_drift" -> {
+      def ql(x: String) =
+        s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+      s"""
+      WITH toks AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+        FROM documents),
+      tc AS MATERIALIZED (SELECT source, token, count(*) AS c
+                          FROM toks GROUP BY 1, 2),
+      top AS (SELECT token FROM (
+                SELECT token, sum(c) AS ct FROM tc GROUP BY 1
+                ORDER BY ct DESC, token LIMIT $jsdVocab)),
+      sym AS MATERIALIZED (
+        SELECT source,
+               CASE WHEN token IN (SELECT token FROM top) THEN token
+                    ELSE '<other>' END AS sym,
+               CAST(sum(c) AS BIGINT) AS c
+        FROM tc GROUP BY 1, 2),
+      corpus AS (SELECT sym, CAST(sum(c) AS BIGINT) AS q FROM sym GROUP BY 1),
+      nqf AS (SELECT CAST(sum(q) AS BIGINT) AS nq,
+                     CAST(sum(q * ${ql("q")}) AS DECIMAL(38,0)) AS sum_q
+              FROM corpus),
+      per AS (SELECT source, CAST(sum(c) AS BIGINT) AS np,
+                     CAST(sum(c * ${ql("c")}) AS DECIMAL(38,0)) AS sum_c
+              FROM sym GROUP BY 1)
+      SELECT source, np AS n_tokens,
+             floor(((np::DOUBLE * ${ql("np")}::DOUBLE - sum_c::DOUBLE)
+                      / (np::DOUBLE * 1e6)) * 1e6 + 0.5) / 1e6 AS h_bits,
+             floor(((np::DOUBLE * ${ql("np")}::DOUBLE - sum_c::DOUBLE)
+                      / (np::DOUBLE * 1e6)
+                    - (nq::DOUBLE * ${ql("nq")}::DOUBLE - sum_q::DOUBLE)
+                      / (nq::DOUBLE * 1e6)) * 1e6 + 0.5) / 1e6
+               AS drift_bits
+      FROM per CROSS JOIN nqf ORDER BY source"""
+    },
     // the graph_pagerank oracle's unrolled quantized iterations, over the
     // adjacent-content-word graph instead of the nation trade graph
     "text_keywords" -> {
@@ -1449,6 +1543,7 @@ object TextOps {
     "bm25" -> bm25 _,
     "text_keywords" -> textKeywords _,
     "text_jsd" -> textJsd _,
+    "text_entropy_drift" -> textEntropyDrift _,
     "text_zipf" -> textZipf _,
     "text_ttr" -> textTtr _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),

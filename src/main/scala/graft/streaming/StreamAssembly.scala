@@ -863,6 +863,53 @@ object StreamAssembly {
       jsd.as("jsd"))
   }
 
+  /** STREAMING SHANNON-ENTROPY MONITOR — the information-theoretic
+    * companion to [[driftStream]] on the same fixed symbol set: per
+    * closed event-time hour, the entropy (bits) of the hour's event-type
+    * mix over [[driftBaseline]]'s symbols + the other-bucket. Entropy
+    * and JSD alarm on different pathologies: a feed collapsing to ONE
+    * event type craters entropy even when that type dominates the
+    * baseline too (small JSD), while a novel-type injection moves JSD
+    * first — together they bracket "the mix changed" vs "the mix
+    * degenerated". Same streaming-legal shape as the drift monitor: ONE
+    * windowed aggregate, per-window state of |profile|+1 longs. */
+  def entropyStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    entropyAgg(events.withWatermark("ts", watermark))
+
+  /** The shared batch/stream entropy aggregation — one definition, two
+    * runtimes (the [[driftAgg]] convention; the batch runtime is the
+    * oracle-checked `dq_entropy` query). EXACT in the `text_jsd` sense:
+    * H = (n·qlog2(n) − Σ c·qlog2(c)) / (n·10⁶) over integer conditional
+    * counts on the 1e−6 log grid, one identical double tree at the end
+    * (6 dp), so stream, batch, and the DuckDB oracle land bit-identical.
+    * Integer envelope: each c·qlog2(c) term is an int64 product, safe to
+    * ~2e11 events per hour-bucket (qlog2 < 4e7 there) — a per-hour
+    * volume far past any real feed; past it, lift the term to
+    * DECIMAL(38,0) the way text_jsd's moments do. */
+  private[graft] def entropyAgg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val counts = driftBaseline.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val agged = events
+      .select(col("ts"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(counts.head, counts.tail :+ count(lit(1)).as("n"): _*)
+    def ql(c: Column): Column =
+      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+    val other = col("n") -
+      driftBaseline.indices.map(i => col(s"c$i")).reduce(_ + _)
+    val cs = driftBaseline.indices.map(i => col(s"c$i")) :+ other
+    val sumC = cs.map(c => when(c > 0L, c * ql(c)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val nD = col("n").cast(DoubleType)
+    agged.select(unix_millis(col("w.start")).as("hour_ms"), col("n"),
+      graft.ops.roundD(
+        (nD * ql(col("n")).cast(DoubleType) - sumC.cast(DoubleType)) /
+          (nD * 1e6), 6).as("entropy_bits"))
+  }
+
   def topkStream(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     topkAgg(events.withWatermark("ts", watermark))

@@ -42,6 +42,8 @@ object PlanAudit {
     ("rfm", "BroadcastNestedLoopJoin"),
     ("bm25", "BroadcastNestedLoopJoin"), // one-row (N, T, df...) frame
     ("text_jsd", "BroadcastNestedLoopJoin"), // one-row nq frame x 51-sym frame
+    // one-row corpus-moment frame x |sources| rows BY DESIGN:
+    ("text_entropy_drift", "BroadcastNestedLoopJoin"),
     ("graph_degree_dist", "BroadcastNestedLoopJoin"), // one-row total frame
     ("dq_freshness", "BroadcastNestedLoopJoin"), // one-row now frame x 3 rows
     ("abc_class", "BroadcastNestedLoopJoin"), // one-row total frame

@@ -225,6 +225,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(d5(5L) == 5L && d5.size == 6, s"5 hops must cover the chain: $d5")
   }
 
+  test("betweenness: chain middles take full pair mass, parallel routes split it") {
+    import spark.implicits._
+    // chain 1→2→3→4: vertex 2 brokers (1,3) and (1,4); vertex 3 brokers
+    // (1,4) and (2,4) — two full 10⁶ pair-masses each; endpoints zero
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val bc = GraphOps.betweennessOf(chain, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc == Map(1L -> 0L, 2L -> 2000000L, 3L -> 2000000L, 4L -> 0L),
+      s"chain betweenness wrong: $bc")
+    // diamond 1→{2,3}→4: two equal shortest routes, σ_14 = 2 — each
+    // middle carries (1·1·10⁶) div 2 = 500000 (the ppm mass splits)
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val bd = GraphOps.betweennessOf(diamond, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bd == Map(1L -> 0L, 2L -> 500000L, 3L -> 500000L, 4L -> 0L),
+      s"parallel-route split wrong: $bd")
+    // a direct 1→4 shortcut makes d(1,4)=1: no pair has an intermediary
+    // on a SHORTEST path anymore — every vertex drops to zero
+    val short = (Seq((1L, 4L)) ++ Seq((1L, 2L), (1L, 3L), (2L, 4L),
+      (3L, 4L))).toDF("src", "dst")
+    val bs = GraphOps.betweennessOf(short, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bs.values.forall(_ == 0L),
+      s"off-shortest-path vertices must score zero: $bs")
+  }
+
+  test("betweenness: the nation query is deterministic and brokerage-positive") {
+    val dir = "/root/testdata/sf0.001"
+    val r1 = GraphOps.betweenness(spark, dir).collect().toSeq
+    assert(r1.nonEmpty)
+    // deterministic under re-run (the lane sparsifier's (cnt, dst) tie
+    // break and the integer ppm arithmetic leave no float/order slack)
+    assert(GraphOps.betweenness(spark, dir).collect().toSeq == r1)
+    // the principal-lane skeleton is sparse enough that SOME nation
+    // actually brokers a route (all-zero would mean the sparsifier is
+    // not sparsifying and the operator is vacuous)
+    assert(r1.exists(_.getLong(1) > 0L), s"no broker nation: $r1")
+  }
+
   test("kcore: a path peels to nothing; a triangle with a tail keeps the triangle") {
     import spark.implicits._
     // path 0-1-2-3-4 (canonical a<b): endpoints peel first, then inward —

@@ -550,6 +550,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming entropy monitor: bits per closed hour, exact zero on a degenerate mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 10: the baseline mix (diverse) — entropy well above zero;
+    // hour 11: ONE event type only — H = (n·ql(n) − n·ql(n))/(n·1e6),
+    // exactly 0.0 bits (the degeneracy alarm JSD-vs-baseline undersells:
+    // this hour's JSD is small because 'view' dominates the profile too);
+    // hour 12: off-profile traffic exercises the other-bucket
+    val baselineMix = StreamAssembly.driftBaseline.flatMap { case (t, q) =>
+      Seq.fill((q * 20).round.toInt)(t)
+    }
+    val h10 = baselineMix.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(f"2024-03-01 10:00:${i % 60}%02d"), t, 1.0)
+    }
+    val h11 = (0 to 3).map(i =>
+      (200L + i, ts(s"2024-03-01 11:00:0$i"), "view", 1.0))
+    val h12 = Seq(
+      (300L, ts("2024-03-01 12:00:01"), "gift_card", 1.0), // off-profile
+      (301L, ts("2024-03-01 12:00:02"), "gift_card", 1.0),
+      (302L, ts("2024-03-01 12:00:03"), "click", 1.0))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamAssembly.entropyStream(events)
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(h10); q.processAllAvailable()
+      mem.addData(h11); q.processAllAvailable()
+      mem.addData(h12); q.processAllAvailable()
+      mem.addData((999L, ts("2024-03-01 23:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("entropy_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(got.length == 3, got.mkString("; "))
+      assert(got(0)._2 == 20L && got(0)._3 > 2.0 && got(0)._3 < 2.33,
+        s"baseline mix must score near its ~2.23-bit entropy: ${got(0)}")
+      assert(got(1)._2 == 4L && got(1)._3 == 0.0,
+        s"a one-type hour must score exactly zero bits: ${got(1)}")
+      // 2 of 3 in the other-bucket + 1 click = H(1/3, 2/3) ≈ 0.918 bits
+      assert(got(2)._2 == 3L && got(2)._3 > 0.9 && got(2)._3 < 0.93,
+        s"other-bucket hour entropy off: ${got(2)}")
+      // batch parity: the shared aggregation over the same rows yields
+      // identical bits (one definition, two runtimes — and the batch
+      // runtime is the oracle-checked dq_entropy query, so the DuckDB
+      // oracle transitively verifies the streaming monitor's arithmetic)
+      val batch = StreamAssembly.entropyAgg(
+          (h10 ++ h11 ++ h12).toDF("event_id", "ts", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(batch.toSeq == got.toSeq,
+        s"stream/batch entropy diverged: batch=${batch.toSeq} stream=${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: every feed row decorated, new listings survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
