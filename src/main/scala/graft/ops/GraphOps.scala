@@ -694,20 +694,56 @@ object GraphOps {
     * projection. Exact betweenness on an UNBOUNDED vertex set is Θ(V·E)
     * by construction (Brandes' lower bound) — there you sample sources;
     * this operator deliberately targets the dimension grain. */
-  def betweenness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("src").orderBy(col("cnt").desc, col("dst"))
-    val lanes = tradePairs(spark, dir)
-      .filter(col("src") =!= col("dst"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= betwLanes)
-      .select("src", "dst")
-    betweennessOf(lanes, betwHops)
+  def betweenness(spark: SparkSession, dir: String): DataFrame =
+    betweennessOf(principalLanes(spark, dir), betwHops)
       .join(broadcast(table(spark, dir, "nation")
         .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
         "id")
       .select(col("nation"), col("betw_ppm"))
       .orderBy("nation")
+
+  /** The principal-lane skeleton both centrality queries run on:
+    * top-[[betwLanes]] out-lanes per nation from the staged
+    * [[tradePairs]] projection, (cnt DESC, dst) deterministic. */
+  private def principalLanes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src").orderBy(col("cnt").desc, col("dst"))
+    tradePairs(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= betwLanes)
+      .select("src", "dst")
+  }
+
+  /** HARMONIC CLOSENESS CENTRALITY — how NEAR a nation is to everything
+    * it can reach, the access question beside [[betweenness]]'s brokerage
+    * one (a vertex can be close to everyone yet broker nothing, and vice
+    * versa). Harmonic form C_H(s) = Σ_{t≠s} 1/d(s,t) because the lane
+    * skeleton is not strongly connected — classic closeness is undefined
+    * there, harmonic just scores unreachable pairs zero. Integer-exact:
+    * each pair contributes ⌊10⁶/d⌋ via `div` before the per-source sum,
+    * off the SAME bounded walk-power distance table [[betweenness]]
+    * uses ([[walkPowers]]); n_reach reports the ≤[[betwHops]]-hop
+    * coverage so a low score is attributable (few reachable vs far). */
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    closenessOf(principalLanes(spark, dir), betwHops)
+      .join(broadcast(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
+        "id")
+      .select(col("nation"), col("n_reach"), col("harm_ppm"))
+      .orderBy("nation")
+
+  private[graft] def closenessOf(edges0: DataFrame, hops: Int): DataFrame = {
+    val e = materialize(edges0.select("src", "dst"))
+    val dmin = walkPowers(e, hops).groupBy("s", "t").agg(min("k").as("d"))
+    val cl = dmin.groupBy("s")
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 div d")).as("h"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    verts.join(cl, verts("id") === col("s"), "left")
+      .select(col("id"), coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("h"), lit(0L)).as("harm_ppm"))
   }
 
   /** The bounded walk-power betweenness over any directed (src, dst)
@@ -715,16 +751,19 @@ object GraphOps {
     * pure chain's middle vertex takes every pair's full 10⁶; a vertex
     * off all shortest paths scores 0; parallel shortest routes split the
     * ppm mass). Returns (id, betw_ppm) for every vertex of the frame. */
-  private[graft] def betweennessOf(edges0: DataFrame, hops: Int): DataFrame = {
-    // The hop budget is FIXED (not convergence-driven) and every frame is
-    // V²-bounded, so the W-powers stay one lazily-unrolled DAG with the
-    // edge list BROADCAST into each power join — only the edge set and
-    // the two REUSED hubs (aw, sig below) are materialized. A/B'd against
-    // (a) materialize-per-power and (b) a sized loopSession: both ~2×
-    // slower here — the cost regime is fixed per-job latency, not shuffle
-    // width, the opposite call from the pageRank loop (unbounded rounds,
-    // corpus-sized frames) where per-round materialize won its A/B.
-    val e = materialize(edges0.select("src", "dst"))
+  /** Bounded WALK-COUNT MATRIX POWERS over a materialized (src, dst)
+    * edge frame: one row per (s, t ≠ s, k ≤ hops) with the length-k walk
+    * count — min-k per pair is the shortest distance, its count the
+    * shortest-path count σ. The hop budget is FIXED (not
+    * convergence-driven) and every frame is V²-bounded, so the powers
+    * stay one lazily-unrolled DAG with the edge list BROADCAST into each
+    * power join, materialized once at the end (it is the hub every
+    * consumer re-reads). A/B'd against (a) materialize-per-power and
+    * (b) a sized loopSession: both ~2× slower here — the cost regime is
+    * fixed per-job latency, not shuffle width, the opposite call from
+    * the pageRank loop (unbounded rounds, corpus-sized frames) where
+    * per-round materialize won its A/B. */
+  private def walkPowers(e: DataFrame, hops: Int): DataFrame = {
     var wk = e.select(col("src").as("s"), col("dst").as("t"),
       lit(1L).as("paths"))
     var allw = wk.withColumn("k", lit(1))
@@ -738,10 +777,14 @@ object GraphOps {
         .select(col("s"), col("edst").as("t"), col("paths"))
       allw = allw.unionByName(wk.withColumn("k", lit(k)))
     }
-    // the two REUSED hubs are materialized (aw feeds dmin + the σ fetch;
-    // sig plays three roles in the dependency join) — without this the
-    // W-chain subtree re-evaluates once per role
-    val aw = materialize(allw.filter(col("s") =!= col("t")))
+    materialize(allw.filter(col("s") =!= col("t")))
+  }
+
+  private[graft] def betweennessOf(edges0: DataFrame, hops: Int): DataFrame = {
+    val e = materialize(edges0.select("src", "dst"))
+    // aw and sig are the REUSED hubs (aw feeds dmin + the σ fetch; sig
+    // plays three roles in the dependency join) — each materialized once
+    val aw = walkPowers(e, hops)
     // shortest distance per pair, then its walk count = σ
     val dmin = aw.groupBy("s", "t").agg(min("k").as("d"))
       .select(col("s").as("ms"), col("t").as("mt"), col("d"))
@@ -1222,6 +1265,48 @@ object GraphOps {
         LEFT JOIN b ON b.v = v.id
         ORDER BY nation"""
       },
+      // the betweenness oracle's walk-power prefix, folded to harmonic
+      // closeness: ppm-per-pair via // BEFORE the per-source sum
+      "graph_closeness" -> {
+        def pow(out: String, p: String) = s"""
+        w$out AS (SELECT w.s, e.dst AS t, CAST(sum(w.paths) AS BIGINT) AS paths
+                  FROM $p w JOIN e ON w.t = e.src GROUP BY 1, 2)"""
+        s"""
+        WITH raw AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        lanes AS (SELECT src, dst,
+                         row_number() OVER (PARTITION BY src
+                                            ORDER BY cnt DESC, dst) AS rn
+                  FROM raw WHERE src <> dst),
+        e AS MATERIALIZED (SELECT src, dst FROM lanes WHERE rn <= $betwLanes),
+        w1 AS (SELECT src AS s, dst AS t, CAST(1 AS BIGINT) AS paths FROM e),
+        ${pow("2", "w1")},
+        ${pow("3", "w2")},
+        ${pow("4", "w3")},
+        dmin AS (
+          SELECT s, t, min(k) AS d FROM (
+            SELECT s, t, 1 AS k FROM w1
+            UNION ALL SELECT s, t, 2 FROM w2
+            UNION ALL SELECT s, t, 3 FROM w3
+            UNION ALL SELECT s, t, 4 FROM w4)
+          WHERE s <> t GROUP BY 1, 2),
+        cl AS (SELECT s, CAST(count(*) AS BIGINT) AS n_reach,
+                      CAST(sum(1000000 // d) AS BIGINT) AS harm_ppm
+               FROM dmin GROUP BY 1),
+        verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+        SELECT n.n_name AS nation,
+               COALESCE(cl.n_reach, 0) AS n_reach,
+               COALESCE(cl.harm_ppm, 0) AS harm_ppm
+        FROM verts v
+        JOIN nation n ON n.n_nationkey = v.id
+        LEFT JOIN cl ON cl.s = v.id
+        ORDER BY nation"""
+      },
       // base-only and full closures, diffed: the merge report is the rows
       // whose component id changed (or appeared) when the delta landed
       "graph_cc_incr" -> """
@@ -1259,6 +1344,7 @@ object GraphOps {
     "graph_khop" -> ((sp, d) => kHop(sp, d)),
     "graph_sssp" -> sssp _,
     "graph_betweenness" -> betweenness _,
+    "graph_closeness" -> closeness _,
     "graph_label_prop" -> labelProp _,
     "graph_degree_dist" -> degreeDist _,
     "graph_assortativity" -> assortativity _,

@@ -110,7 +110,13 @@ object LiveTransport {
         private def pump(): Unit = {
           val item = q.poll(idleTimeoutMs, TimeUnit.MILLISECONDS)
           item match {
-            case s: String => nextFrame = s
+            case s: String =>
+              nextFrame = s
+              // a frame means the (re)connect SUCCEEDED: the budget counts
+              // consecutive failures without progress, not lifetime drops —
+              // the reference's loop likewise re-arms its backoff after a
+              // successful connect (binance_adapter.py:96-129)
+              attempts = 0
             case Closed    => done = true
             case _ => // Dropped, or null = idle timeout
               if (item == null) ws.abort() // kill the silent socket

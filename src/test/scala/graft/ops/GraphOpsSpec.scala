@@ -265,6 +265,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1.exists(_.getLong(1) > 0L), s"no broker nation: $r1")
   }
 
+  test("closeness: harmonic sums of floor'd pair ppm, unreachable scores zero") {
+    import spark.implicits._
+    // chain 1→2→3→4 (directed): from 1 the distances are 1,2,3 →
+    // 10⁶ + 500000 + 333333; vertex 4 reaches nothing
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val c = GraphOps.closenessOf(chain, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(c == Map(
+      1L -> ((3L, 1833333L)), 2L -> ((2L, 1500000L)),
+      3L -> ((1L, 1000000L)), 4L -> ((0L, 0L))), s"harmonic sums wrong: $c")
+    // the hop budget bounds reach: a 6-chain's head sees only 4 hops
+    val six = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val c6 = GraphOps.closenessOf(six, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c6(1L) == 4L, s"hop budget must cap reach at 4: $c6")
+  }
+
   test("kcore: a path peels to nothing; a triangle with a tail keeps the triangle") {
     import spark.implicits._
     // path 0-1-2-3-4 (canonical a<b): endpoints peel first, then inward —
