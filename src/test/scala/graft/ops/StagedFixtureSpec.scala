@@ -188,6 +188,16 @@ class StagedFixtureSpec extends SparkSpec {
     val ccPlan = planOf(GraphOps.connectedComponentsIncr(spark, dir))
     assert(ccPlan.contains(stagedPath("ccincr_stars")),
       "graph_cc_incr must scan the stored base star set")
+    // both centrality queries read the stored walk-power table: the σ
+    // hub's materialize folds betweenness's /aw scan out of its FINAL
+    // plan (the roster scan survives), so the /aw lock rides closeness
+    val btPlan = planOf(GraphOps.betweenness(spark, dir))
+    assert(btPlan.contains(s"${stagedPath("lane_walks")}/verts"),
+      "graph_betweenness must scan the stored lane-walk roster")
+    val clPlan = planOf(GraphOps.closeness(spark, dir))
+    assert(clPlan.contains(s"${stagedPath("lane_walks")}/aw") &&
+      clPlan.contains(s"${stagedPath("lane_walks")}/verts"),
+      "graph_closeness must scan the stored walk powers + roster")
     // the incremental join view reads its stored bootstrap (also asserted
     // in FormatsSpec; repeated here against the staged path directly)
     val jiPlan = planOf(Formats.joinIncr(spark, dir))
