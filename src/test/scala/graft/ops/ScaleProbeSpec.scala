@@ -253,6 +253,32 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("probe: centrality on a 500-ring — closed-form symmetric scores at 20x vertices") {
+    // a directed n-ring has CLOSED-FORM hop-bounded centralities (σ = 1
+    // everywhere): with hops = 4 every vertex reaches exactly 4 others at
+    // d = 1..4 (harmonic = 10⁶ + 5·10⁵ + 333333 + 25·10⁴ = 2083333) and
+    // brokers exactly Σ_{k=2..4}(k−1) = 6 pair-masses (6·10⁶ ppm). At
+    // n = 500 this is 20× the nation-graph vertex count with a pair
+    // table bounded by n·hops, so the probe checks BOTH the structure
+    // (every vertex identical — any asymmetry is an arithmetic bug) and
+    // that cost scales with reachable pairs, never all-pairs.
+    import spark.implicits._
+    val n = 500L
+    val ring = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cl, tc) = time(GraphOps.closenessOf(ring, GraphOps.betwHops).collect())
+    assert(cl.length == n)
+    assert(cl.forall(r => r.getLong(1) == 4L && r.getLong(2) == 2083333L),
+      s"ring closeness must be uniform: ${cl.take(3).mkString(";")}")
+    val (bt, tb) = time(GraphOps.betweennessOf(ring, GraphOps.betwHops).collect())
+    assert(bt.length == n)
+    assert(bt.forall(_.getLong(1) == 6000000L),
+      s"ring betweenness must be uniform 6e6 ppm: ${bt.take(3).mkString(";")}")
+    info(f"500-ring: closeness $tc%.2fs, betweenness $tb%.2fs")
+  }
+
   test("probe: kmeans at 1x vs 10x embeddings — replication-invariant centroids") {
     // replicating every vector 10x (seeds stay replica-0's vec_id < 8)
     // multiplies each cluster's quantized element sums AND its count by
