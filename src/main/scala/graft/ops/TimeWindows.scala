@@ -420,6 +420,61 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** THEIL–SEN ROBUST SLOPE — the "how steep" beside [[tsMkTrend]]'s
+    * "is it drifting": per series, the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(d_j − d_i) over the DAILY count sequence. The median
+    * of slopes has a 29.3% breakdown point — a traffic spike that drags
+    * an OLS fit (and Holt's level) moves Sen's estimator not at all,
+    * which is why it is the standard robust trend readout on ops
+    * series. Daily grain deliberately (MK uses hourly): the slope
+    * median needs a per-series SORT of the pair set, so the pair count
+    * must stay calendar²-bounded at days, not hours — days²/2 pairs per
+    * series (≤ ~11k here; a decade-scale series still fits one
+    * partition, and past that you thin anchor points, not this plan).
+    *
+    * Exactness: counts and day indexes are exact longs, each slope is
+    * one double division (identical both engines), the median picks
+    * explicit row_number ranks ((m+1) div 2 and m div 2 + 1 — the same
+    * row twice when m is odd) so no engine-native median/percentile
+    * semantics are involved, and the even-m midpoint is one IEEE
+    * add-divide. 6 dp. */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(table(spark, dir, "events"))
+
+  /** The pairwise-slope machinery over any (event_type, ts) frame —
+    * split out so the spec can drive closed-form series (a strictly
+    * linear series yields its exact slope; one outlier day must not
+    * move the median at all — the estimator's defining property). */
+  private[graft] def theilSenOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = daily.select(col("event_type"), col("d").as("d1"),
+        col("y").as("y1"))
+      .join(daily.select(col("event_type"), col("d").as("d2"),
+        col("y").as("y2")), "event_type")
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("y2") - col("y1")).cast(DoubleType) /
+          (col("d2") - col("d1")).cast(DoubleType)).as("slope"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("slope", "d1", "d2")))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+    ranked
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("m div 2 + 1"))
+      .groupBy("event_type", "m")
+      .agg((sum("slope") / count(lit(1))).as("mid"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        roundD(col("mid"), 6).as("sen_slope"))
+      .orderBy("event_type")
+  }
+
   /** HOLT LINEAR-TREND SMOOTHING — the forecasting primitive on top of
     * [[tsEwma]]'s level-only smoother: per series, the classic
     * two-equation recursion l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
@@ -880,6 +935,27 @@ object TimeWindows {
                 floor(CAST(sum(sgn) AS BIGINT)::DOUBLE / count(*)::DOUBLE
                       * 1e6 + 0.5) / 1e6 AS tau
          FROM p GROUP BY 1 ORDER BY event_type""",
+    // the identical pair frame at the DAILY grain, slopes as one double
+    // division, median via explicit row_number ranks (no native median)
+    "ts_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type, a.d AS d1, b.d AS d2,
+                  (b.y - a.y)::DOUBLE / (b.d - a.d)::DOUBLE AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.d < b.d),
+         r AS (
+           SELECT event_type, slope,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY slope, d1, d2) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM p)
+         SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+                floor(sum(slope) / count(*) * 1e6 + 0.5) / 1e6 AS sen_slope
+         FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+         GROUP BY event_type, m ORDER BY event_type""",
     // the identical per-step IEEE recursion, replayed as a recursive CTE
     // stepping the hour-ordered index
     "ts_holt" ->
@@ -1087,6 +1163,7 @@ object TimeWindows {
     "ts_holt" -> tsHolt _,
     "win_rolling_distinct" -> winRollingDistinct _,
     "ts_mk_trend" -> tsMkTrend _,
+    "ts_theil_sen" -> tsTheilSen _,
     "ts_hampel" -> tsHampel _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_changepoint" -> tsChangepoint _,

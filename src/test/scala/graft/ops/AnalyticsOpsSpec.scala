@@ -661,6 +661,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(got("alt")._3) < 0.2, s"$got")
   }
 
+  test("ts_theil_sen: linear series yields its exact slope; one outlier day moves nothing") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    val day = 86400000L
+    // 'lin': day t carries 2t events — every pairwise slope is exactly
+    // 2.0, so the median is 2.0 regardless of pair count (m = C(10,2))
+    val lin = for { t <- 1 to 10; _ <- 1 to 2 * t }
+      yield ("lin", new Timestamp(base + t * day), 0L)
+    // 'spiked': the same series with day 5 blown up 50x — an OLS fit
+    // (and the mean of slopes) moves, the MEDIAN of slopes must not
+    val spiked = for {
+      t <- 1 to 10
+      n = if (t == 5) 500 else 2 * t
+      _ <- 1 to n
+    } yield ("spiked", new Timestamp(base + t * day), 0L)
+    val got = TimeWindows.theilSenOf(
+        (lin ++ spiked).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("lin") == ((45L, 2.0)), s"$got")
+    assert(got("spiked") == ((45L, 2.0)),
+      s"one outlier day moved the Sen slope: $got")
+  }
+
   test("ts_holt: a pure linear ramp is a fixed point - level rides the line, trend is the slope") {
     import spark.implicits._
     import java.sql.Timestamp
