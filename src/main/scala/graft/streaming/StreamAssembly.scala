@@ -863,6 +863,51 @@ object StreamAssembly {
       jsd.as("jsd"))
   }
 
+  /** STREAMING DRIFT LEADERBOARD — the "WHICH symbol moved" readout on
+    * top of [[driftStream]]'s scalar alarm: per closed event-time hour,
+    * every profile symbol (+ the other-bucket) ranked by its absolute
+    * share deviation from [[driftBaseline]] in permille. The scalar JSD
+    * says the mix changed; the first thing the on-call asks next is
+    * which feed did it — this emits that answer in flight. Integer
+    * permille end to end (share = c·1000 div n vs the baseline's exact
+    * permille), ranked by (dev DESC, symbol) inside one array_sort, so
+    * stream, batch, and any replay agree bit-for-bit. Same
+    * streaming-legal shape as the other monitors: ONE windowed
+    * aggregate, |profile|+1 longs of state per open window. */
+  def driftTopStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    driftTopAgg(events.withWatermark("ts", watermark))
+
+  /** The shared batch/stream leaderboard aggregation — one definition,
+    * two runtimes (the [[driftAgg]]/[[entropyAgg]] convention). */
+  private[graft] def driftTopAgg(events: DataFrame): DataFrame = {
+    val counts = driftBaseline.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val agged = events
+      .select(col("ts"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(counts.head, counts.tail :+ count(lit(1)).as("n"): _*)
+    // (deviation_pm, symbol) per profile symbol + the other-bucket;
+    // sort key = (-dev, symbol) so one ascending array_sort yields the
+    // leaderboard with a deterministic tie-break
+    val entries = driftBaseline.zipWithIndex.map { case ((t, qv), i) =>
+      struct(
+        (-abs(expr(s"c$i * 1000 div n") - lit(math.round(qv * 1000))))
+          .as("negdev"),
+        lit(t).as("sym"))
+    } :+ {
+      val other = s"(n - ${driftBaseline.indices.map(i => s"c$i").mkString(" - ")})"
+      struct((-abs(expr(s"$other * 1000 div n"))).as("negdev"),
+        lit("<other>").as("sym"))
+    }
+    agged.select(unix_millis(col("w.start")).as("hour_ms"), col("n"),
+        array_sort(array(entries: _*)).as("ranked"))
+      .select(col("hour_ms"), col("n"),
+        expr("transform(ranked, x -> x.sym)").as("symbols"),
+        expr("transform(ranked, x -> -x.negdev)").as("dev_pm"))
+  }
+
   /** STREAMING SHANNON-ENTROPY MONITOR — the information-theoretic
     * companion to [[driftStream]] on the same fixed symbol set: per
     * closed event-time hour, the entropy (bits) of the hour's event-type

@@ -550,6 +550,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift leaderboard: symbols ranked by exact permille deviation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val baselineMix = StreamAssembly.driftBaseline.flatMap { case (t, q) =>
+      Seq.fill((q * 20).round.toInt)(t)
+    }
+    val h10 = baselineMix.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(f"2024-03-01 10:00:${i % 60}%02d"), t, 1.0)
+    }
+    // 2/3 error (share 666‰ vs baseline 50‰ → dev 616) + 1/3 off-profile
+    val h11 = Seq(
+      (100L, ts("2024-03-01 11:00:01"), "error", 1.0),
+      (101L, ts("2024-03-01 11:00:02"), "error", 1.0),
+      (102L, ts("2024-03-01 11:00:03"), "gift_card", 1.0))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamAssembly.driftTopStream(events)
+      .writeStream.format("memory").queryName("drift_top_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(h10); q.processAllAvailable()
+      mem.addData(h11); q.processAllAvailable()
+      mem.addData((999L, ts("2024-03-01 23:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_top_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[String](2).toList, r.getSeq[Long](3).toList))
+        .sortBy(_._1)
+      assert(got.length == 2, got.mkString("; "))
+      // baseline-mix hour: every deviation exactly 0, symbol-asc order
+      assert(got(0)._3 == List("<other>", "click", "error", "purchase",
+        "signup", "view") && got(0)._4.forall(_ == 0L),
+        s"baseline hour must rank all-zero: ${got(0)}")
+      // error hour: the culprit leads with its exact permille deviation
+      assert(got(1)._3 == List("error", "<other>", "view", "click",
+        "purchase", "signup"), s"leaderboard order wrong: ${got(1)}")
+      assert(got(1)._4 == List(616L, 333L, 300L, 250L, 200L, 200L),
+        s"deviation permille wrong: ${got(1)}")
+      // batch parity: one definition, two runtimes
+      val batch = StreamAssembly.driftTopAgg(
+          (h10 ++ h11).toDF("event_id", "ts", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[String](2).toList, r.getSeq[Long](3).toList))
+        .sortBy(_._1)
+      assert(batch.toSeq == got.toSeq,
+        s"stream/batch leaderboard diverged: batch=${batch.toSeq} stream=${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming entropy monitor: bits per closed hour, exact zero on a degenerate mix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
