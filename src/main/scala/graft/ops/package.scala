@@ -190,12 +190,24 @@ package object ops {
     * first-consumer path. Only a dependency CYCLE can deadlock (two cells
     * building each other); the DAG has none and new fixtures must keep it
     * acyclic. Concurrent first callers of the same key still serialize on
-    * the cell; a failed build caches no path and the next caller retries
-    * the build; every temp dir ever created (including those of failed
-    * builds) is removed by one JVM-exit hook. */
+    * the cell; a failed build kills AND evicts its cell — threads already
+    * parked on the dead cell's monitor re-resolve through the map instead
+    * of retrying in place, so the retry serializes on the single live
+    * replacement cell (never two concurrent builds of one key) — and the
+    * next caller retries with its own closure; every temp dir ever created
+    * (including those of failed builds) is removed by one JVM-exit hook. */
   private final class StagedCell(name: String) {
     private var built: String = null
+    private var dead = false
+    /** Returns the staged path, or null when this cell is STALE: its build
+      * failed (under another thread) after the caller fetched it from the
+      * map. A stale cell must NOT be retried in place — the map no longer
+      * owns it, so a fresh caller may have installed a replacement cell and
+      * retrying here would run two concurrent builds of the same key. The
+      * caller loops back through `stagedCells` instead, so exactly one
+      * live cell serializes the rebuild. */
     def resolve(key: String, build: String => Unit): String = synchronized {
+      if (dead) return null
       if (built == null) {
         val p = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
         stagedDirs.add(p.toString): Unit
@@ -204,8 +216,11 @@ package object ops {
           built = p.toString
         } catch {
           case e: Throwable =>
-            // evict so the next caller retries with ITS closure (and a
-            // fresh temp dir); the failed dir is still on the exit-hook list
+            // kill this cell and evict it so the next caller retries with
+            // ITS closure in a FRESH cell (threads already blocked on this
+            // monitor see dead=true and re-resolve through the map); the
+            // failed dir is still on the exit-hook list
+            dead = true
             stagedCells.remove(key, this): Unit
             throw e
         }
@@ -230,8 +245,15 @@ package object ops {
   private[graft] def stagedFixture(name: String, dir: String)(
       build: String => Unit): String = {
     val key = s"$name|$dir"
-    stagedCells.computeIfAbsent(key, _ => new StagedCell(name))
-      .resolve(key, build)
+    var out: String = null
+    while (out == null) {
+      // loop: a null resolve means the fetched cell went STALE (another
+      // thread's build failed and evicted it) — re-resolve through the map
+      // so the retry serializes on the one live replacement cell
+      out = stagedCells.computeIfAbsent(key, _ => new StagedCell(name))
+        .resolve(key, build)
+    }
+    out
   }
 
   /** Round to n decimals in pure double arithmetic: floor(x*10^n + 0.5)/10^n.

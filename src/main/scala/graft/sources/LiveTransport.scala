@@ -91,23 +91,65 @@ object LiveTransport {
       val client = HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
         .build()
-      val q = new LinkedBlockingQueue[AnyRef]()
-
-      def open(): WebSocket = {
-        val ws = client.newWebSocketBuilder()
-          .buildAsync(URI.create(url), new QueueListener(q)).join()
-        subscribeFrames.foreach(f => ws.sendText(f, true).join(): Unit)
-        ws
-      }
 
       new Iterator[String] {
-        private var ws = open()
+        // Each connection GENERATION owns a fresh queue + listener: a
+        // late Dropped/Closed sentinel (or data frame) from an abandoned
+        // socket lands on that generation's dead queue and can never be
+        // attributed to the current healthy connection (which would have
+        // cost a spurious attempt++ and a leaked socket).
+        private var q: LinkedBlockingQueue[AnyRef] = _
+        private var ws: WebSocket = _
         private var attempts = 0
         private var nextFrame: String = null
         private var done = false
 
+        /** One failed attempt against the shared budget: throws once the
+          * budget is spent, else sleeps the exponential backoff. Connect
+          * and subscribe failures spend the SAME budget as mid-stream
+          * drops — the reference keeps `websockets.connect` INSIDE its
+          * try/except-backoff loop (`binance_adapter.py:96-129`), so a
+          * refused connection or failed handshake retries with backoff
+          * instead of killing the pump. */
+        private def spendAttempt(): Unit = {
+          if (attempts >= maxReconnects) {
+            done = true
+            throw new java.io.IOException(
+              s"websocket $url: gave up after $maxReconnects reconnects")
+          }
+          attempts += 1
+          Thread.sleep(math.min(32L, 1L << math.min(attempts - 1, 5)) * backoffMs)
+        }
+
+        /** Abort the previous generation's socket (never leak it), then
+          * connect + resubscribe until success or budget exhaustion. */
+        private def reopen(): Unit = {
+          if (ws != null) { ws.abort(); ws = null }
+          var connected = false
+          while (!connected) {
+            val genQ = new LinkedBlockingQueue[AnyRef]()
+            try {
+              val sock = client.newWebSocketBuilder()
+                .buildAsync(URI.create(url), new QueueListener(genQ)).join()
+              try {
+                subscribeFrames.foreach(f => sock.sendText(f, true).join(): Unit)
+                q = genQ
+                ws = sock
+                connected = true
+              } catch {
+                case e if scala.util.control.NonFatal(e) =>
+                  sock.abort() // subscribe failed: don't leak the socket
+                  throw e
+              }
+            } catch {
+              case e if scala.util.control.NonFatal(e) => spendAttempt()
+            }
+          }
+        }
+
         @annotation.tailrec
         private def pump(): Unit = {
+          if (ws == null) reopen() // initial connect retries too
           val item = q.poll(idleTimeoutMs, TimeUnit.MILLISECONDS)
           item match {
             case s: String =>
@@ -118,17 +160,9 @@ object LiveTransport {
               // successful connect (binance_adapter.py:96-129)
               attempts = 0
             case Closed    => done = true
-            case _ => // Dropped, or null = idle timeout
-              if (item == null) ws.abort() // kill the silent socket
-              if (attempts >= maxReconnects) {
-                done = true
-                throw new java.io.IOException(
-                  s"websocket $url: gave up after $maxReconnects reconnects")
-              }
-              attempts += 1
-              Thread.sleep(math.min(32L, 1L << math.min(attempts - 1, 5)) * backoffMs)
-              q.clear() // drop stale sentinels from the dead socket
-              ws = open()
+            case _ => // Dropped, or null = idle timeout (silent peer)
+              spendAttempt()
+              reopen()
               pump()
           }
         }

@@ -125,23 +125,59 @@ final class FrameIndex(path: String) {
     * to the in-JVM-only guarantee (documented below), never to an error.
     * The write is tmp + atomic-move and happens only when the state line
     * actually changed. On filesystems that expose no inode identity the
-    * sidecar stores `-` and a restart assumes the same generation
-    * (rotation detection there is length-based only, as live). */
+    * sidecar stores `-` for the key and the restart check falls back to
+    * length PLUS the head fingerprint below — a rotation-while-down to a
+    * same-length-or-longer file is still detected as a new generation
+    * because its first bytes hash differently. */
   private val genPath = path + ".gen"
 
-  private def readSidecar(): Option[(String, Long, Long, Long)] =
+  /** Content fingerprint of the generation's HEAD (first
+    * min(scanned, 4 KB) bytes, SHA-1): the cheap identity check that
+    * survives filesystems with no inode identity (savedKey `-`), where
+    * the inode+length heuristic alone would let a rotation-while-down to
+    * a file LONGER than the persisted scan point silently resume the old
+    * id space over different bytes. The head is immutable for an
+    * append-only capture, so once `scanned` passes 4 KB the fingerprint
+    * is stable and costs nothing to maintain. */
+  private val fpMax = 4096L
+  private var fpLen = 0L
+  private var fpHash = ""
+
+  private def hashHead(n: Long): String =
+    if (n <= 0L) ""
+    else try {
+      val in = new java.io.FileInputStream(path)
+      try {
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        val buf = new Array[Byte](8192)
+        var left = n
+        while (left > 0L) {
+          val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          if (r <= 0) left = 0L
+          else { md.update(buf, 0, r); left -= r }
+        }
+        md.digest().map("%02x".format(_)).mkString
+      } finally in.close()
+    } catch { case _: Exception => "" }
+
+  private def readSidecar(): Option[(String, Long, Long, Long, Long, String)] =
     try {
       val parts = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(genPath)),
         java.nio.charset.StandardCharsets.UTF_8).trim.split('\t')
-      if (parts.length == 4)
-        Some((parts(0), parts(1).toLong, parts(2).toLong, parts(3).toLong))
+      if (parts.length == 6)
+        Some((parts(0), parts(1).toLong, parts(2).toLong, parts(3).toLong,
+          parts(4).toLong, parts(5)))
+      else if (parts.length == 4) // pre-fingerprint sidecar: no head hash
+        Some((parts(0), parts(1).toLong, parts(2).toLong, parts(3).toLong,
+          0L, ""))
       else None
     } catch { case _: Exception => None }
 
   private def persistSidecar(key: AnyRef): Unit = {
     val line = s"${if (key == null) "-" else key.toString}" +
-      s"\t$baseCount\t${baseCount + starts.size}\t$scanned"
+      s"\t$baseCount\t${baseCount + starts.size}\t$scanned" +
+      s"\t$fpLen\t${if (fpHash.isEmpty) "-" else fpHash}"
     if (line != persisted) try {
       val tmp = java.nio.file.Paths.get(genPath + ".tmp")
       java.nio.file.Files.write(tmp,
@@ -160,15 +196,31 @@ final class FrameIndex(path: String) {
     * id can name the new generation's bytes. */
   private def restoreState(key: AnyRef, len: Long): Unit = {
     restoredState = true
-    readSidecar().foreach { case (savedKey, savedBase, savedTotal, savedScanned) =>
-      // same generation = same inode AND the file did not shrink below
-      // what the previous life had scanned (delete+recreate can REUSE an
-      // inode number, so the length heuristic backs the identity check —
-      // the same pairing the live `len < scanned` rotation test uses)
-      val sameGen = (if (savedKey == "-") key == null
-        else key != null && key.toString == savedKey) && len >= savedScanned
-      if (sameGen) baseCount = savedBase
-      else { baseCount = savedTotal; rotationCount += 1 }
+    readSidecar().foreach {
+      case (savedKey, savedBase, savedTotal, savedScanned, savedFpLen, fp) =>
+        val savedFp = if (fp == "-") "" else fp
+        // same generation = same inode AND the file did not shrink below
+        // what the previous life had scanned (delete+recreate can REUSE an
+        // inode number, so the length heuristic backs the identity check —
+        // the same pairing the live `len < scanned` rotation test uses)
+        // AND, when the sidecar carries a head fingerprint, the current
+        // file's first savedFpLen bytes still hash to it — the check that
+        // catches a same-length-or-longer replacement file on filesystems
+        // with no inode identity (and an inode-number reuse elsewhere)
+        val keyOk = if (savedKey == "-") key == null
+          else key != null && key.toString == savedKey
+        val fpOk = savedFpLen <= 0L || savedFp.isEmpty ||
+          hashHead(savedFpLen) == savedFp
+        val sameGen = keyOk && len >= savedScanned && fpOk
+        if (sameGen) {
+          baseCount = savedBase
+          // the restored head is this generation's: keep the stable
+          // fingerprint instead of re-deriving it on the next refresh
+          if (savedFpLen > 0L && savedFp.nonEmpty) {
+            fpLen = savedFpLen; fpHash = savedFp
+          }
+        }
+        else { baseCount = savedTotal; rotationCount += 1 }
     }
   }
 
@@ -203,6 +255,7 @@ final class FrameIndex(path: String) {
       lineOpen = false
       fileKey = key
       rotationCount += 1
+      fpLen = 0L; fpHash = "" // the new generation gets its own head hash
     }
     if (len > scanned) {
       val in = new java.io.FileInputStream(path)
@@ -226,6 +279,12 @@ final class FrameIndex(path: String) {
         scannedTotal += pos - scanned
         scanned = pos
       } finally in.close()
+    }
+    // grow the head fingerprint until it covers the first 4 KB, then it
+    // is immutable for the rest of the generation (append-only capture)
+    if (fpLen < fpMax && scanned > fpLen) {
+      fpLen = math.min(scanned, fpMax)
+      fpHash = hashHead(fpLen)
     }
     persistSidecar(fileKey)
     baseCount + starts.size

@@ -122,11 +122,18 @@ object JdbcSink {
 
   /** The caller's properties with the dialect's [[SqlDialect.requiredProps]]
     * filled in underneath (a caller-set key is never overridden). The
-    * original Properties object is never mutated. */
+    * original Properties object is never mutated. Copies via
+    * `propertyNames()`/`getProperty` — NOT `putAll`, which sees only the
+    * Hashtable view and would silently drop the defaults of a Properties
+    * built with `new Properties(defaults)`. */
   def withDialectProps(props: java.util.Properties,
       dialect: SqlDialect): java.util.Properties = {
     val merged = new java.util.Properties()
-    merged.putAll(props)
+    val names = props.propertyNames()
+    while (names.hasMoreElements) {
+      val k = names.nextElement().toString
+      merged.setProperty(k, props.getProperty(k)): Unit
+    }
     dialect.requiredProps.foreach { case (k, v) =>
       if (!merged.containsKey(k)) merged.setProperty(k, v): Unit
     }
@@ -137,7 +144,7 @@ object JdbcSink {
     * (`writer_pg.py:123-137`). Idempotent: IF NOT EXISTS where the dialect
     * has it, tolerated already-exists SQLStates where it doesn't. */
   def ensureSchema(url: String, table: String, props: java.util.Properties,
-      dialect: SqlDialect = Postgres, withBatchId: Boolean = false): Unit = {
+      dialect: SqlDialect, withBatchId: Boolean = false): Unit = {
     val conn = DriverManager.getConnection(url, withDialectProps(props, dialect))
     try {
       val st = conn.createStatement()
@@ -157,7 +164,7 @@ object JdbcSink {
     * caps connections like the reference's pool max of 10. */
   def appendBatch(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 500,
-      maxConnections: Int = 10, dialect: SqlDialect = Postgres): Unit =
+      maxConnections: Int = 10, dialect: SqlDialect): Unit =
     df.coalesce(maxConnections)
       .write.mode("append")
       .option("batchsize", batchSize)
@@ -176,7 +183,7 @@ object JdbcSink {
     * same per-partition batched write as appendBatch. */
   def appendBatchExactlyOnce(df: DataFrame, batchId: Long, url: String,
       table: String, props: java.util.Properties, batchSize: Int = 500,
-      maxConnections: Int = 10, dialect: SqlDialect = Postgres): Unit = {
+      maxConnections: Int = 10, dialect: SqlDialect): Unit = {
     val conn = DriverManager.getConnection(url, withDialectProps(props, dialect))
     try {
       val st = conn.createStatement()

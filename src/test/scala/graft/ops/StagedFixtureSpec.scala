@@ -48,6 +48,44 @@ class StagedFixtureSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/ok.txt")))
   }
 
+  test("stagedFixture: a caller parked behind a FAILING build re-resolves, never double-builds") {
+    // the stale-cell race: A starts the build (holds the cell monitor), B
+    // fetches the SAME cell from the map and parks on its monitor, then
+    // A's build fails — the cell dies and is evicted. B must NOT retry
+    // inside the dead cell (a fresh caller may have installed a
+    // replacement: two concurrent builds of one key); it re-resolves
+    // through the map and serializes on the single live cell.
+    val builds = new AtomicInteger(0)
+    val aBuilding = new java.util.concurrent.CountDownLatch(1)
+    def fixture(fail: Boolean): String =
+      stagedFixture("sfspec_stale", "dirS") { p =>
+        builds.incrementAndGet()
+        if (fail) {
+          aBuilding.countDown()
+          Thread.sleep(150) // give B time to park on this cell's monitor
+          sys.error("staged build failed under a parked waiter")
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/ok.txt"), "ok"): Unit
+      }
+    val bPath = new java.util.concurrent.atomic.AtomicReference[String]()
+    val bErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val b = new Thread(() => {
+      try { aBuilding.await(); bPath.set(fixture(fail = false)) }
+      catch { case t: Throwable => bErr.set(t) }
+    })
+    b.start()
+    intercept[RuntimeException](fixture(fail = true))
+    b.join(20000)
+    assert(!b.isAlive && bErr.get() == null, s"B must succeed: ${bErr.get()}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${bPath.get()}/ok.txt")))
+    assert(builds.get() == 2, "exactly A's failed build + B's rebuild")
+    // and later callers get B's path straight from the live cell
+    assert(fixture(fail = true) == bPath.get(), "no third build runs")
+    assert(builds.get() == 2)
+  }
+
   test("stagedFixture: a build may stage its upstream fixture (nested builds)") {
     // the fixture DAG is real (verified pairs → dup_labels, pq model →
     // codes): a composed fixture's build closure resolves its upstream

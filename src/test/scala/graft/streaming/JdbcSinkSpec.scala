@@ -59,6 +59,16 @@ class JdbcSinkSpec extends SparkSpec {
     custom.setProperty("stringtype", "varchar")
     assert(JdbcSink.withDialectProps(custom, JdbcSink.Postgres)
       .getProperty("stringtype") == "varchar")
+    // a Properties built over a DEFAULTS table keeps its defaults: the
+    // copy walks propertyNames()/getProperty, not the Hashtable view
+    // (putAll would silently drop `user` here)
+    val defaults = new java.util.Properties()
+    defaults.setProperty("user", "svc")
+    val layered = new java.util.Properties(defaults)
+    layered.setProperty("password", "pw")
+    val m2 = JdbcSink.withDialectProps(layered, JdbcSink.Postgres)
+    assert(m2.getProperty("user") == "svc" && m2.getProperty("password") == "pw")
+    assert(m2.getProperty("stringtype") == "unspecified")
   }
 
   test("derby: ensureSchema bootstraps idempotently, appendBatch round-trips") {

@@ -89,7 +89,8 @@ class LiveTransportSpec extends SparkSpec {
     out.flush()
   }
 
-  private case class WsScript(frames: Seq[String], cleanClose: Boolean)
+  private case class WsScript(frames: Seq[String], cleanClose: Boolean,
+      rejectHandshake: Boolean = false)
 
   /** A scripted loopback WS server: for each script, accept ONE
     * connection, perform the 101 upgrade, record `expectSubs` incoming
@@ -118,6 +119,7 @@ class LiveTransportSpec extends SparkSpec {
       val in = new DataInputStream(sock.getInputStream)
       val out = sock.getOutputStream
       val head = readHead(in)
+      if (script.rejectHandshake) return // drop before the 101: connect FAILS
       val key = head.collectFirst {
         case h if h.toLowerCase.startsWith("sec-websocket-key:") =>
           h.substring(h.indexOf(':') + 1).trim
@@ -258,6 +260,43 @@ class LiveTransportSpec extends SparkSpec {
     // the reconnect re-ran the full subscribe handshake (the reference's
     // while-True loop resubscribes after every reconnect)
     assert(server.received.toSeq == Seq(subs, subs))
+  }
+
+  test("ws live: a failed handshake during connect spends the backoff budget, then retries") {
+    val frames = Seq("""{"topic":"allLiquidation.BTCUSDT","ts":1,"data":[]}""")
+    val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT"))
+    // the FIRST connection attempt dies before the 101 upgrade completes —
+    // under the old pump this CompletionException escaped hasNext and
+    // killed the stream, bypassing the backoff budget entirely (the
+    // reference keeps websockets.connect INSIDE its try/backoff loop,
+    // binance_adapter.py:96-129, so a refused connect retries)
+    val server = new LoopbackWs(expectSubs = subs.size, Seq(
+      WsScript(Nil, cleanClose = false, rejectHandshake = true),
+      WsScript(frames, cleanClose = true)))
+    val capture =
+      s"${Files.createTempDirectory("ws_connfail").toString}/b.jsonl"
+    val n = WsTransport.pumpTo(
+      new LiveTransport.JdkWsTransport(backoffMs = 5L),
+      s"ws://127.0.0.1:${server.port}/v5/public/linear", subs, capture)
+    server.join()
+    assert(n == 1, "the pump survives a failed initial connect and drains the retry")
+    // only the SUCCESSFUL connection completes the subscribe handshake
+    assert(server.received.toSeq == Seq(subs))
+  }
+
+  test("ws live: repeated connect failures exhaust the budget loudly") {
+    val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT"))
+    val server = new LoopbackWs(expectSubs = subs.size, Seq(
+      WsScript(Nil, cleanClose = false, rejectHandshake = true),
+      WsScript(Nil, cleanClose = false, rejectHandshake = true)))
+    val capture =
+      s"${Files.createTempDirectory("ws_connbudget").toString}/b.jsonl"
+    intercept[java.io.IOException] {
+      WsTransport.pumpTo(
+        new LiveTransport.JdkWsTransport(maxReconnects = 1, backoffMs = 5L),
+        s"ws://127.0.0.1:${server.port}/v5/public/linear", subs, capture)
+    }
+    server.join()
   }
 
   test("ws live: reconnect budget exhausts loudly when the peer keeps dropping") {

@@ -108,6 +108,32 @@ class WsReplaySpec extends SparkSpec {
       "the lost generation's ids clamp to empty extents")
   }
 
+  test("restart fingerprint: an in-place content swap to a LONGER file is a new generation") {
+    val file = s"${tmp("ws_gen_fp")}/frames.jsonl"
+    Files.write(Paths.get(file),
+      (1 to 3).map(i => frame(s"A${i}USDT", i.toLong)).mkString("\n").getBytes)
+    assert(new graft.sources.FrameIndex(file).refresh() == 3)
+    // rotation WHILE DOWN that defeats the inode+length heuristic: the
+    // replacement reuses the same path AND inode (in-place truncating
+    // overwrite) and is LONGER than the persisted scan point, so only the
+    // persisted head fingerprint can tell the bytes changed — without it
+    // the old id space would silently resume over different bytes
+    Files.write(Paths.get(file),
+      (1 to 4).map(i => frame(s"LONGER${i}USDT", i.toLong)).mkString("\n").getBytes)
+    val fi2 = new graft.sources.FrameIndex(file)
+    assert(fi2.refresh() == 7,
+      "different head bytes must rebase past the persisted id high-water")
+    assert(fi2.liveFloor == 3 && fi2.rotations == 1)
+    // and the resumed-generation path still works when the head REALLY is
+    // the same bytes (append-only growth while down)
+    import java.nio.file.StandardOpenOption.APPEND
+    Files.write(Paths.get(file),
+      ("\n" + frame("APPENDUSDT", 9L)).getBytes, APPEND)
+    val fi3 = new graft.sources.FrameIndex(file)
+    assert(fi3.refresh() == 8 && fi3.liveFloor == 3 && fi3.rotations == 0,
+      "an appended-to capture with the same head resumes, not rebases")
+  }
+
   test("a batch splits into seekable range partitions covering the slice exactly") {
     import graft.sources.{WsOffset, WsReplayMicroBatchStream, WsReplayPartition, WsReplayReaderFactory}
     val file = s"${tmp("ws_parts")}/frames.jsonl"
