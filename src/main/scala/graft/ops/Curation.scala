@@ -106,6 +106,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Train/eval contamination AUDIT — the quantitative rung above
+    * [[textDecontam]]'s boolean drop flag: per training document, WHAT
+    * SHARE of its 8-gram shingles also appears in the held-out benchmark
+    * slice, as an integer permille (the standard LLM-pipeline readout —
+    * published decontamination reports quote "% of n-grams overlapping
+    * eval" per doc, and gates trigger on a share threshold rather than a
+    * single shared shingle). `flagged` marks docs past 10% overlap, the
+    * remove-don't-trim regime. All-integer arithmetic (counts and a
+    * non-negative `div`) so the DuckDB oracle is bit-exact at any SF.
+    * Scale shape is [[textDecontam]]'s: the benchmark's distinct shingle
+    * set is tiny → broadcast semi-join against the corpus shingle stream;
+    * both per-doc counts aggregate with map-side combine; the shingle
+    * frame is materialized once because three branches derive from it. */
+  def curateContam(spark: SparkSession, dir: String): DataFrame = {
+    val ex = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        pinned(graft.functions.ShingleHashes(col("text"), decontamWidth)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .materialized
+    val bench = ex.filter(col("doc_id") % 97L === 0L).select("h").distinct()
+    val train = ex.filter(col("doc_id") % 97L =!= 0L)
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train
+      .join(bench, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 97L =!= 0L)
+      .select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      // ShingleHashes emits DISTINCT hashes per doc, so the share is
+      // (distinct contaminated shingles) / (distinct shingles); docs too
+      // short to carry one 8-gram audit as 0 permille (nothing to leak)
+      .withColumn("contam_permille",
+        when(col("n_shingles") > 0L,
+          expr("(1000 * n_contam) div n_shingles")).otherwise(lit(0L)))
+      .withColumn("flagged", col("contam_permille") >= 100L)
+      .orderBy("doc_id")
+  }
+
   /** The composed curation pipeline: quality gate (≥5 tokens, ≤60%
     * stopwords) ∘ exact-dedup keep (first doc per content hash) ∘ near-dup
     * cluster keep (canonical member per connected component). Semi-joins
@@ -752,6 +796,34 @@ object Curation {
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       WHERE d.doc_id % 97 <> 0
       ORDER BY doc_id""",
+    "curate_contam" -> s"""
+      WITH toks AS (SELECT doc_id, ${DedupOps.duckToks} AS toks FROM documents),
+      th AS (SELECT doc_id, list_transform(toks, t -> ${DedupOps.duckTokenHash}) AS th
+             FROM toks),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(th) - ${decontamWidth - 2}),
+               i -> list_reduce(th[i:i+${decontamWidth - 1}],
+                                (a, b) -> (a*31 + b) % 1000000007))) AS sh
+             FROM th WHERE len(th) >= $decontamWidth),
+      ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+      tot AS (SELECT doc_id, count(*) AS n_shingles FROM ex
+              WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+      hits AS (SELECT ex.doc_id AS doc_id, count(*) AS n_contam
+               FROM ex JOIN bench ON ex.h = bench.h
+               WHERE ex.doc_id % 97 <> 0 GROUP BY ex.doc_id),
+      base AS (SELECT d.doc_id AS doc_id,
+                      coalesce(t.n_shingles, 0)::BIGINT AS n_shingles,
+                      coalesce(h.n_contam, 0)::BIGINT AS n_contam
+               FROM documents d
+               LEFT JOIN tot t ON d.doc_id = t.doc_id
+               LEFT JOIN hits h ON d.doc_id = h.doc_id
+               WHERE d.doc_id % 97 <> 0)
+      SELECT doc_id, n_shingles, n_contam,
+             (CASE WHEN n_shingles > 0 THEN (1000 * n_contam) // n_shingles
+                   ELSE 0 END)::BIGINT AS contam_permille,
+             (CASE WHEN n_shingles > 0 THEN (1000 * n_contam) // n_shingles
+                   ELSE 0 END) >= 100 AS flagged
+      FROM base ORDER BY doc_id""",
     "sample_stratified" -> s"""
       WITH h AS (SELECT doc_id, lang, $duckStratBucket AS bucket FROM documents)
       SELECT doc_id, lang, bucket FROM h
@@ -788,5 +860,6 @@ object Curation {
     "curate_gate" -> curateGate _,
     "shuffle_epochs" -> ((s, d) => shuffleEpochs(s, d)),
     "curate_kanon" -> curateKanon _,
+    "curate_contam" -> curateContam _,
   )
 }

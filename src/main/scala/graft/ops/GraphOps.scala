@@ -847,6 +847,61 @@ object GraphOps {
       .select(col("id"), coalesce(col("b"), lit(0L)).as("betw_ppm"))
   }
 
+  /** Attenuation reciprocal for [[katz]]: α = 1/8 — comfortably below
+    * 1/λ_max of the lane skeleton (out-degree ≤ [[betwLanes]] = 3 bounds
+    * the spectral radius at 3, so the Katz series would converge even
+    * untruncated), and a power of two so the integer scaling below is a
+    * shift, never a rounding. */
+  val katzBetaInv = 8L
+
+  /** KATZ CENTRALITY (truncated power series) — the eigenvector-family
+    * prestige score over the lane skeleton: which nations do trade walks
+    * ACCUMULATE AT, weighting a length-k arrival by α^k (long detours
+    * count geometrically less). Katz is the directed-graph member of the
+    * eigenvector family that stays defined when the graph is not
+    * strongly connected (pure eigenvector centrality collapses on the
+    * lane skeleton's sources/sinks; PageRank redistributes by OUT-degree
+    * — Katz answers the pure in-prestige question). Truncated at the
+    * fixture's [[betwHops]] powers and scaled by α^{-hops} = 8^{hops−k}
+    * per term, the score is a pure BIGINT: katz_scaled(v) = Σ_{s≠v,k}
+    * W_k(s,v)·8^{hops−k} — exact in any partition order, no doubles.
+    *
+    * The THIRD consumer of the stored [[laneWalks]] walk-power table
+    * (after betweenness and closeness): the query itself is ONE keyed
+    * aggregate over the staged V²-bounded frame plus a broadcast name
+    * join — the whole point of paying the powers once at stage time. */
+  def katz(spark: SparkSession, dir: String): DataFrame = {
+    val (aw, verts) = laneWalks(spark, dir)
+    katzCore(aw, verts)
+      .join(broadcast(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
+        "id")
+      .select(col("nation"), col("katz_scaled"))
+      .orderBy("nation")
+  }
+
+  /** Spec entry: truncated Katz over any directed (src, dst) edge frame
+    * (builds the walk table live; the query path reads the store). */
+  private[graft] def katzOf(edges0: DataFrame, hops: Int): DataFrame = {
+    val e = materialize(edges0.select("src", "dst"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    katzCore(walkPowers(e, hops), verts)
+  }
+
+  private def katzCore(aw: DataFrame, verts: DataFrame): DataFrame = {
+    // 8^(hops−k) per length-k term, generated from the same constants on
+    // both engines (the walk table carries k ∈ 1..betwHops); aw already
+    // excludes s = t rows, so closed walks back to the source never score
+    val scale = (1 to betwHops).map(k =>
+      s"when k = $k then ${math.pow(katzBetaInv.toDouble, (betwHops - k).toDouble).toLong}L")
+      .mkString("case ", " ", " else 0L end")
+    val kz = aw.groupBy("t")
+      .agg(sum(expr(s"paths * ($scale)")).as("kz"))
+    verts.join(kz, verts("id") === col("t"), "left")
+      .select(col("id"), coalesce(col("kz"), lit(0L)).as("katz_scaled"))
+  }
+
   /** Prune rounds / degree threshold for [[kCore]] — fixed, so both
     * engines run the identical unrolled computation (the hop-budget
     * convention of [[sssp]]/[[kHop]]: semantics are "the edge set after
@@ -1341,6 +1396,46 @@ object GraphOps {
         LEFT JOIN cl ON cl.s = v.id
         ORDER BY nation"""
       },
+      "graph_katz" -> {
+        def pow(out: String, p: String) = s"""
+        w$out AS (SELECT w.s, e.dst AS t, CAST(sum(w.paths) AS BIGINT) AS paths
+                  FROM $p w JOIN e ON w.t = e.src GROUP BY 1, 2)"""
+        val scale = (1 to betwHops).map(k =>
+          s"WHEN k = $k THEN ${math.pow(katzBetaInv.toDouble, (betwHops - k).toDouble).toLong}")
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""
+        WITH raw AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        lanes AS (SELECT src, dst,
+                         row_number() OVER (PARTITION BY src
+                                            ORDER BY cnt DESC, dst) AS rn
+                  FROM raw WHERE src <> dst),
+        e AS MATERIALIZED (SELECT src, dst FROM lanes WHERE rn <= $betwLanes),
+        w1 AS (SELECT src AS s, dst AS t, CAST(1 AS BIGINT) AS paths FROM e),
+        ${pow("2", "w1")},
+        ${pow("3", "w2")},
+        ${pow("4", "w3")},
+        kz AS (
+          SELECT t, CAST(sum(paths * ($scale)) AS BIGINT) AS katz_scaled
+          FROM (
+            SELECT s, t, paths, 1 AS k FROM w1
+            UNION ALL SELECT s, t, paths, 2 FROM w2
+            UNION ALL SELECT s, t, paths, 3 FROM w3
+            UNION ALL SELECT s, t, paths, 4 FROM w4)
+          WHERE s <> t GROUP BY t),
+        verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+        SELECT n.n_name AS nation,
+               COALESCE(kz.katz_scaled, 0) AS katz_scaled
+        FROM verts v
+        JOIN nation n ON n.n_nationkey = v.id
+        LEFT JOIN kz ON kz.t = v.id
+        ORDER BY nation"""
+      },
       // base-only and full closures, diffed: the merge report is the rows
       // whose component id changed (or appeared) when the delta landed
       "graph_cc_incr" -> """
@@ -1379,6 +1474,7 @@ object GraphOps {
     "graph_sssp" -> sssp _,
     "graph_betweenness" -> betweenness _,
     "graph_closeness" -> closeness _,
+    "graph_katz" -> katz _,
     "graph_label_prop" -> labelProp _,
     "graph_degree_dist" -> degreeDist _,
     "graph_assortativity" -> assortativity _,

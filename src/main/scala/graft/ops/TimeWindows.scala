@@ -692,6 +692,58 @@ object TimeWindows {
       .orderBy("event_type", "dow")
   }
 
+  /** STL-LITE DECOMPOSITION — the additive trend × weekday-seasonal ×
+    * remainder split beside [[tsSeasonal]]'s profile and [[tsHolt]]'s
+    * forecast: per (event_type, day), y = trend + seasonal(dow) +
+    * remainder, with trend the ±3-day centered moving mean (RANGE frame
+    * on the day index, so calendar gaps shrink the window instead of
+    * sliding past them) and seasonal the per-weekday mean of the
+    * detrended series — one pass of the classic STL inner loop, which is
+    * the whole loop when the loess is a plain mean.
+    *
+    * Exactness: daily sums are DECIMAL(18,2) cents (exact BIGINT); the
+    * trend mean is scaled by 420 = lcm(1..7), so sw·(420 div cw) is an
+    * exact INTEGER for every window population cw ≤ 7 — no division
+    * happens until the final display doubles, whose expression trees are
+    * identical in both engines over identical integer inputs, then 6-dp
+    * rounded. The per-weekday seasonal sum folds exact BIGINTs, so it is
+    * partition-order independent.
+    *
+    * Plan: one keyed daily aggregate (map-side combined), one RANGE
+    * window over day-count-sized partitions, a 7-row-per-type seasonal
+    * fold broadcast back. Scales as the candles queries do — the only
+    * per-row state is a ±3-day frame. */
+  def tsStl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("yc"))
+      .withColumn("d", datediff(to_date(col("day")), lit("1970-01-01")))
+      .withColumn("dow", dayofweek(to_date(col("day"))) - 1)
+    val w = Window.partitionBy("event_type").orderBy("d").rangeBetween(-3, 3)
+    val tr = daily
+      .withColumn("sw", sum("yc").over(w))
+      .withColumn("cw", count(lit(1)).over(w))
+      // 420 = lcm(1..7): the scaled trend is integer for any cw ≤ 7
+      .withColumn("ts_scaled", expr("sw * (420 div cw)"))
+      .withColumn("det", col("yc") * 420L - col("ts_scaled"))
+    val seas = tr.groupBy("event_type", "dow")
+      .agg(sum("det").as("s_sum"), count(lit(1)).as("n_w"))
+    tr.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"),
+        roundD(col("yc").cast(DoubleType) / 100.0, 6).as("y"),
+        roundD(col("ts_scaled").cast(DoubleType) / 42000.0, 6).as("trend"),
+        roundD(col("s_sum").cast(DoubleType) / col("n_w").cast(DoubleType)
+          / 42000.0, 6).as("seasonal"),
+        roundD(col("det").cast(DoubleType) / 42000.0 -
+          col("s_sum").cast(DoubleType) / col("n_w").cast(DoubleType)
+          / 42000.0, 6).as("remainder"))
+      .orderBy("event_type", "day")
+  }
+
   /** TWAP — TIME-weighted average price per series-day, the execution-
     * quality benchmark next to VWAP (volume-weighted, the streaming CLI's
     * `--vwap`): each observation holds its value until the next one, so
@@ -862,6 +914,40 @@ object TimeWindows {
       FROM r WHERE rk = 1 ORDER BY event_type""",
     // identical decimal sums; the two means and their ratio are the same
     // IEEE division tree on bit-identical inputs
+    // identical integer scaling (420 = lcm(1..7)) and display-double trees
+    "ts_stl" -> """
+      WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow
+        FROM events GROUP BY 1, 2, 4, 5),
+      tr0 AS (
+        SELECT *, sum(yc) OVER w AS sw, count(*) OVER w AS cw
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tr AS (
+        SELECT *, sw * (420 // cw) AS ts_scaled,
+               yc * 420 - sw * (420 // cw) AS det
+        FROM tr0),
+      seas AS (
+        SELECT event_type, dow, CAST(sum(det) AS BIGINT) AS s_sum,
+               count(*) AS n_w
+        FROM tr GROUP BY 1, 2)
+      SELECT t.event_type, t.day,
+             floor(yc::DOUBLE / 100 * 1e6 + 0.5) / 1e6 AS y,
+             floor(ts_scaled::DOUBLE / 42000 * 1e6 + 0.5) / 1e6 AS trend,
+             floor(s_sum::DOUBLE / n_w::DOUBLE / 42000 * 1e6 + 0.5) / 1e6
+               AS seasonal,
+             floor((det::DOUBLE / 42000
+                    - s_sum::DOUBLE / n_w::DOUBLE / 42000) * 1e6 + 0.5) / 1e6
+               AS remainder
+      FROM tr t JOIN seas s
+        ON t.event_type = s.event_type AND t.dow = s.dow
+      ORDER BY t.event_type, t.day""",
     "ts_seasonal" -> """
       WITH p AS (
         SELECT event_type, dayofweek(ts) AS dow, count(*) AS cnt,
@@ -1166,6 +1252,7 @@ object TimeWindows {
     "ts_theil_sen" -> tsTheilSen _,
     "ts_hampel" -> tsHampel _,
     "ts_seasonal" -> tsSeasonal _,
+    "ts_stl" -> tsStl _,
     "ts_changepoint" -> tsChangepoint _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,

@@ -465,6 +465,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_stl: components rebuild y exactly; seasonal mass is zero per weekday") {
+    val rows = TimeWindows.tsStl(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // additive identity: y = trend + seasonal + remainder (each component
+    // is 6-dp rounded, so the rebuild is exact to a few ulps of 1e-6)
+    rows.foreach { case (tpe, day, y, t, s, r) =>
+      assert(math.abs(y - (t + s + r)) <= 3e-6,
+        s"$tpe $day: $y != $t + $s + $r")
+    }
+    // the seasonal is the weekday MEAN of the detrended series, so the
+    // detrended-minus-seasonal remainders sum to ~0 within each
+    // (type, weekday) cell — the defining normalization of the split
+    val byDow = rows.groupBy { case (tpe, day, _, _, _, _) =>
+      (tpe, java.time.LocalDate.parse(day).getDayOfWeek)
+    }
+    byDow.foreach { case (cell, rs) =>
+      val m = rs.map(_._6).sum / rs.size
+      assert(math.abs(m) <= 1e-5, s"$cell remainder mean must vanish: $m")
+    }
+    // weekday seasonal is constant within a (type, dow) cell
+    byDow.foreach { case (cell, rs) =>
+      assert(rs.map(_._5).distinct.size == 1, s"$cell seasonal not constant")
+    }
+  }
+
   test("win_concurrency: nested intervals stack, touching intervals do not") {
     import spark.implicits._
     import java.sql.Timestamp

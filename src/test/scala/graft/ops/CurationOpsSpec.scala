@@ -68,6 +68,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(3L) == ((0L, false))) // sub-width doc cannot collide
   }
 
+  test("curate_contam: permille share hand-checked, total contamination scores 1000") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 10 tokens → 3 distinct 8-grams, ALL in the benchmark: 1000 permille
+    val total = bench
+    // 2 leading fresh tokens then the benchmark's first 8: 3 shingles,
+    // exactly 1 contaminated → 333 permille, under the 10% flag? no: over
+    val partial = "XX YY " + bench.split(" ").take(8).mkString(" ")
+    val clean = "one two three four five six seven eight nine ten"
+    val short6 = "alpha beta gamma delta epsilon zeta"
+    val tmp = miniCorpus(Seq(
+      (0L, bench, "en", "src0", bench.length.toLong), // benchmark slice
+      (1L, total, "en", "src0", total.length.toLong),
+      (2L, partial, "en", "src0", partial.length.toLong),
+      (3L, clean, "en", "src0", clean.length.toLong),
+      (4L, short6, "en", "src0", short6.length.toLong)))
+    val rows = Curation.curateContam(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(!rows.contains(0L), "the benchmark doc is not a training row")
+    assert(rows(1L) == ((3L, 3L, 1000L, true)), s"full copy: ${rows(1L)}")
+    assert(rows(2L) == ((3L, 1L, 333L, true)), s"1-of-3 shingles: ${rows(2L)}")
+    assert(rows(3L) == ((3L, 0L, 0L, false)))
+    assert(rows(4L) == ((0L, 0L, 0L, false)), "sub-width doc audits as clean")
+  }
+
   test("text_pii: plants are counted and scrubbed, clean docs untouched") {
     val out = TextOps.textPii(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

@@ -282,6 +282,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(c6(1L) == 4L, s"hop budget must cap reach at 4: $c6")
   }
 
+  test("katz: geometric walk weights accumulate at sinks, sources score zero") {
+    import spark.implicits._
+    // chain 1→2→3→4: with α=1/8 truncated at 4 hops, scaled by 8⁴ terms
+    // are 8³ per length-1 walk, 8² per length-2, 8 per length-3. Vertex 2
+    // receives one 1-walk (512); 3 receives one 1-walk + one 2-walk
+    // (512+64); 4 one of each length 1..3 (512+64+8). Source 1 gets 0.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val k = GraphOps.katzOf(chain, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k == Map(1L -> 0L, 2L -> 512L, 3L -> 576L, 4L -> 584L),
+      s"chain katz wrong: $k")
+    // parallel walks ADD: a diamond 1→{2,3}→4 gives 4 two 2-walks
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val kd = GraphOps.katzOf(diamond, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kd(4L) == 2 * 512L + 2 * 64L,
+      s"two direct walks + two 2-walks into the sink: $kd")
+    // closed walks back to the SOURCE never score (aw drops s = t): on a
+    // 2-cycle each vertex sees only the walks STARTING AT THE OTHER —
+    // lengths 1 and 3 → 512 + 8
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val kc = GraphOps.katzOf(cyc, GraphOps.betwHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kc == Map(1L -> 520L, 2L -> 520L), s"2-cycle katz wrong: $kc")
+  }
+
   test("kcore: a path peels to nothing; a triangle with a tail keeps the triangle") {
     import spark.implicits._
     // path 0-1-2-3-4 (canonical a<b): endpoints peel first, then inward —
