@@ -672,26 +672,47 @@ object TextOps {
     * Misra-Gries-candidate convention) and everything after runs on
     * ≤51 symbols per source — drift cost is O(sources·vocab), however
     * large the corpus. */
+  /** Quantized log2 on the 1e−6 grid — the shared closed-form-entropy
+    * convention of [[textPpl]]/[[textJsd]]/[[textEntropyDrift]] (one
+    * definition; the oracle SQL mirrors it verbatim). */
+  private def qlog2(c: Column): Column =
+    floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+
+  /** The STORED bounded symbol profile [[textJsd]] and
+    * [[textEntropyDrift]] both run on: (source, sym, c) where sym is one
+    * of the corpus-wide top-[[jsdVocab]] tokens or `<other>`. Staged once
+    * per (JVM, dataset dir) ([[graft.ops.stagedFixture]] `jsd_symbols`) —
+    * the one tokenize pass over the corpus AND the one bounded driver
+    * collect of the top-token list (the Misra-Gries-candidate convention)
+    * are paid at stage time; every consumer reads the ≤ sources·51-row
+    * store. Factored here because the two monitors MUST agree on the
+    * symbol set by construction, not by parallel re-derivation. */
+  private def symbolProfile(spark: SparkSession, dir: String): DataFrame = {
+    val p = stagedFixture("jsd_symbols", dir) { path =>
+      val tokCounts = materialize(
+        table(spark, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c")))
+      val top = tokCounts.groupBy("token").agg(sum("c").as("ct"))
+        .orderBy(col("ct").desc, col("token")).limit(jsdVocab)
+        .select("token").collect().map(_.getString(0)).toSeq
+      tokCounts
+        .select(col("source"),
+          when(col("token").isin(top: _*), col("token"))
+            .otherwise(lit("<other>")).as("sym"),
+          col("c"))
+        .groupBy("source", "sym").agg(sum("c").cast(LongType).as("c"))
+        .write.mode("overwrite").parquet(s"$path/sym")
+    }
+    spark.read.parquet(s"$p/sym")
+  }
+
   def textJsd(spark: SparkSession, dir: String): DataFrame = {
-    def ql(c: Column): Column =
-      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
-    val tokCounts = materialize(
-      table(spark, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("token"))
-        .groupBy("source", "token").agg(count(lit(1)).as("c")))
-    val top = tokCounts.groupBy("token").agg(sum("c").as("ct"))
-      .orderBy(col("ct").desc, col("token")).limit(jsdVocab)
-      .select("token").collect().map(_.getString(0)).toSeq
-    val sym = materialize(tokCounts
-      .select(col("source"),
-        when(col("token").isin(top: _*), col("token"))
-          .otherwise(lit("<other>")).as("sym"),
-        col("c"))
-      .groupBy("source", "sym").agg(sum("c").as("c")))
+    val sym = symbolProfile(spark, dir)
     val corpus = sym.groupBy("sym").agg(sum("c").cast(LongType).as("q"))
     val srcN = sym.groupBy("source").agg(sum("c").cast(LongType).as("np"))
     val nqF = corpus.agg(sum("q").cast(LongType).as("nq"),
-      sum((col("q") * ql(col("q"))).cast(DecimalType(38, 0))).as("sum_q"))
+      sum((col("q") * qlog2(col("q"))).cast(DecimalType(38, 0))).as("sum_q"))
     val grid = srcN.crossJoin(broadcast(corpus)).crossJoin(broadcast(nqF))
       .join(sym, Seq("source", "sym"), "left")
       .select(col("source"), col("np"), col("nq"), col("sum_q"),
@@ -699,19 +720,19 @@ object TextOps {
       .withColumn("u", col("c") * col("nq") + col("q") * col("np"))
     val per = grid.groupBy("source", "np", "nq", "sum_q")
       .agg(
-        sum(when(col("c") > 0L, (col("c") * ql(col("c")))
+        sum(when(col("c") > 0L, (col("c") * qlog2(col("c")))
           .cast(DecimalType(38, 0))).otherwise(lit(0L).cast(DecimalType(38, 0))))
           .as("sum_c"),
-        sum((col("u").cast(DecimalType(38, 0)) * ql(col("u"))))
+        sum((col("u").cast(DecimalType(38, 0)) * qlog2(col("u"))))
           .as("sum_u"))
     val npd = col("np").cast(DoubleType)
     val nqd = col("nq").cast(DoubleType)
     val dd = lit(2.0) * npd * nqd
-    val hp = (npd * ql(col("np")).cast(DoubleType) -
+    val hp = (npd * qlog2(col("np")).cast(DoubleType) -
       col("sum_c").cast(DoubleType)) / (npd * 1e6)
-    val hq = (nqd * ql(col("nq")).cast(DoubleType) -
+    val hq = (nqd * qlog2(col("nq")).cast(DoubleType) -
       col("sum_q").cast(DoubleType)) / (nqd * 1e6)
-    val hm = (dd * ql(lit(2L) * col("np") * col("nq")).cast(DoubleType) -
+    val hm = (dd * qlog2(lit(2L) * col("np") * col("nq")).cast(DoubleType) -
       col("sum_u").cast(DoubleType)) / (dd * 1e6)
     per.select(col("source"), col("np").as("n_tokens"),
         roundD(hm - (hp + hq) / 2.0, 6).as("jsd_bits"))
@@ -739,32 +760,18 @@ object TextOps {
     * collect, the Misra-Gries-candidate convention); everything after is
     * O(sources·vocab) with the one-row corpus moments broadcast. */
   def textEntropyDrift(spark: SparkSession, dir: String): DataFrame = {
-    def ql(c: Column): Column =
-      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
-    val tokCounts = materialize(
-      table(spark, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("token"))
-        .groupBy("source", "token").agg(count(lit(1)).as("c")))
-    val top = tokCounts.groupBy("token").agg(sum("c").as("ct"))
-      .orderBy(col("ct").desc, col("token")).limit(jsdVocab)
-      .select("token").collect().map(_.getString(0)).toSeq
-    val sym = materialize(tokCounts
-      .select(col("source"),
-        when(col("token").isin(top: _*), col("token"))
-          .otherwise(lit("<other>")).as("sym"),
-        col("c"))
-      .groupBy("source", "sym").agg(sum("c").cast(LongType).as("c")))
+    val sym = symbolProfile(spark, dir)
     val nqF = sym.groupBy("sym").agg(sum("c").cast(LongType).as("q"))
       .agg(sum("q").cast(LongType).as("nq"),
-        sum((col("q") * ql(col("q"))).cast(DecimalType(38, 0))).as("sum_q"))
+        sum((col("q") * qlog2(col("q"))).cast(DecimalType(38, 0))).as("sum_q"))
     val per = sym.groupBy("source")
       .agg(sum("c").cast(LongType).as("np"),
-        sum((col("c") * ql(col("c"))).cast(DecimalType(38, 0))).as("sum_c"))
+        sum((col("c") * qlog2(col("c"))).cast(DecimalType(38, 0))).as("sum_c"))
     val npd = col("np").cast(DoubleType)
     val nqd = col("nq").cast(DoubleType)
-    val hp = (npd * ql(col("np")).cast(DoubleType) -
+    val hp = (npd * qlog2(col("np")).cast(DoubleType) -
       col("sum_c").cast(DoubleType)) / (npd * 1e6)
-    val hq = (nqd * ql(col("nq")).cast(DoubleType) -
+    val hq = (nqd * qlog2(col("nq")).cast(DoubleType) -
       col("sum_q").cast(DoubleType)) / (nqd * 1e6)
     per.crossJoin(broadcast(nqF)) // one-row corpus moments: bounded fold
       .select(col("source"), col("np").as("n_tokens"),
@@ -809,9 +816,7 @@ object TextOps {
     * log grid, and only the final slope/intercept are doubles (identical
     * IEEE tree both engines, 6 dp). */
   def textZipf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    def ql(c: Column): Column =
-      floor(log2(c.cast(DoubleType)) * 1e6 + 0.5).cast(LongType)
+    import org.apache.spark.sql.types.LongType
     val top = table(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -822,7 +827,7 @@ object TextOps {
       .select(posexplode(col("a")).as(Seq("i", "s")))
       .select((col("i") + 1).cast(LongType).as("r"), col("s.freq").as("freq"))
     val m = ranked
-      .select(ql(col("r")).as("x"), ql(col("freq")).as("y"))
+      .select(qlog2(col("r")).as("x"), qlog2(col("freq")).as("y"))
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
@@ -1213,7 +1218,7 @@ object TextOps {
          FROM tc GROUP BY 1 ORDER BY source""",
     // identical top-K head, quantized logs, and final double fit tree
     "text_zipf" -> {
-      def ql(x: String) =
+      def qlog2(x: String) =
         s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
       s"""
       WITH toks AS (
@@ -1224,7 +1229,7 @@ object TextOps {
             ORDER BY freq DESC, token LIMIT $zipfTop),
       r AS (SELECT row_number() OVER (ORDER BY freq DESC, token) AS r, freq
             FROM f),
-      q AS (SELECT ${ql("r")} AS x, ${ql("freq")} AS y FROM r),
+      q AS (SELECT ${qlog2("r")} AS x, ${qlog2("freq")} AS y FROM r),
       m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
                    sum(x * y) AS sxy, sum(x * x) AS sxx
             FROM q)
@@ -1239,7 +1244,7 @@ object TextOps {
       FROM m"""
     },
     "text_jsd" -> {
-      def ql(x: String) =
+      def qlog2(x: String) =
         s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
       s"""
       WITH toks AS (
@@ -1260,7 +1265,7 @@ object TextOps {
       corpus AS (SELECT sym, CAST(sum(c) AS BIGINT) AS q FROM sym GROUP BY 1),
       srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS np FROM sym GROUP BY 1),
       nqf AS (SELECT CAST(sum(q) AS BIGINT) AS nq,
-                     CAST(sum(q * ${ql("q")}) AS DECIMAL(38,0)) AS sum_q
+                     CAST(sum(q * ${qlog2("q")}) AS DECIMAL(38,0)) AS sum_q
               FROM corpus),
       grid AS (
         SELECT s.source, s.np, n.nq, n.sum_q, c2.q, COALESCE(y.c, 0) AS c
@@ -1270,19 +1275,19 @@ object TextOps {
       per AS (
         SELECT source, np, nq, sum_q,
                CAST(sum(CASE WHEN c > 0
-                             THEN CAST(c * ${ql("c")} AS DECIMAL(38,0))
+                             THEN CAST(c * ${qlog2("c")} AS DECIMAL(38,0))
                              ELSE 0 END) AS DECIMAL(38,0)) AS sum_c,
-               CAST(sum(CAST(u AS DECIMAL(38,0)) * ${ql("u")})
+               CAST(sum(CAST(u AS DECIMAL(38,0)) * ${qlog2("u")})
                     AS DECIMAL(38,0)) AS sum_u
         FROM g2 GROUP BY 1, 2, 3, 4)
       SELECT source, np AS n_tokens,
              floor((
                (2.0 * np::DOUBLE * nq::DOUBLE
-                  * ${ql("2 * np * nq")}::DOUBLE - sum_u::DOUBLE)
+                  * ${qlog2("2 * np * nq")}::DOUBLE - sum_u::DOUBLE)
                  / (2.0 * np::DOUBLE * nq::DOUBLE * 1e6)
-               - ((np::DOUBLE * ${ql("np")}::DOUBLE - sum_c::DOUBLE)
+               - ((np::DOUBLE * ${qlog2("np")}::DOUBLE - sum_c::DOUBLE)
                     / (np::DOUBLE * 1e6)
-                  + (nq::DOUBLE * ${ql("nq")}::DOUBLE - sum_q::DOUBLE)
+                  + (nq::DOUBLE * ${qlog2("nq")}::DOUBLE - sum_q::DOUBLE)
                     / (nq::DOUBLE * 1e6)) / 2.0
              ) * 1e6 + 0.5) / 1e6 AS jsd_bits
       FROM per ORDER BY source"""
@@ -1291,7 +1296,7 @@ object TextOps {
     // entropies in the same quantized-log2 closed form, drift = signed
     // difference of the two identical double trees
     "text_entropy_drift" -> {
-      def ql(x: String) =
+      def qlog2(x: String) =
         s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
       s"""
       WITH toks AS (
@@ -1311,17 +1316,17 @@ object TextOps {
         FROM tc GROUP BY 1, 2),
       corpus AS (SELECT sym, CAST(sum(c) AS BIGINT) AS q FROM sym GROUP BY 1),
       nqf AS (SELECT CAST(sum(q) AS BIGINT) AS nq,
-                     CAST(sum(q * ${ql("q")}) AS DECIMAL(38,0)) AS sum_q
+                     CAST(sum(q * ${qlog2("q")}) AS DECIMAL(38,0)) AS sum_q
               FROM corpus),
       per AS (SELECT source, CAST(sum(c) AS BIGINT) AS np,
-                     CAST(sum(c * ${ql("c")}) AS DECIMAL(38,0)) AS sum_c
+                     CAST(sum(c * ${qlog2("c")}) AS DECIMAL(38,0)) AS sum_c
               FROM sym GROUP BY 1)
       SELECT source, np AS n_tokens,
-             floor(((np::DOUBLE * ${ql("np")}::DOUBLE - sum_c::DOUBLE)
+             floor(((np::DOUBLE * ${qlog2("np")}::DOUBLE - sum_c::DOUBLE)
                       / (np::DOUBLE * 1e6)) * 1e6 + 0.5) / 1e6 AS h_bits,
-             floor(((np::DOUBLE * ${ql("np")}::DOUBLE - sum_c::DOUBLE)
+             floor(((np::DOUBLE * ${qlog2("np")}::DOUBLE - sum_c::DOUBLE)
                       / (np::DOUBLE * 1e6)
-                    - (nq::DOUBLE * ${ql("nq")}::DOUBLE - sum_q::DOUBLE)
+                    - (nq::DOUBLE * ${qlog2("nq")}::DOUBLE - sum_q::DOUBLE)
                       / (nq::DOUBLE * 1e6)) * 1e6 + 0.5) / 1e6
                AS drift_bits
       FROM per CROSS JOIN nqf ORDER BY source"""
@@ -1369,10 +1374,10 @@ object TextOps {
         s"count(*) FILTER (WHERE token = '$t') AS tf$i" }.mkString(", ")
       val dfSel = bm25Terms.indices.map(i =>
         s"count(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
-      def ql(x: String) =
+      def qlog2(x: String) =
         s"CAST(floor(log2(CAST($x AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
       val contribs = bm25Terms.indices.map { i =>
-        s"((${ql("2 * n + 1")} - ${ql(s"2 * df$i + 1")}) * " +
+        s"((${qlog2("2 * n + 1")} - ${qlog2(s"2 * df$i + 1")}) * " +
           s"((tf$i * CAST(2200000 AS BIGINT) * 1000000) " +
           s"// (tf$i * 1000000 + ku))) // 1000000"
       }.mkString("(", " + ", ")")
