@@ -338,6 +338,16 @@ object WsReplay {
   def indexFor(path: String): FrameIndex =
     indexes.computeIfAbsent(path, p => new FrameIndex(p))
 
+  /** TEST SEAM — drop the cached driver-side index for `path`, simulating a
+    * driver restart: a fresh JVM starts with an empty cache, so the next
+    * `indexFor` builds a new [[FrameIndex]] that must restore generation
+    * state from the `.gen` sidecar (exactly the cross-restart invariant the
+    * sidecar exists for). Production code never calls this — within one
+    * driver life the cached index IS the generation state. */
+  private[graft] def evictIndex(path: String): Unit = {
+    indexes.remove(path): Unit
+  }
+
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
   /** App-layer control frame, matched against the exact shapes the reference

@@ -928,12 +928,11 @@ object StreamAssembly {
     * H = (n·qlog2(n) − Σ c·qlog2(c)) / (n·10⁶) over integer conditional
     * counts on the 1e−6 log grid, one identical double tree at the end
     * (6 dp), so stream, batch, and the DuckDB oracle land bit-identical.
-    * Integer envelope: each c·qlog2(c) term is an int64 product, safe to
-    * ~2e11 events per hour-bucket (qlog2 < 4e7 there) — a per-hour
-    * volume far past any real feed; past it, lift the term to
-    * DECIMAL(38,0) the way text_jsd's moments do. */
+    * Each c·qlog2(c) term rides DECIMAL(38,0) (the `text_jsd` moment
+    * convention), so the integer sum is exact at ANY per-hour volume —
+    * no documented int64 envelope to outgrow. */
   private[graft] def entropyAgg(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     val counts = driftBaseline.zipWithIndex.map { case ((t, _), i) =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
     }
@@ -946,7 +945,9 @@ object StreamAssembly {
     val other = col("n") -
       driftBaseline.indices.map(i => col(s"c$i")).reduce(_ + _)
     val cs = driftBaseline.indices.map(i => col(s"c$i")) :+ other
-    val sumC = cs.map(c => when(c > 0L, c * ql(c)).otherwise(lit(0L)))
+    val dec = DecimalType(38, 0)
+    val sumC = cs.map(c => when(c > 0L,
+        c.cast(dec) * ql(c).cast(dec)).otherwise(lit(0L).cast(dec)))
       .reduce(_ + _)
     val nD = col("n").cast(DoubleType)
     agged.select(unix_millis(col("w.start")).as("hour_ms"), col("n"),

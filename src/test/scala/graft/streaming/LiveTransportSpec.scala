@@ -299,6 +299,95 @@ class LiveTransportSpec extends SparkSpec {
     server.join()
   }
 
+  /** The FLAGSHIP composition through the LIVE transports — the reference's
+    * `run_all` (`stream.py:169-188`: 8 concurrent WS tasks → normalize →
+    * one shared writer) with real bytes and zero egress: 8 loopback RFC
+    * 6455 servers (two connections per WS exchange, the usdt/coin pair of
+    * the `--all` roster) are pumped through [[LiveTransport.JdkWsTransport]]
+    * by 4 concurrent driver threads into the per-exchange capture files,
+    * then the full `--all` assembly (5 sources → per-exchange normalizers →
+    * `unionByName` → fan-out sinks) runs over them. Parity: the captures
+    * must be byte-identical to the recorded-double path's, and the parquet
+    * sink must hold exactly the same normalized rows as a second `--all`
+    * run over double-written captures. */
+  test("flagship --all through live sockets: 8 loopback streams, sink parity with the double path") {
+    import graft.normalize.Fixtures
+    val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT"))
+    val exchanges = Seq(
+      "binance" -> Fixtures.binance, "bybit" -> Fixtures.bybit,
+      "okx" -> Fixtures.okx, "aster" -> Fixtures.aster)
+    // two live connections per exchange — the roster's usdt/coin split —
+    // each serving half the exchange's frames; all 8 servers live at once
+    val servers = exchanges.map { case (ex, frames) =>
+      val half = (frames.size + 1) / 2
+      ex -> Seq(
+        new LoopbackWs(subs.size, Seq(WsScript(frames.take(half), cleanClose = true))),
+        new LoopbackWs(subs.size, Seq(WsScript(frames.drop(half), cleanClose = true))))
+    }
+    val liveRoot = Files.createTempDirectory("live_all").toString
+    // 4 concurrent pump threads (one per capture file; the two connections
+    // of an exchange append sequentially so lines never interleave)
+    val pumps = servers.map { case (ex, ss) =>
+      val t = new Thread(() => ss.foreach { s =>
+        WsTransport.pumpTo(new LiveTransport.JdkWsTransport(),
+          s"ws://127.0.0.1:${s.port}/stream", subs,
+          s"$liveRoot/$ex.jsonl"): Unit
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    pumps.foreach(_.join(30000))
+    servers.foreach { case (_, ss) => ss.foreach(_.join()) }
+    // every one of the 8 live connections completed the subscribe handshake
+    assert(servers.flatMap(_._2).flatMap(_.received) ==
+      Seq.fill(8)(subs))
+
+    // the recorded-double path: same frames through the double transport
+    val dblRoot = Files.createTempDirectory("dbl_all").toString
+    exchanges.foreach { case (ex, frames) =>
+      WsTransport.pumpTo(new RecordedWsTransport(frames), s"wss://$ex/stream",
+        subs, s"$dblRoot/$ex.jsonl"): Unit
+    }
+    // capture byte-parity: everything downstream reads these bytes, so this
+    // is the strongest seam-equivalence check
+    exchanges.foreach { case (ex, _) =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$liveRoot/$ex.jsonl")),
+        Files.readAllBytes(Paths.get(s"$dblRoot/$ex.jsonl"))),
+        s"live capture for $ex must be byte-identical to the double's")
+    }
+    // the roster's 5th source: hyperliquid hour files (a file tail in the
+    // reference too — no WS leg to swap)
+    Seq(liveRoot, dblRoot).foreach { root =>
+      Files.createDirectories(Paths.get(s"$root/hyperliquid"))
+      Files.write(Paths.get(s"$root/hyperliquid/hour1.json"),
+        graft.normalize.Fixtures.hyperliquid.mkString("", "\n", "\n").getBytes): Unit
+    }
+
+    // run the flagship --all assembly over both roots; compare the sinks
+    def runAll(root: String, out: String) =
+      graft.StreamCli.run(spark, graft.StreamCli.CliArgs(
+        all = true, framesRoot = root, outdirRoot = out,
+        triggerMs = 100L, noColor = true))
+    val liveOut = Files.createTempDirectory("live_all_out").toString
+    val dblOut = Files.createTempDirectory("dbl_all_out").toString
+    val (liveCsv, livePq) = runAll(liveRoot, liveOut)
+    val (dblCsv, dblPq) = runAll(dblRoot, dblOut)
+    assert(livePq > 0 && liveCsv == livePq)
+    assert(liveCsv == dblCsv && livePq == dblPq)
+    // sink-level row parity on the deterministic columns (ts_ingest_ms is
+    // a wall-clock stamp by design — reference stamps time.time() as well)
+    val cols = Seq("exchange", "market", "symbol", "side", "qty", "price",
+      "notional", "ts_exch_ms")
+    def rows(out: String) = spark.read.parquet(s"$out/parquet")
+      .select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString(" ")).sorted.toSeq
+    assert(rows(liveOut) == rows(dblOut),
+      "live-transport sink rows must equal the recorded-double path's")
+    val exSeen = spark.read.parquet(s"$liveOut/parquet")
+      .select("exchange").distinct().collect().map(_.getString(0)).toSet
+    assert(exSeen == Set("binance", "bybit", "okx", "aster", "hyperliquid"))
+  }
+
   test("ws live: reconnect budget exhausts loudly when the peer keeps dropping") {
     val subs = SymbolDiscovery.subscribeFrames(Seq("BTCUSDT"))
     val server = new LoopbackWs(expectSubs = subs.size, Seq(

@@ -238,6 +238,91 @@ class WsReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The composed rotation-across-restart integration the `.gen` sidecar
+    * exists for (the reference's rotation-surviving tail,
+    * `hyperliquid_adapter.py:96-101` + `:307-312`, straddling a process
+    * restart): a running checkpointed query is KILLED mid-capture, the
+    * capture rotates while the driver is down, and a restart from the SAME
+    * Spark checkpoint must (a) never reuse a committed frame id for
+    * different bytes, (b) drop the lost generation's unread slice as empty
+    * (the reference's "frames during the outage are lost" contract), and
+    * (c) deliver every new-generation frame exactly once with ids past the
+    * persisted high-water. `rotate` swaps the capture while "down";
+    * the driver-restart analog is evicting the cached index so a FRESH
+    * FrameIndex must restore from the sidecar, as a new JVM would. */
+  private def restartRotationCase(tag: String)(rotate: (String, Seq[String]) => Unit): Unit = {
+    val framesFile = s"${tmp(s"ws_rr_$tag")}/frames.jsonl"
+    val oldLines = (1 to 40).map(i => frame(f"OLD$i%03dUSDT", 1710000000000L + i))
+    Files.write(Paths.get(framesFile), oldLines.mkString("\n").getBytes)
+    val outDir = tmp(s"ws_rr_${tag}_out"); val ckpt = tmp(s"ws_rr_${tag}_ckpt")
+    def start() = spark.readStream
+      .format("graft.sources.WsReplayProvider")
+      .option("path", framesFile)
+      .option("framesPerBatch", 2) // paced: the kill lands mid-capture
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(100L))
+      .format("parquet").option("path", outDir)
+      .start()
+
+    // phase 1: kill mid-capture, after at least one committed batch
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (q1.recentProgress.map(_.numInputRows).sum == 0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25)
+    } finally q1.stop()
+    val phase1 = spark.read.parquet(outDir)
+      .select("frame_id").collect().map(_.getLong(0)).sorted
+    assert(phase1.nonEmpty, "phase 1 should commit at least one micro-batch")
+    assert(phase1.length < 40, s"the kill must land mid-capture, saw ${phase1.length} rows")
+
+    // driver down: rotate the capture, then evict the cached index so the
+    // restart builds a fresh one that can only know the old generation's
+    // id space through the sidecar
+    val newLines = (1 to 5).map(i => frame(f"NEW$i%03dUSDT", 1710000100000L + i))
+    rotate(framesFile, newLines)
+    graft.sources.WsReplay.evictIndex(framesFile)
+
+    // phase 2: restart from the SAME checkpoint
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir).select("frame_id", "raw")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ids = out.map(_._1)
+    assert(ids.distinct.length == ids.length,
+      "no frame id may ever be emitted twice across the restart+rotation")
+    // every id names the same bytes it was committed against: phase-1 ids
+    // still carry OLD content, and no OLD row beyond phase 1's commits
+    // exists (the lost generation's unread slice yielded nothing)
+    val oldRows = out.filter(_._2.contains("OLD"))
+    assert(oldRows.map(_._1).sorted.toSeq == phase1.toSeq,
+      "old-generation rows must be exactly phase 1's committed slice")
+    // the new generation rebased past the persisted id high-water (40
+    // frames were indexed before the kill even if fewer were committed)
+    val newRows = out.filter(_._2.contains("NEW"))
+    assert(newRows.length == 5, "every new-generation frame arrives exactly once")
+    assert(newRows.map(_._1).min >= 40,
+      s"new-generation ids must start past the persisted high-water, got ${newRows.map(_._1).min}")
+    assert(out.length == phase1.length + 5)
+  }
+
+  test("checkpointed restart across delete+recreate rotation while down (new inode)") {
+    restartRotationCase("inode") { (file, lines) =>
+      Files.delete(Paths.get(file))
+      Files.write(Paths.get(file), lines.mkString("\n").getBytes): Unit
+    }
+  }
+
+  test("checkpointed restart across in-place truncation while down (same inode, shorter)") {
+    restartRotationCase("trunc") { (file, lines) =>
+      // truncating overwrite keeps the inode: only the persisted
+      // scanned-length (and head fingerprint) can tell the bytes changed
+      Files.write(Paths.get(file), lines.mkString("\n").getBytes): Unit
+    }
+  }
+
   test("in-place truncation mid-stream: the stream resumes, no duplicates, no crash") {
     val framesFile = s"${tmp("ws_rot")}/frames.jsonl"
     Files.write(Paths.get(framesFile),
