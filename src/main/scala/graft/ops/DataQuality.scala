@@ -429,6 +429,83 @@ object DataQuality {
     graft.streaming.StreamAssembly.entropyAgg(table(spark, dir, "events"))
       .orderBy("hour_ms")
 
+  /** The (digit → Benford probability) profile for [[dqBenford]]:
+    * P(d) = log10(1 + 1/d), d ∈ 1..9 — generated ONCE here and inlined
+    * as the identical double literals into both engines' expressions
+    * (the `driftBaseline` convention for shared constants). */
+  private[graft] val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** The monetary columns [[dqBenford]] audits: multiplicative,
+    * several-orders-of-magnitude spreads — the regime where Benford's
+    * law is the null hypothesis and deviation flags fabrication or a
+    * generator/unit bug (the classic forensic-accounting screen, here
+    * as an ingest audit beside [[dqVolume]]'s count anomalies). */
+  private val benfordCols = Seq(
+    "lineitem" -> "l_extendedprice", "orders" -> "o_totalprice")
+
+  /** BENFORD FIRST-DIGIT AUDIT — per audited monetary column, the
+    * observed leading-significant-digit distribution against Benford's
+    * P(d) = log10(1+1/d), with the per-column χ² statistic: one row per
+    * (column, digit) carrying observed count, observed and expected
+    * permille, and the column's χ² (repeated across its 9 rows — it IS
+    * the per-column verdict). A synthetic generator that draws prices
+    * uniformly (as this corpus does) FAILS the screen loudly — large
+    * χ² — which is exactly what the audit is for; conforming ledgers
+    * score near zero.
+    *
+    * Exactness: the leading digit is extracted from the INTEGER cents
+    * string (never log10 of a double — a price exactly 10^k would sit
+    * on the ulp fence), absent digits still owe their χ² term via the
+    * column×1..9 frame, each (obs−exp)²/exp term is one identical
+    * double tree quantized to the 1e−6 grid, and the cross-digit sum
+    * is BIGINT (the [[dqAssoc]]/[[dqDrift]] convention — never a float
+    * sum). Scale shape: one map-side-combined 9-bucket count per
+    * column plus window math over |cols|×9 = 18 rows; nothing about
+    * this changes at 100 TB. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def one(tbl: String, c: String): DataFrame = {
+      val cents = (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
+      table(spark, dir, tbl).where(col(c) > 0)
+        .select(substring(cents.cast(StringType), 1, 1)
+          .cast(IntegerType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt"))
+        .select(lit(s"$tbl.$c").as("col_name"), col("digit"), col("cnt"))
+    }
+    val counts = benfordCols.map((one _).tupled).reduce(_ unionByName _)
+    // every column owes all 9 digit terms, observed or not
+    val full = counts.select("col_name").distinct()
+      .crossJoin(spark.range(1, 10)
+        .select(col("id").cast(IntegerType).as("digit")))
+      .join(counts, Seq("col_name", "digit"), "left")
+      .select(col("col_name"), col("digit"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("col_name")
+    val pd = benfordP.tail.foldLeft(
+      when(col("digit") === benfordP.head._1, lit(benfordP.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    val expPm = benfordP.tail.foldLeft(
+      when(col("digit") === benfordP.head._1,
+        lit(math.round(benfordP.head._2 * 1000).toInt))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d,
+        lit(math.round(p * 1000).toInt))
+    }
+    val n = sum("cnt").over(w)
+    val ex = n.cast(DoubleType) * pd
+    val cd = col("cnt").cast(DoubleType)
+    full
+      .withColumn("n", n)
+      .withColumn("q",
+        floor((cd - ex) * (cd - ex) / ex * 1e6 + 0.5).cast(LongType))
+      .select(col("col_name"), col("digit"), col("cnt"),
+        expr("cnt * 1000 div n").as("obs_pm"),
+        expPm.as("exp_pm"),
+        (sum("q").over(w).cast(DoubleType) / 1e6).as("chi2"))
+      .orderBy("col_name", "digit")
+  }
+
   /** Engine-portable row signature for [[dqChecksum]]/[[dqRecon]]: md5
     * over a '|'-joined canonical serialization — every field rendered
     * through an integer (epoch micros, money cents, decimal-string ids)
@@ -775,6 +852,53 @@ object DataQuality {
                AS entropy_bits
       FROM h ORDER BY hour_ms"""
     },
+    // the Benford audit replayed: same integer-cents digit extraction,
+    // same double literals for P(d) (interpolated from benfordP, so both
+    // engines parse the identical shortest-round-trip representation),
+    // same quantize-then-BIGINT-sum chi-square
+    "dq_benford" -> {
+      val srcs = Seq(
+        ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+        ("orders.o_totalprice", "orders", "o_totalprice")).map {
+        case (name, t, c) =>
+          s"""SELECT '$name' AS col_name,
+                 CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM $t WHERE $c > 0"""
+      }.mkString("\nUNION ALL\n")
+      val pdCase = benfordP.map { case (d, p) =>
+        s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString("CASE digit ", " ", " END")
+      val pmCase = benfordP.map { case (d, p) =>
+        s"WHEN $d THEN ${math.round(p * 1000)}" }
+        .mkString("CASE digit ", " ", " END")
+      s"""
+      WITH src AS ($srcs),
+      c AS (SELECT col_name,
+                   CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                     AS digit,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM src GROUP BY 1, 2),
+      f AS (SELECT d.col_name, dig.digit,
+                   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+            FROM (SELECT DISTINCT col_name FROM c) d
+            CROSS JOIN (SELECT CAST(range AS INTEGER) AS digit
+                        FROM range(1, 10)) dig
+            LEFT JOIN c ON c.col_name = d.col_name AND c.digit = dig.digit),
+      p AS (SELECT col_name, digit, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY col_name) AS BIGINT) AS n,
+                   $pdCase AS pd,
+                   CAST($pmCase AS INTEGER) AS exp_pm
+            FROM f),
+      q AS (SELECT *,
+                   CAST(floor((CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * pd)
+                        * (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * pd)
+                        / (CAST(n AS DOUBLE) * pd) * 1e6 + 0.5) AS BIGINT)
+                     AS qv
+            FROM p)
+      SELECT col_name, digit, cnt, cnt * 1000 // n AS obs_pm, exp_pm,
+             CAST(sum(qv) OVER (PARTITION BY col_name) AS DOUBLE) / 1e6
+               AS chi2
+      FROM q ORDER BY col_name, digit"""
+    },
     "dq_cardinality" -> {
       def one(name: String, lt: String, lk: String, rt: String, rk: String) =
         s"""SELECT '$name' AS join_key,
@@ -857,5 +981,6 @@ object DataQuality {
     "dq_fd" -> dqFd _,
     "dq_assoc" -> dqAssoc _,
     "dq_entropy" -> dqEntropy _,
+    "dq_benford" -> dqBenford _,
   )
 }

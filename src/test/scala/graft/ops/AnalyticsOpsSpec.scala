@@ -610,6 +610,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(v >= 0.0 && v <= 1.0, s"Cramer's V out of range: $r")
   }
 
+  test("dq_benford: digit frame complete, permilles consistent, uniform prices flagged") {
+    val rows = DataQuality.dqBenford(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 18, "2 audited columns x 9 digits, absent digits included")
+    val byCol = rows.groupBy(_.getString(0))
+    assert(byCol.keySet ==
+      Set("lineitem.l_extendedprice", "orders.o_totalprice"))
+    byCol.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 9), s"digits: ${rs.toSeq}")
+      // Benford's expected permilles are the canonical 301..46 profile
+      assert(rs.sortBy(_.getInt(1)).map(_.getInt(4)).toSeq ==
+        Seq(301, 176, 125, 97, 79, 67, 58, 51, 46))
+      val n = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2) * 1000 / n, s"obs_pm: $r")
+        assert(r.getDouble(5) >= 0.0, s"chi2: $r")
+      }
+      // one chi2 per column, repeated across its 9 rows
+      assert(rs.map(_.getDouble(5)).distinct.length == 1)
+      // the synthetic corpus draws prices ~uniformly, which Benford's
+      // screen exists to flag: far from conforming (chi2/n near zero)
+      assert(rs.head.getDouble(5) / n.toDouble > 0.05,
+        s"uniform generator must fail the screen: chi2=${rs.head.getDouble(5)} n=$n")
+    }
+  }
+
   test("dq_fd: key and hierarchy dependencies hold, behavioral candidates fail") {
     val rows = DataQuality.dqFd(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap

@@ -1,17 +1,23 @@
 #!/usr/bin/env python3
 """Dev-only replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir] [skip1,skip2,...]
 
 Runs each oracle SQL from oracle_sql.json against the testdata parquet and
 compares with the parquet the Spark Verify main dumped. NOT part of the Scala
 library — mirrors the driver harness so failures surface before round end.
+
+The optional third arg skips named queries: the sf0.1 full sweep needs
+`graph_cc,graph_cc_incr` skipped (their recursive-CTE DuckDB oracles
+materialize a transitive closure that explodes past 100 GB on the sf0.1
+giant component; the driver gate runs them at sf0.01 where they are fine).
 """
 import duckdb, json, sys, glob, os
 import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
@@ -19,6 +25,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+for name in skip & set(oracle):
+    print(f"SKIP {name}")
+    del oracle[name]
 fails, passed = [], 0
 for name in sorted(oracle):
     sql = oracle[name]
