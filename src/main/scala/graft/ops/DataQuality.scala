@@ -474,10 +474,11 @@ object DataQuality {
         .select(lit(s"$tbl.$c").as("col_name"), col("digit"), col("cnt"))
     }
     val counts = benfordCols.map((one _).tupled).reduce(_ unionByName _)
-    // every column owes all 9 digit terms, observed or not
+    // every column owes all 9 digit terms, observed or not (an exploded
+    // literal array, not a cross join — nothing nested-loops here)
     val full = counts.select("col_name").distinct()
-      .crossJoin(spark.range(1, 10)
-        .select(col("id").cast(IntegerType).as("digit")))
+      .select(col("col_name"),
+        explode(typedLit((1 to 9).toArray)).as("digit"))
       .join(counts, Seq("col_name", "digit"), "left")
       .select(col("col_name"), col("digit"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))

@@ -664,6 +664,23 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** SEQUENTIAL (ONLINE) CUSUM ALARM SCAN — "when would the live
+    * detector have fired": the batch runtime of
+    * [[graft.streaming.StreamAssembly.cusumStream]], the one-sided
+    * CUSUM pair over a 64-event frozen reference (ONE definition, two
+    * runtimes — the `dq_entropy` convention, so the DuckDB oracle that
+    * verifies this query verifies the streaming detector's arithmetic).
+    * Beside [[tsChangepoint]]'s retrospective argmax ("where was the
+    * level cut, knowing the whole series") this is the sequential
+    * question ("at which event does the slack-adjusted excess cross
+    * h"), the form a monitor can actually run. All integer cents
+    * cross-multiplied by the training length — no division, no doubles;
+    * the max(0,·) recurrence becomes two stacked windows via the prefix
+    * identity (see [[graft.streaming.StreamAssembly.cusumAgg]]). */
+  def tsCusum(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAssembly.cusumAgg(table(spark, dir, "events"))
+      .orderBy("event_type", "side", "event_id")
+
   /** DAY-OF-WEEK SEASONALITY profile — the calendar-structure diagnostic
     * next to [[tsAcf]]'s serial correlation: per (event_type, weekday),
     * event count and mean value, plus the ratio of the weekday mean to
@@ -912,6 +929,56 @@ object TimeWindows {
              floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
                    * 1e6 + 0.5) / 1e6 AS mean_after
       FROM r WHERE rk = 1 ORDER BY event_type""",
+    // the streaming CUSUM detector's recurrence replayed via the prefix
+    // identity S = P - min(0, running-min P): same frozen 64-event
+    // reference, same integer cross-multiplication, same permille div
+    "ts_cusum" -> {
+      import graft.streaming.StreamAssembly.{cusumSlackPm, cusumThreshX, cusumTrainN}
+      s"""
+      WITH base AS (
+        SELECT event_type, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+               row_number() OVER w AS i,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER w AS BIGINT) AS cum
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sref AS (SELECT event_type, cum AS sref FROM base
+               WHERE i = $cusumTrainN),
+      mon AS (
+        SELECT b.event_type, b.event_id, b.i, s.sref,
+               $cusumSlackPm * s.sref // 1000 AS kp,
+               $cusumThreshX * s.sref AS h,
+               $cusumTrainN * b.vc - s.sref AS xp
+        FROM base b JOIN sref s USING (event_type)
+        WHERE b.i > $cusumTrainN),
+      acc AS (
+        SELECT *, CAST(sum(xp - kp) OVER w2 AS BIGINT) AS pu,
+                  CAST(sum(-xp - kp) OVER w2 AS BIGINT) AS pd
+        FROM mon
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (
+        SELECT *, pu - least(min(pu) OVER w3, 0) AS sp,
+                  pd - least(min(pd) OVER w3, 0) AS sm
+        FROM acc
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      o AS (
+        SELECT *, COALESCE(lag(sp) OVER w4, 0) AS psp,
+                  COALESCE(lag(sm) OVER w4, 0) AS psm
+        FROM s
+        WINDOW w4 AS (PARTITION BY event_type ORDER BY i))
+      SELECT * FROM (
+        SELECT event_type, event_id, 'up' AS side,
+               (sp - h) * 1000 // h AS exc_pm
+        FROM o WHERE h > 0 AND sp > h AND psp <= h
+        UNION ALL
+        SELECT event_type, event_id, 'down', (sm - h) * 1000 // h
+        FROM o WHERE h > 0 AND sm > h AND psm <= h)
+      ORDER BY event_type, side, event_id"""
+    },
     // identical decimal sums; the two means and their ratio are the same
     // IEEE division tree on bit-identical inputs
     // identical integer scaling (420 = lcm(1..7)) and display-double trees
@@ -1254,6 +1321,7 @@ object TimeWindows {
     "ts_seasonal" -> tsSeasonal _,
     "ts_stl" -> tsStl _,
     "ts_changepoint" -> tsChangepoint _,
+    "ts_cusum" -> tsCusum _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,

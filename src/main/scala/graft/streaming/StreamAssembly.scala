@@ -662,6 +662,135 @@ object StreamAssembly {
         col("n").as("n_prior"))
   }
 
+  /** Training-prefix length for [[cusumStream]]: the first 64 events per
+    * type (in (ts, id) order) freeze the reference level. 64 keeps the
+    * reference sum a shift-friendly multiple and is long enough that the
+    * slack/threshold scales below are stable on the test corpora. */
+  val cusumTrainN = 64L
+  /** Slack per observation, in permille of the reference mean (500 =
+    * ignore drift below half the level — the classic CUSUM k, here as an
+    * integer fraction of the frozen training sum; on this corpus the
+    * value scale ≈ its own std, so half the mean ≈ the textbook σ/2). */
+  val cusumSlackPm = 500L
+  /** Alarm threshold, in multiples of the reference sum (h = 6·Sref = a
+    * cumulative slack-adjusted excess worth 6·trainN reference means). */
+  val cusumThreshX = 6L
+
+  /** Per-key detector state for [[cusumStream]]: training count + sum
+    * (integer cents), then the two one-sided accumulators in
+    * trainN-scaled cents. */
+  final case class CusumState(n: Long, sref: Long, sp: Long, sm: Long)
+  /** A threshold breach: the breaching event and the accumulator's
+    * excess over h in permille of h. */
+  final case class CusumAlarm(event_type: String, event_id: Long,
+      side: String, exc_pm: Long)
+
+  /** STREAMING SEQUENTIAL CUSUM — the ONLINE level-shift alarm beside
+    * the batch `ts_changepoint` retrospective argmax: per event type,
+    * the first [[cusumTrainN]] events freeze an integer reference sum
+    * Sref, then the classic one-sided CUSUM pair runs over every later
+    * event — S⁺ = max(0, S⁺ + x′ − k′), S⁻ = max(0, S⁻ − x′ − k′) with
+    * x′ = trainN·v − Sref (the deviation cross-multiplied by trainN so
+    * no division ever happens), k′ = [[cusumSlackPm]]‰ of Sref, and an
+    * alarm fires at each breach ONSET — the event where the accumulator
+    * CROSSES h′ = [[cusumThreshX]]·Sref from below (one row per
+    * excursion, not one per above-threshold step, so a sustained shift
+    * alerts once instead of flooding). The previous accumulator value
+    * IS the onset memory — no extra state. State is O(1) per key (4
+    * longs); the int64 envelope holds to ~10¹⁴ monitored events per key
+    * under a sustained full-level shift (each step adds ≤ trainN·v_max
+    * ≈ 2³² scaled cents).
+    *
+    * One definition, two runtimes: the batch twin [[cusumAgg]] computes
+    * the identical recurrence with window functions via the prefix
+    * identity S_i = P_i − min(0, min_{j≤i} P_j) (P = cumsum of
+    * increments), which the oracle-checked `ts_cusum` query replays in
+    * DuckDB — so the oracle verifies this detector's arithmetic. Rows
+    * are applied in (ts, id) order within each micro-batch; cross-batch
+    * causality assumes an in-order feed per key (the [[anomalyStream]]
+    * convention — StreamingSpec drives ordered batches). */
+  def cusumStream(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          lit(100)).cast("long").as("vc"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
+            case (_, id, _, vc) =>
+              if (st.n < cusumTrainN) {
+                st = st.copy(n = st.n + 1, sref = st.sref + vc)
+                Nil
+              } else {
+                val kp = cusumSlackPm * st.sref / 1000L
+                val h = cusumThreshX * st.sref
+                val xp = cusumTrainN * vc - st.sref
+                val sp = math.max(0L, st.sp + xp - kp)
+                val sm = math.max(0L, st.sm - xp - kp)
+                val (pp, pm) = (st.sp, st.sm) // pre-update = onset memory
+                st = st.copy(sp = sp, sm = sm)
+                // non-negative operands only: Long / == SQL div here
+                (if (h > 0L && sp > h && pp <= h)
+                  Seq(CusumAlarm(key, id, "up", (sp - h) * 1000L / h))
+                else Nil) ++
+                (if (h > 0L && sm > h && pm <= h)
+                  Seq(CusumAlarm(key, id, "down", (sm - h) * 1000L / h))
+                else Nil)
+              }
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
+  /** The batch twin: the identical detector over window functions. The
+    * max(0, ·) recurrence is not a plain windowed sum, but it IS the
+    * prefix identity S_i = P_i − min(0, min_{j≤i} P_j) over the
+    * increment cumsum P — two stacked windows per side, all integer. */
+  private[graft] def cusumAgg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          lit(100)).cast("long").as("vc"))
+      .withColumn("i", count(lit(1)).over(w))
+      .withColumn("cum", sum("vc").over(w))
+    val sref = base.filter(col("i") === cusumTrainN)
+      .select(col("event_type"), col("cum").as("sref"))
+    val mon = base.filter(col("i") > cusumTrainN)
+      .join(broadcast(sref), "event_type")
+      .withColumn("kp", expr(s"$cusumSlackPm * sref div 1000"))
+      .withColumn("h", lit(cusumThreshX) * col("sref"))
+      .withColumn("xp", lit(cusumTrainN) * col("vc") - col("sref"))
+      .withColumn("pu", sum(col("xp") - col("kp")).over(w))
+      .withColumn("pd", sum(-col("xp") - col("kp")).over(w))
+      .withColumn("sp", col("pu") - least(min(col("pu")).over(w), lit(0L)))
+      .withColumn("sm", col("pd") - least(min(col("pd")).over(w), lit(0L)))
+    // onset = this row crossed h from at-or-below (lag default 0 = the
+    // detector's empty start state)
+    val wo = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    def side(name: String, acc: String) =
+      mon
+        .withColumn("prev", coalesce(lag(col(acc), 1).over(wo), lit(0L)))
+        .filter(col("h") > 0L && col(acc) > col("h") &&
+          col("prev") <= col("h"))
+        .select(col("event_type"), col("event_id"), lit(name).as("side"),
+          expr(s"($acc - h) * 1000 div h").as("exc_pm"))
+    side("up", "sp").unionByName(side("down", "sm"))
+  }
+
   /** Sliding 5-element ring for [[hampelStream]] — (event_id, cents). */
   final case class HampelState(buf: Vector[(Long, Long)])
   /** A flagged local spike: the judged event plus its local yardsticks. */

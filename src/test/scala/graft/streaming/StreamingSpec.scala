@@ -886,6 +886,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: onsets match the batch prefix-identity twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01" // sf0.001 has too few events to alarm
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._2)).toIndexedSeq
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.cusumStream(events)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      // three uneven batches: training, accumulators, AND onset memory all
+      // cross micro-batch boundaries
+      val (a, rest) = src.splitAt(src.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData(c); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT event_type, event_id, side, exc_pm FROM cusum_stream
+           ORDER BY event_type, side, event_id""").collect().toSeq
+      val want = StreamAssembly.cusumAgg(
+        graft.ops.table(spark, dir, "events"))
+        .orderBy("event_type", "side", "event_id").collect().toSeq
+      assert(want.nonEmpty, "batch twin alarmed nothing - fixture degenerate")
+      assert(got == want,
+        s"streaming CUSUM diverged: ${got.size} vs ${want.size} rows")
+    } finally q.stop()
+  }
+
+  test("CUSUM hand-check: a 2x level shift onsets at exactly the 13th shifted event") {
+    import spark.implicits._
+    // 64 training events at 100.00 freeze Sref = 64·10000; a 2x shift adds
+    // Sref/2 per step after slack (k' = Sref/2), so S+ crosses h = 6·Sref
+    // strictly at step 13 — and only ONE onset fires for the whole
+    // sustained excursion
+    val t0 = 1710000000000L
+    val rows = (1 to 84).map { i =>
+      (("purchase"), i.toLong, new java.sql.Timestamp(t0 + i * 1000L),
+        if (i <= 64) 100.0 else 200.0)
+    }
+    val df = rows.toDF("event_type", "event_id", "ts", "value")
+    val got = StreamAssembly.cusumAgg(df).collect()
+    assert(got.length == 1, s"one onset for one excursion: ${got.toSeq}")
+    val r = got.head
+    assert(r.getString(0) == "purchase" && r.getString(2) == "up")
+    assert(r.getLong(1) == 77L, s"onset at the 13th shifted event (id 64+13): $r")
+    // sp at onset = 6.5·Sref -> excess permille = 500/6 = 83 (integer div)
+    assert(r.getLong(3) == 83L, s"exc_pm: $r")
+    // a series that never leaves the reference level never alarms
+    val flat = (1 to 84).map(i => ("view", i.toLong,
+      new java.sql.Timestamp(t0 + i * 1000L), 100.0))
+      .toDF("event_type", "event_id", "ts", "value")
+    assert(StreamAssembly.cusumAgg(flat).count() == 0L)
+  }
+
   test("streaming hampel alarm: flags match the batch centered-window twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
