@@ -761,6 +761,71 @@ object TimeWindows {
       .orderBy("event_type", "day")
   }
 
+  /** SAX breakpoint for the 4-letter alphabet: Φ⁻¹(0.75), the standard
+    * normal's upper quartile — the Lin/Keogh SAX table's a=4 row.
+    * Defined once and interpolated into the oracle SQL so both engines
+    * compare against the bit-identical double. */
+  val saxBreak = 0.6744897501960817
+
+  /** SAX SYMBOLIZATION (Symbolic Aggregate approXimation, 4-letter
+    * alphabet) — each type's daily series compressed to one word:
+    * z-normalize the daily totals, bin by the standard-normal quartile
+    * breakpoints (a: z<−0.674, b: <0, c: <0.674, d: rest), concatenate
+    * in day order. The word is the index key of the classic SAX
+    * pipeline — motif/discord mining and whole-series similarity run on
+    * words, not doubles ([[tsChangepoint]] asks where one series broke;
+    * SAX asks which series LOOK ALIKE). A σ=0 flat series reads
+    * all-'c' by an explicit radicand guard.
+    *
+    * Exactness without ever dividing: z_d ≥ t ⇔ n·y_d − S ≥
+    * t·√(nQ − S²) (multiply through by n·σ ≥ 0), with n, S and the
+    * DECIMAL(38,0) moments exact integers — the comparison is between
+    * two identically-built doubles in both engines, the [[tsStl]]
+    * discipline. A constant series (σ = 0) reads all-'c' by the strict
+    * `<` boundary chain, deterministically. Plan: one daily aggregate,
+    * a broadcast one-row-per-type moment join, one sorted-array fold
+    * per type (the [[holtOf]] shape) — scales as |types|×days. */
+  def tsSax(spark: SparkSession, dir: String): DataFrame =
+    saxOf(table(spark, dir, "events"))
+
+  /** The symbolization over any (event_type, ts, value) frame — split
+    * out so the spec can drive closed-form series (a two-level square
+    * wave maps to alternating a/d; a constant series is all-'c'). */
+  private[graft] def saxOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("yc"))
+      .withColumn("d", datediff(to_date(col("day")), lit("1970-01-01")))
+    val mom = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("yc").cast(dec)).as("s"),
+        sum((col("yc") * col("yc")).cast(dec)).as("q"))
+    // the moments are exact decimals; the comparison tree is built in
+    // doubles (identical IEEE tree both engines — a decimal n·q or s²
+    // would overflow DECIMAL(38,0)'s width)
+    val (nD, sD, qD) = (col("n").cast(DoubleType),
+      col("s").cast(DoubleType), col("q").cast(DoubleType))
+    val dev = nD * col("yc").cast(DoubleType) - sD
+    val rad = nD * qD - sD * sD
+    val r = sqrt(rad)
+    daily.join(broadcast(mom), "event_type")
+      .withColumn("sym",
+        when(rad <= lit(0.0), "c") // σ = 0: a flat series is all-mid
+          .when(dev < -lit(saxBreak) * r, "a")
+          .when(dev < lit(0.0), "b")
+          .when(dev < lit(saxBreak) * r, "c")
+          .otherwise("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("d"), col("sym")))).as("w"))
+      .select(col("event_type"), col("n_days"),
+        expr("array_join(transform(w, x -> x.sym), '')").as("sax_word"))
+      .orderBy("event_type")
+  }
+
   /** TWAP — TIME-weighted average price per series-day, the execution-
     * quality benchmark next to VWAP (volume-weighted, the streaming CLI's
     * `--vwap`): each observation holds its value until the next one, so
@@ -929,6 +994,43 @@ object TimeWindows {
              floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
                    * 1e6 + 0.5) / 1e6 AS mean_after
       FROM r WHERE rk = 1 ORDER BY event_type""",
+    // same daily integer cents, same exact decimal moments, same double
+    // comparison tree against the interpolated quartile breakpoint, same
+    // strict-< boundary chain; the word concatenates in day order
+    "ts_sax" -> s"""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d
+        FROM events GROUP BY 1, 3),
+      mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS s,
+                     CAST(sum(CAST(yc * yc AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS q
+              FROM daily GROUP BY 1),
+      sym AS (
+        SELECT d.event_type, d.d,
+               CASE
+                 WHEN m.n::DOUBLE * m.q::DOUBLE - m.s::DOUBLE * m.s::DOUBLE
+                      <= 0.0
+                   THEN 'c'
+                 WHEN m.n::DOUBLE * d.yc::DOUBLE - m.s::DOUBLE
+                      < -$saxBreak * sqrt(m.n::DOUBLE * m.q::DOUBLE
+                                          - m.s::DOUBLE * m.s::DOUBLE)
+                   THEN 'a'
+                 WHEN m.n::DOUBLE * d.yc::DOUBLE - m.s::DOUBLE < 0.0
+                   THEN 'b'
+                 WHEN m.n::DOUBLE * d.yc::DOUBLE - m.s::DOUBLE
+                      < $saxBreak * sqrt(m.n::DOUBLE * m.q::DOUBLE
+                                         - m.s::DOUBLE * m.s::DOUBLE)
+                   THEN 'c'
+                 ELSE 'd' END AS sym
+        FROM daily d JOIN mom m USING (event_type))
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             string_agg(sym, '' ORDER BY d) AS sax_word
+      FROM sym GROUP BY 1 ORDER BY event_type""",
     // the streaming CUSUM detector's recurrence replayed via the prefix
     // identity S = P - min(0, running-min P): same frozen 64-event
     // reference, same integer cross-multiplication, same permille div
@@ -1322,6 +1424,7 @@ object TimeWindows {
     "ts_stl" -> tsStl _,
     "ts_changepoint" -> tsChangepoint _,
     "ts_cusum" -> tsCusum _,
+    "ts_sax" -> tsSax _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,

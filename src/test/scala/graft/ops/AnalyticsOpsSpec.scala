@@ -527,6 +527,23 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"side means wrong: ${got._5} / ${got._6}")
   }
 
+  test("ts_sax: a square wave reads alternating a/d; a constant series is all c") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(i: Int) = new Timestamp(86400000L * (19000 + i))
+    // square: daily totals alternate 10.00 / 30.00 -> z = ∓1 on both
+    // sides of the ±0.674 quartile breakpoints -> 'a'/'d' alternating;
+    // flat: σ = 0, the strict-< boundary chain lands every day on 'c'
+    val ev = (0 until 8).flatMap { i =>
+      Seq(("square", day(i), if (i % 2 == 0) 10.0 else 30.0),
+        ("flat", day(i), 20.0))
+    }.toDF("event_type", "ts", "value")
+    val got = TimeWindows.saxOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got("square") == ((8L, "adadadad")), s"$got")
+    assert(got("flat") == ((8L, "cccccccc")), s"$got")
+  }
+
   test("ts_acf: alternating series gives r1 = -1, r2 = +1; trend is positive") {
     import spark.implicits._
     import java.sql.Timestamp
