@@ -291,6 +291,69 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** PARTIAL AUTOCORRELATION at lags 1-3 — [[tsAcf]]'s companion and the
+    * AR-order diagnostic the Box-Jenkins recipe reads first: φ_kk is the
+    * correlation between x_t and x_{t−k} AFTER the intermediate lags are
+    * regressed out, so an AR(p) series' PACF cuts off sharply at p where
+    * the raw ACF only decays. Computed by the Durbin–Levinson recursion
+    * over the lag-1..3 Pearson correlations.
+    *
+    * Cross-engine exactness: the three ρ_k come from the SAME exact
+    * decimal moment machinery as [[tsAcf]] and are QUANTIZED to the 1e−6
+    * grid first — the DL recursion then runs in doubles on bit-identical
+    * quantized inputs (identical IEEE trees both engines), and each φ_kk
+    * rounds to 6 dp on emission. Degenerate denominators (|ρ₁| = 1, or a
+    * zero-variance series) yield NULL via nullif, never NaN. Plan: ONE
+    * window projection carrying three lags, ONE conditional aggregate
+    * (18 moment sums), then scalar math on a |types|-row frame. */
+  def tsPacf(spark: SparkSession, dir: String): DataFrame =
+    pacfOf(table(spark, dir, "events"))
+
+  /** The DL machinery over any (event_type, ts, event_id, value) frame —
+    * split out so the spec can pin it against an independent in-test
+    * Pearson+Durbin–Levinson evaluation of a fixed series. */
+  private[graft] def pacfOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val lagged = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("x"))
+      .select(col("event_type"), col("x"),
+        lag(col("x"), 1).over(w).as("y1"), lag(col("x"), 2).over(w).as("y2"),
+        lag(col("x"), 3).over(w).as("y3"))
+    def side(y: Column) = Seq(
+      count(y), sum(when(y.isNotNull, col("x"))), sum(y),
+      sum(col("x") * y), sum(when(y.isNotNull, col("x") * col("x"))),
+      sum(y * y))
+    val aggs = (side(col("y1")) ++ side(col("y2")) ++ side(col("y3")))
+      .zipWithIndex.map { case (c, i) => c.as(s"a$i") }
+    val per = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def rho(i: Int): Column = {
+      val (nd, sx, sy, sxy, sxx, syy) =
+        (col(s"a${6 * i}").cast(DoubleType), col(s"a${6 * i + 1}").cast(DoubleType),
+          col(s"a${6 * i + 2}").cast(DoubleType), col(s"a${6 * i + 3}").cast(DoubleType),
+          col(s"a${6 * i + 4}").cast(DoubleType), col(s"a${6 * i + 5}").cast(DoubleType))
+      roundD((nd * sxy - sx * sy) /
+        nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy),
+          lit(0.0)), 6)
+    }
+    val base = per.select(col("event_type"), col("a12").as("n_pairs3"),
+      rho(0).as("r1"), rho(1).as("r2"), rho(2).as("r3"))
+    // Durbin–Levinson on the quantized correlations
+    val p2 = (col("r2") - col("r1") * col("r1")) /
+      nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0))
+    val dl = base.withColumn("p2", p2)
+      .withColumn("p21", col("r1") - col("p2") * col("r1"))
+    val p3 = (col("r3") - col("p21") * col("r2") - col("p2") * col("r1")) /
+      nullif(lit(1.0) - col("p21") * col("r1") - col("p2") * col("r2"),
+        lit(0.0))
+    dl.select(col("event_type"), col("n_pairs3"),
+        col("r1").as("pacf1"), roundD(col("p2"), 6).as("pacf2"),
+        roundD(p3, 6).as("pacf3"))
+      .orderBy("event_type")
+  }
+
   /** ROLLING DISTINCT REACH — exact 7-day rolling distinct users per
     * day (the DAU/WAU denominator), the window aggregate Spark's
     * windows refuse outright (no COUNT(DISTINCT) over a frame) and a
@@ -994,6 +1057,58 @@ object TimeWindows {
              floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
                    * 1e6 + 0.5) / 1e6 AS mean_after
       FROM r WHERE rk = 1 ORDER BY event_type""",
+    // same exact decimal moments as ts_acf extended to lag 3, each rho
+    // quantized to the 1e-6 grid BEFORE the Durbin-Levinson doubles, so
+    // the recursion runs on bit-identical inputs in both engines
+    "ts_pacf" -> """
+      WITH b AS (
+        SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS x
+        FROM events),
+      l AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+               lag(x, 3) OVER w AS y3
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      a AS (
+        SELECT event_type,
+          count(y1) AS n1, sum(CASE WHEN y1 IS NOT NULL THEN x END) AS sx1,
+          sum(y1) AS sy1, sum(x * y1) AS sxy1,
+          sum(CASE WHEN y1 IS NOT NULL THEN x * x END) AS sxx1,
+          sum(y1 * y1) AS syy1,
+          count(y2) AS n2, sum(CASE WHEN y2 IS NOT NULL THEN x END) AS sx2,
+          sum(y2) AS sy2, sum(x * y2) AS sxy2,
+          sum(CASE WHEN y2 IS NOT NULL THEN x * x END) AS sxx2,
+          sum(y2 * y2) AS syy2,
+          count(y3) AS n3, sum(CASE WHEN y3 IS NOT NULL THEN x END) AS sx3,
+          sum(y3) AS sy3, sum(x * y3) AS sxy3,
+          sum(CASE WHEN y3 IS NOT NULL THEN x * x END) AS sxx3,
+          sum(y3 * y3) AS syy3
+        FROM l GROUP BY 1),
+      r AS (
+        SELECT event_type, n3 AS n_pairs3,
+          floor((n1::DOUBLE * sxy1::DOUBLE - sx1::DOUBLE * sy1::DOUBLE)
+            / nullif(sqrt(n1::DOUBLE * sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE)
+                     * sqrt(n1::DOUBLE * syy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE),
+                     0.0) * 1e6 + 0.5) / 1e6 AS r1,
+          floor((n2::DOUBLE * sxy2::DOUBLE - sx2::DOUBLE * sy2::DOUBLE)
+            / nullif(sqrt(n2::DOUBLE * sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE)
+                     * sqrt(n2::DOUBLE * syy2::DOUBLE - sy2::DOUBLE * sy2::DOUBLE),
+                     0.0) * 1e6 + 0.5) / 1e6 AS r2,
+          floor((n3::DOUBLE * sxy3::DOUBLE - sx3::DOUBLE * sy3::DOUBLE)
+            / nullif(sqrt(n3::DOUBLE * sxx3::DOUBLE - sx3::DOUBLE * sx3::DOUBLE)
+                     * sqrt(n3::DOUBLE * syy3::DOUBLE - sy3::DOUBLE * sy3::DOUBLE),
+                     0.0) * 1e6 + 0.5) / 1e6 AS r3
+        FROM a),
+      d AS (SELECT *, (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p2
+            FROM r),
+      e AS (SELECT *, r1 - p2 * r1 AS p21 FROM d)
+      SELECT event_type, n_pairs3, r1 AS pacf1,
+             floor(p2 * 1e6 + 0.5) / 1e6 AS pacf2,
+             floor((r3 - p21 * r2 - p2 * r1)
+                   / nullif(1.0 - p21 * r1 - p2 * r2, 0.0) * 1e6 + 0.5) / 1e6
+               AS pacf3
+      FROM e ORDER BY event_type""",
     // same daily integer cents, same exact decimal moments, same double
     // comparison tree against the interpolated quartile breakpoint, same
     // strict-< boundary chain; the word concatenates in day order
@@ -1425,6 +1540,7 @@ object TimeWindows {
     "ts_changepoint" -> tsChangepoint _,
     "ts_cusum" -> tsCusum _,
     "ts_sax" -> tsSax _,
+    "ts_pacf" -> tsPacf _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,

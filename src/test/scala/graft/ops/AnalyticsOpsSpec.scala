@@ -544,6 +544,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("flat") == ((8L, "cccccccc")), s"$got")
   }
 
+  test("ts_pacf: matches an independent Pearson + Durbin-Levinson evaluation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // multiples of 0.5 only: every product/sum below is exactly
+    // representable in double, so this independent evaluation is
+    // bit-identical to the op's exact-decimal moment path
+    val xs = Seq(10.0, 12.0, 11.0, 14.0, 13.5, 15.0, 14.0, 16.5, 15.5,
+      17.0, 16.0, 18.5, 17.5, 19.0, 18.0, 20.5, 19.5, 21.0, 20.0, 22.5)
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("s", new Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+    }.toDF("event_type", "ts", "event_id", "value")
+    val got = TimeWindows.pacfOf(df).collect().head
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def rho(k: Int): Double = {
+      val p = xs.drop(k).zip(xs.dropRight(k))
+      val n = p.size.toDouble
+      val (sx, sy) = (p.map(_._1).sum, p.map(_._2).sum)
+      val sxy = p.map(t => t._1 * t._2).sum
+      val (sxx, syy) = (p.map(t => t._1 * t._1).sum, p.map(t => t._2 * t._2).sum)
+      q6((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    }
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p2 * r1
+    val p3 = (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)
+    assert(got.getLong(1) == 17L, s"n_pairs3: $got")
+    assert(got.getDouble(2) == r1, s"pacf1: $got vs $r1")
+    assert(math.abs(got.getDouble(3) - q6(p2)) < 1e-12, s"pacf2: $got vs ${q6(p2)}")
+    assert(math.abs(got.getDouble(4) - q6(p3)) < 1e-12, s"pacf3: $got vs ${q6(p3)}")
+    // the zig-zag ramp is serially anti-correlated around its trend at
+    // lag 1 once lag-1 structure is removed: pacf2 must differ from the
+    // raw r2 (the whole point of partialling out)
+    assert(got.getDouble(3) != r2)
+  }
+
   test("ts_acf: alternating series gives r1 = -1, r2 = +1; trend is positive") {
     import spark.implicits._
     import java.sql.Timestamp
