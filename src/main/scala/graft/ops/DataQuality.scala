@@ -474,14 +474,18 @@ object DataQuality {
         .select(lit(s"$tbl.$c").as("col_name"), col("digit"), col("cnt"))
     }
     val counts = benfordCols.map((one _).tupled).reduce(_ unionByName _)
-    // every column owes all 9 digit terms, observed or not (an exploded
-    // literal array, not a cross join — nothing nested-loops here)
-    val full = counts.select("col_name").distinct()
+    // every column owes all 9 digit terms, observed or not: the audited
+    // column list is static, so the zero frame is a LITERAL 18-row union
+    // folded in by the same aggregate — one scan per table, no join back
+    // against the (twice-recomputed) counts branch
+    val zeros = counts.sparkSession.range(1)
+      .select(explode(typedLit(
+        benfordCols.map { case (t, c) => s"$t.$c" })).as("col_name"))
       .select(col("col_name"),
-        explode(typedLit((1 to 9).toArray)).as("digit"))
-      .join(counts, Seq("col_name", "digit"), "left")
-      .select(col("col_name"), col("digit"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
+        explode(typedLit((1 to 9).toArray)).as("digit"),
+        lit(0L).as("cnt"))
+    val full = counts.unionByName(zeros)
+      .groupBy("col_name", "digit").agg(sum("cnt").as("cnt"))
     val w = Window.partitionBy("col_name")
     val pd = benfordP.tail.foldLeft(
       when(col("digit") === benfordP.head._1, lit(benfordP.head._2))) {

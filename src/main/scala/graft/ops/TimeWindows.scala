@@ -291,6 +291,70 @@ object TimeWindows {
       .orderBy("event_type", "lag")
   }
 
+  /** The 7 weekly DFT weights for [[tsPeriodicity]] — cos/sin(2πk/7),
+    * k = day-index mod 7: computed ONCE here and interpolated into the
+    * oracle SQL as literals, because DuckDB's libm cos() and the JVM's
+    * are not guaranteed to agree to the last ulp (the [[saxBreak]]
+    * shared-constant discipline, applied to trig). */
+  private[graft] val week7Cos: Seq[Double] =
+    (0 to 6).map(k => math.cos(2 * math.Pi * k / 7))
+  private[graft] val week7Sin: Seq[Double] =
+    (0 to 6).map(k => math.sin(2 * math.Pi * k / 7))
+
+  /** WEEKLY PERIODICITY STRENGTH — the single-frequency periodogram at
+    * period 7 per type's daily series: how much of the series' variance
+    * sits in the weekly cycle ([[tsSeasonal]] reads the per-weekday
+    * LEVELS; this reads the cycle's SHARE — one number an alerting rule
+    * can threshold). weekly_share = 2·(A² + B²)/(n·Σdev²) with
+    * A = Σ dev_d·cos(2πd/7), B the sine twin — 1.0 for a pure in-phase
+    * weekly sinusoid over whole weeks, ~0 for white noise.
+    *
+    * Exactness: dev_d = n·y_d − S (exact integers, the [[saxOf]]
+    * no-division trick), each dev·cos/sin term QUANTIZED to 1e−6 then
+    * summed as DECIMAL(38,0) — a raw double Σ would be partition-order
+    * dependent; trig weights are the 7 shared literals above; the final
+    * share is one double tree on exact sums, 6 dp. Σdev² rides int64
+    * (safe to |dev| < 3e9, i.e. daily cents × days < 3e9 — document-
+    * scale series lift it to DECIMAL like text_jsd if ever needed).
+    * Plan: one daily aggregate, broadcast moment join, one quantized
+    * re-aggregate — |types|×days rows end to end. */
+  def tsPeriodicity(spark: SparkSession, dir: String): DataFrame =
+    periodicityOf(table(spark, dir, "events"))
+
+  /** The periodogram over any (event_type, ts, value) frame — split out
+    * so the spec can drive a pure 7-day square wave (share → 1-ish) and
+    * flat/white series (share → 0 / NULL). */
+  private[graft] def periodicityOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("yc"))
+    val mom = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("yc").as("s"))
+    def wsel(lits: Seq[Double]): Column =
+      lits.zipWithIndex.tail.foldLeft(
+        when(pmod(col("d"), lit(7)) === 0, lit(lits.head))) {
+        case (acc, (v, k)) => acc.when(pmod(col("d"), lit(7)) === k, lit(v))
+      }
+    val devL = col("n") * col("yc") - col("s") // exact int64
+    def q(x: Column): Column = floor(x * 1e6 + 0.5).cast(dec)
+    val agg2 = daily.join(broadcast(mom), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(q(devL.cast(DoubleType) * wsel(week7Cos))).as("a"),
+        sum(q(devL.cast(DoubleType) * wsel(week7Sin))).as("b"),
+        sum((devL * devL).cast(dec)).as("tot"))
+    val (aD, bD, nD, totD) = (col("a").cast(DoubleType),
+      col("b").cast(DoubleType), col("n").cast(DoubleType),
+      col("tot").cast(DoubleType))
+    agg2.select(col("event_type"), col("n").as("n_days"),
+        roundD(lit(2.0) * (aD * aD + bD * bD) / lit(1e12) /
+          nullif(nD * totD, lit(0.0)), 6).as("weekly_share"))
+      .orderBy("event_type")
+  }
+
   /** PARTIAL AUTOCORRELATION at lags 1-3 — [[tsAcf]]'s companion and the
     * AR-order diagnostic the Box-Jenkins recipe reads first: φ_kk is the
     * correlation between x_t and x_{t−k} AFTER the intermediate lags are
@@ -1057,6 +1121,43 @@ object TimeWindows {
              floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
                    * 1e6 + 0.5) / 1e6 AS mean_after
       FROM r WHERE rk = 1 ORDER BY event_type""",
+    // same integer dev = n*yc - s, same interpolated trig literals (libm
+    // cos is NOT trusted to match the JVM's — only shared literals are),
+    // same per-term 1e-6 quantize then exact decimal sum
+    "ts_periodicity" -> {
+      def cse(lits: Seq[Double]) = lits.zipWithIndex.map { case (v, k) =>
+        s"WHEN $k THEN CAST($v AS DOUBLE)" }
+        .mkString("CASE d % 7 ", " ", " END")
+      s"""
+      WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2),
+      mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(yc) AS BIGINT) AS s
+              FROM daily GROUP BY 1),
+      t AS (
+        SELECT daily.event_type, m.n, daily.d,
+               CAST(floor((m.n * daily.yc - m.s)::DOUBLE * (${cse(week7Cos)})
+                          * 1e6 + 0.5) AS DECIMAL(38,0)) AS qa,
+               CAST(floor((m.n * daily.yc - m.s)::DOUBLE * (${cse(week7Sin)})
+                          * 1e6 + 0.5) AS DECIMAL(38,0)) AS qb,
+               CAST((m.n * daily.yc - m.s) * (m.n * daily.yc - m.s)
+                    AS DECIMAL(38,0)) AS dv2
+        FROM daily JOIN mom m USING (event_type)),
+      g AS (SELECT event_type, n,
+                   CAST(sum(qa) AS DECIMAL(38,0)) AS a,
+                   CAST(sum(qb) AS DECIMAL(38,0)) AS b,
+                   CAST(sum(dv2) AS DECIMAL(38,0)) AS tot
+            FROM t GROUP BY 1, 2)
+      SELECT event_type, n AS n_days,
+             floor((2.0 * (a::DOUBLE * a::DOUBLE + b::DOUBLE * b::DOUBLE)
+                    / 1e12 / nullif(n::DOUBLE * tot::DOUBLE, 0.0))
+                   * 1e6 + 0.5) / 1e6 AS weekly_share
+      FROM g ORDER BY event_type"""
+    },
     // same exact decimal moments as ts_acf extended to lag 3, each rho
     // quantized to the 1e-6 grid BEFORE the Durbin-Levinson doubles, so
     // the recursion runs on bit-identical inputs in both engines
@@ -1541,6 +1642,7 @@ object TimeWindows {
     "ts_cusum" -> tsCusum _,
     "ts_sax" -> tsSax _,
     "ts_pacf" -> tsPacf _,
+    "ts_periodicity" -> tsPeriodicity _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,

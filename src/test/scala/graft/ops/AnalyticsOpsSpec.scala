@@ -544,6 +544,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("flat") == ((8L, "cccccccc")), s"$got")
   }
 
+  test("ts_periodicity: weekly sinusoid captures ~all variance, period-2 none, flat NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(i: Int) = new Timestamp(86400000L * (19000 + i))
+    val ev = (0 until 28).flatMap { d =>
+      Seq(
+        ("weekly", day(d), 100.0 + 50.0 * math.cos(2 * math.Pi * d / 7)),
+        ("alt", day(d), if (d % 2 == 0) 50.0 else 150.0),
+        ("flat", day(d), 100.0))
+    }.toDF("event_type", "ts", "value")
+    val got = TimeWindows.periodicityOf(ev).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("weekly").exists(_ > 0.95), s"pure weekly cycle: $got")
+    assert(got("alt").exists(_ < 0.1), s"period-2 has no weekly power: $got")
+    assert(got("flat").isEmpty, s"zero variance must be NULL: $got")
+  }
+
   test("ts_pacf: matches an independent Pearson + Durbin-Levinson evaluation") {
     import spark.implicits._
     import java.sql.Timestamp
