@@ -199,6 +199,50 @@ object GraphOps {
           col("n_edges").cast(DoubleType), 6).as("reciprocity"))
   }
 
+  /** DIRECTED TRIAD MOTIF CENSUS over the principal-lane skeleton — the
+    * Milo-style network-motif readout beside [[reciprocity]]'s dyads and
+    * [[triangleCount]]'s undirected triangles: how many CYCLIC triangles
+    * (a→b→c→a, circular trade) vs FEED-FORWARD loops (a→b, b→c, a→c —
+    * the hierarchy/shortcut motif) the lane graph contains. The
+    * cyclic:ffl ratio is the classic hierarchy-vs-circulation
+    * fingerprint (feed-forward dominance ⇒ a layered flow network).
+    *
+    * Counting: labeled 2-paths a→b→c (a≠c) close against the edge set
+    * once per orientation — a cycle is counted 3× by rotation (÷3,
+    * exact), an FFL exactly once. Self-loops excluded up front; vertex
+    * distinctness is forced by the no-self-loop edges + the a≠c guard.
+    * Scale shape: the skeleton is out-degree-≤[[betwLanes]] by
+    * construction, so 2-paths are ≤ 3·|E| rows and both closures are
+    * keyed equi-joins against the BROADCAST edge list — nothing here is
+    * all-pairs even on an unbounded vertex set. */
+  def motifs(spark: SparkSession, dir: String): DataFrame =
+    motifsOf(principalLanes(spark, dir))
+
+  /** Split out so the spec can drive hand graphs (a directed 3-cycle is
+    * one cyclic triad and zero FFLs; orienting one edge the other way
+    * flips it to zero cycles and one FFL). */
+  private[graft] def motifsOf(edges0: DataFrame): DataFrame = {
+    val e = materialize(
+      edges0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
+    val paths = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(broadcast(e.select(col("src").as("b"), col("dst").as("c"))), "b")
+      .filter(col("a") =!= col("c"))
+    val cyc = paths.join(
+      broadcast(e.select(col("src").as("c"), col("dst").as("a"))),
+      Seq("c", "a"))
+    val ffl = paths.join(
+      broadcast(e.select(col("src").as("a"), col("dst").as("c"))),
+      Seq("a", "c"))
+    cyc.select(lit("cyclic").as("motif"))
+      .unionByName(ffl.select(lit("ffl").as("motif")))
+      .unionByName(e.select(lit("edge").as("motif")))
+      .groupBy("motif").agg(count(lit(1)).as("n_labeled"))
+      .select(col("motif"),
+        when(col("motif") === "cyclic", expr("n_labeled div 3"))
+          .otherwise(col("n_labeled")).as("n"))
+      .orderBy("motif")
+  }
+
   /** GLOBAL CLUSTERING COEFFICIENT of the co-purchase graph — the
     * transitivity summary C = 3·|triangles| / |wedges| ("if two parts
     * share a co-purchase partner, how often are they co-purchased
@@ -1042,6 +1086,35 @@ object GraphOps {
                          (COALESCE(c$out.qsum, 0)::DOUBLE / 1e12) AS pr
                 FROM v LEFT JOIN c$out USING (id))"""
     Map(
+      // same lane skeleton as graph_katz, same labeled 2-path closures:
+      // cycles counted 3x by rotation then exact-divided, FFLs once
+      "graph_motifs" -> s"""
+        WITH raw AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        lanes AS (SELECT src, dst,
+                         row_number() OVER (PARTITION BY src
+                                            ORDER BY cnt DESC, dst) AS rn
+                  FROM raw WHERE src <> dst),
+        e AS MATERIALIZED (SELECT src, dst FROM lanes WHERE rn <= $betwLanes),
+        p AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              WHERE e1.src <> e2.dst)
+        SELECT 'cyclic' AS motif,
+               CAST((SELECT count(*) FROM p
+                     JOIN e ON e.src = p.c AND e.dst = p.a) // 3 AS BIGINT)
+                 AS n
+        UNION ALL
+        SELECT 'edge', CAST(count(*) AS BIGINT) FROM e
+        UNION ALL
+        SELECT 'ffl',
+               CAST((SELECT count(*) FROM p
+                     JOIN e ON e.src = p.a AND e.dst = p.c) AS BIGINT)
+        ORDER BY motif""",
       // the same dedup'd directed edge set and reversal membership
       "graph_reciprocity" -> """
         WITH e AS MATERIALIZED (
@@ -1481,6 +1554,7 @@ object GraphOps {
     "graph_kcore" -> kCore _,
     "graph_jaccard" -> jaccardLinks _,
     "graph_reciprocity" -> reciprocity _,
+    "graph_motifs" -> motifs _,
     "graph_clustering" -> clusteringCoef _,
   )
 }
