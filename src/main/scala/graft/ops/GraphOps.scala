@@ -233,10 +233,17 @@ object GraphOps {
     val ffl = paths.join(
       broadcast(e.select(col("src").as("a"), col("dst").as("c"))),
       Seq("a", "c"))
-    cyc.select(lit("cyclic").as("motif"))
-      .unionByName(ffl.select(lit("ffl").as("motif")))
-      .unionByName(e.select(lit("edge").as("motif")))
-      .groupBy("motif").agg(count(lit(1)).as("n_labeled"))
+    // a motif class with zero instances still reports its row (a sparse
+    // skeleton — sf0.001 — has no cycles at all): literal zero rows
+    // fold into the same aggregate
+    val zeros = edges0.sparkSession.range(1)
+      .select(explode(typedLit(Array("cyclic", "edge", "ffl"))).as("motif"),
+        lit(0L).as("w"))
+    cyc.select(lit("cyclic").as("motif"), lit(1L).as("w"))
+      .unionByName(ffl.select(lit("ffl").as("motif"), lit(1L).as("w")))
+      .unionByName(e.select(lit("edge").as("motif"), lit(1L).as("w")))
+      .unionByName(zeros)
+      .groupBy("motif").agg(sum("w").as("n_labeled"))
       .select(col("motif"),
         when(col("motif") === "cyclic", expr("n_labeled div 3"))
           .otherwise(col("n_labeled")).as("n"))

@@ -357,17 +357,18 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.motifsOf(pairs.toDF("src", "dst")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val cyc = census((1L, 2L), (2L, 3L), (3L, 1L))
-    assert(cyc == Map("cyclic" -> 1L, "edge" -> 3L), s"3-cycle: $cyc")
+    assert(cyc == Map("cyclic" -> 1L, "ffl" -> 0L, "edge" -> 3L), s"3-cycle: $cyc")
     // flip 3->1 to 1->3: the same triple is now a feed-forward loop
     // (1->2, 2->3, 1->3) and no cycle survives
     val ffl = census((1L, 2L), (2L, 3L), (1L, 3L))
-    assert(ffl == Map("ffl" -> 1L, "edge" -> 3L), s"FFL: $ffl")
+    assert(ffl == Map("cyclic" -> 0L, "ffl" -> 1L, "edge" -> 3L), s"FFL: $ffl")
     // both orientations of the closing edge: one cycle AND one FFL
     val both = census((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
     assert(both == Map("cyclic" -> 1L, "ffl" -> 1L, "edge" -> 4L), s"both: $both")
-    // self-loops never fabricate a triad
+    // self-loops never fabricate a triad; absent classes still report 0
     val self = census((1L, 2L), (2L, 1L), (1L, 1L))
-    assert(self == Map("edge" -> 2L), s"2-cycle+self-loop: $self")
+    assert(self == Map("cyclic" -> 0L, "ffl" -> 0L, "edge" -> 2L),
+      s"2-cycle+self-loop: $self")
   }
 
   test("clustering: coefficient is consistent with the triangle and degree frames") {
