@@ -72,6 +72,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CODE-VS-PROSE DETECTION — the curation filter every mixed web/code
+    * corpus runs beside [[textLangid]] (route code to the code pipeline,
+    * keep prose quality rules off stack traces): per document, integer
+    * permille signals — code-symbol density (`{};()=<>[]`), lines ending
+    * in `;`/`{`/`}`, indented lines, programming-keyword hits — blended
+    * into one thresholdable score. All counts come from the regex subset
+    * both engines implement identically (character classes, `\\b`, no
+    * lookaround — the [[textTokenCount]] precedent), and every ratio is
+    * an integer `div` — nothing floats, so the flag is bit-stable at any
+    * scale. The synthetic corpus is pure prose, so the interesting
+    * positives live in the spec ([[codeSignalsOf]] over real snippets);
+    * the oracle exercises the full signal arithmetic end to end. */
+  def textCode(spark: SparkSession, dir: String): DataFrame =
+    codeSignalsOf(table(spark, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** The signal machinery over any (doc_id, text) frame — split out so
+    * the spec can drive real code snippets (a Scala body scores as code,
+    * a prose paragraph does not). */
+  private[graft] def codeSignalsOf(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val nChars = greatest(length(col("text")), lit(1)).cast(LongType)
+    val symN = size(regexp_extract_all(col("text"),
+      lit("[{}();=<>\\[\\]]"), lit(0))).cast(LongType)
+    val lines = split(col("text"), "\n")
+    val nLines = greatest(size(lines), lit(1)).cast(LongType)
+    val eolN = size(filter(lines, l => l.rlike("[;{}]\\s*$"))).cast(LongType)
+    val indentN = size(filter(lines, l => l.rlike("^(\t|  )"))).cast(LongType)
+    val kwN = size(regexp_extract_all(lowered,
+      lit("\\b(return|import|class|void|function|println|lambda|struct|elif|const)\\b"),
+      lit(0))).cast(LongType)
+    docs
+      .select(col("doc_id"), nChars.as("n_chars"), symN.as("sym_n"),
+        nLines.as("n_lines"), eolN.as("eol_n"), indentN.as("indent_n"),
+        kwN.as("kw_hits"))
+      .withColumn("sym_pm", expr("sym_n * 1000 div n_chars"))
+      .withColumn("eol_pm", expr("eol_n * 1000 div n_lines"))
+      .withColumn("indent_pm", expr("indent_n * 1000 div n_lines"))
+      .withColumn("score_pm",
+        least(lit(1000L), col("sym_pm") * 2 + col("eol_pm") +
+          col("indent_pm") + least(col("kw_hits"), lit(10L)) * 30))
+      .select(col("doc_id"), col("sym_pm"), col("eol_pm"), col("indent_pm"),
+        col("kw_hits"), col("score_pm"),
+        (col("score_pm") >= 300L).cast("int").as("is_code"))
+  }
+
   /** Token counting two ways: whitespace split vs a BPE-ish regex over
     * word/number/punctuation pieces — the cheap token estimator for budget
     * accounting. */
@@ -1427,6 +1473,37 @@ object TextOps {
              floor(len(list_filter(toks, x -> x IN $stopList))::DOUBLE / len(toks) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
              floor(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) * 1e2 + 0.5) / 1e2 AS mean_token_len
       FROM t ORDER BY doc_id""",
+    // same regex subset (char classes + \b only), same integer div
+    // permilles, same capped blend and 300-permille threshold
+    "text_code" -> """
+      WITH sig AS (
+        SELECT doc_id,
+               greatest(length(text), 1) AS n_chars,
+               len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS sym_n,
+               greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+               len(list_filter(string_split(text, chr(10)),
+                               x -> regexp_matches(x, '[;{}]\s*$'))) AS eol_n,
+               len(list_filter(string_split(text, chr(10)),
+                               x -> regexp_matches(x, '^(\t|  )')))
+                 AS indent_n,
+               len(regexp_extract_all(lower(text),
+                 '\b(return|import|class|void|function|println|lambda|struct|elif|const)\b'))
+                 AS kw_hits
+        FROM documents),
+      pm AS (
+        SELECT doc_id,
+               CAST(sym_n * 1000 // n_chars AS BIGINT) AS sym_pm,
+               CAST(eol_n * 1000 // n_lines AS BIGINT) AS eol_pm,
+               CAST(indent_n * 1000 // n_lines AS BIGINT) AS indent_pm,
+               CAST(kw_hits AS BIGINT) AS kw_hits
+        FROM sig),
+      sc AS (
+        SELECT *, least(1000, sym_pm * 2 + eol_pm + indent_pm
+                              + least(kw_hits, 10) * 30) AS score_pm
+        FROM pm)
+      SELECT doc_id, sym_pm, eol_pm, indent_pm, kw_hits, score_pm,
+             CAST(score_pm >= 300 AS INTEGER) AS is_code
+      FROM sc ORDER BY doc_id""",
     "text_langid" -> s"""
       WITH t AS (SELECT doc_id, lang,
                         list_filter(string_split(lower(text),' '), x -> x <> '') AS toks
@@ -1530,6 +1607,7 @@ object TextOps {
     "tok_count" -> textTokenizeCount _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
+    "text_code" -> textCode _,
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,

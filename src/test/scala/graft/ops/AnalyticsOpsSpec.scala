@@ -544,6 +544,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("flat") == ((8L, "cccccccc")), s"$got")
   }
 
+  test("text_code: a code body flags as code, prose does not, empty text survives") {
+    import spark.implicits._
+    val code =
+      """object Main {
+        |  def run(xs: Seq[Int]): Int = {
+        |    val total = xs.map(x => x * 2).sum;
+        |    return total;
+        |  }
+        |}""".stripMargin
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders home across the quiet field before the rain arrives"
+    val got = TextOps.codeSignalsOf(
+      Seq((1L, code), (2L, prose), (3L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getInt(6)))).toMap
+    assert(got(1L)._2 == 1 && got(1L)._1 >= 300L, s"code must flag: $got")
+    assert(got(2L)._2 == 0 && got(2L)._1 < 100L, s"prose must not: $got")
+    assert(got(3L)._2 == 0, s"empty text must not divide by zero: $got")
+  }
+
   test("ts_periodicity: weekly sinusoid captures ~all variance, period-2 none, flat NULL") {
     import spark.implicits._
     import java.sql.Timestamp
