@@ -199,6 +199,61 @@ object GraphOps {
           col("n_edges").cast(DoubleType), 6).as("reciprocity"))
   }
 
+  /** Steps per walk for [[walks]] (path length = steps + 1) and the
+    * hash-mix constants of its deterministic neighbor pick — shared with
+    * the oracle so both engines draw the identical walk. */
+  val walkSteps = 4
+  private[graft] val walkMixA = 1000003L
+  private[graft] val walkMixB = 7919L
+  private[graft] val walkMixC = 12345L
+  private[graft] val walkMixP = 1000000007L
+
+  /** DETERMINISTIC RANDOM-WALK CORPUS (DeepWalk/node2vec input) over the
+    * co-purchase graph — the graph-embedding training-data generator:
+    * one length-[[walkSteps]] walk per vertex, the walk sequences being
+    * exactly what a skip-gram embedder consumes. "Random" is a HASH, not
+    * an RNG: at step t the walk leaves v through neighbor rank
+    * ((v·A + t·B + C) mod P) mod deg(v) over the dst-sorted adjacency —
+    * reproducible across runs, partitionings, and engines (the
+    * sample_stratified hash-mod discipline; a seeded RNG would be
+    * partition-order dependent and engine-specific).
+    *
+    * Scale shape: the ranked adjacency is a stored-shape projection
+    * (one window over the symmetric edge list); each step is ONE keyed
+    * equi-join of the |V|-row frontier against it — steps are a fixed
+    * constant, so the whole corpus is [[walkSteps]] joins, no
+    * per-vertex iteration, no driver loops over data. */
+  def walks(spark: SparkSession, dir: String): DataFrame =
+    walksOf(coPurchaseEdges(spark, dir), walkSteps)
+      .orderBy("start")
+
+  /** The walk machinery over any undirected (a, b) edge frame — split
+    * out so the spec can drive hand graphs (a path graph's walks bounce
+    * deterministically; re-running is bit-identical). */
+  private[graft] def walksOf(edges: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val adj = materialize(sym
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))))
+    var walk = adj.select(col("src").as("start")).distinct()
+      .withColumn("cur", col("start"))
+      .withColumn("walk", col("start").cast("string"))
+    for (t <- 1 to steps) {
+      val pick = pmod(
+        pmod(col("cur") * walkMixA + lit(t * walkMixB + walkMixC),
+          lit(walkMixP)),
+        col("deg"))
+      walk = walk
+        .join(adj, col("src") === col("cur") && col("rn") === pick)
+        .select(col("start"), col("dst").as("cur"),
+          concat(col("walk"), lit("-"), col("dst").cast("string")).as("walk"))
+    }
+    walk.select(col("start"), col("walk"))
+  }
+
   /** DIRECTED TRIAD MOTIF CENSUS over the principal-lane skeleton — the
     * Milo-style network-motif readout beside [[reciprocity]]'s dyads and
     * [[triangleCount]]'s undirected triangles: how many CYCLIC triangles
@@ -1093,6 +1148,36 @@ object GraphOps {
                          (COALESCE(c$out.qsum, 0)::DOUBLE / 1e12) AS pr
                 FROM v LEFT JOIN c$out USING (id))"""
     Map(
+      // same co-purchase edges, same dst-ranked adjacency, same hash-mod
+      // neighbor pick per step — the walk is identical by construction
+      "graph_walks" -> {
+        val stepJoin = (1 to walkSteps).map { t =>
+          s"""w$t AS (
+            SELECT w.start, a.dst AS cur,
+                   w.walk || '-' || CAST(a.dst AS VARCHAR) AS walk
+            FROM w${t - 1} w JOIN adj a
+              ON a.src = w.cur
+             AND a.rn = ((w.cur * $walkMixA + ${t * walkMixB + walkMixC})
+                         % $walkMixP) % a.deg)"""
+        }.mkString(",\n")
+        s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT min(l_partkey) AS a, max(l_partkey) AS b, count(*) AS n
+            FROM lineitem GROUP BY l_orderkey) t
+          WHERE n = 2 AND a <> b),
+        adj AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM (SELECT a AS src, b AS dst FROM e0
+                UNION ALL SELECT b, a FROM e0)),
+        w0 AS (SELECT DISTINCT src AS start, src AS cur,
+                      CAST(src AS VARCHAR) AS walk
+               FROM adj),
+        $stepJoin
+        SELECT start, walk FROM w$walkSteps ORDER BY start"""
+      },
       // same lane skeleton as graph_katz, same labeled 2-path closures:
       // cycles counted 3x by rotation then exact-divided, FFLs once
       "graph_motifs" -> s"""
@@ -1562,6 +1647,7 @@ object GraphOps {
     "graph_jaccard" -> jaccardLinks _,
     "graph_reciprocity" -> reciprocity _,
     "graph_motifs" -> motifs _,
+    "graph_walks" -> walks _,
     "graph_clustering" -> clusteringCoef _,
   )
 }

@@ -351,6 +351,36 @@ class GraphOpsSpec extends SparkSpec {
       s"DAG: $d")
   }
 
+  test("walks: hash-picked walks match an independent simulation and repeat bit-identically") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+    val df = edges.toDF("a", "b")
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).sorted }
+    def simulate(start: Long): String = {
+      var cur = start
+      val sb = new StringBuilder(start.toString)
+      for (t <- 1 to GraphOps.walkSteps) {
+        val ns = adj(cur)
+        val r = (((cur * 1000003L + t * 7919L + 12345L) % 1000000007L)
+          % ns.size).toInt
+        cur = ns(r)
+        sb.append('-').append(cur)
+      }
+      sb.toString
+    }
+    val got = GraphOps.walksOf(df, GraphOps.walkSteps).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"one walk per vertex: $got")
+    got.foreach { case (s, w) =>
+      assert(w == simulate(s), s"walk from $s: got $w want ${simulate(s)}")
+    }
+    // a second run draws the identical corpus — hash, not RNG
+    val again = GraphOps.walksOf(df, GraphOps.walkSteps).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("motifs: a 3-cycle is one cyclic triad; re-orienting one edge makes one FFL") {
     import spark.implicits._
     def census(pairs: (Long, Long)*) =
