@@ -355,6 +355,17 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** EXACT HOURLY REACH — distinct users per event-time hour, the batch
+    * runtime of [[graft.streaming.StreamAssembly.reachStream]] (one
+    * definition, two runtimes — the `dq_entropy`/`ts_cusum` convention):
+    * the dedup→count shape the stream executes is run exactly here, and
+    * the DuckDB oracle verifies it against a plain COUNT(DISTINCT) — so
+    * the oracle proves the streaming monitor's dedup grain counts the
+    * same thing the SQL everyone trusts does. */
+  def winReachHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAssembly.reachAgg(table(spark, dir, "events"))
+      .orderBy("hour_ms")
+
   /** PARTIAL AUTOCORRELATION at lags 1-3 — [[tsAcf]]'s companion and the
     * AR-order diagnostic the Box-Jenkins recipe reads first: φ_kk is the
     * correlation between x_t and x_{t−k} AFTER the intermediate lags are
@@ -1121,6 +1132,11 @@ object TimeWindows {
              floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
                    * 1e6 + 0.5) / 1e6 AS mean_after
       FROM r WHERE rk = 1 ORDER BY event_type""",
+    // the trusted-SQL form of the streaming dedup->count grain
+    "win_reach_hourly" -> """
+      SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS reach
+      FROM events GROUP BY 1 ORDER BY hour_ms""",
     // same integer dev = n*yc - s, same interpolated trig literals (libm
     // cos is NOT trusted to match the JVM's — only shared literals are),
     // same per-term 1e-6 quantize then exact decimal sum
@@ -1643,6 +1659,7 @@ object TimeWindows {
     "ts_sax" -> tsSax _,
     "ts_pacf" -> tsPacf _,
     "ts_periodicity" -> tsPeriodicity _,
+    "win_reach_hourly" -> winReachHourly _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,

@@ -662,6 +662,37 @@ object StreamAssembly {
         col("n").as("n_prior"))
   }
 
+  /** STREAMING EXACT HOURLY REACH — live distinct users per event-time
+    * hour, the DAU-denominator monitor: `count_distinct` is not
+    * streamable, so the distinct is a WATERMARKED DEDUP on (user, hour)
+    * — state one entry per active (user, hour), evicted as the
+    * watermark passes — chained into a windowed count (Spark's
+    * multi-stateful append pipeline). This is the EXACT companion to
+    * the mergeable-sketch path (`agg_hll_merge`): sketches when ±2% is
+    * fine and state must stay KB-bounded, this when the number must be
+    * exact and per-hour actives fit state (the dedup-ring trade,
+    * StreamAssembly:17, at reach grain). Batch twin [[reachAgg]] is the
+    * same dedup→count shape run exactly; the oracle-checked
+    * `win_reach_hourly` query verifies it against COUNT(DISTINCT). */
+  def reachStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      // the window struct IS the event-time column downstream — keeping
+      // raw ts too would leave two event-time columns (analysis error)
+      .select(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .dropDuplicatesWithinWatermark("user_id", "w")
+      .groupBy("w").agg(count(lit(1)).as("reach"))
+      .select(unix_millis(col("w.start")).as("hour_ms"), col("reach"))
+
+  /** The batch twin: identical dedup→count shape (≡ COUNT(DISTINCT),
+    * which the DuckDB oracle uses directly). */
+  private[graft] def reachAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy("w").agg(count(lit(1)).as("reach"))
+      .select(unix_millis(col("w.start")).as("hour_ms"), col("reach"))
+
   /** Training-prefix length for [[cusumStream]]: the first 64 events per
     * type (in (ts, id) order) freeze the reference level. 64 keeps the
     * reference sum a shift-friendly multiple and is long enough that the

@@ -886,6 +886,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact reach: dedup->count chain matches COUNT(DISTINCT) per closed hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(_._2.getTime).toIndexedSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = StreamAssembly.reachStream(events)
+      .writeStream.format("memory").queryName("reach_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // close every hour with a far-future sentinel user
+      mem.addData((-1L,
+        new java.sql.Timestamp(src.map(_._2.getTime).max + 365L * 86400000L)))
+      q.processAllAvailable()
+      // the sentinel's own window never closes (nothing follows it), so
+      // the emitted set is exactly the real hours — no exclusion needed
+      val got = spark.sql(
+        """SELECT hour_ms, reach FROM reach_stream
+           ORDER BY hour_ms""").collect().toSeq
+      val want = StreamAssembly.reachAgg(
+        graft.ops.table(spark, dir, "events"))
+        .orderBy("hour_ms").collect().toSeq
+      assert(want.nonEmpty && got == want,
+        s"streaming reach diverged: ${got.size} vs ${want.size} rows")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM: onsets match the batch prefix-identity twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
