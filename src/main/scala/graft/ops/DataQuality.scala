@@ -429,6 +429,28 @@ object DataQuality {
     graft.streaming.StreamAssembly.entropyAgg(table(spark, dir, "events"))
       .orderBy("hour_ms")
 
+  /** SEQUENCE-GAP AUDIT — per UTC day, holes in the event-id sequence:
+    * in-day missing count ((max−min+1) − rows) and the gap across the
+    * previous day's boundary. An ingest that drops a batch leaves a
+    * hole in an otherwise dense id sequence long before volumes drift
+    * enough for [[dqVolume]] to alarm — this is the cheap exactness
+    * check that catches it at the id grain. One map-side-combined daily
+    * aggregate; the lag window runs over the |days|-row result, not the
+    * event stream. All integers. */
+  def dqGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = table(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"),
+        count(lit(1)).as("n_rows"))
+    d.withColumn("prev_hi", lag(col("hi"), 1).over(Window.orderBy("day")))
+      .select(col("day"), col("lo"), col("hi"), col("n_rows"),
+        (col("hi") - col("lo") + 1 - col("n_rows")).as("n_missing"),
+        when(col("prev_hi").isNull, lit(0L))
+          .otherwise(col("lo") - col("prev_hi") - 1).as("boundary_gap"))
+      .orderBy("day")
+  }
+
   /** The (digit → Benford probability) profile for [[dqBenford]]:
     * P(d) = log10(1 + 1/d), d ∈ 1..9 — generated ONCE here and inlined
     * as the identical double literals into both engines' expressions
@@ -857,6 +879,20 @@ object DataQuality {
                AS entropy_bits
       FROM h ORDER BY hour_ms"""
     },
+    // same daily id-span arithmetic; lag over the daily frame
+    "dq_gaps" -> """
+      WITH d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(min(event_id) AS BIGINT) AS lo,
+               CAST(max(event_id) AS BIGINT) AS hi,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1)
+      SELECT day, lo, hi, n_rows,
+             hi - lo + 1 - n_rows AS n_missing,
+             CASE WHEN lag(hi) OVER (ORDER BY day) IS NULL THEN 0
+                  ELSE lo - lag(hi) OVER (ORDER BY day) - 1
+             END AS boundary_gap
+      FROM d ORDER BY day""",
     // the Benford audit replayed: same integer-cents digit extraction,
     // same double literals for P(d) (interpolated from benfordP, so both
     // engines parse the identical shortest-round-trip representation),
@@ -987,5 +1023,6 @@ object DataQuality {
     "dq_assoc" -> dqAssoc _,
     "dq_entropy" -> dqEntropy _,
     "dq_benford" -> dqBenford _,
+    "dq_gaps" -> dqGaps _,
   )
 }

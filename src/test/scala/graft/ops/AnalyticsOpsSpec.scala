@@ -544,6 +544,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("flat") == ((8L, "cccccccc")), s"$got")
   }
 
+  test("dq_gaps: a dense id sequence audits clean at every day") {
+    val rows = DataQuality.dqGaps(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // the synthetic generator assigns dense day-ordered ids: zero in-day
+    // holes, zero boundary gaps — exactly the clean-ingest baseline the
+    // audit exists to verify (a dropped batch would show up in both)
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0L, s"in-day hole: $r")
+      assert(r.getLong(5) == 0L, s"boundary gap: $r")
+      assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3), s"span: $r")
+    }
+  }
+
   test("text_code: a code body flags as code, prose does not, empty text survives") {
     import spark.implicits._
     val code =
