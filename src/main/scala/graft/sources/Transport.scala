@@ -86,6 +86,14 @@ object WsTransport {
       while (n < maxFrames && it.hasNext) {
         out.write(it.next())
         out.write("\n")
+        // flush per frame: the capture is a LIVE tail target — a
+        // concurrently-triggering replay query must see frames at line
+        // grain, not at 8 KB buffer boundaries (the reference's capture
+        // files are line-buffered for the same reason:
+        // hyperliquid_adapter.py's hour files grow line by line). The
+        // pump is network-bound; the extra flush is noise against a
+        // socket read.
+        out.flush()
         n += 1
       }
     } finally out.close()
