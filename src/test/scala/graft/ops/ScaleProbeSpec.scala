@@ -45,6 +45,90 @@ class ScaleProbeSpec extends SparkSpec {
     assert(v10 == v1, "replication must not invent vocabulary")
   }
 
+  test("probe: sequential CUSUM at 10k vs 100k events — closed-form onsets, near-linear cost") {
+    // sustained 2x level shift after the 64-event training prefix: the
+    // detector must fire EXACTLY once per type (onset-only semantics), at
+    // the 13th shifted event (sp grows Sref/2 per step, h = 6*Sref), no
+    // matter how long the series runs — the flood-control property AT
+    // scale, plus the cost stays window-linear.
+    def series(n: Int, types: Int) =
+      spark.range(n.toLong * types).select(
+        concat(lit("t"), col("id") % types).as("event_type"),
+        col("id").as("event_id"),
+        timestamp_millis(lit(1700000000000L) + expr(s"id div $types") * 1000L)
+          .as("ts"),
+        when(expr(s"id div $types") < 64, 100.0).otherwise(200.0).as("value"))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    graft.streaming.StreamAssembly.cusumAgg(series(1000, 4)).count() // warm
+    val (r1, t1) = time(
+      graft.streaming.StreamAssembly.cusumAgg(series(10000, 4)).collect())
+    val (r10, t10) = time(
+      graft.streaming.StreamAssembly.cusumAgg(series(100000, 4)).collect())
+    info(f"cusum 40k rows: $t1%.2fs; 400k rows: $t10%.2fs, ratio ${t10 / t1}%.1fx")
+    Seq(r1, r10).foreach { rows =>
+      assert(rows.length == 4, s"one onset per type, ever: ${rows.length}")
+      rows.foreach { r =>
+        val k = r.getString(0).drop(1).toLong
+        assert(r.getLong(1) == 76L * 4 + k, s"onset at the 13th shifted event: $r")
+        assert(r.getString(2) == "up" && r.getLong(3) == 83L, s"$r")
+      }
+    }
+  }
+
+  test("probe: random walks on a 200k-vertex ring — closed-form walks at 10x vertices") {
+    import spark.implicits._
+    def ring(v: Long) =
+      spark.range(v).select(col("id").as("a"), ((col("id") + 1) % v).as("b"))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def simulate(start: Long, v: Long): String = {
+      var cur = start
+      val sb = new StringBuilder(start.toString)
+      for (t <- 1 to GraphOps.walkSteps) {
+        val ns = Seq((cur - 1 + v) % v, (cur + 1) % v).sorted
+        val r = (((cur * 1000003L + t * 7919L + 12345L) % 1000000007L)
+          % ns.size).toInt
+        cur = ns(r)
+        sb.append('-').append(cur)
+      }
+      sb.toString
+    }
+    GraphOps.walksOf(ring(1000), GraphOps.walkSteps).count() // warm
+    val (c1, t1) = time(GraphOps.walksOf(ring(20000), GraphOps.walkSteps).count())
+    val (c10, t10) = time(GraphOps.walksOf(ring(200000), GraphOps.walkSteps).count())
+    info(f"walks 20k: $t1%.2fs; 200k: $t10%.2fs, ratio ${t10 / t1}%.1fx")
+    assert(c1 == 20000L && c10 == 200000L, "one walk per vertex at both scales")
+    // spot-check hash determinism against the independent ring simulation
+    val v = 200000L
+    val sample = GraphOps.walksOf(ring(v), GraphOps.walkSteps)
+      .filter(col("start").isin(0L, 99999L, 199999L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sample.foreach { case (s, w) =>
+      assert(w == simulate(s, v), s"walk from $s: $w vs ${simulate(s, v)}")
+    }
+  }
+
+  test("probe: exact reach under 10x disjoint user replication multiplies exactly") {
+    val dir = "/root/testdata/sf0.1"
+    val ev = table(spark, dir, "events").select("user_id", "ts")
+    val ev10 = (0 until 10).map(i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    val r1 = graft.streaming.StreamAssembly.reachAgg(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r10 = graft.streaming.StreamAssembly.reachAgg(ev10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.nonEmpty && r10.keySet == r1.keySet)
+    // disjoint replicas: every hour's exact reach is exactly 10x — the
+    // dedup grain neither merges across replicas nor double-counts within
+    r1.foreach { case (h, n) =>
+      assert(r10(h) == 10L * n, s"hour $h: ${r10(h)} != 10*$n")
+    }
+  }
+
   test("probe: join_salt spreads a synthetic hot key at the REDUCER grain") {
     // adversarial skew fixture: one supplier carries HALF the fact rows —
     // the BTCUSDT-half-the-feed shape joinSalted's scaladoc names. The
