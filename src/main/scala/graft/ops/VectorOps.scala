@@ -59,6 +59,79 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Power-iteration rounds for [[vecPca]] and the contribution
+    * down-scale (2²⁰ — an exact power-of-two halving chain, so dividing
+    * a double by it is lossless) that keeps each quantized y·s term
+    * inside int64 at corpus scale. */
+  val pcaIters = 3
+  private[graft] val pcaScale = 1048576.0
+
+  /** DOMINANT-DIRECTION AUDIT (truncated power iteration) — the
+    * anisotropy readout on the embedding table beside [[dqVec]]'s
+    * per-vector hygiene: λ₁'s share of total variance and the dominant
+    * axis. A collapsed embedding space (every vector pointing the same
+    * way — the classic representation-degeneration failure) shows up
+    * here as lambda1_share → 1 long before retrieval metrics crater;
+    * isotropic spaces sit near 1/64.
+    *
+    * Exactness across engines WITHOUT trusting float sums: components
+    * quantize to y_d = n·⌊e_d·10⁶⌉ − m_d (exact int64, the mean folded
+    * out by cross-multiplication — no division), every per-vector dot
+    * is the same ORDERED index fold both engines run (the [[dot]]
+    * convention), each y·s contribution quantizes to an integer before
+    * the per-dimension DECIMAL(38,0) sum (partition-order exact), and
+    * the tiny normalize/share steps are identical IEEE trees on those
+    * exact sums. The iteration loop collects 64 numbers per round
+    * (metadata-scale — the kmeans staged-model pattern) and re-injects
+    * the eigenvector estimate as literals, so no 1-row broadcast join
+    * ever enters the plan. Scale shape: [[pcaIters]]+2 full scans, each
+    * a map-side-combined 64-key aggregate — nothing all-pairs, nothing
+    * collected at data scale. */
+  def vecPca(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val emb = table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    // per-dim quantized component sums (64 rows — metadata-scale collect)
+    val mRows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("q"))
+      .groupBy("pos").agg(sum("q").as("m")).collect()
+    val m = Array.ofDim[Long](64)
+    mRows.foreach(r => m(r.getInt(0)) = r.getLong(1))
+    // y_d = n*q(e_d) - m_d: exact mean-centered int64 components
+    val yCol = zip_with(col("embedding"), typedLit(m.toSeq), (x, mm) =>
+      lit(n) * floor(x.cast(DoubleType) * 1e6 + 0.5).cast(LongType) - mm)
+    val base = materialize(emb.select(col("vec_id"), yCol.as("y")))
+    val traceQ = base
+      .select(floor(aggregate(col("y"), lit(0.0),
+        (acc, a) => acc + a.cast(DoubleType) * a.cast(DoubleType)) + 0.5)
+        .cast(dec).as("t"))
+      .agg(sum("t").as("tr")).collect()(0).getDecimal(0).doubleValue()
+    var v = Array.fill(64)(0.125) // 1/sqrt(64), exactly representable
+    var lastNorm = 0.0
+    for (_ <- 1 to pcaIters) {
+      val s = aggregate(zip_with(col("y"), typedLit(v.toSeq),
+        (a, b) => a.cast(DoubleType) * b), lit(0.0), (acc, x) => acc + x)
+      val contrib = transform(col("y"), a =>
+        floor(a.cast(DoubleType) * (s / pcaScale) + 0.5).cast(dec))
+      val wRows = base
+        .select(posexplode(contrib).as(Seq("pos", "q")))
+        .groupBy("pos").agg(sum("q").as("w")).collect()
+      val w = Array.ofDim[Double](64)
+      wRows.foreach(r => w(r.getInt(0)) = r.getDecimal(1).doubleValue())
+      lastNorm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(_ / lastNorm)
+    }
+    val share = lastNorm * pcaScale / traceQ
+    val topDim = v.map(math.abs).zipWithIndex
+      .sortBy { case (a, i) => (-a, i) }.head._2 + 1
+    emb.sparkSession.range(1).select(
+      lit(n).as("n_vectors"), lit(64).as("dim"),
+      roundD(lit(share), 6).as("lambda1_share"),
+      lit(topDim).as("top_dim"))
+  }
+
   /** Brute-force cosine top-10 per query vector (queries = vec_id < 5,
     * broadcast to every partition): the exact baseline every ANN variant is
     * judged against. Scales as one pass over the corpus per query batch. */
@@ -926,7 +999,52 @@ object VectorOps {
              FROM ad2)
       SELECT query_id, rk::BIGINT AS rk, vec_id, qdist::DOUBLE / 1e9 AS dist
       FROM r2 WHERE rk <= $pqTopK ORDER BY query_id, rk"""
+    // the power iteration unrolled: same exact y = n*q(e) - m centering,
+    // same ordered folds, same 2^20 contribution scale, same quantize-
+    // then-DECIMAL(38,0) per-dimension sums, same normalize trees
+    val pcaOracle = {
+      def fold(terms: String) =
+        s"list_reduce(list_concat([0.0], $terms), (acc, x) -> acc + x)"
+      def iter(k: Int, sExpr: String) = s"""
+        s$k AS (SELECT vec_id, ${fold(sExpr)} AS s FROM yd${if (k > 1) s", v${k - 1}" else ""}),
+        w$k AS (SELECT list(w ORDER BY i) AS w FROM (
+           SELECT i, CAST(sum(CAST(floor(yd.y[i]::DOUBLE * (s$k.s / $pcaScale)
+                + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w
+           FROM yd JOIN s$k USING (vec_id), range(1, 65) AS t(i)
+           GROUP BY i)),
+        nrm$k AS (SELECT w, sqrt(${fold("list_transform(w, x -> x::DOUBLE * x::DOUBLE)")}) AS nrm
+                  FROM w$k),
+        v$k AS (SELECT list_transform(w, x -> x::DOUBLE / nrm) AS v
+                FROM nrm$k)"""
+      s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      ml AS (SELECT list(m ORDER BY i) AS ml FROM (
+         SELECT i, CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+              AS BIGINT)) AS BIGINT) AS m
+         FROM e, range(1, 65) AS t(i) GROUP BY i)),
+      yd AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                 i -> nn.n * CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                      AS BIGINT) - ml.ml[i]) AS y
+        FROM e, nn, ml),
+      tr AS (SELECT CAST(sum(CAST(floor(${fold("list_transform(y, a -> a::DOUBLE * a::DOUBLE)")}
+                + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t FROM yd),
+      ${iter(1, "list_transform(y, a -> a::DOUBLE * 0.125)")},
+      ${iter(2, "list_transform(range(1, 65), i -> yd.y[i]::DOUBLE * v1.v[i])")},
+      ${iter(3, "list_transform(range(1, 65), i -> yd.y[i]::DOUBLE * v2.v[i])")},
+      td AS (SELECT CAST(i AS INTEGER) AS top_dim FROM (
+         SELECT i, abs(w[i]::DOUBLE / nrm) AS av FROM nrm3, range(1, 65) AS t(i))
+         ORDER BY av DESC, i LIMIT 1)
+      SELECT nn.n AS n_vectors, 64 AS dim,
+             floor(nrm3.nrm * $pcaScale / tr.t::DOUBLE * 1e6 + 0.5) / 1e6
+               AS lambda1_share,
+             td.top_dim
+      FROM nn, tr, nrm3, td"""
+    }
     Map(
+      "vec_pca" -> pcaOracle,
       "vec_rp" -> rpOracle,
       "vec_pq" -> pqOracle,
       "sim_ivfpq" -> ivfpqOracle,
@@ -1197,6 +1315,7 @@ object VectorOps {
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
     "sim_ann_filtered" -> ((s, d) => simAnnFiltered(s, d)),
     "dq_vec" -> dqVec _,
+    "vec_pca" -> vecPca _,
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,

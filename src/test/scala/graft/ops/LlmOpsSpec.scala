@@ -112,6 +112,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"simhash recall $recall")
   }
 
+  test("vec_pca: a collapsed space scores lambda1_share ~1 on its dominant axis") {
+    import spark.implicits._
+    // 200 vectors concentrated on axis 7 (1-based): +-1 there, tiny
+    // deterministic jitter elsewhere — the representation-degeneration
+    // shape the audit exists to flag
+    val rows = (0 until 200).map { i =>
+      val e = Array.tabulate(64) { d =>
+        if (d == 6) (if (i % 2 == 0) 1.0f else -1.0f)
+        else ((i * 13 + d * 7) % 11 - 5) / 1000.0f
+      }
+      (i.toLong, e, i % 4)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pca_spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = VectorOps.vecPca(spark, dir).collect().head
+    assert(r.getLong(0) == 200L && r.getInt(1) == 64)
+    assert(r.getInt(3) == 7, s"dominant axis must be 7: $r")
+    assert(r.getDouble(2) > 0.95,
+      s"a collapsed space concentrates ~all variance on one axis: $r")
+    // repeat run is bit-identical (quantized sums + literal injection,
+    // no RNG, no partition-order dependence)
+    assert(VectorOps.vecPca(spark, dir).collect().head == r)
+  }
+
   test("vector ops: top-k is self-consistent and bounded") {
     val topk = VectorOps.simTopk(spark, dir).collect()
     assert(topk.nonEmpty)
