@@ -451,6 +451,29 @@ object DataQuality {
       .orderBy("day")
   }
 
+  /** HEARTBEAT AUDIT — the longest silent stretch per (type, day): the
+    * max interarrival gap in ms over the (ts, id)-ordered per-type
+    * stream. [[dqFreshness]] catches a feed that DIED (staleness now);
+    * this catches a feed that HICCUPPED — a half-hour hole inside an
+    * otherwise-on-time day is invisible to freshness and volume checks
+    * but is exactly the outage a liquidation feed cares about (the
+    * reference's idle watchdog, at audit grain). One lag window per
+    * (type, day) slice, integer ms; single-event days report 0. */
+  def dqHeartbeat(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy("ts_ms", "event_id")
+    table(spark, dir, "events")
+      .select(col("event_type"), day.as("day"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max("gap"), lit(0L)).as("max_gap_ms"))
+      .orderBy("event_type", "day")
+  }
+
   /** The (digit → Benford probability) profile for [[dqBenford]]:
     * P(d) = log10(1 + 1/d), d ∈ 1..9 — generated ONCE here and inlined
     * as the identical double literals into both engines' expressions
@@ -879,6 +902,17 @@ object DataQuality {
                AS entropy_bits
       FROM h ORDER BY hour_ms"""
     },
+    // same per-(type, day) lag over (ts, id); max of integer ms gaps
+    "dq_heartbeat" -> """
+      WITH g AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                 PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                 ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_ms
+      FROM g GROUP BY 1, 2 ORDER BY event_type, day""",
     // same daily id-span arithmetic; lag over the daily frame
     "dq_gaps" -> """
       WITH d AS (
@@ -1024,5 +1058,6 @@ object DataQuality {
     "dq_entropy" -> dqEntropy _,
     "dq_benford" -> dqBenford _,
     "dq_gaps" -> dqGaps _,
+    "dq_heartbeat" -> dqHeartbeat _,
   )
 }

@@ -552,6 +552,36 @@ object EventOps {
     * `spark.sql.ansi.enabled=true` so Spark fails as loudly as the
     * oracle. The same reasoning bounds [[abTtest]]'s spend moments,
     * whose x⁴-scale products cross 1e38 around the same SF. */
+  /** WILSON CONFIDENCE INTERVAL on the daily conversion rate — the
+    * proportion readout beside [[abTtest]]'s mean comparison: per day,
+    * purchases/events with the 95% Wilson score interval (the interval
+    * that behaves at small n and extreme p̂, where the naive Wald CI
+    * collapses or leaves [0,1] — the standard dashboard bound). One
+    * conditional-count aggregate (two exact integers per day); the
+    * closed-form bound is a single shared double tree on (k, n) with
+    * z = 1.96 as a literal, so both engines land the same 6-dp interval.
+    */
+  def abWilson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val m = table(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+    val (nD, kD) = (col("n").cast(DoubleType), col("k").cast(DoubleType))
+    val z = lit(1.96); val z2 = lit(1.96 * 1.96)
+    val ph = kD / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = (ph + z2 / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(ph * (lit(1.0) - ph) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    m.select(col("day"), col("n"), col("k"),
+        roundD(ph, 6).as("rate"),
+        roundD(center - half, 6).as("wilson_lo"),
+        roundD(center + half, 6).as("wilson_hi"))
+      .orderBy("day")
+  }
+
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     val arm = when(conv(substring(md5(concat(col("user_id")
       .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
@@ -838,6 +868,31 @@ object EventOps {
                / 1099511627776.0 AS score
       FROM w GROUP BY user_id ORDER BY user_id""",
     // identical md5 arms, exact decimal moments, identical double tree
+    // same integer (k, n) per day, same z=1.96 literal, same Wilson tree
+    "ab_wilson" -> """
+      WITH m AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY 1)
+      SELECT day, n, k,
+             floor((k::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS rate,
+             floor(((k::DOUBLE / n::DOUBLE + (1.96 * 1.96) / (2.0 * n::DOUBLE))
+                    / (1.0 + (1.96 * 1.96) / n::DOUBLE)
+                    - 1.96 * sqrt(k::DOUBLE / n::DOUBLE
+                        * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                        + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
+                      / (1.0 + (1.96 * 1.96) / n::DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS wilson_lo,
+             floor(((k::DOUBLE / n::DOUBLE + (1.96 * 1.96) / (2.0 * n::DOUBLE))
+                    / (1.0 + (1.96 * 1.96) / n::DOUBLE)
+                    + 1.96 * sqrt(k::DOUBLE / n::DOUBLE
+                        * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                        + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
+                      / (1.0 + (1.96 * 1.96) / n::DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS wilson_hi
+      FROM m ORDER BY day""",
     "ab_ttest" ->
       """WITH pu AS (
            SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
@@ -1100,6 +1155,7 @@ object EventOps {
     "cohort_ltv" -> cohortLtv _,
     "attr_position" -> attrPosition _,
     "ab_ttest" -> abTtest _,
+    "ab_wilson" -> abWilson _,
     "user_overlap" -> userOverlap _,
     "attr_markov" -> attrMarkov _,
   )

@@ -544,6 +544,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("flat") == ((8L, "cccccccc")), s"$got")
   }
 
+  test("ab_wilson: the interval brackets the rate inside [0,1] at every day") {
+    val rows = EventOps.abWilson(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(k <= n && math.abs(rate - k.toDouble / n) < 1e-5, s"$r")
+      // Wilson's whole point: bounded to [0,1] and bracketing, even at
+      // small n where the Wald interval escapes the unit range
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi, s"$r")
+      assert(hi - lo > 0.0, s"degenerate interval: $r")
+    }
+  }
+
+  test("dq_heartbeat: a planted half-hour hole is the day's max gap") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1700000000000L // within one UTC day
+    val ts = Seq(0L, 60000L, 120000L, 120000L + 1800000L, 120000L + 1860000L)
+    val df = ts.zipWithIndex.map { case (off, i) =>
+      ("feed", new Timestamp(t0 + off), i.toLong) }
+      .toDF("event_type", "ts", "event_id")
+      .withColumn("value", lit(1.0)).withColumn("user_id", lit(1L))
+    val out = java.nio.file.Files.createTempDirectory("hb").toString
+    df.write.mode("overwrite").parquet(s"$out/events.parquet")
+    val r = DataQuality.dqHeartbeat(spark, out).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 5L)
+    assert(r.head.getLong(3) == 1800000L,
+      s"the planted 30-minute hole must be the max gap: ${r.head}")
+  }
+
   test("dq_gaps: a dense id sequence audits clean at every day") {
     val rows = DataQuality.dqGaps(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
