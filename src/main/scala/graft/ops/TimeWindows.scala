@@ -663,6 +663,63 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** HOLT-WINTERS (additive, weekly season) — the seasonal completer of
+    * [[holtOf]]'s level+trend smoother: per type's DAILY series,
+    * l_t = α(y_t − s_{t−7}) + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b,
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−7}, with α=0.5, β=γ=0.25 — all
+    * exact binary fractions, so no literal-parse ulp risk in either
+    * engine. Init is the textbook first-two-weeks scheme (l₀ = week-1
+    * mean, b₀ = (week-2 − week-1 mean)/7, s₀ = week-1 deviations);
+    * series shorter than 15 days are skipped. The fold carries
+    * (l, b, s[7]) as ONE `aggregate` accumulator struct — the
+    * [[holtOf]] in-plan-fold convention with a rolling seasonal ring —
+    * and DuckDB replays the identical fold via `list_reduce` with a
+    * struct accumulator, so the oracle pins every intermediate double.
+    * Forecast_1d = l + b + s_next (the ring head IS next day's
+    * seasonal). Per-type cost: one daily aggregate + one sorted fold —
+    * the series grain, not the event grain. */
+  def tsHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOf(table(spark, dir, "events"))
+
+  /** Split out so the spec can drive a closed-form series (a pure
+    * additive weekly pattern over a linear trend is a fixed point: the
+    * remainder vanishes and forecast_1d is exact). */
+  private[graft] def holtWintersOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("sd"))
+      .filter(size(col("sd")) >= 15)
+      .withColumn("ys", expr("transform(sd, p -> CAST(p.y AS DOUBLE))"))
+      .withColumn("n", size(col("ys")))
+      .withColumn("l0",
+        expr("aggregate(slice(ys, 1, 7), 0D, (acc, x) -> acc + x) / 7.0D"))
+      .withColumn("b0", expr(
+        """(aggregate(slice(ys, 8, 7), 0D, (acc, x) -> acc + x) / 7.0D
+           - aggregate(slice(ys, 1, 7), 0D, (acc, x) -> acc + x) / 7.0D)
+           / 7.0D"""))
+      .withColumn("s0", expr("transform(slice(ys, 1, 7), x -> x - l0)"))
+      .withColumn("st", expr("""
+        aggregate(slice(ys, 8, size(ys) - 7),
+          named_struct('l', l0, 'b', b0, 's', s0),
+          (acc, yv) -> named_struct(
+            'l', 0.5D * (yv - element_at(acc.s, 1)) + 0.5D * (acc.l + acc.b),
+            'b', 0.25D * ((0.5D * (yv - element_at(acc.s, 1))
+                 + 0.5D * (acc.l + acc.b)) - acc.l) + 0.75D * acc.b,
+            's', concat(slice(acc.s, 2, 6), array(
+              0.25D * (yv - (0.5D * (yv - element_at(acc.s, 1))
+                + 0.5D * (acc.l + acc.b))) + 0.75D * element_at(acc.s, 1)))))"""))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        roundD(col("st.l"), 6).as("level"),
+        roundD(col("st.b"), 6).as("trend"),
+        roundD(expr("element_at(st.s, 1)"), 6).as("s_next"),
+        roundD(col("st.l") + col("st.b") + expr("element_at(st.s, 1)"), 6)
+          .as("forecast_1d"))
+      .orderBy("event_type")
+  }
+
   /** LEAD/LAG CROSS-CORRELATION between two hourly count series — "does
     * view traffic predict purchase traffic, and by how many hours?": the
     * Pearson r between x_t (views/hour) and y_{t+k} (purchases k hours
@@ -1132,6 +1189,55 @@ object TimeWindows {
              floor((sn - st)::DOUBLE / nullif((n - t)::DOUBLE, 0.0) / 100.0
                    * 1e6 + 0.5) / 1e6 AS mean_after
       FROM r WHERE rk = 1 ORDER BY event_type""",
+    // the identical fold replayed by a recursive CTE carrying (l, b,
+    // seasonal 7-ring as a LIST): same init scheme, same exact
+    // binary-fraction coefficients, same textual double trees. (A
+    // list_reduce struct accumulator evaluated the same subexpression
+    // to different values across fields — probed and rejected.)
+    "ts_holt_winters" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      idx AS (SELECT event_type,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS i,
+                     y::DOUBLE AS y
+              FROM daily),
+      ysl AS (SELECT event_type, list(y ORDER BY i) AS ys
+              FROM idx GROUP BY 1),
+      ini AS (
+        SELECT event_type, ys, len(ys) AS n,
+               list_reduce(list_concat([0.0::DOUBLE], ys[1:7]),
+                 (acc, x) -> acc + x) / 7.0 AS l0,
+               (list_reduce(list_concat([0.0::DOUBLE], ys[8:14]),
+                  (acc, x) -> acc + x) / 7.0
+                - list_reduce(list_concat([0.0::DOUBLE], ys[1:7]),
+                    (acc, x) -> acc + x) / 7.0) / 7.0 AS b0
+        FROM ysl WHERE len(ys) >= 15),
+      ini2 AS (SELECT *, list_transform(ys[1:7], x -> x - l0) AS s0
+               FROM ini),
+      hw AS (
+        SELECT event_type, 7 AS i, l0 AS l, b0 AS b, s0 AS s, n FROM ini2
+        UNION ALL
+        SELECT h.event_type, h.i + 1,
+               0.5 * (x.y - h.s[1]) + 0.5 * (h.l + h.b),
+               0.25 * ((0.5 * (x.y - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+                 + 0.75 * h.b,
+               list_append(h.s[2:7],
+                 0.25 * (x.y - (0.5 * (x.y - h.s[1]) + 0.5 * (h.l + h.b)))
+                   + 0.75 * h.s[1]),
+               h.n
+        FROM hw h JOIN idx x
+          ON x.event_type = h.event_type AND x.i = h.i + 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             floor(l * 1e6 + 0.5) / 1e6 AS level,
+             floor(b * 1e6 + 0.5) / 1e6 AS trend,
+             floor(s[1] * 1e6 + 0.5) / 1e6 AS s_next,
+             floor((l + b + s[1]) * 1e6 + 0.5) / 1e6 AS forecast_1d
+      FROM hw WHERE i = n ORDER BY event_type""",
     // the trusted-SQL form of the streaming dedup->count grain
     "win_reach_hourly" -> """
       SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
@@ -1660,6 +1766,7 @@ object TimeWindows {
     "ts_pacf" -> tsPacf _,
     "ts_periodicity" -> tsPeriodicity _,
     "win_reach_hourly" -> winReachHourly _,
+    "ts_holt_winters" -> tsHoltWinters _,
     "win_concurrency" -> ((s, d) => winConcurrency(s, d)),
     "twap" -> twap _,
     "trending" -> trending _,

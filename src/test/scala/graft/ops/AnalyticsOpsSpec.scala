@@ -608,6 +608,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(3L)._2 == 0, s"empty text must not divide by zero: $got")
   }
 
+  test("ts_holt_winters: a pure weekly pattern is a fixed point of the recursion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // y_i = 20 + w[(i-1) mod 7], sum(w) = 0: init lands exactly on
+    // (l=20, b=0, s=w) and every update reproduces it — level/trend/
+    // seasonal read off closed-form
+    val w = Seq(3, -1, 0, 2, -2, 1, -3)
+    val rows = for {
+      i <- 1 to 21
+      k <- 1 to 20 + w((i - 1) % 7)
+    } yield ("feed", new Timestamp(86400000L * (19000 + i) + k * 1000L))
+    val df = rows.toDF("event_type", "ts")
+    val r = TimeWindows.holtWintersOf(df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 21L)
+    assert(row.getDouble(2) == 20.0, s"level: $row")
+    assert(row.getDouble(3) == 0.0, s"trend: $row")
+    // next day is i=22 -> w[(22-1) mod 7] = w[0] = 3
+    assert(row.getDouble(4) == 3.0, s"s_next: $row")
+    assert(row.getDouble(5) == 23.0, s"forecast: $row")
+    // short series are skipped, not garbage-forecast
+    val short = (1 to 10).map(i =>
+      ("feed", new Timestamp(86400000L * (19000 + i))))
+      .toDF("event_type", "ts")
+    assert(TimeWindows.holtWintersOf(short).count() == 0L)
+  }
+
   test("ts_periodicity: weekly sinusoid captures ~all variance, period-2 none, flat NULL") {
     import spark.implicits._
     import java.sql.Timestamp
