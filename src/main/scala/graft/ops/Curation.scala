@@ -74,6 +74,23 @@ object Curation {
     * pipelines use 8-13-gram windows for the same reason). */
   val decontamWidth = 8
 
+  /** The ONE (doc_id, hash) 8-gram shingle stream both decontamination
+    * audits derive from — [[textDecontam]]'s boolean gate and
+    * [[curateContam]]'s permille share judge the same overlap evidence,
+    * so they must read the same derivation (the `jsd_symbols` discipline:
+    * a shared stream has one derivation site, never two textual copies
+    * that can drift). Materialized at the call because every consumer
+    * splits it into benchmark + corpus branches — the two-plans-of-one-
+    * subtree trap [[DedupOps.dedupNgramJaccard]] documents. */
+  private def decontamShingles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        pinned(graft.functions.ShingleHashes(col("text"), decontamWidth))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .materialized
+
   /** Benchmark decontamination: drop-flag every training document that
     * shares an 8-gram shingle with the held-out evaluation set (modeled
     * here as the deterministic doc_id % 97 == 0 slice — in production the
@@ -86,12 +103,7 @@ object Curation {
     * corpus branches derive from it — the same two-plans-of-one-subtree
     * trap [[DedupOps.dedupNgramJaccard]] documents. */
   def textDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val ex = table(spark, dir, "documents")
-      .select(col("doc_id"),
-        pinned(graft.functions.ShingleHashes(col("text"), decontamWidth)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .materialized
+    val ex = decontamShingles(spark, dir)
     val bench = ex.filter(col("doc_id") % 97L === 0L).select("h").distinct()
     val hits = ex.filter(col("doc_id") % 97L =!= 0L)
       .join(bench, Seq("h"), "left_semi")
@@ -120,12 +132,7 @@ object Curation {
     * both per-doc counts aggregate with map-side combine; the shingle
     * frame is materialized once because three branches derive from it. */
   def curateContam(spark: SparkSession, dir: String): DataFrame = {
-    val ex = table(spark, dir, "documents")
-      .select(col("doc_id"),
-        pinned(graft.functions.ShingleHashes(col("text"), decontamWidth)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .materialized
+    val ex = decontamShingles(spark, dir)
     val bench = ex.filter(col("doc_id") % 97L === 0L).select("h").distinct()
     val train = ex.filter(col("doc_id") % 97L =!= 0L)
     val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -512,9 +512,15 @@ object DataQuality {
     import org.apache.spark.sql.expressions.Window
     def one(tbl: String, c: String): DataFrame = {
       val cents = (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
+      // cents >= 1, not value > 0: a positive value below 0.005 rounds to
+      // zero cents, whose leading "digit" is 0 — outside the 1..9 Benford
+      // frame. The oracle's explicit digit frame drops such rows from both
+      // the output AND the chi² denominator n; filtering here keeps the two
+      // engines on the identical row set.
       table(spark, dir, tbl).where(col(c) > 0)
         .select(substring(cents.cast(StringType), 1, 1)
           .cast(IntegerType).as("digit"))
+        .where(col("digit") >= 1)
         .groupBy("digit").agg(count(lit(1)).as("cnt"))
         .select(lit(s"$tbl.$c").as("col_name"), col("digit"), col("cnt"))
     }

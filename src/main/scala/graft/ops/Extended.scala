@@ -684,19 +684,28 @@ object Extended {
            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
          ORDER BY l_returnflag, l_orderkey, l_linenumber, pct_rank""",
     "dedup_verify" -> verifyEditdistSql,
+    // MATERIALIZED on every multiply-referenced CTE: DuckDB inlines CTEs
+    // by default, so `per` (and through it the whole lineitem aggregate +
+    // two part joins) was re-evaluated once per reference and the planner
+    // blew past 20 min / OOM at sf0.1 under a concurrent suite. Pinned
+    // materialization aggregates the pair supports exactly once: 0.6 s at
+    // sf0.1, same 600 rows.
     "assoc_rules" -> """
-      WITH pk AS (SELECT l_orderkey, min(l_partkey) AS a, max(l_partkey) AS b
+      WITH pk AS MATERIALIZED (
+                  SELECT l_orderkey, min(l_partkey) AS a, max(l_partkey) AS b
                   FROM lineitem GROUP BY l_orderkey
                   HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)),
-      per AS (SELECT least(pa.p_brand, pb.p_brand) AS ba,
+      per AS MATERIALIZED (
+              SELECT least(pa.p_brand, pb.p_brand) AS ba,
                      greatest(pa.p_brand, pb.p_brand) AS bb
               FROM pk JOIN part pa ON pa.p_partkey = pk.a
                       JOIN part pb ON pb.p_partkey = pk.b
               WHERE pa.p_brand <> pb.p_brand),
-      n AS (SELECT count(*) AS nbask FROM per),
-      pairs AS (SELECT ba, bb, count(*) AS nab FROM per GROUP BY ba, bb
+      n AS MATERIALIZED (SELECT count(*) AS nbask FROM per),
+      pairs AS MATERIALIZED (
+                SELECT ba, bb, count(*) AS nab FROM per GROUP BY ba, bb
                 HAVING count(*) >= 3),
-      items AS (SELECT item, count(*) AS ni FROM (
+      items AS MATERIALIZED (SELECT item, count(*) AS ni FROM (
                   SELECT ba AS item FROM per
                   UNION ALL SELECT bb FROM per) GROUP BY item),
       directed AS (SELECT ba AS ante, bb AS cons, nab FROM pairs

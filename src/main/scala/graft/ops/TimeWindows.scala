@@ -685,10 +685,24 @@ object TimeWindows {
     * additive weekly pattern over a linear trend is a fixed point: the
     * remainder vanishes and forecast_1d is exact). */
   private[graft] def holtWintersOf(events: DataFrame): DataFrame = {
-    val daily = events
+    val daily0 = events
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
       .agg(count(lit(1)).as("y"))
+    // Densify onto the complete per-type day grid (missing days are real
+    // zero counts): the fold indexes the weekly seasonal ring by series
+    // POSITION, so an absent day would silently shift the weekly phase of
+    // every subsequent day. Zero-fill anchors position ≡ calendar — the
+    // same convention ts_seasonal/ts_periodicity get from d mod 7. The
+    // grid is calendar-bounded (|types| × days), so the join input stays
+    // tiny at any corpus size.
+    val daily = daily0.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(daily0, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("y"), lit(0L)).as("y"))
     daily.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("sd"))
       .filter(size(col("sd")) >= 15)
@@ -1195,12 +1209,19 @@ object TimeWindows {
     // list_reduce struct accumulator evaluated the same subexpression
     // to different values across fields — probed and rejected.)
     "ts_holt_winters" -> """
-      WITH RECURSIVE daily AS (
+      WITH RECURSIVE daily0 AS (
         SELECT event_type,
                date_diff('day', DATE '1970-01-01',
                          CAST(date_trunc('day', ts) AS DATE)) AS d,
                CAST(count(*) AS BIGINT) AS y
         FROM events GROUP BY 1, 2),
+      -- zero-fill the per-type day grid (Spark side densifies identically):
+      -- the fold indexes the seasonal ring by series position, so a missing
+      -- day would de-phase every subsequent day
+      grid AS (SELECT event_type, unnest(generate_series(min(d), max(d))) AS d
+               FROM daily0 GROUP BY event_type),
+      daily AS (SELECT g.event_type, g.d, coalesce(y, 0) AS y
+                FROM grid g LEFT JOIN daily0 USING (event_type, d)),
       idx AS (SELECT event_type,
                      row_number() OVER (PARTITION BY event_type
                                         ORDER BY d) AS i,
@@ -1247,9 +1268,13 @@ object TimeWindows {
     // cos is NOT trusted to match the JVM's — only shared literals are),
     // same per-term 1e-6 quantize then exact decimal sum
     "ts_periodicity" -> {
+      // ((d % 7) + 7) % 7, not plain d % 7: the Spark side selects weights
+      // with pmod (always 0..6) while DuckDB's % keeps the sign — for a
+      // pre-1970 day (d < 0) the plain form would fall through every CASE
+      // arm to NULL and silently diverge the engines.
       def cse(lits: Seq[Double]) = lits.zipWithIndex.map { case (v, k) =>
         s"WHEN $k THEN CAST($v AS DOUBLE)" }
-        .mkString("CASE d % 7 ", " ", " END")
+        .mkString("CASE ((d % 7) + 7) % 7 ", " ", " END")
       s"""
       WITH daily AS (
         SELECT event_type,

@@ -619,7 +619,14 @@ object StreamAssembly {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state) =>
           var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
-          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
+          // (ms, sub-second nanos, id): getTime alone is millisecond
+          // grain, but the batch twins and their DuckDB oracles apply
+          // rows in full-microsecond (ts_us, event_id) order — two
+          // same-key events inside one millisecond must still apply in
+          // µs order or the accumulator path diverges from the
+          // oracle-verified twin on realistic high-rate feeds.
+          val out = rows.toSeq
+            .sortBy(r => (r._3.getTime, r._3.getNanos, r._2)).flatMap {
             case (_, id, _, vc) =>
               val hit =
                 if (st.n >= minN) {
@@ -754,7 +761,14 @@ object StreamAssembly {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state) =>
           var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
-          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
+          // (ms, sub-second nanos, id): getTime alone is millisecond
+          // grain, but the batch twins and their DuckDB oracles apply
+          // rows in full-microsecond (ts_us, event_id) order — two
+          // same-key events inside one millisecond must still apply in
+          // µs order or the accumulator path diverges from the
+          // oracle-verified twin on realistic high-rate feeds.
+          val out = rows.toSeq
+            .sortBy(r => (r._3.getTime, r._3.getNanos, r._2)).flatMap {
             case (_, id, _, vc) =>
               if (st.n < cusumTrainN) {
                 st = st.copy(n = st.n + 1, sref = st.sref + vc)
@@ -854,7 +868,14 @@ object StreamAssembly {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state) =>
           var buf = state.getOption.map(_.buf).getOrElse(Vector.empty)
-          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).flatMap {
+          // (ms, sub-second nanos, id): getTime alone is millisecond
+          // grain, but the batch twins and their DuckDB oracles apply
+          // rows in full-microsecond (ts_us, event_id) order — two
+          // same-key events inside one millisecond must still apply in
+          // µs order or the accumulator path diverges from the
+          // oracle-verified twin on realistic high-rate feeds.
+          val out = rows.toSeq
+            .sortBy(r => (r._3.getTime, r._3.getNanos, r._2)).flatMap {
             case (_, id, _, vc) =>
               buf = buf :+ ((id, vc))
               if (buf.size == 5) {

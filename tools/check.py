@@ -7,10 +7,11 @@ Runs each oracle SQL from oracle_sql.json against the testdata parquet and
 compares with the parquet the Spark Verify main dumped. NOT part of the Scala
 library — mirrors the driver harness so failures surface before round end.
 
-The optional third arg skips named queries: the sf0.1 full sweep needs
-`graph_cc,graph_cc_incr` skipped (their recursive-CTE DuckDB oracles
-materialize a transitive closure that explodes past 100 GB on the sf0.1
-giant component; the driver gate runs them at sf0.01 where they are fine).
+The optional third arg skips named queries. `graph_cc`/`graph_cc_incr` no
+longer need it: their recursive-CTE DuckDB oracles (which materialize a
+transitive closure that explodes past 100 GB on the sf0.1 giant component)
+are replaced here by a Python union-find over the identical DuckDB-derived
+edge list (PY_ORACLES below), so the full sweep runs them at every SF.
 """
 import duckdb, json, sys, glob, os
 import pandas as pd
@@ -28,6 +29,66 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 for name in skip & set(oracle):
     print(f"SKIP {name}")
     del oracle[name]
+
+
+# ---------------------------------------------------------------------------
+# Python oracles for the two connected-components queries. Their DuckDB
+# recursive-CTE twins materialize the full transitive closure (reach is
+# O(|component|^2) rows), which explodes past 100 GB on the sf0.1 giant
+# component; a union-find over the same edge list is O(E alpha(V)) and runs
+# in seconds at any SF. The edge derivation (2-item co-purchase orders) is
+# done IN DuckDB so both engines read the identical pair set; only the
+# closure is replaced.
+# ---------------------------------------------------------------------------
+EDGE_SQL = """SELECT l_orderkey % 10 AS lane,
+                     min(l_partkey) AS a, max(l_partkey) AS b
+              FROM lineitem GROUP BY l_orderkey
+              HAVING count(*) = 2 AND min(l_partkey) <> max(l_partkey)"""
+
+
+def _components(pairs):
+    """Union-find; returns {vertex: min vertex of its component}."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
+def _py_graph_cc(con):
+    e = con.execute(EDGE_SQL).fetchnumpy()
+    comp = _components(zip(e["a"].tolist(), e["b"].tolist()))
+    rows = sorted(comp.items())
+    return pd.DataFrame({"part": [p for p, _ in rows],
+                         "comp": [c for _, c in rows]}).astype("int64")
+
+
+def _py_graph_cc_incr(con):
+    e = con.execute(EDGE_SQL).fetchnumpy()
+    pairs = list(zip(e["lane"].tolist(), e["a"].tolist(), e["b"].tolist()))
+    before = _components((a, b) for l, a, b in pairs if l != 7)
+    after = _components((a, b) for l, a, b in pairs)
+    rows = [(p, before.get(p), c) for p, c in sorted(after.items())
+            if before.get(p) != c]
+    return pd.DataFrame(
+        {"part": pd.array([r[0] for r in rows], dtype="int64"),
+         "comp_before": pd.array([r[1] for r in rows], dtype="Int64"),
+         "comp_after": pd.array([r[2] for r in rows], dtype="int64")})
+
+
+PY_ORACLES = {"graph_cc": _py_graph_cc, "graph_cc_incr": _py_graph_cc_incr}
 fails, passed = [], 0
 for name in sorted(oracle):
     sql = oracle[name]
@@ -36,7 +97,8 @@ for name in sorted(oracle):
         if not glob.glob(f"{rd}/*.parquet"):
             fails.append((name, "no spark output")); continue
         s = con.execute(f"SELECT * FROM '{rd}/*.parquet'").fetchdf()
-        d = con.execute(sql).fetchdf()
+        d = PY_ORACLES[name](con) if name in PY_ORACLES \
+            else con.execute(sql).fetchdf()
         s = s[sorted(s.columns)].reset_index(drop=True)
         d = d[sorted(d.columns)].reset_index(drop=True)
         if list(s.columns) != list(d.columns):
