@@ -132,6 +132,149 @@ object VectorOps {
       lit(topDim).as("top_dim"))
   }
 
+  /** Contribution down-scale for [[vecDrift]]'s Gram-space power
+    * iteration: 2⁴⁰, an exact power of two (lossless double division),
+    * sized so each quantized C·v term stays far inside int64 at any
+    * realistic per-stratum count (envelope: |C| ≤ n²·10¹², so a term is
+    * ≤ n²·10¹²/2⁴⁰ ≈ n²·909 — int64-safe to n ≈ 10⁸ vectors per
+    * (label, version) stratum; the C entries themselves ride BigInt /
+    * HUGEINT, unbounded). */
+  private[graft] val driftScale = 1099511627776.0 // 2^40
+
+  /** EMBEDDING-DRIFT AUDIT — the TEMPORAL member of the vec family: did
+    * the embedding pipeline move between two corpus versions? Per label
+    * stratum, comparing the OLD snapshot (vec_id % 2 = 0) against the NEW
+    * one (% 2 = 1 — the deterministic version lane, the `graph_cc_incr`
+    * split convention; production compares yesterday's table against
+    * today's):
+    *   - `centroid_shift` — ‖μ_old − μ_new‖, THE regression alarm: a
+    *     retrained encoder or a units/normalization bug moves whole
+    *     strata before any retrieval metric craters;
+    *   - `lambda1_share_old/new/delta` — [[vecPca]]'s anisotropy readout
+    *     per stratum and version: a collapsing space (share → 1) caught
+    *     as a DELTA between versions, not a global average.
+    *
+    * Exactness across engines without trusting float sums: components
+    * quantize to q = ⌊x·10⁶⌉ once ([[vecPca]]'s grid), and everything
+    * downstream is integer — per-stratum moment sums S1, the quantized
+    * Gram Q_ij = Σ q_i·q_j, the exact centered scatter C_ij = n·Q_ij −
+    * S1_i·S1_j (cross-multiplication, no division), centroid-shift
+    * numerators S1old·n_new − S1new·n_old, and each power-iteration
+    * contribution ⌊C_ij·v_j/2⁴⁰⌉ (summed exactly, so iteration order
+    * cannot matter). Only norms/divisions/sqrt are double — identical
+    * IEEE trees both engines. The DuckDB twin replays the identical
+    * 3-round iteration unrolled over the same HUGEINT sums.
+    *
+    * Scale shape: ONE pass over the table builds the per-stratum
+    * (n, S1[64], upper-tri Q[2080]) accumulators via treeAggregate —
+    * the [[https://spark.apache.org/docs/latest/mllib-dimensionality-reduction.html
+    * RowMatrix.computeGramianMatrix]] shape: a fixed dim²-size
+    * accumulator folded per partition and merged associatively (the one
+    * genuinely-imperative-per-partition case the RDD layer exists for;
+    * no shuffle, no data-scale collect — the driver sees
+    * |labels|·2·2080 integers regardless of corpus size), then all
+    * matrix math happens on metadata-scale exact integers. */
+  def vecDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = dims
+    val tri = d * (d + 1) / 2
+    def triIdx(i: Int, j: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
+    final class Acc extends Serializable {
+      var n = 0L
+      val s1 = Array.ofDim[Long](d)
+      val q = Array.ofDim[Long](tri)
+    }
+    val rows = table(spark, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).cast(IntegerType).as("ver"),
+        col("embedding"))
+      .as[(Int, Int, Array[Float])]
+    type M = scala.collection.mutable.HashMap[(Int, Int), Acc]
+    val zero: M = scala.collection.mutable.HashMap.empty
+    val sums = rows.rdd.treeAggregate(zero)(
+      (m, r) => {
+        val (label, ver, e) = r
+        val a = m.getOrElseUpdate((label, ver), new Acc)
+        val qv = Array.tabulate(d)(i =>
+          math.floor(e(i).toDouble * 1e6 + 0.5).toLong)
+        a.n += 1L
+        var i = 0
+        while (i < d) {
+          a.s1(i) += qv(i)
+          var j = i
+          while (j < d) { a.q(triIdx(i, j)) += qv(i) * qv(j); j += 1 }
+          i += 1
+        }
+        m
+      },
+      (m1, m2) => {
+        m2.foreach { case (k, b) =>
+          val a = m1.getOrElseUpdate(k, new Acc)
+          a.n += b.n
+          var i = 0
+          while (i < d) { a.s1(i) += b.s1(i); i += 1 }
+          i = 0
+          while (i < tri) { a.q(i) += b.q(i); i += 1 }
+        }
+        m1
+      })
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // λ₁ share per stratum: exact centered scatter C, then the unrolled
+    // quantized power iteration (v₀ = 1/8, pcaIters rounds)
+    def share(a: Acc): Option[Double] = {
+      val c = Array.ofDim[BigInt](d, d)
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val v = BigInt(a.n) * BigInt(a.q(triIdx(i, j))) -
+            BigInt(a.s1(i)) * BigInt(a.s1(j))
+          c(i)(j) = v; c(j)(i) = v
+          j += 1
+        }
+        i += 1
+      }
+      val trace = (0 until d).foldLeft(BigInt(0))((acc, k) => acc + c(k)(k))
+      if (trace <= 0) return None
+      var v = Array.fill(d)(0.125)
+      var last = 0.0
+      var dead = false
+      for (_ <- 1 to pcaIters if !dead) {
+        val w = Array.tabulate(d) { i =>
+          var s = 0L; var j = 0
+          while (j < d) {
+            s += math.floor(c(i)(j).toDouble * v(j) / driftScale + 0.5).toLong
+            j += 1
+          }
+          s
+        }
+        val ss = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+        val nrm = math.sqrt(ss.toDouble)
+        if (nrm == 0.0) dead = true
+        else { last = nrm; v = w.map(_.toDouble / nrm) }
+      }
+      if (dead) None else Some(round6(last * driftScale / trace.toDouble))
+    }
+    val out = sums.keys.map(_._1).toSeq.distinct.sorted.flatMap { label =>
+      (sums.get((label, 0)), sums.get((label, 1))) match {
+        case (Some(o), Some(nw)) =>
+          val sumsq = (0 until d).foldLeft(BigInt(0)) { (acc, k) =>
+            val num = BigInt(o.s1(k)) * BigInt(nw.n) -
+              BigInt(nw.s1(k)) * BigInt(o.n)
+            acc + num * num
+          }
+          val shift =
+            round6(math.sqrt(sumsq.toDouble) / ((o.n * nw.n).toDouble * 1e6))
+          val (so, sn) = (share(o), share(nw))
+          val delta = for (x <- so; y <- sn) yield round6(y - x)
+          Some((label, o.n, nw.n, shift, so, sn, delta))
+        case _ => None // stratum absent from one version: nothing to diff
+      }
+    }
+    out.toDF("label", "n_old", "n_new", "centroid_shift",
+      "lambda1_share_old", "lambda1_share_new", "lambda1_share_delta")
+      .orderBy("label")
+  }
+
   /** Brute-force cosine top-10 per query vector (queries = vec_id < 5,
     * broadcast to every partition): the exact baseline every ANN variant is
     * judged against. Scales as one pass over the corpus per query batch. */
@@ -1043,7 +1186,97 @@ object VectorOps {
              td.top_dim
       FROM nn, tr, nrm3, td"""
     }
+    // vec_drift: the identical quantized pipeline per (label, version) —
+    // q = floor(x*1e6+0.5) components, HUGEINT moment + upper-tri Gram
+    // sums, exact centered scatter C = n*Q - S1_i*S1_j, the same 3-round
+    // power iteration with floor(C*v/2^40 + 0.5) integer contributions
+    // (summed exactly, so SQL aggregation order cannot matter), and the
+    // same centroid-shift cross-multiplied numerators. nullif guards the
+    // norm so a degenerate stratum yields NULL in both engines.
+    val driftOracle = {
+      def it(k: Int, prev: String) = s"""
+        w$k AS (SELECT c.label, c.ver, c.i,
+                       CAST(sum(CAST(floor(CAST(c.c AS DOUBLE) * v.v
+                           / $driftScale + 0.5) AS HUGEINT)) AS HUGEINT) AS w
+                FROM cf c JOIN $prev v
+                  ON v.label = c.label AND v.ver = c.ver AND v.i = c.j
+                GROUP BY 1, 2, 3),
+        n$k AS (SELECT label, ver,
+                       sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE))
+                         AS nrm
+                FROM w$k GROUP BY 1, 2),
+        v$k AS (SELECT wk.label, wk.ver, wk.i,
+                       CAST(wk.w AS DOUBLE) / nullif(n$k.nrm, 0.0) AS v
+                FROM w$k AS wk JOIN n$k USING (label, ver))"""
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT label, CAST(vec_id % 2 AS INTEGER) AS ver,
+               list_transform(range(1, 65),
+                 i -> CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                      AS BIGINT)) AS q
+        FROM embeddings),
+      st AS MATERIALIZED (
+        SELECT label, ver, i,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q[i]) AS HUGEINT) AS s1
+        FROM e, range(1, 65) AS t(i) GROUP BY 1, 2, 3),
+      nn AS MATERIALIZED (
+        SELECT label, ver, CAST(max(n) AS BIGINT) AS n FROM st GROUP BY 1, 2),
+      g AS MATERIALIZED (
+        SELECT label, ver, ti.i AS i, tj.j AS j,
+               CAST(sum(CAST(q[ti.i] AS HUGEINT) * q[tj.j]) AS HUGEINT) AS qq
+        FROM e, range(1, 65) AS ti(i), range(1, 65) AS tj(j)
+        WHERE tj.j >= ti.i GROUP BY 1, 2, 3, 4),
+      cu AS MATERIALIZED (
+        SELECT g.label, g.ver, g.i, g.j,
+               CAST(nn.n AS HUGEINT) * g.qq - si.s1 * sj.s1 AS c
+        FROM g JOIN nn USING (label, ver)
+        JOIN st si ON si.label = g.label AND si.ver = g.ver AND si.i = g.i
+        JOIN st sj ON sj.label = g.label AND sj.ver = g.ver AND sj.i = g.j),
+      cf AS MATERIALIZED (
+        SELECT label, ver, i, j, c FROM cu
+        UNION ALL
+        SELECT label, ver, j, i, c FROM cu WHERE i <> j),
+      tr AS (SELECT label, ver, CAST(sum(c) AS HUGEINT) AS tr
+             FROM cu WHERE i = j GROUP BY 1, 2),
+      v0 AS (SELECT label, ver, i, 0.125::DOUBLE AS v
+             FROM nn, range(1, 65) AS t(i)),
+      ${it(1, "v0")},
+      ${it(2, "v1")},
+      ${it(3, "v2")},
+      sh AS (
+        SELECT a.label,
+               a.n AS n_old, b.n AS n_new,
+               floor(sqrt(CAST(sum(num * num) AS DOUBLE))
+                     / (CAST(a.n * b.n AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+                 AS centroid_shift
+        FROM (SELECT st.label, st.i, nn.n, st.s1 FROM st JOIN nn
+                USING (label, ver) WHERE st.ver = 0) a
+        JOIN (SELECT st.label, st.i, nn.n, st.s1 FROM st JOIN nn
+                USING (label, ver) WHERE st.ver = 1) b
+          ON a.label = b.label AND a.i = b.i,
+        LATERAL (SELECT a.s1 * CAST(b.n AS HUGEINT)
+                        - b.s1 * CAST(a.n AS HUGEINT) AS num) t
+        GROUP BY 1, 2, 3),
+      shr AS (
+        SELECT n3.label, n3.ver,
+               CASE WHEN tr.tr > 0 THEN
+                 floor(nullif(n3.nrm, 0.0) * $driftScale
+                       / CAST(tr.tr AS DOUBLE) * 1e6 + 0.5) / 1e6
+               END AS share
+        FROM n3 JOIN tr USING (label, ver))
+      SELECT sh.label, sh.n_old, sh.n_new, sh.centroid_shift,
+             so.share AS lambda1_share_old,
+             sn.share AS lambda1_share_new,
+             floor((sn.share - so.share) * 1e6 + 0.5) / 1e6
+               AS lambda1_share_delta
+      FROM sh
+      LEFT JOIN shr so ON so.label = sh.label AND so.ver = 0
+      LEFT JOIN shr sn ON sn.label = sh.label AND sn.ver = 1
+      ORDER BY sh.label"""
+    }
     Map(
+      "vec_drift" -> driftOracle,
       "vec_pca" -> pcaOracle,
       "vec_rp" -> rpOracle,
       "vec_pq" -> pqOracle,
@@ -1316,6 +1549,7 @@ object VectorOps {
     "sim_ann_filtered" -> ((s, d) => simAnnFiltered(s, d)),
     "dq_vec" -> dqVec _,
     "vec_pca" -> vecPca _,
+    "vec_drift" -> vecDrift _,
     "dedup_vec" -> ((s, d) => dedupEmbedding(s, d)),
     "sim_ivf" -> ((s, d) => simIvfTopk(s, d)),
     "vec_q8" -> vecQuantize _,

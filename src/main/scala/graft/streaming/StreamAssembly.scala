@@ -997,6 +997,77 @@ object StreamAssembly {
     * into an implicit `other` bucket whose baseline mass is zero — JSD
     * stays finite by construction, so an unknown event type registers as
     * drift instead of an error. */
+  final case class GapDayState(lastMs: Long, maxGap: Long, n: Long)
+  final case class GapState(open: Map[Long, GapDayState])
+  final case class GapReport(event_type: String, day: String,
+      n_events: Long, max_gap_ms: Long)
+
+  /** STREAMING HEARTBEAT MONITOR — the live twin of
+    * [[graft.ops.DataQuality.dqHeartbeat]] (ONE definition, two runtimes:
+    * the oracle-checked `dq_heartbeat` batch query pins the arithmetic,
+    * the `ts_cusum`/`win_reach_hourly` convention). The reference keeps an
+    * idle watchdog on its file-tail feed — `hyperliquid_adapter.py:316-319`
+    * wakes every 30 min and warns when the node log has gone silent; at
+    * monitor grain that is "max silent gap per (type, UTC day)". Per key:
+    * gaps are measured between consecutive events (per-batch full-µs
+    * (ts, id) sort; cross-batch causality assumes an in-order feed per
+    * key — the [[anomalyStream]] convention), accumulated per open day,
+    * and the day's report (n_events, max_gap_ms) is emitted EXACTLY ONCE
+    * when the watermark closes the day. A day-boundary gap does not exist
+    * by definition (the batch twin's lag is partitioned by day), so the
+    * first event of a day opens it at gap 0 and a single-event day
+    * reports 0 — the batch twin's coalesce(max(gap), 0). State per key is
+    * O(open days) fixed-size counters, independent of event volume;
+    * EventTimeTimeout + idle timeout reaps keys whose feed stopped
+    * (after one final flush of any watermark-closed days). */
+  def gapStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[GapReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(GapState(Map.empty))
+          var lastMs = 0L
+          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+            .foreach { case (_, _, ts) =>
+              val ms = ts.getTime
+              lastMs = math.max(lastMs, ms)
+              val d = math.floorDiv(ms, dayMs) * dayMs
+              val g = s.open.get(d) match {
+                case None => GapDayState(ms, 0L, 1L)
+                case Some(p) =>
+                  GapDayState(ms, math.max(p.maxGap, ms - p.lastMs), p.n + 1L)
+              }
+              s = s.copy(open = s.open + (d -> g))
+            }
+          val wm = state.getCurrentWatermarkMs()
+          // close in day order; an earlier open day always closes before a
+          // later one (its end is smaller), so takeWhile is exact
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(d => d + dayMs <= wm)
+            .map { d =>
+              val g = s.open(d)
+              s = s.copy(open = s.open - d)
+              GapReport(key, java.time.Instant.ofEpochMilli(d)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                g.n, g.maxGap)
+            }
+          if (state.hasTimedOut && s.open.isEmpty) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
   private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
     "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
     "signup" -> 0.20, "view" -> 0.30)

@@ -137,6 +137,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(VectorOps.vecPca(spark, dir).collect().head == r)
   }
 
+  test("vec_drift: planted centroid shift and anisotropy read out exactly") {
+    import spark.implicits._
+    // label 0: old (even vec_id) = unit on axis 1; new (odd) = same plus
+    // 0.3 on axis 2 — a pure planted centroid shift, zero within-version
+    // variance (degenerate strata report NULL shares)
+    // label 1: +-1 on axis 5 alternating within BOTH versions — centroids
+    // cancel (shift 0) while all variance sits on one axis (share ~1,
+    // identical across versions so delta is exactly 0)
+    val rows =
+      (0 until 40).map { i =>
+        val e = Array.tabulate(64) { d =>
+          if (d == 0) 1.0f
+          else if (d == 1 && i % 2 == 1) 0.3f
+          else 0.0f
+        }
+        (i.toLong, e, 0)
+      } ++ (0 until 40).map { i =>
+        val e = Array.tabulate(64) { d =>
+          if (d == 4) (if ((i / 2) % 2 == 0) 1.0f else -1.0f) else 0.0f
+        }
+        ((40 + i).toLong, e, 1)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("vdrift_spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.vecDrift(spark, dir).collect()
+    assert(got.length == 2)
+    val l0 = got(0)
+    assert(l0.getInt(0) == 0 && l0.getLong(1) == 20L && l0.getLong(2) == 20L)
+    assert(l0.getDouble(3) == 0.3, s"planted shift must read 0.3: $l0")
+    assert(l0.isNullAt(4) && l0.isNullAt(5) && l0.isNullAt(6),
+      s"zero-variance strata must report NULL shares: $l0")
+    val l1 = got(1)
+    assert(l1.getInt(0) == 1 && l1.getDouble(3) == 0.0,
+      s"cancelling +-1 centroids must shift 0: $l1")
+    assert(math.abs(l1.getDouble(4) - 1.0) < 0.01 &&
+      math.abs(l1.getDouble(5) - 1.0) < 0.01,
+      s"single-axis strata concentrate ~all variance: $l1")
+    assert(l1.getDouble(6) == 0.0,
+      s"identical versions must delta exactly 0: $l1")
+    // repeat run is bit-identical (quantized integer sums, no RNG)
+    assert(VectorOps.vecDrift(spark, dir).collect().toSeq == got.toSeq)
+  }
+
   test("vector ops: top-k is self-consistent and bounded") {
     val topk = VectorOps.simTopk(spark, dir).collect()
     assert(topk.nonEmpty)

@@ -1215,4 +1215,50 @@ class StreamingSpec extends SparkSpec {
       assert(got.size > 1000, s"parity surface too small: ${got.size}")
     } finally q.stop()
   }
+
+  test("streaming heartbeat monitor: row-exact parity with dq_heartbeat") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts")
+      .as[(String, Long, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts")
+    val q = StreamAssembly.gapStream(events)
+      .toDF().writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real day,
+      // closing them all — the batch twin covers the whole corpus
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM gap_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val want = graft.ops.DataQuality.dqHeartbeat(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == want,
+        s"stream/batch heartbeat diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      // the monitor's reason to exist: at least one real silent gap
+      assert(got.values.exists(_._2 > 0L), "no nonzero max gap surfaced")
+      // single-event days (if any) and first-events report gap 0 via the
+      // batch twin's coalesce convention — spot-check totals line up
+      assert(got.values.map(_._1).sum == src.length.toLong,
+        "closed-day event counts do not cover the corpus")
+    } finally q.stop()
+  }
 }
