@@ -610,7 +610,65 @@ object Curation {
       .orderBy("nation_q", "seg_q")
   }
 
+  /** Declared target domain mix for [[curateMix]] (ppm, sums to 1e6):
+    * 4 head sources at 125000 ppm, 16 tail sources at 31250 ppm — the
+    * shipped-model-artifact convention ([[graft.streaming.StreamAssembly
+    * .driftBaseline]]): production ships the tuned mixture weights
+    * (a DoReMi-style optimization output or a hand-set recipe) as data;
+    * a literal here so both engines share the identical profile. */
+  private[graft] val mixTargetPpm: Seq[(String, Long)] =
+    (0 until 20).map(k => s"src$k" -> (if (k < 4) 125000L else 31250L))
+
+  /** DOMAIN-MIXTURE REWEIGHTING — the "make the corpus match the recipe"
+    * step between curation and training: per source, the ACTUAL corpus
+    * share against the declared TARGET mix ([[mixTargetPpm]]) and the
+    * resampling factor that reconciles them (weight_ppm = target·N/n;
+    * 10⁶ = keep as-is, above = upsample epochs, below = downsample
+    * probability). The complement of [[mixTemperature]]: temperature
+    * TRANSFORMS the observed mix by a formula, this ENFORCES an explicit
+    * recipe. All-integer arithmetic (ppm shares and `div` ratios off one
+    * keyed count), so the plan is one map-side-combined |sources|-key
+    * aggregate plus window math over |sources| rows — nothing about this
+    * changes at 100 TB. A source missing from the recipe weights to 0
+    * (dropped), the fail-closed default a licensing gate wants. */
+  def curateMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      // |sources| rows: the unpartitioned window is metadata-scale
+      .withColumn("total", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("actual_ppm", expr("n_docs * 1000000 div total"))
+      .withColumn("target_ppm",
+        coalesce(element_at(typedLit(mixTargetPpm.toMap), col("source")),
+          lit(0L)))
+      .withColumn("weight_ppm", expr("target_ppm * total div n_docs"))
+      .select(col("source"), col("n_docs"), col("actual_ppm"),
+        col("target_ppm"), col("weight_ppm"),
+        when(col("weight_ppm") > 1000000L, lit("upsample"))
+          .when(col("weight_ppm") < 1000000L, lit("downsample"))
+          .otherwise(lit("keep")).as("direction"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "curate_mix" -> {
+      val tgtCase = mixTargetPpm.map { case (s, p) =>
+        s"WHEN '$s' THEN $p" }.mkString("CASE source ", " ", " ELSE 0 END")
+      s"""
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+      t AS (SELECT c.*, CAST(sum(n_docs) OVER () AS BIGINT) AS total,
+                   CAST($tgtCase AS BIGINT) AS target_ppm
+            FROM c)
+      SELECT source, n_docs,
+             n_docs * 1000000 // total AS actual_ppm,
+             target_ppm,
+             target_ppm * total // n_docs AS weight_ppm,
+             CASE WHEN target_ppm * total // n_docs > 1000000 THEN 'upsample'
+                  WHEN target_ppm * total // n_docs < 1000000 THEN 'downsample'
+                  ELSE 'keep' END AS direction
+      FROM t ORDER BY source"""
+    },
     "curate_kanon" -> s"""
       WITH sized AS (
         SELECT c_nationkey AS nat, c_mktsegment AS seg, count(*) AS n,
@@ -868,5 +926,6 @@ object Curation {
     "shuffle_epochs" -> ((s, d) => shuffleEpochs(s, d)),
     "curate_kanon" -> curateKanon _,
     "curate_contam" -> curateContam _,
+    "curate_mix" -> curateMix _,
   )
 }

@@ -88,6 +88,26 @@ object TextOps {
     codeSignalsOf(table(spark, dir, "documents").select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** TOKENIZER-FERTILITY PROFILE — chars-per-token by language, the
+    * budget-planning readout beside [[textTokenCount]]: a fixed token
+    * budget buys different text volumes per language (the multilingual-
+    * pretraining fertility problem), and a sudden per-language shift
+    * flags a tokenizer or normalization regression between corpus
+    * versions. Per lang: docs, whitespace tokens, characters, and
+    * chars-per-token in exact permille (integer `div` — the bit-stable
+    * convention). One scan, map-side-combined |langs|-key aggregate. */
+  def tokFertility(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"), length(col("text")).cast(LongType).as("nc"),
+        size(tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum("nc").as("n_chars"))
+      .withColumn("chars_per_tok_pm",
+        expr("n_chars * 1000 div n_tokens"))
+      .orderBy("lang")
+
+
   /** The signal machinery over any (doc_id, text) frame — split out so
     * the spec can drive real code snippets (a Scala body scores as code,
     * a prose paragraph does not). */
@@ -1056,6 +1076,18 @@ object TextOps {
     encPieces(n).map(p => s"'$p'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    // same whitespace tokens, same char counts, same integer permille
+    "tok_fertility" -> """
+      WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+                        CAST(len(list_filter(string_split(lower(text), ' '),
+                                             x -> x <> '')) AS BIGINT) AS nt
+                 FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(sum(nc) AS BIGINT) * 1000 // CAST(sum(nt) AS BIGINT)
+               AS chars_per_tok_pm
+      FROM t GROUP BY lang ORDER BY lang""",
     // the identical greedy walk as a RECURSIVE CTE (the ts_holt oracle
     // convention — one row per live (word, pos) state, recursion depth =
     // pieces per word); piece lists interpolate from the SAME Scala
@@ -1608,6 +1640,7 @@ object TextOps {
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
     "text_code" -> textCode _,
+    "tok_fertility" -> tokFertility _,
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,

@@ -41,13 +41,21 @@ object TimeWindows {
     * cascade/burst detection. A new session starts when the gap from the
     * previous event is >= the timeout (Spark sessions span [ts, last+gap)). */
   def windowSession(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    sessionAggOf(table(spark, dir, "events"))
+      .orderBy("user_id", "session_start")
+
+  /** The ONE session aggregation behind the oracle-checked batch query and
+    * [[graft.streaming.StreamAssembly.sessionStream]] — the `dq_entropy`/
+    * `ts_cusum` shared-definition convention: `session_window` is
+    * streaming-legal in append mode, so the identical expression tree runs
+    * in both runtimes and the oracle pins the streaming arithmetic. */
+  private[graft] def sessionAggOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
       .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
       .select(
         col("user_id"), tsStr(col("w.start")).as("session_start"),
         col("cnt"), col("sum_value"))
-      .orderBy("user_id", "session_start")
 
   /** Hourly OHLCV candles per event type — THE liquidation-stream product
     * query (open/high/low/close + volume per symbol-hour, the shape every

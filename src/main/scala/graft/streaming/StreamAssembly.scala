@@ -1068,6 +1068,19 @@ object StreamAssembly {
       }
   }
 
+  /** STREAMING SESSION WINDOWS — the burst/cascade detector live: per
+    * user, `session_window(ts, 8 hours)` count + exact money sum, emitted
+    * when the watermark proves the session can no longer extend (append
+    * mode merges a session across micro-batches until the gap closes it).
+    * ONE definition, two runtimes: this is the IDENTICAL expression tree
+    * as the oracle-checked `window_session` batch query
+    * ([[graft.ops.TimeWindows.sessionAggOf]]) behind a watermark — Spark's
+    * native streaming session windows, no custom state code. State per key
+    * is the open session's aggregate buffer, bounded by the watermark. */
+  def sessionStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    graft.ops.TimeWindows.sessionAggOf(events.withWatermark("ts", watermark))
+
   private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
     "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
     "signup" -> 0.20, "view" -> 0.30)

@@ -1216,6 +1216,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: row-exact parity with window_session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._2.getTime).toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamAssembly.sessionStream(events)
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      // far-future sentinel: watermark passes every real session's close
+      val lastTs = src.map(_._2.getTime).max
+      mem.addData((-1L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM session_stream WHERE user_id >= 0").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val want = graft.ops.TimeWindows.windowSession(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == want,
+        s"stream/batch session rows diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      // sessions actually merge: at least one session spans >1 event
+      assert(got.values.exists(_._1 > 1L), "no multi-event session formed")
+    } finally q.stop()
+  }
+
   test("streaming heartbeat monitor: row-exact parity with dq_heartbeat") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
