@@ -31,11 +31,17 @@ object TimeWindows {
     * liq-stream `CHANGELOG.md:14`). Each event lands in exactly 6 windows;
     * the expansion happens map-side before the keyed shuffle. */
   def windowSliding(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    slidingAggOf(table(spark, dir, "events")).orderBy("w_start")
+
+  /** The ONE sliding aggregation behind the oracle-checked batch query
+    * and [[graft.streaming.StreamAssembly.slidingStream]] — `window()` is
+    * streaming-legal in append mode, so the identical expression tree
+    * runs in both runtimes (the [[sessionAggOf]] convention). */
+  private[graft] def slidingAggOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(tsStr(col("w.start")).as("w_start"), col("cnt"))
-      .orderBy("w_start")
 
   /** Session window per user with an 8-hour inactivity gap — liquidation
     * cascade/burst detection. A new session starts when the gap from the

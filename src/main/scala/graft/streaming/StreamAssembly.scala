@@ -1081,6 +1081,106 @@ object StreamAssembly {
       watermark: String = "2 hours"): DataFrame =
     graft.ops.TimeWindows.sessionAggOf(events.withWatermark("ts", watermark))
 
+  /** STREAMING SLIDING-WINDOW ACTIVITY — "last 6h, advancing hourly"
+    * live: the identical expression tree as the oracle-checked
+    * `window_sliding` batch query behind a watermark ([[sessionStream]]'s
+    * shared-definition convention). Each event expands into its 6
+    * overlapping windows map-side before the keyed state update; a
+    * window emits exactly once when the watermark closes it. */
+  def slidingStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    graft.ops.TimeWindows.slidingAggOf(events.withWatermark("ts", watermark))
+
+  final case class EwmaDay(maxKey: Long, close: Double,
+      sumMicros: Long, n: Long)
+  final case class EwmaState(ring: Vector[Double], open: Map[Long, EwmaDay])
+  final case class EwmaReport(event_type: String, day: String,
+      ewma_close: Double, ewma_mean: Double)
+
+  /** STREAMING EWMA SMOOTHER — the live twin of the oracle-checked
+    * `ts_ewma` batch query (ONE definition, two runtimes): per type, the
+    * 8-tap exponentially-weighted average (d = 0.75) of the raw value
+    * sequence in full-µs (ts, id) order, rolled up to day grain as
+    * (ewma_close = the day's last smoothed value, ewma_mean = the day's
+    * average smoothed value), each day emitted exactly once when the
+    * watermark closes it.
+    *
+    * Bit-exactness with the batch twin: the tap weights are the same
+    * d^j literals summed in the same ascending-j order (the batch
+    * `taps.reduce` fold); each smoothed value rounds to the 1e-6 grid
+    * (roundD), so the day mean can accumulate as exact integer MICROS —
+    * the batch side's DECIMAL(18,6) sum — and divide once in double with
+    * the identical tree. The 8-value ring carries ACROSS day boundaries
+    * exactly like the batch lag window (partitioned by type only). State
+    * per key: 8 doubles + O(open days) counters, independent of volume.
+    * Per-batch full-µs sort; cross-batch in-order feed per key (the
+    * [[anomalyStream]] convention). */
+  def ewmaStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[EwmaReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val d = 0.75
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(EwmaState(Vector.empty, Map.empty))
+          var lastMs = 0L
+          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+            .foreach { case (_, id, ts, v) =>
+              val ms = ts.getTime
+              lastMs = math.max(lastMs, ms)
+              // current value is tap j=0, ring carries taps 1..7
+              val vals = v +: s.ring
+              var num = 0.0; var den = 0.0; var j = 0
+              while (j < vals.length) {
+                val w = math.pow(d, j)
+                num += vals(j) * w; den += w; j += 1
+              }
+              val e = math.floor(num / den * 1e6 + 0.5) / 1e6
+              val eMicros = math.rint(e * 1e6).toLong
+              val us = math.floorDiv(ms, 1000L) * 1000000L +
+                ts.getNanos / 1000L
+              val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+                math.floorMod(id, 1048576L)
+              val dayKey = math.floorDiv(ms, dayMs) * dayMs
+              val cur = s.open.get(dayKey) match {
+                case None => EwmaDay(ordKey, e, eMicros, 1L)
+                case Some(p) =>
+                  val (mk, cl) =
+                    if (ordKey > p.maxKey) (ordKey, e) else (p.maxKey, p.close)
+                  EwmaDay(mk, cl, p.sumMicros + eMicros, p.n + 1L)
+              }
+              s = EwmaState((v +: s.ring).take(7), s.open + (dayKey -> cur))
+            }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val a = s.open(k)
+              s = s.copy(open = s.open - k)
+              // the batch twin's DECIMAL(18,6) sum cast to double, / count
+              val mean = java.math.BigDecimal.valueOf(a.sumMicros, 6)
+                .doubleValue() / a.n
+              EwmaReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                a.close, mean)
+            }
+          if (state.hasTimedOut && s.open.isEmpty) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
   private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
     "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
     "signup" -> 0.20, "view" -> 0.30)

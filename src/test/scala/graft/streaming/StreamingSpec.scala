@@ -1255,6 +1255,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows: row-exact parity with window_sliding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("ts")
+      .as[java.sql.Timestamp]
+      .collect().sortBy(_.getTime).toIndexedSeq
+    val mem = MemoryStream[java.sql.Timestamp]
+    val events = mem.toDF().toDF("ts")
+    val q = StreamAssembly.slidingStream(events)
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_.getTime).max
+      mem.addData(new java.sql.Timestamp(lastTs + 365L * 86400000L))
+      q.processAllAvailable()
+      // drop the sentinel's own 6 windows (they start ~a year out); the
+      // w_start string format is lexicographically ordered
+      val cut = java.time.Instant.ofEpochMilli(lastTs + 30L * 86400000L)
+        .toString.substring(0, 10)
+      val got = spark.sql(
+        s"SELECT * FROM sliding_stream WHERE w_start < '$cut'")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.ops.TimeWindows.windowSliding(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"stream/batch sliding rows diverged: ${got.size} vs ${want.size}")
+      assert(got.size > 50, s"parity surface too small: ${got.size}")
+    } finally q.stop()
+  }
+
+  test("streaming EWMA smoother: row-exact parity with ts_ewma") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.ewmaStream(events)
+      .toDF().writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM ewma_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      val want = graft.ops.TimeWindows.tsEwma(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      assert(got == want,
+        s"stream/batch ewma diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming heartbeat monitor: row-exact parity with dq_heartbeat") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
