@@ -1039,6 +1039,51 @@ object TextOps {
       .orderBy(col("tf_total").desc, col("doc_id"))
   }
 
+  /** Phrase query set for [[invIndexPhrase]] — fixed 2-word phrases (the
+    * shipped-artifact convention), including one deliberately absent so
+    * the zero frame is exercised. */
+  private[graft] val phraseQueries = Seq(
+    "table hash", "part filter", "customer join", "graft spark")
+
+  /** PHRASE RETRIEVAL over a POSITIONAL index — the rung above
+    * [[invIndexQuery]]'s boolean AND (which cannot distinguish "new york"
+    * from "york ... new"): each query phrase matches only where its words
+    * are ADJACENT. Evaluation is the classic positional postings join:
+    * restrict the (doc, pos, token) frame to the phrase vocabulary FIRST
+    * (against a stored positional index this is a point lookup per term —
+    * only those terms' postings are ever read, never the corpus), then
+    * adjacency = an equi-join of first-word postings against second-word
+    * postings on (doc_id, pos+1). Cost scales with the matched postings;
+    * the join keys on (doc_id, pos) so co-located postings never
+    * broadcast the corpus. Phrases with no hits still report a zero row
+    * (the dq_benford literal-frame convention). */
+  def invIndexPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w1s = phraseQueries.map(_.split(" ")(0)).distinct
+    val w2s = phraseQueries.map(_.split(" ")(1)).distinct
+    val pos = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val first = pos.filter(col("token").isin(w1s: _*))
+      .select(col("doc_id"), col("pos"), col("token").as("w1"))
+    val second = pos.filter(col("token").isin(w2s: _*))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("token").as("w2"))
+    val agg = first.join(second, Seq("doc_id", "pos"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("doc_id"))
+      .filter(col("phrase").isin(phraseQueries: _*))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    phraseQueries.toDF("phrase")
+      .join(agg, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("phrase")
+  }
+
   /** Support denominator for [[freqTopk]]: report every token with
     * frequency strictly above total/k. */
   val freqK = 50L
@@ -1076,6 +1121,30 @@ object TextOps {
     encPieces(n).map(p => s"'$p'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    // same adjacency semantics via the list-subscript bigram walk, same
+    // literal phrase frame with zero rows
+    "invidx_phrase" -> {
+      val phList = phraseQueries.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      hits AS (
+        SELECT doc_id,
+               t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS phrase
+        FROM toks, unnest(range(1, len(t))) AS r(i)),
+      agg AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM hits WHERE phrase IN (SELECT unnest($phList))
+        GROUP BY 1),
+      ph AS (SELECT unnest($phList) AS phrase)
+      SELECT ph.phrase,
+             CAST(coalesce(n_occurrences, 0) AS BIGINT) AS n_occurrences,
+             CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+      FROM ph LEFT JOIN agg USING (phrase) ORDER BY phrase"""
+    },
     // same whitespace tokens, same char counts, same integer permille
     "tok_fertility" -> """
       WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
@@ -1641,6 +1710,7 @@ object TextOps {
     "text_langid" -> textLangid _,
     "text_code" -> textCode _,
     "tok_fertility" -> tokFertility _,
+    "invidx_phrase" -> invIndexPhrase _,
     "text_token_count" -> textTokenCount _,
     "text_fingerprint" -> textFingerprint _,
     "text_tfidf" -> textTfidf _,

@@ -59,12 +59,96 @@ object VectorOps {
       .orderBy("label")
   }
 
-  /** Power-iteration rounds for [[vecPca]] and the contribution
-    * down-scale (2²⁰ — an exact power-of-two halving chain, so dividing
-    * a double by it is lossless) that keeps each quantized y·s term
-    * inside int64 at corpus scale. */
+  /** Power-iteration rounds for the Gram-space spectral audits
+    * ([[vecPca]], [[vecDrift]]). */
   val pcaIters = 3
-  private[graft] val pcaScale = 1048576.0
+
+  /** One-pass quantized Gram accumulator: n, per-dim component sums
+    * S1[dims], and the upper-triangle raw Gram Q[dims·(dims+1)/2] over
+    * q = ⌊x·10⁶⌉ integer components — the
+    * RowMatrix.computeGramianMatrix shape: a fixed dim²-size per-partition
+    * fold merged associatively, no shuffle, no data-scale collect. */
+  private[graft] final class GramAcc extends Serializable {
+    var n = 0L
+    val s1 = Array.ofDim[Long](dims)
+    val q = Array.ofDim[Long](dims * (dims + 1) / 2)
+    def add(e: Array[Float]): Unit = {
+      val d = dims
+      val qv = Array.tabulate(d)(i =>
+        math.floor(e(i).toDouble * 1e6 + 0.5).toLong)
+      n += 1L
+      var i = 0
+      var k = 0
+      while (i < d) {
+        s1(i) += qv(i)
+        var j = i
+        while (j < d) { q(k) += qv(i) * qv(j); k += 1; j += 1 }
+        i += 1
+      }
+    }
+    def merge(b: GramAcc): GramAcc = {
+      n += b.n
+      var i = 0
+      while (i < dims) { s1(i) += b.s1(i); i += 1 }
+      i = 0
+      while (i < q.length) { q(i) += b.q(i); i += 1 }
+      this
+    }
+  }
+
+  /** Exact centered scatter C = n·Q − S1·S1ᵀ (BigInt — no overflow at any
+    * corpus size) from a [[GramAcc]], then [[pcaIters]] rounds of the
+    * quantized power iteration (v₀ = 1/8 everywhere; each contribution
+    * ⌊C_ij·v_j/2⁴⁰⌉ is an exact integer before its sum, so iteration and
+    * aggregation order cannot matter — the DuckDB twins replay the
+    * identical pipeline over HUGEINT sums). Returns the 6-dp λ₁ share
+    * (None when the scatter is zero or an iterate vanishes) and the
+    * 1-based dominant axis (|v| argmax, ties to the lowest axis;
+    * degenerate strata report axis 1, matching the oracle's NULLS-LAST
+    * ordering). */
+  private[graft] def gramPower(a: GramAcc): (Option[Double], Int) = {
+    val d = dims
+    def triIdx(i: Int, j: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
+    val c = Array.ofDim[BigInt](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = BigInt(a.n) * BigInt(a.q(triIdx(i, j))) -
+          BigInt(a.s1(i)) * BigInt(a.s1(j))
+        c(i)(j) = v; c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).foldLeft(BigInt(0))((acc, k) => acc + c(k)(k))
+    if (trace <= 0) return (None, 1)
+    var v = Array.fill(d)(0.125)
+    var w = Array.ofDim[Long](d)
+    var last = 0.0
+    var dead = false
+    for (_ <- 1 to pcaIters if !dead) {
+      w = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) {
+          s += math.floor(c(i)(j).toDouble * v(j) / driftScale + 0.5).toLong
+          j += 1
+        }
+        s
+      }
+      val ss = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      val nrm = math.sqrt(ss.toDouble)
+      if (nrm == 0.0) dead = true
+      else { last = nrm; v = w.map(_.toDouble / nrm) }
+    }
+    if (dead) (None, 1)
+    else {
+      def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val topDim = v.map(math.abs).zipWithIndex
+        .sortBy { case (av, i) => (-av, i) }.head._2 + 1
+      (Some(round6(last * driftScale / trace.toDouble)), topDim)
+    }
+  }
 
   /** DOMINANT-DIRECTION AUDIT (truncated power iteration) — the
     * anisotropy readout on the embedding table beside [[dqVec]]'s
@@ -75,60 +159,32 @@ object VectorOps {
     * isotropic spaces sit near 1/64.
     *
     * Exactness across engines WITHOUT trusting float sums: components
-    * quantize to y_d = n·⌊e_d·10⁶⌉ − m_d (exact int64, the mean folded
-    * out by cross-multiplication — no division), every per-vector dot
-    * is the same ORDERED index fold both engines run (the [[dot]]
-    * convention), each y·s contribution quantizes to an integer before
-    * the per-dimension DECIMAL(38,0) sum (partition-order exact), and
-    * the tiny normalize/share steps are identical IEEE trees on those
-    * exact sums. The iteration loop collects 64 numbers per round
-    * (metadata-scale — the kmeans staged-model pattern) and re-injects
-    * the eigenvector estimate as literals, so no 1-row broadcast join
-    * ever enters the plan. Scale shape: [[pcaIters]]+2 full scans, each
-    * a map-side-combined 64-key aggregate — nothing all-pairs, nothing
-    * collected at data scale. */
+    * quantize to q = ⌊e·10⁶⌉ once, the one-pass [[GramAcc]] carries only
+    * exact integer sums, centering is the cross-multiplied scatter
+    * C = n·Q − S1·S1ᵀ (no division, BigInt), and every power-iteration
+    * contribution is an integer before its sum ([[gramPower]]); only
+    * norms/divisions/sqrt are double — identical IEEE trees in the
+    * DuckDB twin, which replays the identical unrolled iteration over
+    * HUGEINT sums.
+    *
+    * Scale shape (supersedes the round-12 form, which re-scanned the
+    * corpus once per iteration plus twice for moments): ONE pass over
+    * the table folds a fixed dim²-size accumulator per partition and
+    * merges associatively — the RowMatrix.computeGramianMatrix shape —
+    * then all matrix math happens on metadata-scale integers. At 100 TB
+    * that is 1 scan instead of [[pcaIters]]+2, and the driver sees 2 145
+    * integers regardless of corpus size. */
   def vecPca(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(38, 0)
-    val emb = table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val n = emb.count()
-    // per-dim quantized component sums (64 rows — metadata-scale collect)
-    val mRows = emb
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("pos"),
-        floor(col("x").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("q"))
-      .groupBy("pos").agg(sum("q").as("m")).collect()
-    val m = Array.ofDim[Long](64)
-    mRows.foreach(r => m(r.getInt(0)) = r.getLong(1))
-    // y_d = n*q(e_d) - m_d: exact mean-centered int64 components
-    val yCol = zip_with(col("embedding"), typedLit(m.toSeq), (x, mm) =>
-      lit(n) * floor(x.cast(DoubleType) * 1e6 + 0.5).cast(LongType) - mm)
-    val base = materialize(emb.select(col("vec_id"), yCol.as("y")))
-    val traceQ = base
-      .select(floor(aggregate(col("y"), lit(0.0),
-        (acc, a) => acc + a.cast(DoubleType) * a.cast(DoubleType)) + 0.5)
-        .cast(dec).as("t"))
-      .agg(sum("t").as("tr")).collect()(0).getDecimal(0).doubleValue()
-    var v = Array.fill(64)(0.125) // 1/sqrt(64), exactly representable
-    var lastNorm = 0.0
-    for (_ <- 1 to pcaIters) {
-      val s = aggregate(zip_with(col("y"), typedLit(v.toSeq),
-        (a, b) => a.cast(DoubleType) * b), lit(0.0), (acc, x) => acc + x)
-      val contrib = transform(col("y"), a =>
-        floor(a.cast(DoubleType) * (s / pcaScale) + 0.5).cast(dec))
-      val wRows = base
-        .select(posexplode(contrib).as(Seq("pos", "q")))
-        .groupBy("pos").agg(sum("q").as("w")).collect()
-      val w = Array.ofDim[Double](64)
-      wRows.foreach(r => w(r.getInt(0)) = r.getDecimal(1).doubleValue())
-      lastNorm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
-      v = w.map(_ / lastNorm)
-    }
-    val share = lastNorm * pcaScale / traceQ
-    val topDim = v.map(math.abs).zipWithIndex
-      .sortBy { case (a, i) => (-a, i) }.head._2 + 1
-    emb.sparkSession.range(1).select(
-      lit(n).as("n_vectors"), lit(64).as("dim"),
-      roundD(lit(share), 6).as("lambda1_share"),
+    import spark.implicits._
+    val rows = table(spark, dir, "embeddings")
+      .select(col("embedding")).as[Array[Float]]
+    val acc = rows.rdd.treeAggregate(new GramAcc)(
+      (a, e) => { a.add(e); a }, (a, b) => a.merge(b))
+    val (share, topDim) = gramPower(acc)
+    spark.range(1).select(
+      lit(acc.n).as("n_vectors"), lit(64).as("dim"),
+      share.map(lit(_)).getOrElse(lit(null).cast(DoubleType))
+        .as("lambda1_share"),
       lit(topDim).as("top_dim"))
   }
 
@@ -177,83 +233,21 @@ object VectorOps {
   def vecDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = dims
-    val tri = d * (d + 1) / 2
-    def triIdx(i: Int, j: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
-    final class Acc extends Serializable {
-      var n = 0L
-      val s1 = Array.ofDim[Long](d)
-      val q = Array.ofDim[Long](tri)
-    }
     val rows = table(spark, dir, "embeddings")
       .select(col("label"), (col("vec_id") % 2).cast(IntegerType).as("ver"),
         col("embedding"))
       .as[(Int, Int, Array[Float])]
-    type M = scala.collection.mutable.HashMap[(Int, Int), Acc]
+    type M = scala.collection.mutable.HashMap[(Int, Int), GramAcc]
     val zero: M = scala.collection.mutable.HashMap.empty
     val sums = rows.rdd.treeAggregate(zero)(
-      (m, r) => {
-        val (label, ver, e) = r
-        val a = m.getOrElseUpdate((label, ver), new Acc)
-        val qv = Array.tabulate(d)(i =>
-          math.floor(e(i).toDouble * 1e6 + 0.5).toLong)
-        a.n += 1L
-        var i = 0
-        while (i < d) {
-          a.s1(i) += qv(i)
-          var j = i
-          while (j < d) { a.q(triIdx(i, j)) += qv(i) * qv(j); j += 1 }
-          i += 1
-        }
-        m
-      },
+      (m, r) => { m.getOrElseUpdate((r._1, r._2), new GramAcc).add(r._3); m },
       (m1, m2) => {
         m2.foreach { case (k, b) =>
-          val a = m1.getOrElseUpdate(k, new Acc)
-          a.n += b.n
-          var i = 0
-          while (i < d) { a.s1(i) += b.s1(i); i += 1 }
-          i = 0
-          while (i < tri) { a.q(i) += b.q(i); i += 1 }
+          m1.getOrElseUpdate(k, new GramAcc).merge(b): Unit
         }
         m1
       })
     def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    // λ₁ share per stratum: exact centered scatter C, then the unrolled
-    // quantized power iteration (v₀ = 1/8, pcaIters rounds)
-    def share(a: Acc): Option[Double] = {
-      val c = Array.ofDim[BigInt](d, d)
-      var i = 0
-      while (i < d) {
-        var j = i
-        while (j < d) {
-          val v = BigInt(a.n) * BigInt(a.q(triIdx(i, j))) -
-            BigInt(a.s1(i)) * BigInt(a.s1(j))
-          c(i)(j) = v; c(j)(i) = v
-          j += 1
-        }
-        i += 1
-      }
-      val trace = (0 until d).foldLeft(BigInt(0))((acc, k) => acc + c(k)(k))
-      if (trace <= 0) return None
-      var v = Array.fill(d)(0.125)
-      var last = 0.0
-      var dead = false
-      for (_ <- 1 to pcaIters if !dead) {
-        val w = Array.tabulate(d) { i =>
-          var s = 0L; var j = 0
-          while (j < d) {
-            s += math.floor(c(i)(j).toDouble * v(j) / driftScale + 0.5).toLong
-            j += 1
-          }
-          s
-        }
-        val ss = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
-        val nrm = math.sqrt(ss.toDouble)
-        if (nrm == 0.0) dead = true
-        else { last = nrm; v = w.map(_.toDouble / nrm) }
-      }
-      if (dead) None else Some(round6(last * driftScale / trace.toDouble))
-    }
     val out = sums.keys.map(_._1).toSeq.distinct.sorted.flatMap { label =>
       (sums.get((label, 0)), sums.get((label, 1))) match {
         case (Some(o), Some(nw)) =>
@@ -264,7 +258,7 @@ object VectorOps {
           }
           val shift =
             round6(math.sqrt(sumsq.toDouble) / ((o.n * nw.n).toDouble * 1e6))
-          val (so, sn) = (share(o), share(nw))
+          val (so, sn) = (gramPower(o)._1, gramPower(nw)._1)
           val delta = for (x <- so; y <- sn) yield round6(y - x)
           Some((label, o.n, nw.n, shift, so, sn, delta))
         case _ => None // stratum absent from one version: nothing to diff
@@ -386,6 +380,33 @@ object VectorOps {
           .orderBy(col("cosine").desc, col("vec_id"))).cast(LongType))
       .filter(col("rk") <= 10)
       .orderBy("query_id", "rk")
+  }
+
+  /** ANN RECALL AUDIT — the completeness critic of the vec family: per
+    * query, how much of the EXACT brute-force top-10 ([[simTopk]]) does
+    * the LSH path ([[simAnnTopk]]) actually return? Recall@k is the one
+    * number an ANN index is allowed to trade for speed, and a deploy that
+    * doesn't measure it is guessing — band/bit tuning, embedding drift
+    * ([[vecDrift]]) and skewed buckets all show up here first. Both sides
+    * are the already-oracle-checked queries composed (their shared SQL
+    * texts compose the same way in the DuckDB twin); the audit itself is
+    * three keyed counts over ≤ |queries|·k rows. At 100 TB the exact side
+    * is the expensive one — which is exactly why production runs THIS
+    * audit on a query SAMPLE while serving from the ANN path. */
+  def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(spark, dir).select("query_id", "vec_id")
+    val ann = simAnnTopk(spark, dir).select("query_id", "vec_id")
+    val ex = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val an = ann.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
+    val ht = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    ex.join(an, Seq("query_id"), "left")
+      .join(ht, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000 div n_exact").as("recall_pm"))
+      .orderBy("query_id")
   }
 
   /** FILTERED ANN — [[simAnnTopk]] under a metadata predicate (each query
@@ -1142,49 +1163,65 @@ object VectorOps {
              FROM ad2)
       SELECT query_id, rk::BIGINT AS rk, vec_id, qdist::DOUBLE / 1e9 AS dist
       FROM r2 WHERE rk <= $pqTopK ORDER BY query_id, rk"""
-    // the power iteration unrolled: same exact y = n*q(e) - m centering,
-    // same ordered folds, same 2^20 contribution scale, same quantize-
-    // then-DECIMAL(38,0) per-dimension sums, same normalize trees
+    // the Gram-space power iteration unrolled (vec_drift's pipeline,
+    // ungrouped): same q = floor(x*1e6+0.5) components, HUGEINT moment +
+    // upper-tri Gram sums, exact scatter C = n*Q - S1_i*S1_j, the same
+    // 3-round floor(C*v/2^40 + 0.5) integer contributions, same
+    // NULLS-LAST dominant-axis tie-break
     val pcaOracle = {
-      def fold(terms: String) =
-        s"list_reduce(list_concat([0.0], $terms), (acc, x) -> acc + x)"
-      def iter(k: Int, sExpr: String) = s"""
-        s$k AS (SELECT vec_id, ${fold(sExpr)} AS s FROM yd${if (k > 1) s", v${k - 1}" else ""}),
-        w$k AS (SELECT list(w ORDER BY i) AS w FROM (
-           SELECT i, CAST(sum(CAST(floor(yd.y[i]::DOUBLE * (s$k.s / $pcaScale)
-                + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w
-           FROM yd JOIN s$k USING (vec_id), range(1, 65) AS t(i)
-           GROUP BY i)),
-        nrm$k AS (SELECT w, sqrt(${fold("list_transform(w, x -> x::DOUBLE * x::DOUBLE)")}) AS nrm
-                  FROM w$k),
-        v$k AS (SELECT list_transform(w, x -> x::DOUBLE / nrm) AS v
-                FROM nrm$k)"""
+      def it(k: Int, prev: String) = s"""
+        w$k AS (SELECT c.i,
+                       CAST(sum(CAST(floor(CAST(c.c AS DOUBLE) * v.v
+                           / $driftScale + 0.5) AS HUGEINT)) AS HUGEINT) AS w
+                FROM cf c JOIN $prev v ON v.i = c.j
+                GROUP BY 1),
+        n$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE))
+                         AS nrm
+                FROM w$k),
+        v$k AS (SELECT wk.i,
+                       CAST(wk.w AS DOUBLE) / nullif(n$k.nrm, 0.0) AS v
+                FROM w$k AS wk, n$k)"""
       s"""
-      WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-      ml AS (SELECT list(m ORDER BY i) AS ml FROM (
-         SELECT i, CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
-              AS BIGINT)) AS BIGINT) AS m
-         FROM e, range(1, 65) AS t(i) GROUP BY i)),
-      yd AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(range(1, 65),
-                 i -> nn.n * CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
-                      AS BIGINT) - ml.ml[i]) AS y
-        FROM e, nn, ml),
-      tr AS (SELECT CAST(sum(CAST(floor(${fold("list_transform(y, a -> a::DOUBLE * a::DOUBLE)")}
-                + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t FROM yd),
-      ${iter(1, "list_transform(y, a -> a::DOUBLE * 0.125)")},
-      ${iter(2, "list_transform(range(1, 65), i -> yd.y[i]::DOUBLE * v1.v[i])")},
-      ${iter(3, "list_transform(range(1, 65), i -> yd.y[i]::DOUBLE * v2.v[i])")},
+      WITH e AS MATERIALIZED (
+        SELECT list_transform(range(1, 65),
+                 i -> CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                      AS BIGINT)) AS q
+        FROM embeddings),
+      st AS MATERIALIZED (
+        SELECT i, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q[i]) AS HUGEINT) AS s1
+        FROM e, range(1, 65) AS t(i) GROUP BY 1),
+      nn AS (SELECT CAST(max(n) AS BIGINT) AS n FROM st),
+      g AS MATERIALIZED (
+        SELECT ti.i AS i, tj.j AS j,
+               CAST(sum(CAST(q[ti.i] AS HUGEINT) * q[tj.j]) AS HUGEINT) AS qq
+        FROM e, range(1, 65) AS ti(i), range(1, 65) AS tj(j)
+        WHERE tj.j >= ti.i GROUP BY 1, 2),
+      cu AS MATERIALIZED (
+        SELECT g.i, g.j, CAST(nn.n AS HUGEINT) * g.qq - si.s1 * sj.s1 AS c
+        FROM g CROSS JOIN nn
+        JOIN st si ON si.i = g.i
+        JOIN st sj ON sj.i = g.j),
+      cf AS MATERIALIZED (
+        SELECT i, j, c FROM cu
+        UNION ALL
+        SELECT j, i, c FROM cu WHERE i <> j),
+      tr AS (SELECT CAST(sum(c) AS HUGEINT) AS tr FROM cu WHERE i = j),
+      v0 AS (SELECT CAST(t.i AS BIGINT) AS i, 0.125::DOUBLE AS v
+             FROM range(1, 65) AS t(i)),
+      ${it(1, "v0")},
+      ${it(2, "v1")},
+      ${it(3, "v2")},
       td AS (SELECT CAST(i AS INTEGER) AS top_dim FROM (
-         SELECT i, abs(w[i]::DOUBLE / nrm) AS av FROM nrm3, range(1, 65) AS t(i))
+         SELECT v3.i, abs(v3.v) AS av FROM v3)
          ORDER BY av DESC, i LIMIT 1)
       SELECT nn.n AS n_vectors, 64 AS dim,
-             floor(nrm3.nrm * $pcaScale / tr.t::DOUBLE * 1e6 + 0.5) / 1e6
-               AS lambda1_share,
+             CASE WHEN tr.tr > 0 THEN
+               floor(nullif(n3.nrm, 0.0) * $driftScale
+                     / CAST(tr.tr AS DOUBLE) * 1e6 + 0.5) / 1e6
+             END AS lambda1_share,
              td.top_dim
-      FROM nn, tr, nrm3, td"""
+      FROM nn, tr, n3, td"""
     }
     // vec_drift: the identical quantized pipeline per (label, version) —
     // q = floor(x*1e6+0.5) components, HUGEINT moment + upper-tri Gram
@@ -1275,13 +1312,10 @@ object VectorOps {
       LEFT JOIN shr sn ON sn.label = sh.label AND sn.ver = 1
       ORDER BY sh.label"""
     }
-    Map(
-      "vec_drift" -> driftOracle,
-      "vec_pca" -> pcaOracle,
-      "vec_rp" -> rpOracle,
-      "vec_pq" -> pqOracle,
-      "sim_ivfpq" -> ivfpqOracle,
-      "sim_topk" -> s"""
+    // ONE text each for the exact and LSH top-10 (used standalone AND as
+    // the two sides of the sim_recall composition — a second copy could
+    // silently drift)
+    val topkOracle = s"""
         WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
         scored AS (SELECT a.query_id, b.vec_id,
                           floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
@@ -1289,7 +1323,49 @@ object VectorOps {
         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, vec_id) AS rk FROM scored)
         SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
-        ORDER BY query_id, rk""",
+        ORDER BY query_id, rk"""
+    val annTopkOracle = s"""
+        WITH sig AS (SELECT vec_id, embedding, ($annBits)::BIGINT AS bucket
+                     FROM embeddings),
+        scored AS (SELECT a.query_id, b.vec_id,
+                          floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
+                   FROM (SELECT vec_id AS query_id, embedding, bucket
+                         FROM sig WHERE vec_id < 5) a
+                   JOIN sig b ON b.vec_id <> a.query_id AND (
+                     ((a.bucket >> 0) & 3) = ((b.bucket >> 0) & 3) OR
+                     ((a.bucket >> 2) & 3) = ((b.bucket >> 2) & 3) OR
+                     ((a.bucket >> 4) & 3) = ((b.bucket >> 4) & 3) OR
+                     ((a.bucket >> 6) & 3) = ((b.bucket >> 6) & 3))),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+        SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
+        ORDER BY query_id, rk"""
+    Map(
+      "vec_drift" -> driftOracle,
+      "vec_pca" -> pcaOracle,
+      "vec_rp" -> rpOracle,
+      "vec_pq" -> pqOracle,
+      "sim_ivfpq" -> ivfpqOracle,
+      "sim_topk" -> topkOracle,
+      // the identical two top-10 texts composed: per query, |exact ∩ ann|
+      "sim_recall" -> s"""
+        WITH exact AS (SELECT query_id, vec_id FROM ($topkOracle)),
+        ann AS (SELECT query_id, vec_id FROM ($annTopkOracle)),
+        ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+               FROM exact GROUP BY 1),
+        an AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann
+               FROM ann GROUP BY 1),
+        ht AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+               FROM exact e JOIN ann a
+                 ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+               GROUP BY 1)
+        SELECT ex.query_id, ex.n_exact,
+               CAST(coalesce(an.n_ann, 0) AS BIGINT) AS n_ann,
+               CAST(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(coalesce(ht.n_hit, 0) AS BIGINT) * 1000 // ex.n_exact
+                 AS recall_pm
+        FROM ex LEFT JOIN an USING (query_id) LEFT JOIN ht USING (query_id)
+        ORDER BY ex.query_id""",
       "sim_pairs_cosine" -> s"""
         SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
                floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
@@ -1355,22 +1431,7 @@ object VectorOps {
         SELECT query_id, vec_id, ip, rk::BIGINT AS rk
         FROM ranked WHERE rk <= 10
         ORDER BY query_id, rk""",
-      "sim_ann_topk" -> s"""
-        WITH sig AS (SELECT vec_id, embedding, ($annBits)::BIGINT AS bucket
-                     FROM embeddings),
-        scored AS (SELECT a.query_id, b.vec_id,
-                          floor($duckDot * 1e5 + 0.5) / 1e5 AS cosine
-                   FROM (SELECT vec_id AS query_id, embedding, bucket
-                         FROM sig WHERE vec_id < 5) a
-                   JOIN sig b ON b.vec_id <> a.query_id AND (
-                     ((a.bucket >> 0) & 3) = ((b.bucket >> 0) & 3) OR
-                     ((a.bucket >> 2) & 3) = ((b.bucket >> 2) & 3) OR
-                     ((a.bucket >> 4) & 3) = ((b.bucket >> 4) & 3) OR
-                     ((a.bucket >> 6) & 3) = ((b.bucket >> 6) & 3))),
-        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
-        SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 10
-        ORDER BY query_id, rk""",
+      "sim_ann_topk" -> annTopkOracle,
       // same ordered norm fold, rounded before aggregation; decimal sums
       "dq_vec" -> """
         WITH v AS (
@@ -1546,6 +1607,7 @@ object VectorOps {
     "sim_pairs_cosine" -> simPairsCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
+    "sim_recall" -> simRecall _,
     "sim_ann_filtered" -> ((s, d) => simAnnFiltered(s, d)),
     "dq_vec" -> dqVec _,
     "vec_pca" -> vecPca _,

@@ -31,6 +31,9 @@ object PlanAudit {
     // prefix pass is the documented corpus-wide scan; the rerank is 30
     // rows/query):
     ("sim_prefix", "BroadcastNestedLoopJoin"),
+    // inherits sim_topk's deliberate scan-x-5-broadcast-queries brute
+    // force — the recall audit's exact side IS that baseline by contract:
+    ("sim_recall", "BroadcastNestedLoopJoin"),
     ("kmeans", "CartesianProduct"), ("kmeans", "BroadcastNestedLoopJoin"),
     ("sim_ivf", "CartesianProduct"), ("sim_ivf", "BroadcastNestedLoopJoin"),
     // same routing shape as sim_ivf (tiny query x cell-representative
