@@ -748,6 +748,35 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** TRAILING ROLLING MEDIAN — the robust companion of [[tsEwma]]'s mean
+    * smoother: per type, the exact median of the last 7 OBSERVED daily
+    * totals (a level readout a single spike day cannot drag, where EWMA
+    * and moving averages both move). Median convention is pinned
+    * explicitly in both engines — sorted trailing list, element
+    * (n+1) div 2 (the lower middle for even n) — rather than trusting
+    * two engines' quantile defaults to agree. All integer cents; the
+    * trailing frame is 7 values per row at the DAY grain, so the window
+    * state is bounded and the expensive work stays the one keyed daily
+    * aggregate over raw events. */
+  def tsRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("yc"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    daily
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("med_cents",
+        element_at(sort_array(collect_list(col("yc")).over(w)),
+          ((col("n_trail") + 1) / 2).cast(IntegerType)))
+      .select(col("event_type"), col("d").cast(LongType).as("d"),
+        col("yc"), col("n_trail"), col("med_cents"))
+      .orderBy("event_type", "d")
+  }
+
   /** LEAD/LAG CROSS-CORRELATION between two hourly count series — "does
     * view traffic predict purchase traffic, and by how many hours?": the
     * Pearson r between x_t (views/hour) and y_{t+k} (purchases k hours
@@ -1710,6 +1739,24 @@ object TimeWindows {
                 CAST(v IS NULL AS INTEGER) AS gap
          FROM f ORDER BY event_type, hour""",
     "ts_ewma" -> ewmaOracle,
+    // same daily cents aggregate, same pinned median convention: sorted
+    // trailing-7 list, element (n+1) div 2
+    "ts_rolling_med" -> """
+      WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(d AS BIGINT) AS d, yc,
+             CAST(count(*) OVER w AS BIGINT) AS n_trail,
+             CAST(list_sort(list(yc) OVER w)[
+               CAST((count(*) OVER w + 1) // 2 AS INT)] AS BIGINT)
+               AS med_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, d""",
     "win_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS cnt,
@@ -1790,6 +1837,7 @@ object TimeWindows {
     "candles_daily" -> candlesDaily _,
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
+    "ts_rolling_med" -> tsRollingMedian _,
     "ts_acf" -> tsAcf _,
     "ts_xcorr" -> tsXcorr _,
     "ts_holt" -> tsHolt _,
