@@ -33,9 +33,24 @@ object Bench {
       if (c >= 9.95) fmt(c, 0) else fmt(c, 1) // 9.95 rounds to "10.0" at %.1f
     }
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    // The failed list is itself budget-capped: at 285 registered queries a
+    // mass failure (e.g. a broken testdata mount failing a third of the
+    // roster) would otherwise blow the whole line past the capture window
+    // — exactly when the failure names matter most. `nfail` always carries
+    // the TRUE count, so a truncated array is visible as such; names pack
+    // alphabetically until the sub-budget is spent.
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else {
+        val subBudget = 500
+        var used = 0
+        val kept = failed.sorted.takeWhile { n =>
+          val w = n.length + 3 // quotes + comma
+          if (used + w <= subBudget) { used += w; true } else false
+        }
+        kept.map("\"" + _ + "\"").mkString(
+          s""","nfail":${failed.size},"failed":[""", ",", "]")
+      }
     val tail = s"""$failedJson,"qcount":${results.size},"sf":"$sfName"}"""
     val head = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":"""
     // Failed queries are named ONLY in the "failed" array — the queries map

@@ -777,6 +777,45 @@ object TimeWindows {
       .orderBy("event_type", "d")
   }
 
+  /** WEEKDAY-CONDITIONED VOLUME ANOMALY — the seasonal-aware rung above a
+    * global z-score: a quiet Sunday is NORMAL for a weekday-heavy feed
+    * and a global test either misses weekday spikes or pages on every
+    * weekend; here each day's total is judged against ITS OWN weekday's
+    * distribution (per (type, dow) moments), the readout a volume monitor
+    * with weekly shape actually needs. The 3σ test is the exact
+    * cross-multiplied integer form (the `dq_drift` convention):
+    * (n·y − S)² > 9·(n·Q − S²) over cents — no division, no float sums;
+    * both engines compare identical integers (HUGEINT / DECIMAL(38,0)).
+    * Weekday selector is pmod / ((d%7)+7)%7 on the respective sides (the
+    * ts_periodicity convention). Days only flag once their weekday has
+    * ≥ 4 observations. One daily aggregate + one broadcast join of the
+    * |types|×7 moment frame — day grain end to end. */
+  def tsDowAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+    val dec = DecimalType(38, 0)
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("yc"))
+    val base = daily
+      .groupBy(col("event_type"), pmod(col("d"), lit(7)).as("dow"))
+      .agg(count(lit(1)).as("n"), sum("yc").as("s"),
+        sum(col("yc").cast(dec) * col("yc")).as("q"))
+    val dev = (col("n") * col("yc") - col("s")).cast(dec)
+    daily
+      .withColumn("dow", pmod(col("d"), lit(7)))
+      .join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"), col("d").cast(LongType).as("d"),
+        col("dow").cast(LongType).as("dow"), col("yc"),
+        col("n").as("n_dow"),
+        (col("n") >= 4L &&
+          dev * dev > lit(9) * (col("n") * col("q") -
+            col("s").cast(dec) * col("s")))
+          .cast(IntegerType).as("flagged"))
+      .orderBy("event_type", "d")
+  }
+
   /** LEAD/LAG CROSS-CORRELATION between two hourly count series — "does
     * view traffic predict purchase traffic, and by how many hours?": the
     * Pearson r between x_t (views/hour) and y_{t+k} (purchases k hours
@@ -1739,6 +1778,32 @@ object TimeWindows {
                 CAST(v IS NULL AS INTEGER) AS gap
          FROM f ORDER BY event_type, hour""",
     "ts_ewma" -> ewmaOracle,
+    // same daily cents aggregate, same pmod weekday selector, same exact
+    // cross-multiplied 3-sigma integers (HUGEINT both sides of the compare)
+    "ts_dow_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2),
+      base AS (
+        SELECT event_type, ((d % 7) + 7) % 7 AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yc) AS BIGINT) AS s,
+               CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS q
+        FROM daily GROUP BY 1, 2)
+      SELECT dl.event_type, CAST(dl.d AS BIGINT) AS d,
+             CAST(((dl.d % 7) + 7) % 7 AS BIGINT) AS dow,
+             dl.yc, b.n AS n_dow,
+             CAST(b.n >= 4 AND
+                  CAST(b.n * dl.yc - b.s AS HUGEINT)
+                    * CAST(b.n * dl.yc - b.s AS HUGEINT)
+                  > 9 * (b.n * b.q - CAST(b.s AS HUGEINT) * b.s)
+                  AS INTEGER) AS flagged
+      FROM daily dl JOIN base b
+        ON b.event_type = dl.event_type AND b.dow = ((dl.d % 7) + 7) % 7
+      ORDER BY dl.event_type, dl.d""",
     // same daily cents aggregate, same pinned median convention: sorted
     // trailing-7 list, element (n+1) div 2
     "ts_rolling_med" -> """
@@ -1838,6 +1903,7 @@ object TimeWindows {
     "ts_fill" -> tsFill _,
     "ts_ewma" -> tsEwma _,
     "ts_rolling_med" -> tsRollingMedian _,
+    "ts_dow_anomaly" -> tsDowAnomaly _,
     "ts_acf" -> tsAcf _,
     "ts_xcorr" -> tsXcorr _,
     "ts_holt" -> tsHolt _,
