@@ -24,7 +24,7 @@ object SparkEntry {
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
       Multimodal.queries ++ Extended.queries ++ Curation.queries ++
       Formats.queries ++ Bucketing.queries ++ DataQuality.queries ++
-      EventOps.queries ++ GraphOps.queries ++
+      EventOps.queries ++ GraphOps.queries ++ MarketOps.queries ++
       graft.normalize.NormalizeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -34,6 +34,6 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Multimodal.oracles ++ Extended.oracles ++ Curation.oracles ++
       Formats.oracles ++ Bucketing.oracles ++ DataQuality.oracles ++
-      EventOps.oracles ++ GraphOps.oracles ++
+      EventOps.oracles ++ GraphOps.oracles ++ MarketOps.oracles ++
       graft.normalize.NormalizeOps.oracles
 }
