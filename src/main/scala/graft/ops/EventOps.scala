@@ -625,6 +625,113 @@ object EventOps {
       .orderBy("arm")
   }
 
+  /** SAMPLE-RATIO MISMATCH audit — the assignment-health check that must
+    * pass BEFORE [[abTest]]'s outcome readout means anything: a 50/50
+    * hash split whose realized arm counts drift (a logging bug, a bot
+    * filter hitting one arm) silently biases every downstream metric, so
+    * the standard experimentation pipeline gates on this χ² first. Same
+    * md5 arm assignment as ab_test; χ² for two equal-expectation cells
+    * collapses to (ua−ub)²/(ua+ub), carried cross-multiplied in
+    * DECIMAL(38,0) (the ab_test 128-bit discipline — at 10⁹ users the
+    * numerator leaves int64). One per-user aggregate + one global row,
+    * exploded back to per-arm rows: no join, no window. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val arm = when(conv(substring(md5(concat(col("user_id")
+      .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
+      .cast(LongType) % 2L === 0L, "A").otherwise("B")
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ev"))
+      .select(arm.as("arm"))
+    perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ua"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("ub"))
+      .select(explode(array(
+          struct(lit("A").as("arm"), col("ua").as("users")),
+          struct(lit("B").as("arm"), col("ub").as("users")))).as("r"),
+        expr("""CAST((CAST(ua - ub AS DECIMAL(38,0)) * (ua - ub) * 1000)
+                     div (ua + ub) AS BIGINT)""").as("srm_x1000"),
+        expr("ua * 1000 div (ua + ub)").as("share_a_pm"))
+      .select(col("r.arm").as("arm"), col("r.users").as("users"),
+        col("share_a_pm"), col("srm_x1000"))
+      .orderBy("arm")
+  }
+
+  /** CUPED-ADJUSTED EXPERIMENT READOUT — variance reduction using
+    * pre-period behavior as the control covariate (the standard trick
+    * that cuts an A/B test's required sample size): split the corpus at
+    * its temporal midpoint (first 15 days = pre-period X, rest = post Y,
+    * anchored to the measured min day, never a hardcoded date), compute
+    * θ = cov(X,Y)/var(X) over users, and report each arm's raw and
+    * adjusted post-period spend mean — adjustment is linear, so the arm
+    * mean adjusts by θ·(x̄_arm − x̄) directly from per-arm sums: no
+    * second per-user pass.
+    *
+    * Exactness: per-user half-sums are exact integer cents (DECIMAL sum
+    * ·100); the five moment sums ride BIGINT/DECIMAL(38,0) (order-free,
+    * map-side combined — cents² products leave int64 at whale users);
+    * θ and the means are one shared double tree on those exact values
+    * ([[abTtest]]'s convention), 6 dp. Two aggregates total: per-user,
+    * then one global row exploded to per-arm rows. */
+  def abCuped(spark: SparkSession, dir: String): DataFrame =
+    abCupedOf(table(spark, dir, "events"))
+
+  /** The moment pipeline over any (user_id, ts, value) frame — split out
+    * so the spec can drive a closed-form corpus (post ≡ c·pre per user ⇒
+    * θ = c exactly and BOTH arms' adjusted means collapse to c·x̄ — the
+    * estimator's defining property). */
+  private[graft] def abCupedOf(ev: DataFrame): DataFrame = {
+    val arm = when(conv(substring(md5(concat(col("user_id")
+      .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
+      .cast(LongType) % 2L === 0L, "A").otherwise("B")
+    val d = expr("unix_micros(ts) div 86400000000")
+    // one-row bounded frame folded in as a literal (the aggDecay move)
+    val dmin = ev.agg(min(d)).head().getLong(0)
+    val vc = col("value").cast(DecimalType(18, 2))
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val perUser = ev
+      .select(col("user_id"), d.as("d"), vc.as("v"))
+      .groupBy("user_id")
+      .agg((sum(when(col("d") < lit(dmin + 15L), col("v")).otherwise(zero))
+          * 100).cast(LongType).as("x"),
+        (sum(when(col("d") >= lit(dmin + 15L), col("v")).otherwise(zero))
+          * 100).cast(LongType).as("y"))
+      .select(arm.as("arm"), col("x"), col("y"))
+    val one = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(DecimalType(18, 0)) *
+        col("y").cast(DecimalType(18, 0))).as("sxy"),
+      sum(col("x").cast(DecimalType(18, 0)) *
+        col("x").cast(DecimalType(18, 0))).as("sxx"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("arm") === "A", col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "B", col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === "B", col("y")).otherwise(0L)).as("syb"))
+    val nD = col("n").cast(DoubleType)
+    val theta = (nD * col("sxy").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+      nullif(nD * col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType), lit(0.0))
+    val xbar = col("sx").cast(DoubleType) / nD
+    def armRow(a: String, na: Column, sxa: Column, sya: Column) = {
+      val naD = na.cast(DoubleType)
+      val rawMean = sya.cast(DoubleType) / naD / 100.0
+      val adjMean = rawMean - theta *
+        (sxa.cast(DoubleType) / naD - xbar) / 100.0
+      struct(lit(a).as("arm"), na.as("users"),
+        roundD(rawMean, 6).as("mean_post"), roundD(adjMean, 6).as("mean_adj"))
+    }
+    one.select(explode(array(
+          armRow("A", col("na"), col("sxa"), col("sya")),
+          armRow("B", col("nb"), col("sxb"), col("syb")))).as("r"),
+        roundD(theta, 6).as("theta"))
+      .select(col("r.arm").as("arm"), col("r.users").as("users"),
+        col("r.mean_post").as("mean_post"), col("r.mean_adj").as("mean_adj"),
+        col("theta"))
+      .orderBy("arm")
+  }
+
   /** TIME-DECAYED ENGAGEMENT SCORE — recency weighting with half-life =
     * one day: score(user) = Σ value·2^(−age_days). The trick that keeps
     * it EXACT across engines: ages are whole days and the decay base is
@@ -752,6 +859,77 @@ object EventOps {
         GROUP BY st.rm, st.f)"""
 
   val oracles: Map[String, String] = Map(
+    // same md5 hash split; χ² cross-multiplied in HUGEINT (= Spark's
+    // DECIMAL(38,0)) — integer end to end
+    "ab_srm" -> """
+      WITH pu AS (
+        SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '#ab'),
+                          1, 8))::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events GROUP BY user_id),
+      w AS (SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS ua,
+                   sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS ub
+            FROM pu),
+      arms AS (SELECT 'A' AS arm, ua AS users FROM w
+               UNION ALL SELECT 'B', ub FROM w)
+      SELECT arm, users, ua * 1000 // (ua + ub) AS share_a_pm,
+             (((ua - ub)::HUGEINT * (ua - ub) * 1000) // (ua + ub))::BIGINT
+               AS srm_x1000
+      FROM arms, w ORDER BY arm""",
+    // identical temporal split (measured min day + 15), identical integer
+    // cent half-sums, HUGEINT moment sums, one shared double tree for
+    // theta and the adjusted means
+    "ab_cuped" -> """
+      WITH b AS (SELECT min(epoch_us(ts) // 86400000000) + 15 AS cut
+                 FROM events),
+      pu0 AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_us(ts) // 86400000000
+                                  < (SELECT cut FROM b)
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+                 AS x,
+               CAST(sum(CASE WHEN epoch_us(ts) // 86400000000
+                                  >= (SELECT cut FROM b)
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+                 AS y
+        FROM events GROUP BY user_id),
+      pu AS (SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '#ab'),
+                               1, 8))::BIGINT % 2 = 0
+                         THEN 'A' ELSE 'B' END AS arm, x, y
+             FROM pu0),
+      w AS (SELECT count(*)::BIGINT AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+                   sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+                   CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT)
+                     AS sxa,
+                   CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT)
+                     AS sya,
+                   sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb,
+                   CAST(sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT)
+                     AS sxb,
+                   CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT)
+                     AS syb
+            FROM pu),
+      arms AS (SELECT 'A' AS arm, na AS users, sxa AS sxarm, sya AS syarm
+               FROM w
+               UNION ALL SELECT 'B', nb, sxb, syb FROM w)
+      SELECT arm, users,
+             floor(syarm::DOUBLE / users::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6
+               AS mean_post,
+             floor((syarm::DOUBLE / users::DOUBLE / 100.0
+                    - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / nullif(n::DOUBLE * sxx::DOUBLE
+                                - sx::DOUBLE * sx::DOUBLE, 0.0))
+                      * (sxarm::DOUBLE / users::DOUBLE - sx::DOUBLE / n::DOUBLE)
+                      / 100.0) * 1e6 + 0.5) / 1e6 AS mean_adj,
+             floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / nullif(n::DOUBLE * sxx::DOUBLE
+                             - sx::DOUBLE * sx::DOUBLE, 0.0))
+                   * 1e6 + 0.5) / 1e6 AS theta
+      FROM arms, w ORDER BY arm""",
     // the identical journey build (first-purchase cut, lead/row_number
     // windows, START/CONV/NULL framing), then the identical fixed-round
     // integer absorption recursion, unrolled one CTE per round; HUGEINT
@@ -1156,6 +1334,8 @@ object EventOps {
     "attr_position" -> attrPosition _,
     "ab_ttest" -> abTtest _,
     "ab_wilson" -> abWilson _,
+    "ab_srm" -> abSrm _,
+    "ab_cuped" -> abCuped _,
     "user_overlap" -> userOverlap _,
     "attr_markov" -> attrMarkov _,
   )

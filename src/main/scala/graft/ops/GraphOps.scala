@@ -1008,6 +1008,79 @@ object GraphOps {
       .select(col("id"), coalesce(col("kz"), lit(0L)).as("katz_scaled"))
   }
 
+  /** Iterations for [[hits]] — fixed, so both engines run the identical
+    * unrolled computation (the [[prIters]] convention). */
+  val hitsIters = 3
+
+  /** HITS hubs & authorities over the directed nation trade graph — the
+    * two-sided prestige score PageRank cannot express: an AUTHORITY is a
+    * nation good hubs buy from, a HUB one that buys from good
+    * authorities (mutual recursion; Kleinberg's original web formulation,
+    * directly meaningful on a supplier→customer graph where the two
+    * roles genuinely differ). [[pageRank]] gives one number that mixes
+    * the roles; [[katz]] scores pure in-prestige — HITS completes the
+    * eigenvector family with the bipartite-role readout.
+    *
+    * Fixed [[hitsIters]] mutually-recursive rounds, L1-normalized each
+    * round (the score scale otherwise grows by ~|E| per round and would
+    * leave the quantization grid's exact-integer range). Cross-engine
+    * exactness, the [[pageRankOf]] discipline: each contribution
+    * quantizes to the 1e-12 grid as an exact long BEFORE the per-vertex
+    * sum (order-independent), the L1 total is an exact BIGINT folded
+    * back in as ONE literal-cast division (both engines divide the same
+    * two exact integers), and only the final scores round to 8 dp. Per
+    * round: two keyed aggregates over the edge list + two |V|-row
+    * normalizations — the loop-outside-the-plan shape, every frame
+    * V- or E-bounded. */
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    hitsOf(tradeEdges(spark, dir))
+      .join(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("nation")), "id")
+      .select(col("nation"), roundD(col("hub"), 8).as("hub"),
+        roundD(col("auth"), 8).as("auth"))
+      .orderBy("nation")
+
+  /** The [[hitsIters]] quantized HITS rounds over any (src, dst) edge
+    * frame — split out so the spec can drive closed-form graphs (on a
+    * complete bipartite L→R graph every L vertex is a pure uniform hub,
+    * every R vertex a pure uniform authority). Returns (id, hub, auth). */
+  private[graft] def hitsOf(edges0: DataFrame): DataFrame = {
+    val home = edges0.sparkSession
+    val e0 = materialize(edges0)
+    val loopSpark = loopSession(home, e0.count())
+    def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
+    val edges = transplant(loopSpark, e0)
+    val vertices = materialize(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    var hub = vertices.withColumn("hub", lit(1.0))
+    var auth = vertices.withColumn("auth", lit(0.0))
+    for (_ <- 1 to hitsIters) {
+      // auth(v) = Σ_{u→v} hub(u), then hub(v) = Σ_{v→u} auth(u) from the
+      // NEW auths — the classic update order
+      val araw = edges.join(hint(hub.select(col("id"), col("hub"))),
+          col("src") === col("id"))
+        .select(col("dst").as("tid"),
+          floor(col("hub") * 1e12 + 0.5).cast(LongType).as("q"))
+        .groupBy("tid").agg(sum("q").as("qsum"))
+      val aTot = araw.agg(sum("qsum")).head().getLong(0)
+      auth = materialize(vertices.join(araw,
+          vertices("id") === araw("tid"), "left")
+        .select(col("id"), (coalesce(col("qsum"), lit(0L)).cast(DoubleType) /
+          lit(aTot).cast(DoubleType)).as("auth")))
+      val hraw = edges.join(hint(auth.select(col("id"), col("auth"))),
+          col("dst") === col("id"))
+        .select(col("src").as("tid"),
+          floor(col("auth") * 1e12 + 0.5).cast(LongType).as("q"))
+        .groupBy("tid").agg(sum("q").as("qsum"))
+      val hTot = hraw.agg(sum("qsum")).head().getLong(0)
+      hub = materialize(vertices.join(hraw,
+          vertices("id") === hraw("tid"), "left")
+        .select(col("id"), (coalesce(col("qsum"), lit(0L)).cast(DoubleType) /
+          lit(hTot).cast(DoubleType)).as("hub")))
+    }
+    transplant(home, hub.join(auth, "id"))
+  }
+
   /** Prune rounds / degree threshold for [[kCore]] — fixed, so both
     * engines run the identical unrolled computation (the hop-budget
     * convention of [[sssp]]/[[kHop]]: semantics are "the edge set after
@@ -1295,6 +1368,42 @@ object GraphOps {
         SELECT n.n_name AS nation, floor(i3.pr * 1e8 + 0.5) / 1e8 AS pr
         FROM i3 JOIN nation n ON n.n_nationkey = i3.id
         ORDER BY nation""",
+      // same trade edges, same unrolled quantized rounds, same exact-
+      // BIGINT L1 totals folded back as one division per vertex
+      "graph_hits" -> {
+        def hiter(i: Int, prevHub: String) = s"""
+          ar$i AS (SELECT e.dst AS id,
+                          sum(CAST(floor(p.hub * 1e12 + 0.5) AS BIGINT))
+                            AS qsum
+                   FROM e JOIN $prevHub p ON p.id = e.src GROUP BY 1),
+          at$i AS (SELECT CAST(sum(qsum) AS BIGINT) AS tot FROM ar$i),
+          a$i AS (SELECT v.id, COALESCE(ar$i.qsum, 0)::DOUBLE
+                               / (SELECT tot FROM at$i)::DOUBLE AS auth
+                  FROM v LEFT JOIN ar$i USING (id)),
+          hr$i AS (SELECT e.src AS id,
+                          sum(CAST(floor(a.auth * 1e12 + 0.5) AS BIGINT))
+                            AS qsum
+                   FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1),
+          ht$i AS (SELECT CAST(sum(qsum) AS BIGINT) AS tot FROM hr$i),
+          h$i AS (SELECT v.id, COALESCE(hr$i.qsum, 0)::DOUBLE
+                               / (SELECT tot FROM ht$i)::DOUBLE AS hub
+                  FROM v LEFT JOIN hr$i USING (id))"""
+        s"""WITH e AS (SELECT DISTINCT s.s_nationkey AS src,
+                              c.c_nationkey AS dst
+                   FROM lineitem l
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey),
+        v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT id, 1.0e0 AS hub FROM v),
+        ${hiter(1, "h0")},
+        ${hiter(2, "h1")},
+        ${hiter(3, "h2")}
+        SELECT n.n_name AS nation, floor(h3.hub * 1e8 + 0.5) / 1e8 AS hub,
+               floor(a3.auth * 1e8 + 0.5) / 1e8 AS auth
+        FROM h3 JOIN a3 USING (id) JOIN nation n ON n.n_nationkey = h3.id
+        ORDER BY nation"""
+      },
       // the same degree-ordered orientation replayed relationally: each
       // triangle generated once at its lowest-(deg,id) corner
       // MATERIALIZED hints: DuckDB otherwise inlines the row-value-
@@ -1632,6 +1741,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRank _,
+    "graph_hits" -> hits _,
     "graph_triangles" -> triangleCount _,
     "graph_cc" -> connectedComponents _,
     "graph_cc_incr" -> connectedComponentsIncr _,

@@ -67,18 +67,27 @@ object MarketOps {
   def taVwap(spark: SparkSession, dir: String): DataFrame =
     vwapOf(table(spark, dir, "events"))
 
-  private[graft] def vwapOf(events: DataFrame): DataFrame = {
+  /** The VWAP aggregate columns and finishing projection, shared verbatim
+    * by the batch query and the streaming twin
+    * ([[graft.streaming.StreamAssembly.vwapStream]]) — the
+    * sessionAggOf/candleAggs one-definition-two-runtimes convention. */
+  private[graft] def vwapAggExprs: Seq[Column] = {
     val k = get_json_object(col("props"), "$.k").cast(IntegerType)
-    events
-      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n"),
-        sum(k.cast(LongType)).as("qty"),
-        sum(col("value").cast(DecimalType(18, 2)) * k).as("notional"))
-      .select(col("event_type"), col("day"), col("n"), col("qty"),
-        roundD(col("notional").cast(DoubleType) /
-          nullif(col("qty"), lit(0L)).cast(DoubleType), 6).as("vwap"))
-      .orderBy("event_type", "day")
+    Seq(count(lit(1)).as("n"),
+      sum(k.cast(LongType)).as("qty"),
+      sum(col("value").cast(DecimalType(18, 2)) * k).as("notional"))
   }
+
+  private[graft] def vwapFinish(df: DataFrame): DataFrame =
+    df.select(col("event_type"), col("day"), col("n"), col("qty"),
+      roundD(col("notional").cast(DoubleType) /
+        nullif(col("qty"), lit(0L)).cast(DoubleType), 6).as("vwap"))
+
+  private[graft] def vwapOf(events: DataFrame): DataFrame =
+    vwapFinish(events
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(vwapAggExprs.head, vwapAggExprs.tail: _*))
+      .orderBy("event_type", "day")
 
   // ----------------------------------------------------------- Bollinger
 

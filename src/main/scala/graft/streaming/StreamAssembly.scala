@@ -1091,6 +1091,28 @@ object StreamAssembly {
       watermark: String = "2 hours"): DataFrame =
     graft.ops.TimeWindows.slidingAggOf(events.withWatermark("ts", watermark))
 
+  /** STREAMING DAILY VWAP — the execution benchmark live: per (type, UTC
+    * day), Σ(price·size)/Σ(size) with size from the `props.k` payload,
+    * each day emitted exactly once when the watermark closes it. ONE
+    * definition, two runtimes ([[sessionStream]]'s convention): the
+    * aggregate columns and the finishing ratio are the IDENTICAL
+    * expression objects as the oracle-checked `ta_vwap` batch query
+    * ([[graft.ops.MarketOps.vwapAggExprs]]/vwapFinish) behind a
+    * watermarked `window(ts, 1 day)` — a plain streaming hash aggregate
+    * (exact decimal/long partials merge across micro-batches in any
+    * arrival order), no custom state code. The day label is the window
+    * start, which for UTC-aligned day windows IS the batch side's
+    * date_format day. */
+  def vwapStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val aggs = graft.ops.MarketOps.vwapAggExprs
+    graft.ops.MarketOps.vwapFinish(
+      events.withWatermark("ts", watermark)
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("day", date_format(col("w.start"), "yyyy-MM-dd")))
+  }
+
   final case class EwmaDay(maxKey: Long, close: Double,
       sumMicros: Long, n: Long)
   final case class EwmaState(ring: Vector[Double], open: Map[Long, EwmaDay])

@@ -211,4 +211,47 @@ class EventOpsSpec extends SparkSpec {
     assert(total <= 1000L && total >= 1000L - rows.length,
       s"attribution shares must partition (up to floor loss): $total")
   }
+
+  test("ab_srm: arm counts cover the population; chi2 recomputes from the counts") {
+    val rows = EventOps.abSrm(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("A", "B"))
+    val (ua, shareA, srm) = rows("A")
+    val (ub, shareB, srm2) = rows("B")
+    assert(srm == srm2, "srm statistic must be arm-invariant")
+    assert(shareA == shareB, "share_a_pm is a property of the split")
+    val users = graft.ops.table(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(ua + ub == users, s"arms must partition the users: $ua+$ub vs $users")
+    assert(shareA == ua * 1000L / (ua + ub))
+    assert(srm == (ua - ub) * (ua - ub) * 1000L / (ua + ub),
+      "chi2 must recompute from the arm counts")
+  }
+
+  test("ab_cuped: a perfectly-correlated covariate reads theta=c and equalizes the arms") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day0 = 1700006400000L // epoch-day-aligned
+    // user i spends i.00 in the pre half (day 0) and exactly 2i.00 in the
+    // post half (day 20): theta must be exactly 2 and the adjusted means
+    // of BOTH arms must collapse to 2*mean(pre) — CUPED's defining
+    // property (the hash split decides arms, the invariant holds for any)
+    val rows = (1 to 40).flatMap { i =>
+      Seq((i.toLong, new Timestamp(day0), i.toDouble),
+        (i.toLong, new Timestamp(day0 + 20L * 86400000L), 2.0 * i))
+    }
+    val got = EventOps.abCupedOf(rows.toDF("user_id", "ts", "value"))
+      .collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getDouble(4) == 2.0, s"theta must be exactly 2: $r")
+    }
+    val adjA = got(0).getDouble(3)
+    val adjB = got(1).getDouble(3)
+    assert(adjA == adjB,
+      s"adjusted means must equalize under perfect correlation: $adjA vs $adjB")
+    // 2 * mean(pre) = 2 * mean(1..40) = 41.0
+    assert(adjA == 41.0, s"adjusted mean must be 2*mean(pre): $adjA")
+  }
 }

@@ -433,4 +433,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(w.nonEmpty && w.forall(p => !edges.contains(p)),
       s"adjacent pairs leaked into link prediction: ${w.toSeq}")
   }
+
+  test("graph_hits: a complete bipartite graph is a fixed point - pure uniform hubs and authorities") {
+    import spark.implicits._
+    // L = {1,2} -> R = {3,4}: L vertices are pure hubs (0.5 each after L1
+    // normalization), R pure authorities; the roles must not bleed
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hitsOf(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0.5, 0.0)) && got(2L) == ((0.5, 0.0)), s"$got")
+    assert(got(3L) == ((0.0, 0.5)) && got(4L) == ((0.0, 0.5)), s"$got")
+  }
+
+  test("graph_hits: scores are L1-normalized distributions on the real graph") {
+    val rows = GraphOps.hits(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 0)
+    val hubSum = rows.map(_.getDouble(1)).sum
+    val authSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(hubSum - 1.0) < 1e-6, s"hub mass: $hubSum")
+    assert(math.abs(authSum - 1.0) < 1e-6, s"auth mass: $authSum")
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0))
+  }
 }

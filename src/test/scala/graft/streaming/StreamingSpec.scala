@@ -1373,4 +1373,42 @@ class StreamingSpec extends SparkSpec {
         "closed-day event counts do not cover the corpus")
     } finally q.stop()
   }
+
+  test("streaming daily VWAP: row-exact parity with ta_vwap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "ts", "value", "props")
+      .as[(String, java.sql.Timestamp, Double, String)]
+      .collect().sortBy(_._2.getTime).toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double, String)]
+    val events = mem.toDF().toDF("event_type", "ts", "value", "props")
+    val q = StreamAssembly.vwapStream(events)
+      .writeStream.format("memory").queryName("vwap_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._2.getTime).max
+      mem.addData(("zz_sentinel",
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM vwap_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val want = graft.ops.MarketOps.taVwap(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(got == want,
+        s"stream/batch vwap diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      assert(got.size > 50, s"parity surface too small: ${got.size}")
+    } finally q.stop()
+  }
 }
