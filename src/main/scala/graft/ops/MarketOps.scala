@@ -270,6 +270,82 @@ object MarketOps {
       .orderBy("event_type", "day")
   }
 
+  // ------------------------------------------------------- ATR / %K
+
+  /** Per-type daily OHLC in integer cents — [[dailyCloseOf]] widened with
+    * the day's high/low (plain min/max — order-free) for the range-based
+    * indicators. Same one-keyed-aggregate scale shape. */
+  private[graft] def dailyOhlcOf(events: DataFrame): DataFrame = {
+    val ord = (unix_micros(col("ts")) % 86400000000L) * 1048576L +
+      pmod(col("event_id"), lit(1048576L))
+    events.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(floor(max(col("value")) * 100 + 0.5).cast(LongType).as("hi"),
+        floor(min(col("value")) * 100 + 0.5).cast(LongType).as("lo"),
+        floor(max_by(col("value"), ord) * 100 + 0.5).cast(LongType).as("cl"))
+  }
+
+  /** The [[dailyOhlcOf]] DuckDB twin, shared by the two range indicators. */
+  private val dailyOhlcSql: String =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+              strftime(ts, '%Y-%m-%d') AS day,
+              CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS hi,
+              CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS lo,
+              CAST(floor(arg_max(value,
+                     (epoch_us(ts) % 86400000000) * 1048576
+                     + (event_id % 1048576)) * 100 + 0.5) AS BIGINT) AS cl
+       FROM events GROUP BY 1, 2, 3"""
+
+  /** AVERAGE TRUE RANGE (7-day simple mean — Wilder's smoothing is the
+    * [[taMacd]] EMA shape; the SMA form keeps the window sum integer) on
+    * daily candles: TR = max(hi−lo, |hi−prev_cl|, |lo−prev_cl|) — the
+    * gap-aware volatility unit position sizing divides by. All-integer
+    * cents until one final /100 rescale; first-day rows (no prev close)
+    * use hi−lo in both engines. */
+  def taAtr(spark: SparkSession, dir: String): DataFrame =
+    atrOf(table(spark, dir, "events"))
+
+  private[graft] def atrOf(events: DataFrame): DataFrame = {
+    val wo = Window.partitionBy("event_type").orderBy("d")
+    val w7 = wo.rowsBetween(-6, 0)
+    dailyOhlcOf(events)
+      // first day: prev close defaults to the day's own close, which
+      // collapses TR to hi−lo (lo ≤ cl ≤ hi) with no NULL-greatest
+      // semantics in play — the two engines disagree on greatest(NULL)
+      .withColumn("pc", coalesce(lag(col("cl"), 1).over(wo), col("cl")))
+      .withColumn("tr", greatest(col("hi") - col("lo"),
+        abs(col("hi") - col("pc")), abs(col("lo") - col("pc"))))
+      .select(col("event_type"), col("day"), col("tr"),
+        sum(col("tr")).over(w7).as("s"), count(lit(1)).over(w7).as("m"))
+      .select(col("event_type"), col("day"),
+        (col("tr").cast(DoubleType) / 100.0).as("tr"),
+        roundD(col("s").cast(DoubleType) /
+          col("m").cast(DoubleType) / 100.0, 6).as("atr"))
+      .orderBy("event_type", "day")
+  }
+
+  /** STOCHASTIC %K (7-day) — where today's close sits inside the trailing
+    * week's range: 100·(close − low₇)/(high₇ − low₇), the bounded
+    * mean-reversion oscillator beside [[taRsi]]'s momentum one. Window
+    * extrema are integer min/max (order-free); one double ratio; a
+    * zero-range week (high₇ = low₇) yields NULL in both engines. */
+  def taStoch(spark: SparkSession, dir: String): DataFrame =
+    stochOf(table(spark, dir, "events"))
+
+  private[graft] def stochOf(events: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    dailyOhlcOf(events)
+      .select(col("event_type"), col("day"), col("cl"),
+        min(col("lo")).over(w7).as("l7"), max(col("hi")).over(w7).as("h7"))
+      .select(col("event_type"), col("day"),
+        (col("cl").cast(DoubleType) / 100.0).as("close"),
+        roundD(lit(100.0) * (col("cl") - col("l7")).cast(DoubleType) /
+          nullif(col("h7") - col("l7"), lit(0L)).cast(DoubleType), 6)
+          .as("pct_k"))
+      .orderBy("event_type", "day")
+  }
+
   // -------------------------------------------------------------- wiring
 
   /** EMA tap-sum SQL shared by the [[taMacd]] oracle — same tap count and
@@ -392,6 +468,34 @@ object MarketOps {
              strftime(make_timestamp(min(d) * 86400000000), '%Y-%m-%d')
                AS trough_day
       FROM dd WHERE dd = max_dd GROUP BY 1 ORDER BY event_type""",
+    "ta_atr" -> s"""
+      WITH dc AS ($dailyOhlcSql),
+      t AS (SELECT event_type, d, day, hi, lo, cl,
+                   coalesce(lag(cl, 1) OVER (PARTITION BY event_type
+                                             ORDER BY d), cl) AS pc
+            FROM dc),
+      tr AS (SELECT event_type, d, day,
+                    greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS tr
+             FROM t)
+      SELECT event_type, day,
+             CAST(tr AS DOUBLE) / 100.0 AS tr,
+             floor(CAST(sum(tr) OVER win AS DOUBLE)
+                   / CAST(count(*) OVER win AS DOUBLE) / 100.0 * 1e6 + 0.5)
+               / 1e6 AS atr
+      FROM tr WINDOW win AS (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, day""",
+    "ta_stoch" -> s"""
+      WITH dc AS ($dailyOhlcSql),
+      w AS (SELECT event_type, day, cl,
+                   min(lo) OVER win AS l7, max(hi) OVER win AS h7
+            FROM dc WINDOW win AS (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, day, CAST(cl AS DOUBLE) / 100.0 AS close,
+             floor(100.0e0 * CAST(cl - l7 AS DOUBLE)
+                   / CAST(nullif(h7 - l7, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS pct_k
+      FROM w ORDER BY event_type, day""",
     "ta_rv" ->
       """WITH r AS (
            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -411,5 +515,7 @@ object MarketOps {
     "ta_rsi" -> taRsi _,
     "ta_macd" -> taMacd _,
     "ta_drawdown" -> taDrawdown _,
-    "ta_rv" -> taRv _)
+    "ta_rv" -> taRv _,
+    "ta_atr" -> taAtr _,
+    "ta_stoch" -> taStoch _)
 }

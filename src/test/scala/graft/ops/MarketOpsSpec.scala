@@ -135,6 +135,38 @@ class MarketOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("vwap") == 17.5, s"$r")
   }
 
+  test("ta_atr: a constant series has zero range; a gap day charges the jump") {
+    // days 0-4 flat at 5.00, day 5 gaps to 8.00 and stays flat intraday:
+    // TR(5) = max(0, |8-5|, |8-5|) = 3.00
+    val rows = (for (d <- 0 until 5) yield ("g", d, 1, d.toLong, 5.0)) :+
+      (("g", 5, 1, 5L, 8.0))
+    val got = MarketOps.atrOf(frame(rows)).collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val flatDay = at(0, 0).toLocalDateTime.toLocalDate.toString
+    val gapDay = at(5, 0).toLocalDateTime.toLocalDate.toString
+    assert(got(flatDay) == ((0.0, 0.0)), s"$got")
+    assert(got(gapDay)._1 == 3.0, s"gap TR: ${got(gapDay)}")
+    assert(got(gapDay)._2 == 0.5, s"6 zero-TRs + one 3.00 over 6 days: ${got(gapDay)}")
+  }
+
+  test("ta_stoch: close at the week's high reads 100, at its low reads 0, flat week reads NULL") {
+    val up = for (d <- 0 until 8) yield ("up", d, 1, d.toLong, 1.0 + d)
+    val dn = for (d <- 0 until 8) yield ("dn", d, 1, d.toLong, 20.0 - d)
+    val fl = for (d <- 0 until 8) yield ("fl", d, 1, d.toLong, 7.0)
+    val got = MarketOps.stochOf(frame(up ++ dn ++ fl)).collect()
+    val day0 = at(0, 0).toLocalDateTime.toLocalDate.toString
+    got.foreach { r =>
+      // each series' first day is a one-row window: zero range, NULL
+      if (r.getString(1) == day0 || r.getString(0) == "fl")
+        assert(r.isNullAt(3), s"zero-range window must be NULL: $r")
+      else r.getString(0) match {
+        case "up" => assert(r.getDouble(3) == 100.0, s"$r")
+        case "dn" => assert(r.getDouble(3) == 0.0, s"$r")
+      }
+    }
+    assert(got.length == 24)
+  }
+
   test("ta_vwap: sits inside the per-(type,day) price envelope on real data") {
     val v = MarketOps.taVwap(spark, dir)
     val env = table(spark, dir, "events")
