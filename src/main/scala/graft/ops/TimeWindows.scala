@@ -831,6 +831,87 @@ object TimeWindows {
     * expensive part stays the one keyed count over raw events. Moment
     * sums are exact decimals; only the final r is a double (identical
     * IEEE tree both engines), 6 dp. */
+  /** Unreachable-cell sentinel for [[tsDtw]] — far above any reachable
+    * path cost (30 days × int-count L1 steps), far below BIGINT overflow
+    * even after one addition. */
+  private[graft] val dtwInf = 1000000000000000L
+
+  /** DYNAMIC TIME WARPING distance between every pair of types' daily
+    * activity series — the shape-similarity readout [[tsXcorr]]'s fixed
+    * lag sweep cannot give: DTW aligns two series under monotone time
+    * warping, so two feeds with the same burst PATTERN at drifting phase
+    * read near-0 where a lagged Pearson at the wrong lag reads noise.
+    * The classic O(n·m) DP — D(i,j) = |aᵢ−bⱼ| + min(D(i−1,j), D(i,j−1),
+    * D(i−1,j−1)) — over zero-filled, GLOBALLY-aligned daily count grids.
+    *
+    * Exactness: counts are exact longs, the L1 cost keeps the whole DP
+    * in BIGINT — the distance is exact in any partition order, no
+    * doubles until the final path-length normalization. The DuckDB twin
+    * replays the identical DP cell-by-cell in ONE recursive CTE.
+    *
+    * Scale shape: the corpus reduces to |types| day-indexed arrays
+    * (calendar-bounded — the [[holtOf]] fold class) before any pairing;
+    * the |types|²-bounded pair frame is the only non-equi join and both
+    * its sides are metadata scale by construction (allowlisted in
+    * PlanAudit with the sim_topk/dq_assoc class — the corpus itself
+    * never enters it), and each pair's DP is one in-plan `aggregate`
+    * fold, O(n·m) integer ops on one row. Decade series or thousands of
+    * keys ⇒ band the DP (Sakoe-Chiba) and thin anchors — the
+    * [[theilSenOf]] days²-bound argument. */
+  def tsDtw(spark: SparkSession, dir: String): DataFrame =
+    dtwOf(table(spark, dir, "events"))
+
+  /** The DP machinery over any (event_type, ts) frame — split out so the
+    * spec can drive closed-form series (identical series ⇒ 0; a constant
+    * offset c over n aligned days ⇒ exactly n·c — the diagonal path). */
+  private[graft] def dtwOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val d = expr("unix_micros(ts) div 86400000000")
+    // global [lo, hi] day bounds as literals (the aggDecay one-row fold):
+    // both series of a pair must sit on the SAME calendar grid or the
+    // warping distance conflates shape with span
+    val b = events.agg(min(d).as("lo"), max(d).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val daily = events.groupBy(col("event_type"), d.as("dd"))
+      .agg(count(lit(1)).as("y"))
+    val grid = daily.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(lo), lit(hi))).as("dd"))
+    val filled = grid.join(daily, Seq("event_type", "dd"), "left")
+      .select(col("event_type"), col("dd"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val series = filled.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("dd"), col("y")))).as("s"))
+      .select(col("event_type"), expr("transform(s, x -> x.y)").as("ys"))
+    // |types|-row frame against itself under ta < tb: a broadcast NLJ
+    // over two METADATA-scale sides by construction (PlanAudit-allowlisted
+    // with the sim_topk/dq_assoc class) — the corpus never enters a
+    // non-equi join
+    val pairs = series
+      .select(col("event_type").as("ta"), col("ys").as("av"))
+      .join(series.select(col("event_type").as("tb"), col("ys").as("bv")),
+        col("ta") < col("tb"))
+    // P = row i−1 (1-indexed, P[1] = D(i−1,0)); N grows left-to-right so
+    // size(N) IS the j being produced: N[j] = D(i,j−1), P[j+1] = D(i−1,j),
+    // P[j] = D(i−1,j−1)
+    pairs.select(col("ta"), col("tb"),
+        size(col("av")).cast(LongType).as("n"),
+        expr(s"""
+          element_at(
+            aggregate(av,
+              concat(array(0L), transform(bv, x -> ${dtwInf}L)),
+              (P, a) -> aggregate(bv, array(${dtwInf}L),
+                (N, x) -> concat(N, array(
+                  abs(a - x) + least(
+                    element_at(P, size(N) + 1),
+                    element_at(N, size(N)),
+                    element_at(P, size(N))))))),
+            size(bv) + 1)""").as("dtw"))
+      .select(col("ta"), col("tb"), col("n"), col("dtw"),
+        roundD(col("dtw").cast(DoubleType) /
+          (lit(2.0) * col("n").cast(DoubleType)), 6).as("dtw_norm"))
+      .orderBy("ta", "tb")
+  }
+
   def tsXcorr(spark: SparkSession, dir: String): DataFrame =
     xcorrOf(table(spark, dir, "events"), "view", "purchase")
 
@@ -1778,6 +1859,53 @@ object TimeWindows {
                 CAST(v IS NULL AS INTEGER) AS gap
          FROM f ORDER BY event_type, hour""",
     "ts_ewma" -> ewmaOracle,
+    // the identical integer DP replayed cell-by-cell: one recursive CTE
+    // advances (i, j) in row-major order carrying (prev row, growing cur
+    // row) lists; same INF sentinel, same global zero-filled day grid
+    "ts_dtw" -> s"""
+      WITH RECURSIVE bnd AS (
+        SELECT min(epoch_us(ts) // 86400000000) AS lo,
+               max(epoch_us(ts) // 86400000000) AS hi FROM events),
+      daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       count(*)::BIGINT AS y
+                FROM events GROUP BY 1, 2),
+      grid AS (SELECT event_type,
+                      unnest(generate_series((SELECT lo FROM bnd),
+                                             (SELECT hi FROM bnd))) AS d
+               FROM (SELECT DISTINCT event_type FROM daily) t),
+      filled AS (SELECT g.event_type, g.d, coalesce(y, 0::BIGINT) AS y
+                 FROM grid g LEFT JOIN daily USING (event_type, d)),
+      series AS (SELECT event_type, list(y ORDER BY d) AS ys
+                 FROM filled GROUP BY 1),
+      pairs AS (SELECT a.event_type AS ta, b2.event_type AS tb,
+                       a.ys AS av, b2.ys AS bv
+                FROM series a JOIN series b2
+                  ON a.event_type < b2.event_type),
+      dp AS (
+        SELECT ta, tb, av, bv, 1 AS i, 1 AS j,
+               list_concat([0::BIGINT],
+                 list_transform(bv, x -> ${dtwInf}::BIGINT)) AS prev,
+               [${dtwInf}::BIGINT] AS cur
+        FROM pairs
+        UNION ALL
+        SELECT ta, tb, av, bv,
+               CASE WHEN j < len(bv) THEN i ELSE i + 1 END,
+               CASE WHEN j < len(bv) THEN j + 1 ELSE 1 END,
+               CASE WHEN j < len(bv) THEN prev
+                    ELSE list_append(cur, abs(av[i] - bv[j])
+                           + least(prev[j + 1], cur[j], prev[j])) END,
+               CASE WHEN j < len(bv)
+                    THEN list_append(cur, abs(av[i] - bv[j])
+                           + least(prev[j + 1], cur[j], prev[j]))
+                    ELSE [${dtwInf}::BIGINT] END
+        FROM dp WHERE i <= len(av))
+      SELECT ta, tb, CAST(len(av) AS BIGINT) AS n,
+             prev[len(bv) + 1] AS dtw,
+             floor(prev[len(bv) + 1]::DOUBLE
+                   / (2.0e0 * CAST(len(av) AS BIGINT)::DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS dtw_norm
+      FROM dp WHERE i = len(av) + 1
+      ORDER BY ta, tb""",
     // same daily cents aggregate, same pmod weekday selector, same exact
     // cross-multiplied 3-sigma integers (HUGEINT both sides of the compare)
     "ts_dow_anomaly" -> """
@@ -1906,6 +2034,7 @@ object TimeWindows {
     "ts_dow_anomaly" -> tsDowAnomaly _,
     "ts_acf" -> tsAcf _,
     "ts_xcorr" -> tsXcorr _,
+    "ts_dtw" -> tsDtw _,
     "ts_holt" -> tsHolt _,
     "win_rolling_distinct" -> winRollingDistinct _,
     "ts_mk_trend" -> tsMkTrend _,

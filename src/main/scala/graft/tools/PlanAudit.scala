@@ -23,6 +23,10 @@ object PlanAudit {
     ("graph_clustering", "BroadcastNestedLoopJoin"),
     // one-row (n, nr, nc) total frame x the |types|x7 contingency cells:
     ("dq_assoc", "BroadcastNestedLoopJoin"),
+    // |types|-row daily-series frame against itself under ta < tb — both
+    // sides metadata scale by construction (the corpus reduces to one
+    // array row per type BEFORE the pairing):
+    ("ts_dtw", "BroadcastNestedLoopJoin"),
     ("sim_ann_topk", "BroadcastNestedLoopJoin"),
     // broadcast the tiny query/centroid side against every row — the
     // documented brute-force/assignment shape:

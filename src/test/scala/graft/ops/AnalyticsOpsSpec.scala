@@ -901,6 +901,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"one outlier day moved the Sen slope: $got")
   }
 
+  test("ts_dtw: identical shapes read 0, constant offsets ride the diagonal, warping beats lockstep on a shifted burst") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day0 = 1700006400000L // epoch-day-aligned
+    def series(t: String, counts: Seq[Int]): Seq[(String, Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((t, new Timestamp(day0 + d * 86400000L)))
+      }
+    // a: flat 2/day; b: same shape (DTW 0 despite different name);
+    // c: flat 5/day (offset 3 -> diagonal path = 10 days * 3 = 30);
+    // d: one 10-burst on day 3 over flat 2 — vs e's identical burst on
+    // day 4: lockstep L1 = 20, DTW warps the burst into alignment
+    val burst3 = Seq(2, 2, 2, 12, 2, 2, 2, 2, 2, 2)
+    val burst4 = Seq(2, 2, 2, 2, 12, 2, 2, 2, 2, 2)
+    val ev = series("a", Seq.fill(10)(2)) ++ series("b", Seq.fill(10)(2)) ++
+      series("c", Seq.fill(10)(5)) ++ series("d", burst3) ++
+      series("e", burst4)
+    val got = TimeWindows.dtwOf(ev.toDF("event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(got(("a", "b")) == 0L, s"identical series must read 0: $got")
+    assert(got(("a", "c")) == 30L, s"constant offset rides the diagonal: $got")
+    // warping absorbs the 1-day phase shift: the burst aligns with the
+    // burst, paying only the off-diagonal step costs (= 0 here, flats
+    // match flats), so DTW(d,e) must be far below the lockstep L1 of 20
+    assert(got(("d", "e")) < 20L, s"DTW must beat lockstep on a shift: $got")
+    assert(got(("d", "e")) == 0L, s"pure phase shift of one burst warps to 0: $got")
+  }
+
   test("ts_holt: a pure linear ramp is a fixed point - level rides the line, trend is the slope") {
     import spark.implicits._
     import java.sql.Timestamp
