@@ -1203,6 +1203,94 @@ object StreamAssembly {
       }
   }
 
+  final case class BollDay(maxKey: Long, close: Double)
+  final case class BollState(ring: Vector[Long], open: Map[Long, BollDay])
+  final case class BollReport(event_type: String, day: String, close: Double,
+      n: Long, ma: Double, sd: Double, upper: Double, lower: Double,
+      breach: Int)
+
+  /** STREAMING BOLLINGER BANDS — the mean-reversion alert live, per
+    * (type, UTC day): trailing-5-day mean ± 2σ on the daily close with
+    * the breach flag, each day emitted exactly once when the watermark
+    * closes it. The live twin of the oracle-checked `ta_bollinger` batch
+    * query (ONE definition, two runtimes — the [[ewmaStream]] class).
+    *
+    * Bit-exactness with the batch twin: the day close is picked by the
+    * SAME packed (µs-in-day, id mod 2²⁰) ordering key; closes quantize
+    * to integer cents with the same floor(x·100+0.5); the window sums
+    * (Σc, Σc²) are exact longs over the last ≤5 POSITION-ordered days
+    * (the batch rowsBetween(-4,0) frame — a missing calendar day still
+    * counts the previous present days, exactly as a row frame does); and
+    * the band arithmetic replays the identical IEEE tree (sx/n/100,
+    * sample σ via n·Σc²−(Σc)², max(…,0) guard, ±2σ, 1e-6 floor-round).
+    * Warm-up days (n<2) emit nothing in both runtimes. State per key:
+    * a 4-long cents ring + O(open days) close candidates. */
+  def bollingerStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[BollReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[BollState, BollReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(BollState(Vector.empty, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val cur = s.open.get(dayKey) match {
+              case Some(p) if p.maxKey >= ordKey => p
+              case _ => BollDay(ordKey, v)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .flatMap { k =>
+              val close = s.open(k).close
+              s = s.copy(open = s.open - k)
+              val c = math.floor(close * 100 + 0.5).toLong
+              val win = s.ring.takeRight(4) :+ c
+              s = s.copy(ring = (s.ring :+ c).takeRight(4))
+              val n = win.size
+              if (n < 2) None
+              else {
+                val sx = win.sum.toDouble
+                val sxx = win.map(x => x * x).sum.toDouble
+                val nd = n.toDouble
+                val ma = sx / nd / 100.0
+                val sd = math.sqrt(math.max(
+                  (sxx * nd - sx * sx) / (nd * (nd - 1.0)), 0.0)) / 100.0
+                def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+                Some(BollReport(key, java.time.Instant.ofEpochMilli(k)
+                  .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                  close, n.toLong, r6(ma), r6(sd),
+                  r6(ma + 2.0 * sd), r6(ma - 2.0 * sd),
+                  if (close > ma + 2.0 * sd || close < ma - 2.0 * sd) 1
+                  else 0))
+              }
+            }
+          if (state.hasTimedOut && s.open.isEmpty && s.ring.isEmpty)
+            state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
   private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
     "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
     "signup" -> 0.20, "view" -> 0.30)
