@@ -637,6 +637,57 @@ object DataQuality {
       .orderBy("day", "status")
   }
 
+  /** SCHEMA/PROFILE DRIFT between the corpus's two temporal halves — the
+    * ingest-regression tripwire the point-in-time audits (`dq_audit`,
+    * `analyze_stats`) cannot raise: a feed change shows up as a per-COLUMN
+    * profile shift between "before" and "after" (null rate creeping up =
+    * an adapter dropping a field; distinct-count collapsing = an upstream
+    * defaulting a value; liq-stream's coalescing extractors
+    * `binance_adapter.py:93-94` are exactly where such drift silently
+    * enters). Split at the measured midpoint day (the ab_cuped anchor),
+    * profile the four payload-bearing columns per half (n, nulls,
+    * distinct), report integer-permille null rates and the distinct-drift
+    * permille |d₁−d₂|·1000/max.
+    *
+    * Scale shape: one stack-unpivot projection (map-side, 4 rows per
+    * event) into ONE (col, half)-keyed aggregate; the count(DISTINCT) is
+    * Spark's two-phase distinct aggregate — partial dedup before the
+    * 8-key shuffle, the standard ANALYZE cost paid at profile time. */
+  def dqSchemaDrift(spark: SparkSession, dir: String): DataFrame =
+    schemaDriftOf(table(spark, dir, "events"))
+
+  private[graft] def schemaDriftOf(events: DataFrame): DataFrame = {
+    val d = expr("unix_micros(ts) div 86400000000")
+    val b = events.agg(min(d).as("lo")).head()
+    val cut = b.getLong(0) + 15L
+    val stacked = events
+      .select(when(d < lit(cut), 1).otherwise(2).as("half"),
+        expr("""stack(4,
+            'event_type', CAST(event_type AS STRING),
+            'user_id',    CAST(user_id AS STRING),
+            'value',      CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS STRING),
+            'props',      props
+          ) AS (col, sval)"""))
+    val prof = stacked.groupBy("col", "half")
+      .agg(count(lit(1)).as("n"), sum(when(col("sval").isNull, 1L)
+        .otherwise(0L)).as("nulls"), countDistinct(col("sval")).as("nd"))
+    val h1 = prof.filter(col("half") === 1)
+      .select(col("col"), col("n").as("n1"), col("nulls").as("null1"),
+        col("nd").as("nd1"))
+    val h2 = prof.filter(col("half") === 2)
+      .select(col("col"), col("n").as("n2"), col("nulls").as("null2"),
+        col("nd").as("nd2"))
+    h1.join(h2, "col")
+      .select(col("col"), col("n1"), col("n2"),
+        expr("null1 * 1000 div n1").as("null_pm1"),
+        expr("null2 * 1000 div n2").as("null_pm2"),
+        col("nd1"), col("nd2"),
+        expr("abs(nd1 - nd2) * 1000 div greatest(nd1, nd2)")
+          .as("dist_drift_pm"))
+      .orderBy("col")
+  }
+
   /** The DuckDB twin of [[rowSig]]'s serialization (md5 over the same
     * '|'-joined integer-canonical fields) — interpolated into both
     * checksum/recon oracles so the two engines hash identical bytes. */
@@ -648,6 +699,44 @@ object DataQuality {
          COALESCE(props, 'null')))"""
 
   val oracles: Map[String, String] = Map(
+    // same midpoint split, same stacked per-column profile (value
+    // canonicalized to integer cents in BOTH engines before the distinct)
+    "dq_schema_drift" -> """
+      WITH b AS (SELECT min(epoch_us(ts) // 86400000000) + 15 AS cut
+                 FROM events),
+      stacked AS (
+        SELECT CASE WHEN epoch_us(ts) // 86400000000 < (SELECT cut FROM b)
+                    THEN 1 ELSE 2 END AS half,
+               'event_type' AS col, CAST(event_type AS VARCHAR) AS sval
+        FROM events
+        UNION ALL
+        SELECT CASE WHEN epoch_us(ts) // 86400000000 < (SELECT cut FROM b)
+                    THEN 1 ELSE 2 END, 'user_id', CAST(user_id AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT CASE WHEN epoch_us(ts) // 86400000000 < (SELECT cut FROM b)
+                    THEN 1 ELSE 2 END, 'value',
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT CASE WHEN epoch_us(ts) // 86400000000 < (SELECT cut FROM b)
+                    THEN 1 ELSE 2 END, 'props', props
+        FROM events),
+      prof AS (SELECT col, half, count(*)::BIGINT AS n,
+                      CAST(sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nulls,
+                      count(DISTINCT sval)::BIGINT AS nd
+               FROM stacked GROUP BY 1, 2)
+      SELECT h1.col, h1.n AS n1, h2.n AS n2,
+             h1.nulls * 1000 // h1.n AS null_pm1,
+             h2.nulls * 1000 // h2.n AS null_pm2,
+             h1.nd AS nd1, h2.nd AS nd2,
+             abs(h1.nd - h2.nd) * 1000 // greatest(h1.nd, h2.nd)
+               AS dist_drift_pm
+      FROM prof h1 JOIN prof h2 ON h1.col = h2.col
+      WHERE h1.half = 1 AND h2.half = 2
+      ORDER BY h1.col""",
     // identical integer margins, per-cell double tree, 1e-6 quantized sum
     "dq_assoc" ->
       """WITH o AS (SELECT event_type AS rk, dayofweek(ts) AS ck,
@@ -1048,6 +1137,7 @@ object DataQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_ref" -> dqReferential _,
+    "dq_schema_drift" -> dqSchemaDrift _,
     "dq_unique" -> dqUnique _,
     "dq_freshness" -> dqFreshness _,
     "dq_volume" -> dqVolume _,

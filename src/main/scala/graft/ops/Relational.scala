@@ -649,6 +649,53 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Staleness tolerance for [[joinAsofTol]] — 7 days in µs. */
+  private val asofTolUs = 7L * 86400000000L
+
+  /** TOLERANCE-BOUNDED as-of join — [[joinAsof]] with a max-staleness
+    * budget (pandas merge_asof's `tolerance`, kdb wj's window): a prior
+    * order older than 7 days is EXPIRED state, not context — serving
+    * features from it would be feature leakage across a staleness SLA.
+    * LEFT semantics: every event emits exactly one row; the matched key
+    * NULLs out when the match is stale or absent, the gap stays reported
+    * (the diagnostic), and `fresh` carries the SLA verdict. Same
+    * union-merge LOCF shape as [[joinAsof]] — one shuffle, one linear
+    * sort, zero candidate fanout; the tolerance is a per-row predicate
+    * AFTER the O(1) carry, never a range-join probe. */
+  def joinAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(
+        col("user_id").as("u"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast(StructType(Seq(
+          StructField("d", TimestampType), StructField("k", LongType))))
+          .as("ord"))
+    val o = table(spark, dir, "orders")
+      .select(
+        col("o_custkey").as("u"),
+        col("o_orderdate").cast(TimestampType).as("t"), lit(0).as("kind"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(
+          col("o_orderdate").cast(TimestampType).as("d"),
+          col("o_orderkey").as("k")).as("ord"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("kind"), col("ord.k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = unix_micros(col("t")) - unix_micros(col("asof.d"))
+    val fresh = col("asof").isNotNull && gapUs <= asofTolUs
+    o.unionByName(e)
+      .withColumn("asof", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id"), col("u").as("user_id"),
+        when(fresh, col("asof.k")).as("o_orderkey"),
+        when(col("asof").isNotNull, expr(
+          "(unix_micros(t) - unix_micros(asof.d)) div 86400000000"))
+          .as("gap_d"),
+        fresh.cast(IntegerType).as("fresh"))
+      .orderBy("event_id")
+  }
+
   /** NEAREST-event join — [[joinAsof]]'s bidirectional completion: match
     * each event to the temporally CLOSEST order of the same user, looking
     * BOTH ways (the prior-only as-of answers "state at the time"; nearest
@@ -1681,6 +1728,30 @@ object Relational {
            AND l_shipdate >= o_orderdate
            AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same rank-1 pick; the tolerance is a CASE after the match, LEFT
+    // join keeps every event; boolean-AND-NULL collapses to FALSE in
+    // both engines' 3VL, so absent matches read fresh=0, never NULL
+    "join_asof_tol" ->
+      """WITH m AS (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+                  CAST(o.o_orderdate AS TIMESTAMP) AS od,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts),
+         best AS (SELECT * FROM m WHERE rn = 1)
+         SELECT e.event_id, e.user_id,
+                CASE WHEN b.o_orderkey IS NOT NULL
+                          AND epoch_us(e.ts) - epoch_us(b.od) <= 604800000000
+                     THEN b.o_orderkey END AS o_orderkey,
+                CASE WHEN b.o_orderkey IS NOT NULL
+                     THEN (epoch_us(e.ts) - epoch_us(b.od)) // 86400000000
+                END AS gap_d,
+                CAST(coalesce(b.o_orderkey IS NOT NULL
+                      AND epoch_us(e.ts) - epoch_us(b.od) <= 604800000000,
+                      FALSE) AS INTEGER) AS fresh
+         FROM events e LEFT JOIN best b ON b.event_id = e.event_id
+         ORDER BY e.event_id""",
     "join_asof" ->
       """SELECT event_id, user_id, o_orderkey,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS asof_orderdate
@@ -2099,6 +2170,7 @@ object Relational {
     "join_anti" -> joinAnti _,
     "join_range" -> joinRange _,
     "join_asof" -> joinAsof _,
+    "join_asof_tol" -> joinAsofTol _,
     "join_asof_nearest" -> joinAsofNearest _,
     "winfn_rank" -> winfnRank _,
     "winfn_lag_runsum" -> winfnLagRunsum _,

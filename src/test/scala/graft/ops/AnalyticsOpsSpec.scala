@@ -901,6 +901,50 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"one outlier day moved the Sen slope: $got")
   }
 
+  test("join_asof_tol: left-total, fresh rows obey the SLA, stale rows NULL the key but keep the gap") {
+    val events = table(spark, dir, "events")
+    val got = Relational.joinAsofTol(spark, dir).cache()
+    try {
+      assert(got.count() == events.count(), "tolerance join must be left-total")
+      assert(got.filter(col("fresh") === 1 &&
+        (col("o_orderkey").isNull || col("gap_d") > 7L)).count() == 0L,
+        "a fresh row must carry a key within the 7-day budget")
+      assert(got.filter(col("fresh") === 0 && col("o_orderkey").isNotNull)
+        .count() == 0L, "a stale/absent row must NULL the key")
+      assert(got.filter(col("fresh") === 0 && col("gap_d").isNotNull &&
+        col("gap_d") <= 7L).count() == 0L,
+        "a within-budget match may never read stale")
+      // where fresh, the pick agrees with the unbounded as-of join
+      val asof = Relational.joinAsof(spark, dir)
+        .select(col("event_id"), col("o_orderkey").as("k0"))
+      assert(got.filter(col("fresh") === 1).join(asof, "event_id")
+        .filter(col("o_orderkey") =!= col("k0")).count() == 0L,
+        "the tolerance filter must not change the matched order")
+    } finally { got.unpersist(); () }
+  }
+
+  test("dq_schema_drift: a collapsed second-half column trips the distinct drift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day0 = 1700006400000L
+    // first half: 40 users; second half: every event defaults to user 0 —
+    // the upstream-defaulting regression this audit exists to catch
+    val rows = (1 to 40).map(i => (new Timestamp(day0 + i * 3600000L),
+        i.toLong, "click", 1.0, s"""{"k": $i}""")) ++
+      (1 to 40).map(i => (new Timestamp(day0 + 20L * 86400000L + i * 3600000L),
+        0L, "click", 1.0, s"""{"k": $i}"""))
+    val got = DataQuality.schemaDriftOf(
+        rows.toDF("ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got("user_id")
+    assert(u.getAs[Long]("nd1") == 40L && u.getAs[Long]("nd2") == 1L, s"$u")
+    assert(u.getAs[Long]("dist_drift_pm") == 975L, s"|40-1|*1000/40: $u")
+    val t = got("event_type")
+    assert(t.getAs[Long]("dist_drift_pm") == 0L, s"stable column drifted: $t")
+    assert(got("value").getAs[Long]("null_pm1") == 0L)
+    assert(got.size == 4)
+  }
+
   test("ts_dtw: identical shapes read 0, constant offsets ride the diagonal, warping beats lockstep on a shifted burst") {
     import spark.implicits._
     import java.sql.Timestamp
