@@ -982,6 +982,37 @@ object TextOps {
     * back; top-20 is TakeOrdered, never a global sort. Against a stored
     * [[invIndexSeg]] index the tf frame is a per-term postings lookup
     * instead of the tokenize pass — same downstream arithmetic. */
+  /** The bm25 DuckDB twin — ONE text, used standalone AND as the lexical
+    * leg of [[graft.ops.VectorOps]]'s sim_rrf fusion (the topkOracle
+    * shared-text convention: a second copy could silently drift). */
+  private[graft] val bm25OracleSql: String = {
+    val tfSel = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"count(*) FILTER (WHERE token = '$t') AS tf$i" }.mkString(", ")
+    val dfSel = bm25Terms.indices.map(i =>
+      s"count(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
+    def qlog2(x: String) =
+      s"CAST(floor(log2(CAST($x AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    val contribs = bm25Terms.indices.map { i =>
+      s"((${qlog2("2 * n + 1")} - ${qlog2(s"2 * df$i + 1")}) * " +
+        s"((tf$i * CAST(2200000 AS BIGINT) * 1000000) " +
+        s"// (tf$i * 1000000 + ku))) // 1000000"
+    }.mkString("(", " + ", ")")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+        FROM documents),
+      per AS (SELECT doc_id, count(*) AS dl, $tfSel FROM toks GROUP BY 1),
+      g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t, $dfSel
+            FROM per),
+      s AS (SELECT per.*, g.*,
+                   CAST(300000 AS BIGINT) + ((900000 * dl * n) // t) AS ku
+            FROM per, g
+            WHERE ${bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})
+      SELECT doc_id, dl, $contribs AS score_micro
+      FROM s ORDER BY score_micro DESC, doc_id LIMIT 20"""
+  }
+
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -1516,33 +1547,7 @@ object TextOps {
     },
     // identical integer micro-unit arithmetic; idf via the same quantized
     // log2 both engines compute on identical inputs
-    "bm25" -> {
-      val tfSel = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"count(*) FILTER (WHERE token = '$t') AS tf$i" }.mkString(", ")
-      val dfSel = bm25Terms.indices.map(i =>
-        s"count(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
-      def qlog2(x: String) =
-        s"CAST(floor(log2(CAST($x AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
-      val contribs = bm25Terms.indices.map { i =>
-        s"((${qlog2("2 * n + 1")} - ${qlog2(s"2 * df$i + 1")}) * " +
-          s"((tf$i * CAST(2200000 AS BIGINT) * 1000000) " +
-          s"// (tf$i * 1000000 + ku))) // 1000000"
-      }.mkString("(", " + ", ")")
-      s"""
-      WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-                                          x -> x <> '')) AS token
-        FROM documents),
-      per AS (SELECT doc_id, count(*) AS dl, $tfSel FROM toks GROUP BY 1),
-      g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t, $dfSel
-            FROM per),
-      s AS (SELECT per.*, g.*,
-                   CAST(300000 AS BIGINT) + ((900000 * dl * n) // t) AS ku
-            FROM per, g
-            WHERE ${bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})
-      SELECT doc_id, dl, $contribs AS score_micro
-      FROM s ORDER BY score_micro DESC, doc_id LIMIT 20"""
-    },
+    "bm25" -> bm25OracleSql,
     "invidx_query" -> s"""
       WITH toks AS (
            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),

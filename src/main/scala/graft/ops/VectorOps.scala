@@ -409,6 +409,44 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the production search
+    * stack's standard two-leg merge (RRF, Cormack et al.: score(d) =
+    * Σ 1/(60+rank_leg(d))): the LEXICAL leg is the oracle-checked `bm25`
+    * top-20 ([[graft.ops.TextOps.bm25]]), the SEMANTIC leg the exact
+    * cosine top-10 for query vector 3 ([[simTopk]]) — the `documents` and
+    * `embeddings` tables share the id space, so doc i's text and
+    * embedding are the same item's two representations. RRF needs only
+    * RANKS, never comparable scores, which is exactly why it is the
+    * fusion of choice when the legs' score scales are incommensurable
+    * (BM25 micros vs cosine).
+    *
+    * Exactness: ranks are integers, each reciprocal is one integer
+    * division on the 1e9 grid (floor(1e9/(60+r)) — both engines' `div`),
+    * the fused score an exact BIGINT sum; a doc missing from a leg
+    * contributes 0 (the standard union-of-lists convention). Both legs
+    * are the already-proven queries COMPOSED (the [[simRecall]] shared-
+    * text discipline), the fusion itself a full-outer join + TakeOrdered
+    * over ≤ 30 rows — metadata scale regardless of corpus size. */
+  def simRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    // rank over the ≤20-row bm25 result: the single-partition window is
+    // bounded by the retrieval's own LIMIT, never by the corpus
+    val lex = graft.ops.TextOps.bm25(spark, dir)
+      .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id")))
+        .cast(LongType).as("rank_lex"))
+    val vec = simTopk(spark, dir).filter(col("query_id") === 3)
+      .select(col("vec_id").as("doc_id"), col("rk").as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr("1000000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rank_vec)"), lit(0L)))
+          .as("rrf_x1e9"))
+      .orderBy(col("rrf_x1e9").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** FILTERED ANN — [[simAnnTopk]] under a metadata predicate (each query
     * retrieves only candidates sharing its `label`): the production
     * retrieval shape ("similar items IN THIS CATEGORY") where the naive
@@ -1348,6 +1386,21 @@ object VectorOps {
       "sim_ivfpq" -> ivfpqOracle,
       "sim_topk" -> topkOracle,
       // the identical two top-10 texts composed: per query, |exact ∩ ann|
+      // both legs are the shared oracle texts composed; ranks re-derived
+      // inside the window (a subquery's ORDER BY does not bind row_number)
+      "sim_rrf" -> s"""
+        WITH lex AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score_micro DESC,
+                                               doc_id) AS rank_lex
+                     FROM (${graft.ops.TextOps.bm25OracleSql})),
+        vec AS (SELECT vec_id AS doc_id, rk AS rank_vec
+                FROM ($topkOracle) WHERE query_id = 3)
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.rank_lex, v.rank_vec,
+               coalesce(1000000000 // (60 + l.rank_lex), 0)
+                 + coalesce(1000000000 // (60 + v.rank_vec), 0) AS rrf_x1e9
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        ORDER BY rrf_x1e9 DESC, doc_id LIMIT 10""",
       "sim_recall" -> s"""
         WITH exact AS (SELECT query_id, vec_id FROM ($topkOracle)),
         ann AS (SELECT query_id, vec_id FROM ($annTopkOracle)),
@@ -1608,6 +1661,7 @@ object VectorOps {
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_topk" -> ((s, d) => simAnnTopk(s, d)),
     "sim_recall" -> simRecall _,
+    "sim_rrf" -> simRrf _,
     "sim_ann_filtered" -> ((s, d) => simAnnFiltered(s, d)),
     "dq_vec" -> dqVec _,
     "vec_pca" -> vecPca _,

@@ -48,6 +48,8 @@ object PlanAudit {
     // one-row corpus-max frame + one-row quintile-edge frame BY DESIGN:
     ("rfm", "BroadcastNestedLoopJoin"),
     ("bm25", "BroadcastNestedLoopJoin"), // one-row (N, T, df...) frame
+    // inherits bm25's one-row corpus-constants frame through composition:
+    ("sim_rrf", "BroadcastNestedLoopJoin"),
     ("text_jsd", "BroadcastNestedLoopJoin"), // one-row nq frame x 51-sym frame
     // one-row corpus-moment frame x |sources| rows BY DESIGN:
     ("text_entropy_drift", "BroadcastNestedLoopJoin"),

@@ -712,4 +712,23 @@ class LlmOpsSpec extends SparkSpec {
     val ratio = out.map(_._3).sum.toDouble / out.map(_._2).sum
     assert(ratio > 1.0 && ratio < 4.0, s"suspicious compression ratio $ratio")
   }
+
+  test("sim_rrf: fused scores recompute from the legs' ranks; both-leg docs carry both") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = VectorOps.simRrf(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.nonEmpty || vec.nonEmpty, s"doc from neither leg: $r")
+      assert(lex.forall(x => x >= 1 && x <= 20), s"lex rank range: $r")
+      assert(vec.forall(x => x >= 1 && x <= 10), s"vec rank range: $r")
+      val want = lex.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        vec.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) == want, s"fused score must recompute: $r")
+      assert(r.getLong(3) <= prev, s"output must be score-ordered: $r")
+      prev = r.getLong(3)
+    }
+  }
 }
