@@ -1236,6 +1236,30 @@ object Relational {
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10"""
 
+  /** ONE text, both engines: Q6's whole point is predicate pushdown, and
+    * the exact DECIMAL product keeps the one-row sum engine-exact. */
+  private[graft] val q6Sql = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+  /** TPC-H Q6 (forecasting revenue change) through the raw-SQL entry —
+    * the PUSHDOWN witness of the SQL surface: a single-table scan whose
+    * entire selectivity lives in the WHERE clause, so the plan must show
+    * every predicate in PushedFilters and read two value columns
+    * (PlanSpec locks this). [[sqlQ1]] proves aggregation, [[sqlQ3]] join
+    * reorder; Q6 proves the scan never reads what the query doesn't. */
+  def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q6Sql)
+  }
+
   /** The TPC-H-Q3 shipping-priority shape through the same raw-SQL entry
     * as [[sqlQ1]] — here because Q3 exercises what Q1 cannot: a
     * three-table join written as comma-list + WHERE equi-predicates,
@@ -2055,6 +2079,7 @@ object Relational {
     // the Spark side's sort-scan must reproduce it exactly
     // the SAME string the Spark side executes — one contract, two engines
     "sql_q1" -> q1Sql,
+    "sql_q6" -> q6Sql,
     "sql_q3" -> q3Sql,
     // identical cents aggregate, identical cumulative cross-multiplied cuts
     "abc_class" ->
@@ -2187,6 +2212,7 @@ object Relational {
     "skyline" -> skyline _,
     "abc_class" -> abcClass _,
     "sql_q1" -> sqlQ1 _,
+    "sql_q6" -> sqlQ6 _,
     "sql_q3" -> sqlQ3 _,
     "agg_hll_merge" -> aggHllMerge _,
     "agg_hll_ix" -> aggHllIntersect _,

@@ -1291,6 +1291,82 @@ object StreamAssembly {
       }
   }
 
+  final case class AtrDay(maxKey: Long, hi: Long, lo: Long, cl: Long)
+  final case class AtrState(prevClose: Long, hasPrev: Boolean,
+      ring: Vector[Long], open: Map[Long, AtrDay])
+  final case class AtrReport(event_type: String, day: String, tr: Double,
+      atr: Double)
+
+  /** STREAMING AVERAGE TRUE RANGE — the position-sizing volatility unit
+    * live, per (type, UTC day): TR = max(hi−lo, |hi−prev_cl|, |lo−prev_cl|)
+    * with its trailing-7-day simple mean, each day emitted exactly once at
+    * watermark close. Live twin of the oracle-checked `ta_atr`
+    * ([[bollingerStream]]'s class). All state is integer CENTS: the open
+    * day's (hi, lo, packed-key close candidate), the previous CLOSED
+    * day's close (first day coalesces to its own close — the batch
+    * convention), and a 6-long TR ring; the mean replays the batch tree
+    * (Σtr/n/100, 1e-6 floor-round). hi/lo/close-candidate updates are
+    * order-free within a batch, so no per-batch sort is needed. */
+  def atrStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[AtrReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AtrState, AtrReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption
+            .getOrElse(AtrState(0L, hasPrev = false, Vector.empty, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val c = math.floor(v * 100 + 0.5).toLong
+            val cur = s.open.get(dayKey) match {
+              case None => AtrDay(ordKey, c, c, c)
+              case Some(p) =>
+                val (mk, cl) =
+                  if (ordKey > p.maxKey) (ordKey, c) else (p.maxKey, p.cl)
+                AtrDay(mk, math.max(p.hi, c), math.min(p.lo, c), cl)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val a = s.open(k)
+              val pc = if (s.hasPrev) s.prevClose else a.cl
+              val tr = math.max(a.hi - a.lo,
+                math.max(math.abs(a.hi - pc), math.abs(a.lo - pc)))
+              val win = s.ring.takeRight(6) :+ tr
+              s = AtrState(a.cl, hasPrev = true,
+                (s.ring :+ tr).takeRight(6), s.open - k)
+              def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+              AtrReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                tr.toDouble / 100.0,
+                r6(win.sum.toDouble / win.size.toDouble / 100.0))
+            }
+          if (state.hasTimedOut && s.open.isEmpty) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
   private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
     "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
     "signup" -> 0.20, "view" -> 0.30)

@@ -21,6 +21,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"))
   }
 
+  test("sql_q6: every predicate reaches the scan; only the needed columns read") {
+    // the default 100-char metadata truncation cuts the PushedFilters
+    // list mid-token — widen it for THIS assertion only
+    val key = "spark.sql.maxMetadataStringLength"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try {
+      val p = plan(Relational.sqlQ6(spark, dir))
+      Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)").foreach { f =>
+        assert(p.contains(f), s"predicate not pushed: $f\n$p")
+      }
+      assert(p.contains("ReadSchema: struct<l_quantity:double," +
+        "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+        s"scan reads more than the query needs:\n$p")
+    } finally spark.conf.set(key, old)
+  }
+
   test("join_broadcast: dims are broadcast, fact side never shuffles for the join") {
     val p = plan(Relational.joinBroadcast(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
