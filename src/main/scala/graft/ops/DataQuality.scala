@@ -688,6 +688,35 @@ object DataQuality {
       .orderBy("col")
   }
 
+  /** NEAR-TIME DUPLICATE (BOUNCE) AUDIT — consecutive events of the SAME
+    * (type, user) within one second: the double-fire signature of a
+    * client retry / at-least-once replay that exact-row dedup
+    * (`dedup_keys`) cannot see because the duplicate carries a fresh id
+    * and a jittered timestamp. The reference's at-most-once posture
+    * (liq-stream `writer_pg.py` has no upsert; replays become visible
+    * rows) makes this THE audit its consumers run. One (type, user)-keyed
+    * lag window — state is a single previous row, shuffle ∝ events on the
+    * same key set the dedup already uses — then a map-side-combined
+    * per-type aggregate; permille share in exact integers. */
+  def dqBounce(spark: SparkSession, dir: String): DataFrame =
+    bounceOf(table(spark, dir, "events"))
+
+  private[graft] def bounceOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy("ts", "event_id")
+    events
+      .select(col("event_type"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("gap_us") <= 1000000L, 1L).otherwise(0L)).as("bounced"))
+      .select(col("event_type"), col("n"), col("bounced"),
+        expr("bounced * 1000 div n").as("bounce_pm"))
+      .orderBy("event_type")
+  }
+
   /** The DuckDB twin of [[rowSig]]'s serialization (md5 over the same
     * '|'-joined integer-canonical fields) — interpolated into both
     * checksum/recon oracles so the two engines hash identical bytes. */
@@ -699,6 +728,20 @@ object DataQuality {
          COALESCE(props, 'null')))"""
 
   val oracles: Map[String, String] = Map(
+    // same (type,user)-keyed lag, same 1s threshold on exact µs gaps
+    "dq_bounce" -> """
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+                 PARTITION BY event_type, user_id
+                 ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(CASE WHEN gap_us <= 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bounced,
+             CAST(sum(CASE WHEN gap_us <= 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000 // count(*) AS bounce_pm
+      FROM g GROUP BY 1 ORDER BY event_type""",
     // same midpoint split, same stacked per-column profile (value
     // canonicalized to integer cents in BOTH engines before the distinct)
     "dq_schema_drift" -> """
@@ -1138,6 +1181,7 @@ object DataQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_ref" -> dqReferential _,
     "dq_schema_drift" -> dqSchemaDrift _,
+    "dq_bounce" -> dqBounce _,
     "dq_unique" -> dqUnique _,
     "dq_freshness" -> dqFreshness _,
     "dq_volume" -> dqVolume _,

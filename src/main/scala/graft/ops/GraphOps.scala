@@ -113,6 +113,94 @@ object GraphOps {
     transplant(home, pr)
   }
 
+  /** BIPARTITE CO-ENGAGEMENT PROJECTION — collapse the user↔event-type
+    * bipartite graph onto types: edge weight = distinct users active in
+    * BOTH, normalized by the cosine of the incidence columns
+    * w/√(|Uₐ|·|U_b|). This is how item-item graphs are BUILT (the input
+    * to [[graphJaccard]]-style link prediction and co-purchase models) —
+    * the projection step itself is the operator here. Plan: one distinct
+    * (user, type) dedup, then a self-join KEYED ON USER — candidates per
+    * user are deg(user)² with deg ≤ |types|; at item-catalog scale the
+    * standard guard is capping user degree (a 10⁶-item power user
+    * projects 10¹² pairs — you truncate, not shuffle), which this plan
+    * inherits by construction since |types| is the cap here. Counts are
+    * exact longs; the cosine is one double tree on them. */
+  def graphBiproj(spark: SparkSession, dir: String): DataFrame =
+    biprojOf(table(spark, dir, "events"))
+
+  /** Split out so the spec can drive closed-form bipartite graphs (two
+    * types sharing every user read cosine 1; disjoint audiences produce
+    * no pair row at all). */
+  private[graft] def biprojOf(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("shared_users"))
+    pairs
+      .join(sizes.select(col("event_type").as("ta"), col("nu").as("ua")), "ta")
+      .join(sizes.select(col("event_type").as("tb"), col("nu").as("ub")), "tb")
+      .select(col("ta"), col("tb"), col("shared_users"), col("ua"), col("ub"),
+        roundD(col("shared_users").cast(DoubleType) /
+          sqrt(col("ua").cast(DoubleType) * col("ub").cast(DoubleType)), 6)
+          .as("cosine"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Teleport source for [[personalizedPageRank]] — nation key 0, fixed so
+    * both engines run the identical unrolled computation. */
+  val pprSource = 0L
+
+  /** PERSONALIZED PAGERANK from one source — the recommendation-seed
+    * variant of [[pageRank]]: teleport mass returns to the SOURCE instead
+    * of spreading uniformly, so the stationary mass reads "how reachable
+    * is v from here", the standard similar-items/neighborhood-relevance
+    * score (global PR answers "how important overall" — a different
+    * question). Same quantized fixed-round loop, same damping; the only
+    * change is the restart vector: (1−d) lands on the source alone.
+    * Mass sinks at dangling/leaky vertices exactly as in [[pageRank]]
+    * (the simplified no-redistribution variant both engines replay). */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame =
+    pprOf(tradeEdges(spark, dir), pprSource)
+      .join(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("nation")), "id")
+      .select(col("nation"), roundD(col("pr"), 8).as("ppr"))
+      .orderBy("nation")
+
+  /** The source-restart loop over any (src, dst) edge frame — split out
+    * so the spec can drive closed-form graphs (on a 2-cycle from the
+    * source, mass alternates and the source keeps the teleport share;
+    * a vertex unreachable from the source must read exactly 0). */
+  private[graft] def pprOf(edges0: DataFrame, source: Long): DataFrame = {
+    val home = edges0.sparkSession
+    val e0 = materialize(edges0)
+    val loopSpark = loopSession(home, e0.count())
+    def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
+    val edges = transplant(loopSpark, e0)
+    val vertices = materialize(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = materialize(edges.join(degrees, "src"))
+    val restart = when(col("id") === source, 1.0 - prDamping).otherwise(0.0)
+    var pr = vertices.withColumn("pr",
+      when(col("id") === source, 1.0).otherwise(0.0))
+    for (_ <- 1 to prIters) {
+      val contrib = withDeg
+        .join(hint(pr), col("src") === col("id"))
+        .select(col("dst").as("id"),
+          floor(col("pr") / col("deg").cast(DoubleType) * 1e12 + 0.5)
+            .cast(LongType).as("q"))
+        .groupBy("id").agg(sum("q").as("qsum"))
+      pr = materialize(vertices.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (restart + lit(prDamping) *
+            (coalesce(col("qsum"), lit(0L)).cast(DoubleType) / 1e12)).as("pr")))
+    }
+    transplant(home, pr)
+  }
+
   /** TRIANGLE COUNTING per vertex over the undirected trade graph — the
     * clustering/cohesion primitive next to [[pageRank]]'s influence
     * ranking. The naive per-vertex formulation joins the edge list with
@@ -1368,6 +1456,55 @@ object GraphOps {
         SELECT n.n_name AS nation, floor(i3.pr * 1e8 + 0.5) / 1e8 AS pr
         FROM i3 JOIN nation n ON n.n_nationkey = i3.id
         ORDER BY nation""",
+      // same distinct incidence, same user-keyed pair build, one double
+      // cosine on exact counts
+      "graph_biproj" -> """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        sz AS (SELECT event_type, count(*)::BIGINT AS nu FROM ut GROUP BY 1),
+        p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                     count(*)::BIGINT AS shared_users
+              FROM ut a JOIN ut b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT ta, tb, shared_users, sa.nu AS ua, sb.nu AS ub,
+               floor(CAST(shared_users AS DOUBLE)
+                     / sqrt(CAST(sa.nu AS DOUBLE) * CAST(sb.nu AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS cosine
+        FROM p JOIN sz sa ON sa.event_type = p.ta
+               JOIN sz sb ON sb.event_type = p.tb
+        ORDER BY ta, tb""",
+      // same unrolled loop as graph_pagerank with the restart CASE: the
+      // (1-d) share lands on the source alone
+      "graph_ppr" -> {
+        def piter(out: String, p: String) = s"""
+          c$out AS (SELECT e.dst AS id,
+                           sum(CAST(floor(p.pr / d.deg * 1e12 + 0.5)
+                                    AS BIGINT)) AS qsum
+                    FROM e JOIN d USING (src) JOIN $p p ON p.id = e.src
+                    GROUP BY 1),
+          i$out AS (SELECT v.id,
+                           CASE WHEN v.id = $pprSource
+                                THEN ${1.0 - prDamping} ELSE 0.0e0 END
+                             + $prDamping *
+                               (COALESCE(c$out.qsum, 0)::DOUBLE / 1e12) AS pr
+                    FROM v LEFT JOIN c$out USING (id))"""
+        s"""WITH e AS (SELECT DISTINCT s.s_nationkey AS src,
+                              c.c_nationkey AS dst
+                   FROM lineitem l
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey),
+        v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        i0 AS (SELECT id, CASE WHEN id = $pprSource THEN 1.0e0
+                               ELSE 0.0e0 END AS pr FROM v),
+        ${piter("1", "i0")},
+        ${piter("2", "i1")},
+        ${piter("3", "i2")}
+        SELECT n.n_name AS nation, floor(i3.pr * 1e8 + 0.5) / 1e8 AS ppr
+        FROM i3 JOIN nation n ON n.n_nationkey = i3.id
+        ORDER BY nation"""
+      },
       // same trade edges, same unrolled quantized rounds, same exact-
       // BIGINT L1 totals folded back as one division per vertex
       "graph_hits" -> {
@@ -1742,6 +1879,8 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRank _,
     "graph_hits" -> hits _,
+    "graph_ppr" -> personalizedPageRank _,
+    "graph_biproj" -> graphBiproj _,
     "graph_triangles" -> triangleCount _,
     "graph_cc" -> connectedComponents _,
     "graph_cc_incr" -> connectedComponentsIncr _,

@@ -923,6 +923,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally { got.unpersist(); () }
   }
 
+  test("dq_bounce: a planted 500ms double-fire is counted; spaced events are not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1700006400000L
+    val rows = Seq(
+      // user 1: double-fire 500ms apart -> exactly one bounced row
+      (1L, "x", new Timestamp(t0), 1L),
+      (1L, "x", new Timestamp(t0 + 500L), 2L),
+      // user 1 again, 10s later: outside the budget
+      (1L, "x", new Timestamp(t0 + 10500L), 3L),
+      // user 2 at the same instant as user 1: different key, never a bounce
+      (2L, "x", new Timestamp(t0 + 100L), 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = DataQuality.bounceOf(rows).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L, s"$r")
+    assert(r.getLong(3) == 250L, s"1/4 in permille: $r")
+  }
+
   test("dq_schema_drift: a collapsed second-half column trips the distinct drift") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -445,6 +445,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.5)) && got(4L) == ((0.0, 0.5)), s"$got")
   }
 
+  test("graph_ppr: teleport mass stays home; unreachable vertices read exactly 0") {
+    import spark.implicits._
+    // component {1,2} (source side) and a disconnected component {3,4}:
+    // no walk from 1 reaches 3 or 4, so their PPR must be exactly 0.0 —
+    // not small, ZERO (global pagerank gives every vertex (1-d) instead)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val got = GraphOps.pprOf(edges, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) == 0.0 && got(4L) == 0.0, s"mass leaked off-component: $got")
+    // closed form on the 2-cycle (mass alternates each hop):
+    // i1 = (0.15, 0.85), i2 = (0.8725, 0.1275), i3 = (0.258375, 0.741625)
+    assert(got(1L) == 0.258375 && got(2L) == 0.741625, s"$got")
+  }
+
+  test("graph_biproj: full co-audience reads cosine 1; disjoint audiences produce no edge") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = new Timestamp(1700006400000L)
+    // users 1-4 do both a and b (cosine 1); type c has its own users
+    val rows = (1 to 4).flatMap(u =>
+      Seq((u.toLong, "a", t0), (u.toLong, "b", t0))) ++
+      Seq((9L, "c", t0), (10L, "c", t0))
+    val got = GraphOps.biprojOf(rows.toDF("user_id", "event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("a", "b")), s"phantom edges: ${got.keySet}")
+    assert(got(("a", "b")) == ((4L, 1.0)), s"$got")
+  }
+
   test("graph_hits: scores are L1-normalized distributions on the real graph") {
     val rows = GraphOps.hits(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length > 0)
