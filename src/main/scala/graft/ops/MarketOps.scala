@@ -346,6 +346,41 @@ object MarketOps {
       .orderBy("event_type", "day")
   }
 
+  // ----------------------------------------------------------------- OBV
+
+  /** ON-BALANCE VOLUME — the classic volume-flow confirmation line under
+    * [[taMacd]]'s price crossovers: each day's size total (Σ props.k, the
+    * [[taVwap]] size field) signed by the close-to-close direction and
+    * accumulated. Divergence between OBV and price is the textbook
+    * early-warning read. ALL-INTEGER end to end: cent-close direction is
+    * a three-way sign, the running sum a cumulative window over exact
+    * longs — no doubles anywhere in this query. First day carries sign 0
+    * (no prior close) in both engines. */
+  def taObv(spark: SparkSession, dir: String): DataFrame =
+    obvOf(table(spark, dir, "events"))
+
+  private[graft] def obvOf(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+    val ord = (unix_micros(col("ts")) % 86400000000L) * 1048576L +
+      pmod(col("event_id"), lit(1048576L))
+    val daily = events.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(floor(max_by(col("value"), ord) * 100 + 0.5).cast(LongType)
+          .as("c"),
+        coalesce(sum(k.cast(LongType)), lit(0L)).as("qty"))
+    val wo = Window.partitionBy("event_type").orderBy("d")
+    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("pc", lag(col("c"), 1).over(wo))
+      .withColumn("sgn", when(col("pc").isNull, 0L)
+        .when(col("c") > col("pc"), 1L)
+        .when(col("c") < col("pc"), -1L).otherwise(0L))
+      .select(col("event_type"), col("day"), col("qty"),
+        sum(col("sgn") * col("qty")).over(wc).as("obv"))
+      .orderBy("event_type", "day")
+  }
+
   // -------------------------------------------------------------- wiring
 
   /** EMA tap-sum SQL shared by the [[taMacd]] oracle — same tap count and
@@ -496,6 +531,26 @@ object MarketOps {
                    / CAST(nullif(h7 - l7, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6
                AS pct_k
       FROM w ORDER BY event_type, day""",
+    "ta_obv" -> """
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(floor(arg_max(value,
+                      (epoch_us(ts) % 86400000000) * 1048576
+                      + (event_id % 1048576)) * 100 + 0.5) AS BIGINT) AS c,
+               CAST(coalesce(sum(CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT)), 0) AS BIGINT) AS qty
+        FROM events GROUP BY 1, 2, 3),
+      s AS (SELECT event_type, d, day, qty,
+                   CASE WHEN lag(c, 1) OVER w IS NULL THEN 0
+                        WHEN c > lag(c, 1) OVER w THEN 1
+                        WHEN c < lag(c, 1) OVER w THEN -1 ELSE 0 END AS sgn
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+      SELECT event_type, day, qty,
+             CAST(sum(sgn * qty) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS obv
+      FROM s ORDER BY event_type, day""",
     "ta_rv" ->
       """WITH r AS (
            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -517,5 +572,6 @@ object MarketOps {
     "ta_drawdown" -> taDrawdown _,
     "ta_rv" -> taRv _,
     "ta_atr" -> taAtr _,
-    "ta_stoch" -> taStoch _)
+    "ta_stoch" -> taStoch _,
+    "ta_obv" -> taObv _)
 }

@@ -912,6 +912,50 @@ object TimeWindows {
       .orderBy("ta", "tb")
   }
 
+  /** BURSTINESS INDEX — Goh–Barabási B = (σ−μ)/(σ+μ) over each type's
+    * inter-arrival gaps: −1 = metronome, 0 = Poisson, →1 = heavy bursts.
+    * THE one-number characterization of a feed's arrival process (the
+    * liquidation stream is bursty by construction — cascades, then
+    * silence; liq-stream `CHANGELOG.md:12-14`'s "last 6h" views exist
+    * because of it), read next to [[tsFill]]'s hole-patching and
+    * `dq_heartbeat`'s worst-gap.
+    *
+    * Exactness: gaps are exact µs longs from one per-type lag window
+    * (single-row state); n/Σg ride BIGINT and Σg² DECIMAL(38,0) (a
+    * month-long gap is ~2.6e12 µs — squared leaves int64), all map-side
+    * combined; μ, sample σ, and B are one double tree on the exact sums,
+    * 6 dp. */
+  def tsBurstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(table(spark, dir, "events"))
+
+  /** Split out so the spec can drive closed-form processes (equal gaps
+    * ⇒ σ = 0 ⇒ B reads exactly −1.0; one huge gap among tiny ones pushes
+    * B toward +1). */
+  private[graft] def burstinessOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val gaps = events
+      .select(col("event_type"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("g"))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g").cast(DecimalType(18, 0)) *
+          col("g").cast(DecimalType(18, 0))).as("sgg"))
+      .filter(col("n") >= 2)
+    val nd = col("n").cast(DoubleType)
+    val mu = col("sg").cast(DoubleType) / nd
+    val sd = sqrt(greatest((col("sgg").cast(DoubleType) * nd -
+      col("sg").cast(DoubleType) * col("sg").cast(DoubleType)) /
+      (nd * (nd - 1.0)), lit(0.0)))
+    m.select(col("event_type"), col("n").as("n_gaps"),
+        roundD(mu / 1e6, 6).as("mean_gap_s"),
+        roundD((sd - mu) / nullif(sd + mu, lit(0.0)), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   def tsXcorr(spark: SparkSession, dir: String): DataFrame =
     xcorrOf(table(spark, dir, "events"), "view", "purchase")
 
@@ -1859,6 +1903,33 @@ object TimeWindows {
                 CAST(v IS NULL AS INTEGER) AS gap
          FROM f ORDER BY event_type, hour""",
     "ts_ewma" -> ewmaOracle,
+    // same exact-µs gaps, BIGINT/HUGEINT moments, one double tree
+    "ts_burstiness" -> """
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id)) AS g
+        FROM events),
+      m AS (SELECT event_type, count(*)::BIGINT AS n,
+                   CAST(sum(g) AS BIGINT) AS sg,
+                   sum(g::HUGEINT * g) AS sgg
+            FROM g WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+      SELECT event_type, n AS n_gaps,
+             floor(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6 + 0.5)
+               / 1e6 AS mean_gap_s,
+             floor((sqrt(greatest((CAST(sgg AS DOUBLE) * CAST(n AS DOUBLE)
+                                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                                  / (CAST(n AS DOUBLE)
+                                     * (CAST(n AS DOUBLE) - 1.0)), 0.0))
+                    - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                   / nullif(sqrt(greatest((CAST(sgg AS DOUBLE)
+                                           * CAST(n AS DOUBLE)
+                                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                                  / (CAST(n AS DOUBLE)
+                                     * (CAST(n AS DOUBLE) - 1.0)), 0.0))
+                            + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 0.0)
+                   * 1e6 + 0.5) / 1e6 AS burstiness
+      FROM m ORDER BY event_type""",
     // the identical integer DP replayed cell-by-cell: one recursive CTE
     // advances (i, j) in row-major order carrying (prev row, growing cur
     // row) lists; same INF sentinel, same global zero-filled day grid
@@ -2035,6 +2106,7 @@ object TimeWindows {
     "ts_acf" -> tsAcf _,
     "ts_xcorr" -> tsXcorr _,
     "ts_dtw" -> tsDtw _,
+    "ts_burstiness" -> tsBurstiness _,
     "ts_holt" -> tsHolt _,
     "win_rolling_distinct" -> winRollingDistinct _,
     "ts_mk_trend" -> tsMkTrend _,

@@ -923,6 +923,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally { got.unpersist(); () }
   }
 
+  test("ts_burstiness: a metronome reads exactly -1; one huge gap pushes positive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1700006400000L
+    val metro = (0 until 20).map(i =>
+      ("m", new Timestamp(t0 + i * 1000L), i.toLong))
+    // 19 tiny 1ms gaps and one day-long gap: sd >> mu -> B near +1
+    val bursty = ((0 until 20).map(i =>
+      ("b", new Timestamp(t0 + i), i.toLong)) :+
+      (("b", new Timestamp(t0 + 86400000L), 99L)))
+    val got = TimeWindows.burstinessOf(
+        (metro ++ bursty).toDF("event_type", "ts", "event_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("m") == -1.0, s"equal gaps must read exactly -1: $got")
+    assert(got("b") > 0.5, s"a planted burst must push B positive: $got")
+  }
+
   test("dq_bounce: a planted 500ms double-fire is counted; spaced events are not") {
     import spark.implicits._
     import java.sql.Timestamp

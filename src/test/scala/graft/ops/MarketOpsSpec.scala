@@ -167,6 +167,19 @@ class MarketOpsSpec extends SparkSpec {
     assert(got.length == 24)
   }
 
+  test("ta_obv: volume flows with the close direction, first day is flat") {
+    import spark.implicits._
+    // closes 1, 2, 2, 1 with qty 10 each: signs 0,+1,0,-1 -> obv 0,10,10,0
+    val rows = Seq((0, 1.0), (1, 2.0), (2, 2.0), (3, 1.0)).map {
+      case (d, v) => ("o", at(d, 1), d.toLong, v, """{"k": 10}""")
+    }.toDF("event_type", "ts", "event_id", "value", "props")
+    val got = MarketOps.obvOf(rows).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val days = (0 to 3).map(d => at(d, 0).toLocalDateTime.toLocalDate.toString)
+    assert(got(days(0)) == 0L && got(days(1)) == 10L &&
+      got(days(2)) == 10L && got(days(3)) == 0L, s"$got")
+  }
+
   test("ta_vwap: sits inside the per-(type,day) price envelope on real data") {
     val v = MarketOps.taVwap(spark, dir)
     val env = table(spark, dir, "events")
