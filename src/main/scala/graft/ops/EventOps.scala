@@ -60,8 +60,10 @@ object EventOps {
       .orderBy("step")
   }
 
-  /** Conversion window for [[funnelWindow]] — 7 days, in microseconds. */
-  private val funnelWinUs = 7L * 86400000000L
+  /** Conversion window for [[funnelWindow]] — 7 days, in microseconds
+    * (shared with [[graft.streaming.StreamAssembly.funnelStream]], its
+    * live twin). */
+  private[graft] val funnelWinUs = 7L * 86400000000L
 
   /** TIME-BOUNDED FUNNEL — [[funnel]] with a conversion window: each step
     * counts only within [[funnelWinUs]] (7 days) of the PREVIOUS step's

@@ -1203,6 +1203,69 @@ object StreamAssembly {
       }
   }
 
+  final case class FunnelWinState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelWinHit(user_id: Long, step: Int, stage: String,
+      ts_us: Long)
+
+  /** STREAMING WINDOWED FUNNEL — [[funnelStages]]'s sibling with the
+    * 7-day CONVERSION BUDGET and full-µs grain: the live twin of the
+    * oracle-checked `funnel_window` batch query (funnelStages twins the
+    * unwindowed `funnel`). Same semantics: each step is the FIRST qualifying
+    * event strictly after the previous step's time and within its 7-day
+    * conversion window ([[graft.ops.EventOps.funnelWinUs]] — ONE shared
+    * constant, two runtimes). Under the in-order feed convention
+    * (per-batch full-µs sort, the [[ewmaStream]] class) the forward pass
+    * IS min-after-min: the first qualifying event in time order is the
+    * min, so the emitted set equals the batch frame row for row.
+    * Step completions are monotone — never retracted — so hits emit
+    * immediately, no watermark wait; state per user is three longs. */
+  def funnelWindowStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[FunnelWinHit] = {
+    import events.sparkSession.implicits._
+    val winUs = graft.ops.EventOps.funnelWinUs
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelWinState, FunnelWinHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(FunnelWinState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelWinHit]
+          var lastMs = 0L
+          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+            .foreach { case (_, _, ts, et) =>
+              val ms = ts.getTime
+              lastMs = math.max(lastMs, ms)
+              val us = math.floorDiv(ms, 1000L) * 1000000L +
+                ts.getNanos / 1000L
+              et match {
+                case "signup" if s.t1 < 0 =>
+                  s = s.copy(t1 = us)
+                  out += FunnelWinHit(uid, 1, "signup", us)
+                case "view" if s.t1 >= 0 && s.t2 < 0 &&
+                    us > s.t1 && us <= s.t1 + winUs =>
+                  s = s.copy(t2 = us)
+                  out += FunnelWinHit(uid, 2, "view", us)
+                case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                    us > s.t2 && us <= s.t2 + winUs =>
+                  s = s.copy(t3 = us)
+                  out += FunnelWinHit(uid, 3, "purchase", us)
+                case _ =>
+              }
+            }
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
   final case class BollDay(maxKey: Long, close: Double)
   final case class BollState(ring: Vector[Long], open: Map[Long, BollDay])
   final case class BollReport(event_type: String, day: String, close: Double,

@@ -1374,6 +1374,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel: per-step tallies match funnel_window; windows and order enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+    val q = StreamAssembly.funnelWindowStream(events)
+      .toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT step, count(*) AS users FROM funnel_stream GROUP BY step")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = graft.ops.EventOps.funnelWindow(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got == want,
+        s"stream/batch funnel tallies diverged: $got vs $want")
+      assert(got(1) > 0 && got.getOrElse(3, 0L) <= got(2) &&
+        got(2) <= got(1), s"funnel must narrow: $got")
+      // closed-form edges on fresh synthetic users (ids far above the
+      // corpus): a view outside the 7-day window never converts; a
+      // purchase BEFORE the view never counts
+      val t0 = src.map(_._3.getTime).max + 86400000L
+      mem.addData(Seq(
+        (900001L, 1L, new java.sql.Timestamp(t0), "signup"),
+        (900001L, 2L, new java.sql.Timestamp(t0 + 8L * 86400000L), "view"),
+        (900002L, 3L, new java.sql.Timestamp(t0), "signup"),
+        (900002L, 4L, new java.sql.Timestamp(t0 + 1000L), "purchase"),
+        (900002L, 5L, new java.sql.Timestamp(t0 + 2000L), "view"),
+        (900002L, 6L, new java.sql.Timestamp(t0 + 3000L), "purchase")))
+      q.processAllAvailable()
+      val synth = spark.sql(
+        "SELECT user_id, step FROM funnel_stream WHERE user_id >= 900000")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(synth == Set((900001L, 1), (900002L, 1), (900002L, 2),
+        (900002L, 3)), s"window/order edges broken: $synth")
+    } finally q.stop()
+  }
+
   test("streaming Bollinger bands: row-exact parity with ta_bollinger") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
