@@ -346,6 +346,49 @@ object MarketOps {
       .orderBy("event_type", "day")
   }
 
+  // ------------------------------------------------------------ MA cross
+
+  /** MOVING-AVERAGE CROSSING DETECTOR — the golden/death-cross SIGNAL
+    * events (not a series: the output is only the days where the 3-day
+    * close mean crosses the 7-day one, with direction). Detection on
+    * integers: a cross at day t is sign(f_t·s7 − s_t·s3 scaled) flipping
+    * vs day t−1 — the means compare CROSS-MULTIPLIED (f·7·nₛ vs s·3·n_f
+    * generalized to warm-up widths), so no division ever happens and the
+    * flip test is exact BIGINT. Emitted rows only; a series that never
+    * crosses emits nothing. */
+  def taSmaCross(spark: SparkSession, dir: String): DataFrame =
+    smaCrossOf(table(spark, dir, "events"))
+
+  private[graft] def smaCrossOf(events: DataFrame): DataFrame = {
+    val wo = Window.partitionBy("event_type").orderBy("d")
+    val w3 = wo.rowsBetween(-2, 0)
+    val w7 = wo.rowsBetween(-6, 0)
+    val base = dailyCloseOf(events)
+      .withColumn("c", floor(col("close") * 100 + 0.5).cast(LongType))
+      .select(col("event_type"), col("d"), col("day"),
+        sum(col("c")).over(w3).as("sf"), count(lit(1)).over(w3).as("nf"),
+        sum(col("c")).over(w7).as("ss"), count(lit(1)).over(w7).as("ns"))
+      // diff = sign(fast - slow) without division: sf/nf vs ss/ns
+      // cross-multiplied (all longs; cents*7*|days| stays far inside 2^63)
+      .withColumn("rel",
+        when(col("sf") * col("ns") > col("ss") * col("nf"), 1L)
+          .when(col("sf") * col("ns") < col("ss") * col("nf"), -1L)
+          .otherwise(0L))
+      // the POSITION is the last nonzero relation: a cross is a true
+      // sign FLIP, never the warm-up's equal-windows 0 → ±1 transition
+      // (days 0-2 have w3 = w7, rel = 0 by construction) nor a
+      // touch-and-continue through 0
+      .withColumn("ppos", last(nullif(col("rel"), lit(0L)),
+        ignoreNulls = true)
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1)))
+    base
+      .filter(col("rel") =!= 0L && col("ppos").isNotNull &&
+        col("ppos") =!= col("rel"))
+      .select(col("event_type"), col("day"),
+        when(col("rel") === 1L, "golden").otherwise("death").as("cross_type"))
+      .orderBy("event_type", "day")
+  }
+
   // ----------------------------------------------------------------- OBV
 
   /** ON-BALANCE VOLUME — the classic volume-flow confirmation line under
@@ -531,6 +574,34 @@ object MarketOps {
                    / CAST(nullif(h7 - l7, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6
                AS pct_k
       FROM w ORDER BY event_type, day""",
+    "ta_sma_cross" -> s"""
+      WITH dc AS ($dailyCloseSql),
+      c AS (SELECT event_type, d, day,
+                   CAST(floor(close * 100 + 0.5) AS BIGINT) AS c FROM dc),
+      w AS (SELECT event_type, d, day,
+                   CAST(sum(c) OVER w3 AS BIGINT) AS sf,
+                   count(*) OVER w3 AS nf,
+                   CAST(sum(c) OVER w7 AS BIGINT) AS ss,
+                   count(*) OVER w7 AS ns
+            FROM c WINDOW
+              w3 AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              w7 AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      r AS (SELECT event_type, d, day,
+                   CASE WHEN sf * ns > ss * nf THEN 1
+                        WHEN sf * ns < ss * nf THEN -1 ELSE 0 END AS rel
+            FROM w),
+      x AS (SELECT event_type, day, rel,
+                   last_value(nullif(rel, 0) IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS ppos
+            FROM r)
+      SELECT event_type, day,
+             CASE WHEN rel = 1 THEN 'golden' ELSE 'death' END AS cross_type
+      FROM x WHERE rel <> 0 AND ppos IS NOT NULL AND ppos <> rel
+      ORDER BY event_type, day""",
     "ta_obv" -> """
       WITH daily AS (
         SELECT event_type, epoch_us(ts) // 86400000000 AS d,
@@ -573,5 +644,6 @@ object MarketOps {
     "ta_rv" -> taRv _,
     "ta_atr" -> taAtr _,
     "ta_stoch" -> taStoch _,
-    "ta_obv" -> taObv _)
+    "ta_obv" -> taObv _,
+    "ta_sma_cross" -> taSmaCross _)
 }

@@ -180,6 +180,26 @@ class MarketOpsSpec extends SparkSpec {
       got(days(2)) == 10L && got(days(3)) == 0L, s"$got")
   }
 
+  test("ta_sma_cross: rise-fall-rise fires death then golden; monotone and warm-up never fire") {
+    // establish a +1 position on the rise, flip to -1 on the long fall
+    // (death), flip back on the recovery (golden); a monotone series
+    // holds one position forever and must stay silent — including its
+    // warm-up days where the 3- and 7-day windows coincide (rel = 0)
+    val n = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0,
+      5.0, 4.0, 3.0, 2.0, 1.0,
+      2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    val rows = n.zipWithIndex.map { case (p, d) => ("n", d, 1, d.toLong, p) } ++
+      (0 until 17).map(d => ("up", d, 1, d.toLong, 1.0 + d))
+    val got = MarketOps.smaCrossOf(frame(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.forall(_._1 == "n"), s"monotone series fired: ${got.toSeq}")
+    val kinds = got.map(_._3).toSeq
+    assert(kinds.nonEmpty && kinds.head == "death", s"${got.toSeq}")
+    assert(kinds.count(_ == "golden") >= 1, s"recovery never fired: ${got.toSeq}")
+    kinds.sliding(2).foreach(p => if (p.length == 2)
+      assert(p(0) != p(1), s"same-direction repeat: ${got.toSeq}"))
+  }
+
   test("ta_vwap: sits inside the per-(type,day) price envelope on real data") {
     val v = MarketOps.taVwap(spark, dir)
     val env = table(spark, dir, "events")
