@@ -717,6 +717,35 @@ object DataQuality {
       .orderBy("event_type")
   }
 
+  /** ORDERING AUDIT — how often event ids arrive OUT OF ORDER relative to
+    * event time, per type: an id below the running maximum of everything
+    * earlier means the producer's sequence and the event clock disagree
+    * (a replayed segment, a backfill interleaved with live, clock skew
+    * across producer shards — the reference's multi-connection fan-in,
+    * `stream.py:24-36`, makes this the expected failure shape).
+    * Complements [[dqGaps]] (missing ids) and [[dqBounce]] (duplicate
+    * fires) with the third sequencing pathology: PRESENT but misplaced.
+    * One keyed running-max window (single-long state) + a map-side
+    * per-type aggregate; all integers. */
+  def dqMonotonic(spark: SparkSession, dir: String): DataFrame =
+    monotonicOf(table(spark, dir, "events"))
+
+  private[graft] def monotonicOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"),
+        max(col("event_id")).over(w).as("runmax"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_id") < col("runmax"), 1L).otherwise(0L))
+          .as("inversions"))
+      .select(col("event_type"), col("n"), col("inversions"),
+        expr("inversions * 1000 div n").as("inv_pm"))
+      .orderBy("event_type")
+  }
+
   /** The DuckDB twin of [[rowSig]]'s serialization (md5 over the same
     * '|'-joined integer-canonical fields) — interpolated into both
     * checksum/recon oracles so the two engines hash identical bytes. */
@@ -728,6 +757,20 @@ object DataQuality {
          COALESCE(props, 'null')))"""
 
   val oracles: Map[String, String] = Map(
+    // same running max over the strictly-earlier frame, same integer test
+    "dq_monotonic" -> """
+      WITH r AS (
+        SELECT event_type, event_id,
+               max(event_id) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        FROM events)
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(CASE WHEN event_id < runmax THEN 1 ELSE 0 END)
+                  AS BIGINT) AS inversions,
+             CAST(sum(CASE WHEN event_id < runmax THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000 // count(*) AS inv_pm
+      FROM r GROUP BY 1 ORDER BY event_type""",
     // same (type,user)-keyed lag, same 1s threshold on exact µs gaps
     "dq_bounce" -> """
       WITH g AS (
@@ -1182,6 +1225,7 @@ object DataQuality {
     "dq_ref" -> dqReferential _,
     "dq_schema_drift" -> dqSchemaDrift _,
     "dq_bounce" -> dqBounce _,
+    "dq_monotonic" -> dqMonotonic _,
     "dq_unique" -> dqUnique _,
     "dq_freshness" -> dqFreshness _,
     "dq_volume" -> dqVolume _,

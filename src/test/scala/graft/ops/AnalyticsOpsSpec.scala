@@ -940,6 +940,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("b") > 0.5, s"a planted burst must push B positive: $got")
   }
 
+  test("dq_monotonic: a planted replay segment is counted; in-order feeds read zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1700006400000L
+    // type "ok": ids ride with time. type "replay": ids 10,11,12 then a
+    // replayed 3,4 arrive later in time — two inversions
+    val rows = Seq(
+      ("ok", 1L, 0), ("ok", 2L, 1), ("ok", 3L, 2),
+      ("replay", 10L, 0), ("replay", 11L, 1), ("replay", 12L, 2),
+      ("replay", 3L, 3), ("replay", 4L, 4))
+      .map { case (t, id, s) => (t, id, new Timestamp(t0 + s * 1000L)) }
+      .toDF("event_type", "event_id", "ts")
+    val got = DataQuality.monotonicOf(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("ok") == ((3L, 0L, 0L)), s"$got")
+    assert(got("replay") == ((5L, 2L, 400L)), s"$got")
+  }
+
   test("dq_bounce: a planted 500ms double-fire is counted; spaced events are not") {
     import spark.implicits._
     import java.sql.Timestamp
