@@ -44,8 +44,10 @@ object TimeWindows {
       .select(tsStr(col("w.start")).as("w_start"), col("cnt"))
 
   /** Session window per user with an 8-hour inactivity gap — liquidation
-    * cascade/burst detection. A new session starts when the gap from the
-    * previous event is >= the timeout (Spark sessions span [ts, last+gap)). */
+    * cascade/burst detection. A new session starts only when the gap from
+    * the previous event STRICTLY exceeds the timeout: Spark merges
+    * touching session windows (proven by the [[cascades]] boundary spec),
+    * so a gap of exactly 8h still extends the session. */
   def windowSession(spark: SparkSession, dir: String): DataFrame =
     sessionAggOf(table(spark, dir, "events"))
       .orderBy("user_id", "session_start")
@@ -210,6 +212,47 @@ object TimeWindows {
         col("v").isNull.cast(IntegerType).as("gap"))
       .orderBy("event_type", "hour")
   }
+
+  /** Cascade parameters for [[cascades]] — a burst is ≥ [[cascadeMinN]]
+    * fills with no internal silence ≥ the gap. Fixed shipped constants so
+    * both engines segment identically; 10 min is scaled to the TEST
+    * corpus's arrival density (one fill per ~2-20 min per type) exactly
+    * as a real tick feed would run seconds — the segmentation is
+    * density-relative, the plan identical. */
+  private[graft] val cascadeGapUs = 600000000L
+  private[graft] val cascadeMinN = 5L
+
+  /** CASCADE DETECTION — THE liquidation-domain query over the
+    * reference's feed: segment each type's stream into bursts separated
+    * by ≥ 10 min of silence and keep only the real cascades (≥ 5 fills) with
+    * their span, size, and exact notional — the event the product exists
+    * to surface (liq-stream's README headline is cascade monitoring;
+    * [[windowSession]] runs the same shape at user/8h behavior grain,
+    * this at market/5s microstructure grain). Spark-native
+    * `session_window` — Spark MERGES touching windows, so a burst splits
+    * only when the silence strictly EXCEEDS the budget (a gap of exactly
+    * 10 min still merges; pinned by spec); the DuckDB twin replays the
+    * classic gaps-and-islands cumulative-sum segmentation with the same
+    * strict boundary. One keyed session aggregate — map-side partial
+    * session merge, shuffle ∝ sessions, never a per-event window. */
+  def cascades(spark: SparkSession, dir: String): DataFrame =
+    cascadesOf(table(spark, dir, "events"))
+
+  /** Split out so the spec can drive closed-form bursts (a 4-fill flurry
+    * must NOT surface; a 5-fill one must, with exact span/notional;
+    * a boundary-exact gap must MERGE (Spark merges touching windows), one µs past it must split). */
+  private[graft] def cascadesOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("notional"),
+        min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      .filter(col("n") >= cascadeMinN)
+      .select(col("event_type"),
+        tsStr(timestamp_micros(col("t0"))).as("cascade_start"),
+        col("n"), col("notional"), (col("t1") - col("t0")).as("span_us"))
+      .orderBy("event_type", "cascade_start")
 
   /** Bounded-window EWMA (k=8 taps, decay 0.75) per series — the standard
     * smoothing line under every candle chart, truncated to a FIXED number
@@ -1903,6 +1946,37 @@ object TimeWindows {
                 CAST(v IS NULL AS INTEGER) AS gap
          FROM f ORDER BY event_type, hour""",
     "ts_ewma" -> ewmaOracle,
+    // gaps-and-islands with the same STRICT boundary (a gap of exactly
+    // the budget merges — Spark merges touching session windows), same
+    // >= 5 fills filter, exact notional
+    "cascades" -> s"""
+      WITH g AS (
+        SELECT event_type, event_id, value, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                        > $cascadeGapUs
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+      -- the island cumsum MUST accumulate in the same (t, id) order the
+      -- breaks were computed in, or a same-µs tie can land in the wrong
+      -- island
+      isl AS (SELECT event_type, value, t,
+                     CAST(sum(brk) OVER (PARTITION BY event_type
+                       ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS grp
+              FROM g),
+      c AS (SELECT event_type, grp, count(*)::BIGINT AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS notional,
+                   min(t) AS t0, max(t) AS t1
+            FROM isl GROUP BY 1, 2)
+      SELECT event_type,
+             strftime(make_timestamp(t0), '%Y-%m-%d %H:%M:%S.%f')
+               AS cascade_start,
+             n, notional, t1 - t0 AS span_us
+      FROM c WHERE n >= $cascadeMinN
+      ORDER BY event_type, cascade_start""",
     // same exact-µs gaps, BIGINT/HUGEINT moments, one double tree
     "ts_burstiness" -> """
       WITH g AS (
@@ -2036,7 +2110,7 @@ object TimeWindows {
       """WITH g AS (
            SELECT user_id, ts, value,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL 8 HOUR OR
+                            > INTERVAL 8 HOUR OR
                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                        THEN 1 ELSE 0 END AS new_session
            FROM events),
@@ -2107,6 +2181,7 @@ object TimeWindows {
     "ts_xcorr" -> tsXcorr _,
     "ts_dtw" -> tsDtw _,
     "ts_burstiness" -> tsBurstiness _,
+    "cascades" -> cascades _,
     "ts_holt" -> tsHolt _,
     "win_rolling_distinct" -> winRollingDistinct _,
     "ts_mk_trend" -> tsMkTrend _,

@@ -923,6 +923,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally { got.unpersist(); () }
   }
 
+  test("cascades: the size gate bites; touching bursts merge, one µs past the budget splits") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1700006400000L
+    def burst(t: String, start: Long, n: Int, id0: Long) =
+      (0 until n).map(i => (t, new Timestamp(start + i * 1000L),
+        id0 + i, 2.5))
+    val rows =
+      // 5-fill burst ...
+      burst("a", t0, 5, 1L) ++
+      // ... then EXACTLY the 10-min budget later, a 4-fill flurry: Spark
+      // MERGES touching session windows, so this is ONE 9-fill cascade
+      // (the strict-boundary semantic the oracle must replay) ...
+      burst("a", t0 + 4000L + 600000000L / 1000L, 4, 10L) ++
+      // ... while one µs PAST the budget splits, leaving a 4-fill flurry
+      // that the n >= 5 gate silences
+      burst("c", t0, 5, 30L) ++
+      burst("c", t0 + 4000L + 600000000L / 1000L + 1L, 4, 40L) ++
+      // a lone small type never surfaces
+      burst("b", t0, 3, 20L)
+    val got = TimeWindows.cascadesOf(
+        rows.toDF("event_type", "ts", "event_id", "value")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "c"), s"$got")
+    val a = got("a")
+    assert(a.getLong(2) == 9L, s"touching bursts must merge: $a")
+    assert(a.getDouble(3) == 22.5, s"exact notional: $a")
+    val c = got("c")
+    assert(c.getLong(2) == 5L, s"a gap one ms past the budget must split: $c")
+    assert(c.getDouble(3) == 12.5 && c.getLong(4) == 4000000L, s"$c")
+  }
+
   test("ts_burstiness: a metronome reads exactly -1; one huge gap pushes positive") {
     import spark.implicits._
     import java.sql.Timestamp
