@@ -508,22 +508,27 @@ object DataQuality {
     * sum). Scale shape: one map-side-combined 9-bucket count per
     * column plus window math over |cols|×9 = 18 rows; nothing about
     * this changes at 100 TB. */
+  /** The per-column digit extraction, split out so the sub-cent edge is
+    * spec-pinnable closed-form: cents >= 1, not value > 0 — a positive
+    * value below 0.005 rounds to zero cents, whose leading "digit" is 0,
+    * outside the 1..9 Benford frame. The oracle's explicit digit frame
+    * drops such rows from both the output AND the χ² denominator n;
+    * filtering here keeps the two engines on the identical row set
+    * (the formerly-latent r12 edge, now locked by AnalyticsOpsSpec). */
+  private[graft] def benfordDigits(rows: DataFrame, c: String): DataFrame = {
+    val cents = (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    rows.where(col(c) > 0)
+      .select(substring(cents.cast(StringType), 1, 1)
+        .cast(IntegerType).as("digit"))
+      .where(col("digit") >= 1)
+  }
+
   def dqBenford(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def one(tbl: String, c: String): DataFrame = {
-      val cents = (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
-      // cents >= 1, not value > 0: a positive value below 0.005 rounds to
-      // zero cents, whose leading "digit" is 0 — outside the 1..9 Benford
-      // frame. The oracle's explicit digit frame drops such rows from both
-      // the output AND the chi² denominator n; filtering here keeps the two
-      // engines on the identical row set.
-      table(spark, dir, tbl).where(col(c) > 0)
-        .select(substring(cents.cast(StringType), 1, 1)
-          .cast(IntegerType).as("digit"))
-        .where(col("digit") >= 1)
+    def one(tbl: String, c: String): DataFrame =
+      benfordDigits(table(spark, dir, tbl), c)
         .groupBy("digit").agg(count(lit(1)).as("cnt"))
         .select(lit(s"$tbl.$c").as("col_name"), col("digit"), col("cnt"))
-    }
     val counts = benfordCols.map((one _).tupled).reduce(_ unionByName _)
     // every column owes all 9 digit terms, observed or not: the audited
     // column list is static, so the zero frame is a LITERAL 18-row union
@@ -644,7 +649,11 @@ object DataQuality {
     * an adapter dropping a field; distinct-count collapsing = an upstream
     * defaulting a value; liq-stream's coalescing extractors
     * `binance_adapter.py:93-94` are exactly where such drift silently
-    * enters). Split at the measured midpoint day (the ab_cuped anchor),
+    * enters). Split at the MEASURED midpoint day — cut = lo + ⌈span/2⌉
+    * over the corpus's [min, max] day range, so any corpus spanning ≥2
+    * days yields two non-empty halves and a profile (a fixed lo+15 cut
+    * silently muted the audit on shorter corpora; a single-day corpus has
+    * no "before/after" and still profiles empty, by definition) — then
     * profile the four payload-bearing columns per half (n, nulls,
     * distinct), report integer-permille null rates and the distinct-drift
     * permille |d₁−d₂|·1000/max.
@@ -658,8 +667,10 @@ object DataQuality {
 
   private[graft] def schemaDriftOf(events: DataFrame): DataFrame = {
     val d = expr("unix_micros(ts) div 86400000000")
-    val b = events.agg(min(d).as("lo")).head()
-    val cut = b.getLong(0) + 15L
+    val b = events.agg(min(d).as("lo"), max(d).as("hi")).head()
+    // midpoint cut: lo + ceil(span/2); equals the old lo+15 on the
+    // standard 30-day corpus (hash-stable), non-degenerate on short ones
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1L) / 2L
     val stacked = events
       .select(when(d < lit(cut), 1).otherwise(2).as("half"),
         expr("""stack(4,
@@ -788,7 +799,10 @@ object DataQuality {
     // same midpoint split, same stacked per-column profile (value
     // canonicalized to integer cents in BOTH engines before the distinct)
     "dq_schema_drift" -> """
-      WITH b AS (SELECT min(epoch_us(ts) // 86400000000) + 15 AS cut
+      WITH b AS (SELECT min(epoch_us(ts) // 86400000000)
+                        + (max(epoch_us(ts) // 86400000000)
+                           - min(epoch_us(ts) // 86400000000) + 1) // 2
+                          AS cut
                  FROM events),
       stacked AS (
         SELECT CASE WHEN epoch_us(ts) // 86400000000 < (SELECT cut FROM b)

@@ -268,7 +268,12 @@ object TimeWindows {
     * Output is folded to day grain (close + exact-decimal mean of the
     * rounded EWMA) so the check stays O(keys·days) while still covering
     * every per-row smoothed value through the hash. */
-  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+  def tsEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(table(spark, dir, "events"))
+
+  /** The smoother over any (event_type, event_id, ts, value) frame —
+    * split out so StreamIdleGapSpec can drive the cross-gap ring. */
+  private[graft] def ewmaOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = 0.75
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -282,7 +287,7 @@ object TimeWindows {
     // residue would overflow at day scale)
     val ordDay = (unix_micros(col("ts")) % 86400000000L) * 1048576L +
       pmod(col("event_id"), lit(1048576L))
-    table(spark, dir, "events")
+    events
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
       .withColumn("e", roundD(num / den, 6))
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))

@@ -493,11 +493,14 @@ object StreamAssembly {
                 a.cnt, a.volCents / 100.0, 0)
               s = CandleFillState(s.openHours - h, h, a.close)
             }
-          if (state.hasTimedOut && s.openHours.isEmpty) state.remove()
-          else {
-            state.update(s)
-            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
-          }
+          // Idle-gap policy (uniform across every carry-state twin here):
+          // the timeout FLUSHES watermark-closed hours but RETAINS the
+          // carry (emittedUpTo + lastClose) and re-arms — dropping it
+          // would skip the LOCF gap candles the batch twin emits when a
+          // long-silent key resumes. Key set is the event-type alphabet,
+          // so retention is O(|types|) state, not O(traffic).
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -954,11 +957,12 @@ object StreamAssembly {
               s = s.copy(open = s.open - h)
               close(h, c)
             }
-          if (state.hasTimedOut && s.open.isEmpty) state.remove()
-          else {
-            state.update(s)
-            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
-          }
+          // Idle-gap policy: retain emittedUpTo + the 7-hour trail across
+          // the timeout and re-arm — removal would silence the zero-count
+          // gap hours this monitor exists to page on and restart the
+          // trailing baseline, diverging from the batch grid twin.
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -1194,11 +1198,12 @@ object StreamAssembly {
                 .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
                 a.close, mean)
             }
-          if (state.hasTimedOut && s.open.isEmpty) state.remove()
-          else {
-            state.update(s)
-            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
-          }
+          // Idle-gap policy: the trailing-close ring survives the timeout
+          // (re-arm, never remove) — the batch twin's row frame lags
+          // across calendar gaps, so forgetting the ring after 60 idle
+          // days would diverge on the first post-gap day. O(|types|) keys.
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -1257,11 +1262,12 @@ object StreamAssembly {
               }
             }
           val wm = state.getCurrentWatermarkMs()
-          if (state.hasTimedOut) state.remove()
-          else {
-            state.update(s)
-            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
-          }
+          // Idle-gap policy: FunnelWinState (three longs) survives the
+          // timeout — removal would re-emit a duplicate step-1 row when a
+          // lapsed user signs up again, breaking the batch twin's
+          // min-per-user semantics. The timeout only re-arms.
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -1344,12 +1350,15 @@ object StreamAssembly {
                   else 0))
               }
             }
-          if (state.hasTimedOut && s.open.isEmpty && s.ring.isEmpty)
-            state.remove()
-          else {
-            state.update(s)
-            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
-          }
+          // Idle-gap policy: the cents ring survives the timeout (re-arm,
+          // never remove) — the batch rowsBetween(-4,0) frame lags across
+          // calendar gaps, so the first post-gap day must still see the
+          // pre-gap closes. (The old removal guard on ring.isEmpty was
+          // unreachable once a day had closed; retention is now the
+          // documented policy, shared with atrStream/ewmaStream, and is
+          // O(|types|) keys by construction.)
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -1421,11 +1430,13 @@ object StreamAssembly {
                 tr.toDouble / 100.0,
                 r6(win.sum.toDouble / win.size.toDouble / 100.0))
             }
-          if (state.hasTimedOut && s.open.isEmpty) state.remove()
-          else {
-            state.update(s)
-            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
-          }
+          // Idle-gap policy: prevClose + the TR ring survive the timeout
+          // (re-arm, never remove) — the batch twin lags prev_close across
+          // calendar gaps, so the first post-gap day must NOT coalesce to
+          // its own close. Shared policy with bollingerStream/ewmaStream;
+          // O(|types|) keys.
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -1602,34 +1613,36 @@ object StreamAssembly {
       .flatMapGroupsWithState[AttrState, AttrTouch](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[AttrState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var s = state.getOption.getOrElse(AttrState(-1L, -1L))
-            val out = scala.collection.mutable.ArrayBuffer.empty[AttrTouch]
-            var lastMs = 0L
-            // event-time order within the batch; (ts, id) breaks ties the
-            // same way the batch window's orderBy does
-            rows.toSeq.sortBy(r => (r._5, r._2)).foreach {
-              case (_, eid, typ, tsEvent, tUs) =>
-                lastMs = math.max(lastMs, tsEvent.getTime)
-                typ match {
-                  // monotone fold: an out-of-order view arriving after a
-                  // newer one (cross-batch) must not regress the state
-                  case "view" if tUs > s.viewUs ||
-                    (tUs == s.viewUs && eid > s.viewId) =>
-                    s = AttrState(eid, tUs)
-                  case "view" => ()
-                  case "purchase" =>
-                    out += (if (s.viewId >= 0L)
-                      AttrTouch(uid, eid, s.viewId, (tUs - s.viewUs) / 1000000L)
-                    else AttrTouch(uid, eid, -1L, -1L))
-                  case _ => ()
-                }
-            }
-            state.update(s)
-            state.setTimeoutTimestamp(lastMs, idleTimeout)
-            out.iterator
+          var s = state.getOption.getOrElse(AttrState(-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrTouch]
+          var lastMs = 0L
+          // event-time order within the batch; (ts, id) breaks ties the
+          // same way the batch window's orderBy does
+          rows.toSeq.sortBy(r => (r._5, r._2)).foreach {
+            case (_, eid, typ, tsEvent, tUs) =>
+              lastMs = math.max(lastMs, tsEvent.getTime)
+              typ match {
+                // monotone fold: an out-of-order view arriving after a
+                // newer one (cross-batch) must not regress the state
+                case "view" if tUs > s.viewUs ||
+                  (tUs == s.viewUs && eid > s.viewId) =>
+                  s = AttrState(eid, tUs)
+                case "view" => ()
+                case "purchase" =>
+                  out += (if (s.viewId >= 0L)
+                    AttrTouch(uid, eid, s.viewId, (tUs - s.viewUs) / 1000000L)
+                  else AttrTouch(uid, eid, -1L, -1L))
+                case _ => ()
+              }
           }
+          // Idle-gap policy: the last-view carry (two longs) survives the
+          // timeout — the batch twin attributes a purchase to the last
+          // view at ANY lag, so forgetting it after 60 idle days would
+          // turn a late conversion organic. The timeout only re-arms.
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(lastMs, state.getCurrentWatermarkMs()), idleTimeout)
+          out.iterator
       }
   }
 
@@ -1644,10 +1657,12 @@ object StreamAssembly {
     * moment a user ADVANCES a stage (the real-time form of the batch
     * conversion report: live activation dashboards, drop-off alerting).
     * Per-user state is three epoch-millis — O(1) per user regardless of
-    * event volume, sharded by the state store like every keyed state here,
-    * and expired via event-time timeout once a user goes idle past the
-    * horizon (the funnel-window contract; an unbounded funnel would pin
-    * every user forever at 100 TB). Rows are applied in event-time order
+    * event volume, sharded by the state store like every keyed state here
+    * (RocksDB for the 100 TB key counts — [[useRocksDbStateStore]]); the
+    * event-time timeout only RE-ARMS — state is retained across idle gaps
+    * so a lapsed user's return cannot re-emit a duplicate stage row
+    * (min-per-user parity with the batch twin). Rows are applied in
+    * event-time order
     * WITHIN each micro-batch (the sort below); across batches the machine
     * is monotone, so parity with the batch funnel holds when delivery is
     * watermark-ordered — StreamingSpec feeds the real events table in ts
@@ -1666,28 +1681,30 @@ object StreamAssembly {
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
-            var lastTs = 0L
-            rows.toSeq.sortBy(_._3.getTime).foreach { case (_, typ, tsEvent) =>
-              val t = tsEvent.getTime
-              lastTs = math.max(lastTs, t)
-              typ match {
-                case "signup" if s.t1 < 0 =>
-                  s = s.copy(t1 = t); out += FunnelUpdate(uid, 1, t)
-                case "view" if s.t1 >= 0 && s.t2 < 0 && t > s.t1 =>
-                  s = s.copy(t2 = t); out += FunnelUpdate(uid, 2, t)
-                case "purchase" if s.t2 >= 0 && s.t3 < 0 && t > s.t2 =>
-                  s = s.copy(t3 = t); out += FunnelUpdate(uid, 3, t)
-                case _ => ()
-              }
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          var lastTs = 0L
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, typ, tsEvent) =>
+            val t = tsEvent.getTime
+            lastTs = math.max(lastTs, t)
+            typ match {
+              case "signup" if s.t1 < 0 =>
+                s = s.copy(t1 = t); out += FunnelUpdate(uid, 1, t)
+              case "view" if s.t1 >= 0 && s.t2 < 0 && t > s.t1 =>
+                s = s.copy(t2 = t); out += FunnelUpdate(uid, 2, t)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 && t > s.t2 =>
+                s = s.copy(t3 = t); out += FunnelUpdate(uid, 3, t)
+              case _ => ()
             }
-            state.update(s)
-            state.setTimeoutTimestamp(lastTs, idleTimeout)
-            out.iterator
           }
+          // Idle-gap policy (shared with funnelWindowStream): the
+          // three-long FunnelState survives the timeout — removal would
+          // re-emit duplicate stage rows when a lapsed user returns,
+          // breaking min-per-user parity with the batch funnel.
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(lastTs, state.getCurrentWatermarkMs()), idleTimeout)
+          out.iterator
       }
   }
 

@@ -1133,4 +1133,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     val c2 = DataQuality.dqChecksum(spark, dir).collect()
     assert(c1.toSeq == c2.toSeq, "checksum must be deterministic")
   }
+
+  test("ts_periodicity: pre-1970 days keep the weekday selector exact (pmod edge)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // day -700..-673: datediff from 1970-01-01 is NEGATIVE, so a truncating
+    // `% 7` would scramble the weekday classes; pmod must keep the pure
+    // weekly sinusoid's power at ~1 exactly as it does post-1970 (the
+    // formerly-latent oracle edge, fixed in r13 — this pins it)
+    def day(i: Int) = new Timestamp(86400000L * (-700 + i))
+    val ev = (0 until 28).flatMap { d =>
+      Seq(
+        ("weekly", day(d), 100.0 + 50.0 * math.cos(2 * math.Pi * d / 7)),
+        ("alt", day(d), if (d % 2 == 0) 50.0 else 150.0))
+    }.toDF("event_type", "ts", "value")
+    val got = TimeWindows.periodicityOf(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("weekly") > 0.95, s"pre-epoch weekly cycle lost power: $got")
+    assert(got("alt") < 0.1, s"pre-epoch period-2 gained weekly power: $got")
+  }
+
+  test("dq_benford: sub-cent rows leave both the frame and the denominator") {
+    import spark.implicits._
+    // 0.004 rounds to 0 cents (digit 0 — outside the 1..9 frame, dropped);
+    // 0.005 HALF_UPs to 1 cent; negatives and zero are out via value > 0
+    val vals = Seq(0.004, 0.005, 0.01, 1.23, 9.99, 0.0, -5.0)
+      .toDF("price")
+    val digits = DataQuality.benfordDigits(vals, "price")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(digits == Seq(1, 1, 1, 9),
+      s"sub-cent/zero/negative filtering drifted: $digits")
+  }
 }
