@@ -1441,6 +1441,243 @@ object StreamAssembly {
       }
   }
 
+  final case class RsiDay(maxKey: Long, close: Double)
+  final case class RsiState(prevClose: Long, hasPrev: Boolean,
+      deltas: Vector[Long], open: Map[Long, RsiDay])
+  final case class RsiReport(event_type: String, day: String,
+      gain7: Long, loss7: Long, rsi: Option[Double])
+
+  /** STREAMING RSI-7 — the momentum oscillator live, per (type, UTC day):
+    * Cutler's SMA form, 100·Σgain/(Σgain+Σloss) over the trailing 7
+    * close-to-close moves, each day emitted exactly once at watermark
+    * close. Live twin of the oracle-checked `ta_rsi`
+    * ([[bollingerStream]]'s class). Bit-exactness: the day close is
+    * picked by the SAME packed (µs-in-day, id mod 2²⁰) key; deltas are
+    * exact cent integers; warm-up matches the batch position semantics
+    * (the first day has no delta; emission starts at the 7th delta);
+    * a flat week (Σ = 0) is None in both runtimes (batch nullif). State
+    * per key: prev close + a ≤7-long delta ring + O(open days), and the
+    * idle-gap policy retains the carry across timeouts ([[atrStream]]). */
+  def rsiStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[RsiReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RsiState, RsiReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            RsiState(0L, hasPrev = false, Vector.empty, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val cur = s.open.get(dayKey) match {
+              case Some(p) if p.maxKey >= ordKey => p
+              case _ => RsiDay(ordKey, v)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .flatMap { k =>
+              val c = math.floor(s.open(k).close * 100 + 0.5).toLong
+              val rep =
+                if (!s.hasPrev) { s = s.copy(open = s.open - k); None }
+                else {
+                  val delta = c - s.prevClose
+                  val win = (s.deltas :+ delta).takeRight(7)
+                  s = s.copy(deltas = win, open = s.open - k)
+                  if (win.size < 7) None
+                  else {
+                    val gain = win.map(d => math.max(d, 0L)).sum
+                    val loss = win.map(d => math.max(-d, 0L)).sum
+                    val rsi =
+                      if (gain + loss == 0L) None
+                      else Some(math.floor(100.0 * gain.toDouble /
+                        (gain + loss).toDouble * 1e6 + 0.5) / 1e6)
+                    Some(RsiReport(key, java.time.Instant.ofEpochMilli(k)
+                      .atOffset(java.time.ZoneOffset.UTC).toLocalDate
+                      .toString, gain, loss, rsi))
+                  }
+                }
+              s = s.copy(prevClose = c, hasPrev = true)
+              rep
+            }
+          // Idle-gap policy: prevClose + the delta ring survive ([[atrStream]])
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
+  final case class MacdDay(maxKey: Long, close: Double)
+  final case class MacdState(closes: Vector[Double], macds: Vector[Double],
+      open: Map[Long, MacdDay])
+  final case class MacdReport(event_type: String, day: String,
+      ema_fast: Double, ema_slow: Double, macd: Double, signal: Double,
+      hist: Double)
+
+  /** STREAMING MACD — trend momentum live, per (type, UTC day): fast EMA
+    * (decay 3/4, 8 taps) − slow EMA (decay 15/16, 16 taps), 4-tap signal
+    * (decay 1/2) over the QUANTIZED MACD, and the histogram; each day
+    * emitted exactly once at watermark close. Live twin of the
+    * oracle-checked `ta_macd`.
+    *
+    * Bit-exactness with the batch twin: the bounded-tap EMAs are the
+    * same fixed expression trees — weights are the identical
+    * `math.pow(d, j)` dyadic rationals, terms added in ascending-j order
+    * (the batch `reduce` fold; a missing head tap contributes exactly
+    * 0.0 to num and den, the coalesce identity), num/den divided once,
+    * [[graft.ops.roundD]]'s floor(x·1e6+0.5)/1e6 applied at the same
+    * three points (fast, slow, macd → signal input, hist). Day closes
+    * are raw doubles picked by the same packed key, so both runtimes
+    * feed bit-identical inputs through an identical IEEE tree. State per
+    * key: 16 closes + 4 quantized MACDs + O(open days); the idle-gap
+    * policy retains the rings (batch lags across calendar gaps). */
+  def macdStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[MacdReport] = {
+    import events.sparkSession.implicits._
+    import graft.ops.MarketOps.{macdFastD, macdSlowD, macdSigD,
+      macdFastK, macdSlowK, macdSigK}
+    val dayMs = 86400000L
+    // lag(src, j) over the day sequence = ring(size-1-j); ascending-j
+    // accumulation replays the batch emaTaps addition order exactly
+    def ema(ring: Vector[Double], k: Int, d: Double): Double = {
+      var num = 0.0; var den = 0.0; var j = 0
+      while (j < k) {
+        val idx = ring.size - 1 - j
+        if (idx >= 0) {
+          num += ring(idx) * math.pow(d, j)
+          den += math.pow(d, j)
+        }
+        j += 1
+      }
+      num / den
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[MacdState, MacdReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            MacdState(Vector.empty, Vector.empty, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val cur = s.open.get(dayKey) match {
+              case Some(p) if p.maxKey >= ordKey => p
+              case _ => MacdDay(ordKey, v)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val closes = (s.closes :+ s.open(k).close).takeRight(macdSlowK)
+              val fast = r6(ema(closes, macdFastK, macdFastD))
+              val slow = r6(ema(closes, macdSlowK, macdSlowD))
+              val macd = r6(fast - slow)
+              val macds = (s.macds :+ macd).takeRight(macdSigK)
+              s = MacdState(closes, macds, s.open - k)
+              val signal = r6(ema(macds, macdSigK, macdSigD))
+              MacdReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                fast, slow, macd, signal, r6(macd - signal))
+            }
+          // Idle-gap policy: close/MACD rings survive ([[bollingerStream]])
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
+  final case class MonoHour(n: Long, inversions: Long)
+  final case class MonoState(runmax: Long, hasMax: Boolean,
+      open: Map[Long, MonoHour])
+  final case class MonoReport(event_type: String, hour_ms: Long, n: Long,
+      inversions: Long)
+
+  /** STREAMING ORDERING AUDIT — [[graft.ops.DataQuality.dqMonotonic]]'s
+    * id-vs-event-time inversion monitor run LIVE at hour grain per type:
+    * an event id below the running maximum of everything earlier is a
+    * replayed segment / interleaved backfill / producer clock skew,
+    * surfaced while the data is in flight rather than at the nightly
+    * audit. The running max is GLOBAL per key (the batch twin's
+    * unbounded-preceding frame), counts bucket into the row's event-time
+    * hour, and each hour emits exactly once at watermark close — so the
+    * per-type sum over emitted hours equals the batch (n, inversions)
+    * row exactly (spec-asserted). Rows apply in full-µs (ts, id) order
+    * per micro-batch; cross-batch in-order feed, the [[cusumStream]]
+    * convention. State per key: one long + O(open hours). The idle-gap
+    * policy retains runmax — a post-gap replay must still be seen as an
+    * inversion, exactly as the batch frame sees it. */
+  def monotonicStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[MonoReport] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[MonoState, MonoReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            MonoState(Long.MinValue, hasMax = false, Map.empty))
+          var lastMs = 0L
+          rows.toSeq
+            .sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+            .foreach { case (_, id, ts) =>
+              val ms = ts.getTime
+              lastMs = math.max(lastMs, ms)
+              val h = math.floorDiv(ms, hourMs) * hourMs
+              val inv = if (s.hasMax && id < s.runmax) 1L else 0L
+              val c = s.open.getOrElse(h, MonoHour(0L, 0L))
+              s = MonoState(math.max(s.runmax, id), hasMax = true,
+                s.open + (h -> MonoHour(c.n + 1L, c.inversions + inv)))
+            }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(h => h + hourMs <= wm)
+            .map { h =>
+              val c = s.open(h)
+              s = s.copy(open = s.open - h)
+              MonoReport(key, h, c.n, c.inversions)
+            }
+          // Idle-gap policy: runmax survives — post-gap replays must
+          // still read as inversions (the batch unbounded frame)
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
   private[graft] val driftBaseline: Seq[(String, Double)] = Seq(
     "click" -> 0.25, "error" -> 0.05, "purchase" -> 0.20,
     "signup" -> 0.20, "view" -> 0.30)

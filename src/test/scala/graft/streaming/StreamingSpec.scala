@@ -1539,4 +1539,145 @@ class StreamingSpec extends SparkSpec {
       assert(got.size > 50, s"parity surface too small: ${got.size}")
     } finally q.stop()
   }
+
+  test("streaming RSI-7: row-exact parity with ta_rsi") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.rsiStream(events)
+      .toDF().writeStream.format("memory").queryName("rsi_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM rsi_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val want = graft.ops.MarketOps.taRsi(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      assert(got == want,
+        s"stream/batch RSI diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      assert(got.size > 50, s"parity surface too small: ${got.size}")
+    } finally q.stop()
+  }
+
+  test("streaming MACD: row-exact parity with ta_macd") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.macdStream(events)
+      .toDF().writeStream.format("memory").queryName("macd_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM macd_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      val want = graft.ops.MarketOps.taMacd(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      assert(got == want,
+        s"stream/batch MACD diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      assert(got.size > 50, s"parity surface too small: ${got.size}")
+    } finally q.stop()
+  }
+
+  test("streaming ordering audit: per-type hour sums equal dq_monotonic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts")
+      .as[(String, Long, java.sql.Timestamp)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts")
+    val q = StreamAssembly.monotonicStream(events)
+      .toDF().writeStream.format("memory").queryName("mono_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT event_type, sum(n) AS n, sum(inversions) AS inv
+           FROM mono_stream WHERE event_type <> 'zz_sentinel'
+           GROUP BY event_type""")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val want = graft.ops.DataQuality.dqMonotonic(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"stream/batch ordering audit diverged: " +
+        s"$got vs $want")
+      // the corpus ships id-in-ts-order (0 inversions everywhere), so
+      // parity alone is vacuous for the inversion counter — drive it
+      // closed-form on a fresh key past the sentinel watermark: ids
+      // 100, 50 (inv), then next hour 200, 10 (inv) — and the running
+      // max must CROSS the hour boundary (10 < 200)
+      val t0 = lastTs + 366L * 86400000L
+      def at(ms: Long) = new java.sql.Timestamp(ms)
+      mem.addData(Seq(
+        ("zz_probe", 100L, at(t0)),
+        ("zz_probe", 50L, at(t0 + 60000L)),
+        ("zz_probe", 200L, at(t0 + 3600000L)),
+        ("zz_probe", 10L, at(t0 + 3660000L))))
+      q.processAllAvailable()
+      mem.addData(("zz_sentinel", 1L,
+        new java.sql.Timestamp(t0 + 365L * 86400000L)))
+      q.processAllAvailable()
+      val probe = spark.sql(
+        """SELECT hour_ms, n, inversions FROM mono_stream
+           WHERE event_type = 'zz_probe' ORDER BY hour_ms""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val h0 = math.floorDiv(t0, 3600000L) * 3600000L
+      assert(probe == Seq((h0, 2L, 1L), (h0 + 3600000L, 2L, 1L)),
+        s"closed-form inversion count drifted: $probe")
+    } finally q.stop()
+  }
 }
