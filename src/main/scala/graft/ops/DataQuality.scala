@@ -728,6 +728,42 @@ object DataQuality {
       .orderBy("event_type")
   }
 
+  /** RULE CONFORMANCE AUDIT — the declarative contract check a feed owner
+    * publishes next to the schema: five rules (known event-type alphabet,
+    * non-negative value, JSON-object-shaped props, positive user id,
+    * plausible timestamp range), each reported as n / violations /
+    * integer-permille rate. NULL fails a rule (a missing value cannot
+    * conform) — the fail-closed posture [[dqRef]]/[[dqUnique]] share.
+    * Scale shape: ONE stack-unpivot projection (map-side, 5 rows per
+    * event, the [[schemaDriftOf]] pattern) into one 5-key aggregate —
+    * a single scan however many rules the contract grows. */
+  def dqConformance(spark: SparkSession, dir: String): DataFrame =
+    conformanceOf(table(spark, dir, "events"))
+
+  private[graft] def conformanceOf(events: DataFrame): DataFrame =
+    events
+      .select(expr("""stack(5,
+          'event_type_known',
+          CASE WHEN event_type IN ('click','error','purchase','signup','view')
+               THEN 0 ELSE 1 END,
+          'props_json_object',
+          CASE WHEN props IS NOT NULL AND props LIKE '{%' AND props LIKE '%}'
+               THEN 0 ELSE 1 END,
+          'ts_in_range',
+          CASE WHEN ts >= TIMESTAMP '2020-01-01 00:00:00'
+                AND ts <  TIMESTAMP '2030-01-01 00:00:00' THEN 0 ELSE 1 END,
+          'user_id_positive',
+          CASE WHEN user_id > 0 THEN 0 ELSE 1 END,
+          'value_nonneg',
+          CASE WHEN value >= 0 THEN 0 ELSE 1 END
+        ) AS (rule, viol)"""))
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n"), sum(col("viol").cast("long"))
+        .as("violations"))
+      .select(col("rule"), col("n"), col("violations"),
+        expr("violations * 1000 div n").as("viol_pm"))
+      .orderBy("rule")
+
   /** ORDERING AUDIT — how often event ids arrive OUT OF ORDER relative to
     * event time, per type: an id below the running maximum of everything
     * earlier means the producer's sequence and the event clock disagree
@@ -768,6 +804,33 @@ object DataQuality {
          COALESCE(props, 'null')))"""
 
   val oracles: Map[String, String] = Map(
+    // same five CASE rules (NULL fails), same integer permille
+    "dq_conformance" -> """
+      WITH r AS (
+        SELECT rule, viol FROM (
+          SELECT 'event_type_known' AS rule,
+                 CASE WHEN event_type IN
+                        ('click','error','purchase','signup','view')
+                      THEN 0 ELSE 1 END AS viol FROM events
+          UNION ALL
+          SELECT 'props_json_object',
+                 CASE WHEN props IS NOT NULL AND props LIKE '{%'
+                       AND props LIKE '%}' THEN 0 ELSE 1 END FROM events
+          UNION ALL
+          SELECT 'ts_in_range',
+                 CASE WHEN ts >= TIMESTAMP '2020-01-01 00:00:00'
+                       AND ts <  TIMESTAMP '2030-01-01 00:00:00'
+                      THEN 0 ELSE 1 END FROM events
+          UNION ALL
+          SELECT 'user_id_positive',
+                 CASE WHEN user_id > 0 THEN 0 ELSE 1 END FROM events
+          UNION ALL
+          SELECT 'value_nonneg',
+                 CASE WHEN value >= 0 THEN 0 ELSE 1 END FROM events))
+      SELECT rule, count(*) AS n,
+             CAST(sum(viol) AS BIGINT) AS violations,
+             CAST(sum(viol) AS BIGINT) * 1000 // count(*) AS viol_pm
+      FROM r GROUP BY 1 ORDER BY rule""",
     // same running max over the strictly-earlier frame, same integer test
     "dq_monotonic" -> """
       WITH r AS (
@@ -1240,6 +1303,7 @@ object DataQuality {
     "dq_schema_drift" -> dqSchemaDrift _,
     "dq_bounce" -> dqBounce _,
     "dq_monotonic" -> dqMonotonic _,
+    "dq_conformance" -> dqConformance _,
     "dq_unique" -> dqUnique _,
     "dq_freshness" -> dqFreshness _,
     "dq_volume" -> dqVolume _,

@@ -283,6 +283,124 @@ object EventOps {
       .orderBy("touch_type", "position")
   }
 
+  /** LINEAR (EVEN-CREDIT) MULTI-TOUCH ATTRIBUTION — the equal-split
+    * model completing the family ([[attrLastTouch]] single-credit,
+    * [[attrPosition]] U-shaped, [[attrMarkov]] removal-effect, and
+    * [[attrDecay]] recency-weighted): every touch on a converting path
+    * earns 1000 div n_touches permille (the sub-permille remainder is
+    * dropped — the [[attrPosition]] middle-split convention, replayed
+    * identically by the oracle), rolled up by touch type. Same
+    * segment machinery, same plan shape: running strictly-prior
+    * purchase count stamps segments, ONE window over each bounded
+    * conversion path, then a tiny hash rollup. */
+  def attrLinear(spark: SparkSession, dir: String): DataFrame =
+    attrLinearOf(table(spark, dir, "events"))
+
+  private[graft] def attrLinearOf(events: DataFrame): DataFrame =
+    convertingTouches(events)
+      .select(col("event_type").as("touch_type"),
+        expr("1000 div nt").as("w"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("w").as("credit_permille"))
+      .orderBy("touch_type")
+
+  /** TIME-DECAY MULTI-TOUCH ATTRIBUTION — recency-weighted credit: a
+    * touch's raw weight halves for every 3 full days between it and its
+    * conversion (the dyadic ladder 1000, 500, 250, …, 1 — explicit
+    * integer literals, so both engines share the exact table and no
+    * floating-point pow enters the credit path), then each conversion's
+    * weights normalize to permille with integer `div` (remainder
+    * dropped, the family convention). The model every "last week's
+    * campaign" debate reaches for: recent touches dominate without the
+    * cliff of last-touch. Same segment machinery as [[attrPosition]];
+    * the purchase timestamp rides the same path-bounded window that
+    * already carries position, so the age is one extra column, not an
+    * interval join. */
+  def attrDecay(spark: SparkSession, dir: String): DataFrame =
+    attrDecayOf(table(spark, dir, "events"))
+
+  /** 1000 div 2^k for k = age_days div 3, capped at the 1‰ floor. */
+  private[graft] val decayLadder: Seq[Long] =
+    Seq(1000L, 500L, 250L, 125L, 62L, 31L, 15L, 7L, 3L, 1L)
+
+  private[graft] def attrDecayOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy("user_id", "seg")
+    val aged = convertingTouches(events)
+      .withColumn("age_days",
+        expr("(p_us - unix_micros(ts)) div 86400000000"))
+      .withColumn("k", least(expr("age_days div 3"),
+        lit((decayLadder.size - 1).toLong)))
+      .withColumn("w", decayLadder.zipWithIndex.tail.foldLeft(
+        when(col("k") === 0L, lit(decayLadder.head))) {
+        case (acc, (v, i)) => acc.when(col("k") === i.toLong, lit(v))
+      })
+    aged
+      .withColumn("sw", sum("w").over(wg))
+      .select(col("event_type").as("touch_type"),
+        expr("w * 1000 div sw").as("credit"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit").as("credit_permille"))
+      .orderBy("touch_type")
+  }
+
+  /** The shared converting-path frame behind [[attrLinearOf]] and
+    * [[attrDecayOf]]: every non-purchase touch of a segment that
+    * converted, with the path size `nt` and the conversion's µs
+    * timestamp `p_us` ([[attrPositionOf]]'s machinery, plus the
+    * purchase-time column the decay model needs). */
+  private def convertingTouches(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events
+      .select("user_id", "event_id", "event_type", "ts")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("seg", coalesce(sum(
+        when(col("event_type") === "purchase", 1L)).over(wSeg), lit(0L)))
+    val wg = Window.partitionBy("user_id", "seg")
+    ev
+      .withColumn("has_p", max(when(col("event_type") === "purchase", 1)
+        .otherwise(0)).over(wg))
+      .withColumn("p_us", max(when(col("event_type") === "purchase",
+        unix_micros(col("ts")))).over(wg))
+      .withColumn("n_all", count(lit(1)).over(wg))
+      .filter(col("event_type") =!= "purchase" && col("has_p") === 1)
+      .withColumn("nt", col("n_all") - 1)
+  }
+
+  /** USER STICKINESS — the DAU/MAU engagement ratio per (type, month):
+    * avg daily active users over monthly active users, in integer
+    * permille — THE habit metric product reviews track (300‰ ≈ the
+    * classic "good" bar). Exact integer form: Σ daily-distinct · 1000
+    * div (n_days · monthly-distinct), so no float average enters the
+    * compare. Plan: ONE distinct projection at (type, day, user) grain
+    * feeds the daily counts AND (re-deduped at month grain) the MAU —
+    * two map-side-combined aggregates over user-keyed shuffles, no
+    * window, no per-user state. */
+  def userStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "events")
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .distinct()
+    val daily = base.groupBy("event_type", "month", "day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy("event_type", "month")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val mau = base.select("event_type", "month", "user_id").distinct()
+      .groupBy("event_type", "month")
+      .agg(count(lit(1)).as("mau"))
+    daily.join(mau, Seq("event_type", "month"))
+      .select(col("event_type"), col("month"), col("n_days"),
+        col("sum_dau"), col("mau"),
+        expr("sum_dau * 1000 div (n_days * mau)").as("stickiness_pm"))
+      .orderBy("event_type", "month")
+  }
+
   /** WELCH T-TEST READOUT — the continuous-metric companion to
     * [[abTest]]'s proportion z²: arms compare on MEAN SPEND PER USER
     * (the revenue metric experiments actually ship on), with the
@@ -1276,6 +1394,85 @@ object EventOps {
                   AS BIGINT) AS cum_cents
          FROM cells ORDER BY cohort, week""",
     // identical segment stamping, group windows, and integer-permille split
+    // same segment CTE as attr_position; even 1000 // nt split, remainder
+    // dropped in both engines
+    "attr_linear" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, ts,
+                  COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS seg
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         g AS (
+           SELECT *,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, seg) AS has_p,
+                  count(*) OVER (PARTITION BY user_id, seg) AS n_all
+           FROM ev),
+         t AS (
+           SELECT event_type AS touch_type, n_all - 1 AS nt
+           FROM g WHERE event_type <> 'purchase' AND has_p = 1)
+         SELECT touch_type, count(*) AS n_touches,
+                CAST(sum(1000 // nt) AS BIGINT) AS credit_permille
+         FROM t GROUP BY 1 ORDER BY touch_type""",
+    // same segment CTE; the dyadic decay ladder is the same literal CASE
+    // table (no pow), normalization is integer // per conversion
+    "attr_decay" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, ts,
+                  COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS seg
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         g AS (
+           SELECT *,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, seg) AS has_p,
+                  max(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END)
+                    OVER (PARTITION BY user_id, seg) AS p_us
+           FROM ev),
+         t AS (
+           SELECT user_id, seg, event_type AS touch_type,
+                  CASE least((p_us - epoch_us(ts)) // 86400000000 // 3, 9)
+                       WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+                       WHEN 3 THEN 125 WHEN 4 THEN 62 WHEN 5 THEN 31
+                       WHEN 6 THEN 15 WHEN 7 THEN 7 WHEN 8 THEN 3
+                       ELSE 1 END AS w
+           FROM g WHERE event_type <> 'purchase' AND has_p = 1),
+         n AS (
+           SELECT touch_type,
+                  w * 1000 // sum(w) OVER (PARTITION BY user_id, seg)
+                    AS credit
+           FROM t)
+         SELECT touch_type, count(*) AS n_touches,
+                CAST(sum(credit) AS BIGINT) AS credit_permille
+         FROM n GROUP BY 1 ORDER BY touch_type""",
+    // one (type, month, day, user) distinct projection feeds both counts;
+    // the ratio is exact integer permille in both engines
+    "user_stickiness" ->
+      """WITH base AS (
+           SELECT DISTINCT event_type, strftime(ts, '%Y-%m') AS month,
+                  strftime(ts, '%Y-%m-%d') AS day, user_id
+           FROM events),
+         d AS (
+           SELECT event_type, month, count(*) AS n_days,
+                  CAST(sum(dau) AS BIGINT) AS sum_dau
+           FROM (SELECT event_type, month, day, count(*) AS dau
+                 FROM base GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, month, count(*) AS mau
+           FROM (SELECT DISTINCT event_type, month, user_id FROM base)
+           GROUP BY 1, 2)
+         SELECT d.event_type, d.month, d.n_days, d.sum_dau, m.mau,
+                d.sum_dau * 1000 // (d.n_days * m.mau) AS stickiness_pm
+         FROM d JOIN m ON d.event_type = m.event_type AND d.month = m.month
+         ORDER BY d.event_type, d.month""",
     "attr_position" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type, ts,
@@ -1334,6 +1531,9 @@ object EventOps {
     "funnel_latency" -> funnelLatency _,
     "cohort_ltv" -> cohortLtv _,
     "attr_position" -> attrPosition _,
+    "attr_linear" -> attrLinear _,
+    "attr_decay" -> attrDecay _,
+    "user_stickiness" -> userStickiness _,
     "ab_ttest" -> abTtest _,
     "ab_wilson" -> abWilson _,
     "ab_srm" -> abSrm _,

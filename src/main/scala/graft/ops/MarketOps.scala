@@ -424,6 +424,118 @@ object MarketOps {
       .orderBy("event_type", "day")
   }
 
+  // ------------------------------------------------------- Beta / Sharpe
+
+  /** Quantized daily PPM RETURNS per type on the consecutive-present-day
+    * (position) sequence: r = floor((c−c_prev)/c_prev · 1e6 + 0.5) with
+    * exact cent closes. The two ints→double casts and the single IEEE
+    * division are bit-identical in both engines, and floor (never
+    * integer `div`, whose negative rounding differs between Spark trunc
+    * and DuckDB floor) lands the ppm grid — the shared return frame
+    * behind [[taBeta]] and [[taSharpe]]. */
+  /** The shared (type, day, cent-close) frame — built ONCE per query so
+    * the type and market branches hang off an identical agg subplan
+    * (ReusedExchange dedupes the events scan + daily aggregate when
+    * both appear in one plan, e.g. [[betaOf]]). */
+  private def centsDailyOf(events: DataFrame): DataFrame =
+    dailyCloseOf(events)
+      .withColumn("c", floor(col("close") * 100 + 0.5).cast(LongType))
+
+  private[graft] def typeReturnsOf(events: DataFrame): DataFrame =
+    typeReturnsFrom(centsDailyOf(events))
+
+  private def typeReturnsFrom(centsDaily: DataFrame): DataFrame = {
+    val wo = Window.partitionBy("event_type").orderBy("d")
+    centsDaily
+      .withColumn("cp", lag(col("c"), 1).over(wo))
+      .filter(col("cp").isNotNull && col("cp") =!= 0L)
+      .select(col("event_type"), col("d"),
+        floor((col("c") - col("cp")).cast(DoubleType) /
+          col("cp").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("r"))
+  }
+
+  /** The composite "market" series: Σ over types of the day's cent close
+    * (an equal-weight index on exact integers), then the same ppm return
+    * quantization. The lag runs over a GLOBAL window — deliberate: the
+    * frame is the aggregated |days| rows, the documented
+    * dimension-bounded class (dq_volume/dq_entropy), never raw events. */
+  private def marketReturnsFrom(centsDaily: DataFrame): DataFrame = {
+    val wo = Window.orderBy("d")
+    centsDaily
+      .groupBy("d").agg(sum(col("c")).as("mc"))
+      .withColumn("mp", lag(col("mc"), 1).over(wo))
+      .filter(col("mp").isNotNull && col("mp") =!= 0L)
+      .select(col("d"),
+        floor((col("mc") - col("mp")).cast(DoubleType) /
+          col("mp").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("rm"))
+  }
+
+  /** MARKET BETA per type — the OLS slope of the type's daily ppm return
+    * on the composite market's: the systematic-risk number under every
+    * hedge ratio and factor screen. Moments (n, Σx, Σy, Σxy, Σx²) ride
+    * DECIMAL(38,0) (ppm² products brush int64 — the [[graft.ops.EventOps
+    * .abTtest]] convention), cast to double ONCE, and β derives in a
+    * single scalar tree (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), NULL on a
+    * zero-variance market via nullif. Plan: two daily aggregates, a
+    * broadcast-sized |days| join, one final |types| aggregate. */
+  def taBeta(spark: SparkSession, dir: String): DataFrame =
+    betaOf(table(spark, dir, "events"))
+
+  private[graft] def betaOf(events: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val dec18 = DecimalType(18, 0)
+    val cd = centsDailyOf(events)
+    val m = typeReturnsFrom(cd)
+      .join(broadcast(marketReturnsFrom(cd)), "d")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rm").cast(dec38)).as("sx"),
+        sum(col("r").cast(dec38)).as("sy"),
+        sum((col("rm").cast(dec18) * col("r").cast(dec18)).cast(dec38))
+          .as("sxy"),
+        sum((col("rm").cast(dec18) * col("rm").cast(dec18)).cast(dec38))
+          .as("sxx"))
+    val (nd, sx, sy, sxy, sxx) =
+      (col("n_days").cast(DoubleType), col("sx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("sxy").cast(DoubleType),
+        col("sxx").cast(DoubleType))
+    m.select(col("event_type"), col("n_days"),
+        roundD((nd * sxy - sx * sy) /
+          nullif(nd * sxx - sx * sx, lit(0.0)), 6).as("beta"))
+      .orderBy("event_type")
+  }
+
+  /** SHARPE RATIO per type — annualized mean/σ of the daily ppm return
+    * (√252 trading days), the risk-adjusted-return headline. Same
+    * DECIMAL(38,0) moments as [[betaOf]]; mean, sample σ and the ratio
+    * are ONE double tree on the cast moments (greatest(…,0) guards the
+    * σ rounding edge, nullif the flat series and the n<2 warm-up —
+    * NULL, never NaN, in both engines). */
+  def taSharpe(spark: SparkSession, dir: String): DataFrame =
+    sharpeOf(table(spark, dir, "events"))
+
+  private[graft] def sharpeOf(events: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val dec18 = DecimalType(18, 0)
+    val m = typeReturnsOf(events)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r").cast(dec38)).as("sx"),
+        sum((col("r").cast(dec18) * col("r").cast(dec18)).cast(dec38))
+          .as("sxx"))
+    val (nd, sx, sxx) = (col("n_days").cast(DoubleType),
+      col("sx").cast(DoubleType), col("sxx").cast(DoubleType))
+    val mean = sx / nd / lit(1e6)
+    val sd = sqrt(greatest((nd * sxx - sx * sx) /
+      nullif(nd * (nd - lit(1.0)), lit(0.0)), lit(0.0))) / lit(1e6)
+    m.select(col("event_type"), col("n_days"),
+        roundD(mean, 6).as("mean_ret"),
+        roundD(sd, 6).as("sd_ret"),
+        roundD(mean / nullif(sd, lit(0.0)) * sqrt(lit(252.0)), 6)
+          .as("sharpe"))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------------- wiring
 
   /** EMA tap-sum SQL shared by the [[taMacd]] oracle — same tap count and
@@ -447,7 +559,70 @@ object MarketOps {
     s"($num) / ($den)"
   }
 
+  /** Shared return-frame SQL behind the ta_beta/ta_sharpe oracles — the
+    * same floor-quantized ppm grid as [[typeReturnsOf]] (floor, never
+    * integer division: `//` floors in DuckDB while Spark's `div`
+    * truncates, and returns go negative). */
+  private val typeReturnsSql: String = s"""
+      dc AS ($dailyCloseSql),
+      cc AS (SELECT event_type, d,
+                    CAST(floor(close * 100 + 0.5) AS BIGINT) AS c FROM dc),
+      tr AS (SELECT event_type, d,
+                    CAST(floor((c - cp)::DOUBLE / cp::DOUBLE * 1e6 + 0.5)
+                         AS BIGINT) AS r
+             FROM (SELECT event_type, d, c,
+                          lag(c) OVER (PARTITION BY event_type ORDER BY d)
+                            AS cp
+                   FROM cc)
+             WHERE cp IS NOT NULL AND cp <> 0)"""
+
   val oracles: Map[String, String] = Map(
+    // same HUGEINT moments (Spark: DECIMAL(38,0)), same single double
+    // tree for the OLS slope, same 1e-6 floor-round
+    "ta_beta" -> s"""
+      WITH $typeReturnsSql,
+      mk AS (SELECT d, CAST(sum(c) AS BIGINT) AS mc FROM cc GROUP BY 1),
+      mr AS (SELECT d,
+                    CAST(floor((mc - mp)::DOUBLE / mp::DOUBLE * 1e6 + 0.5)
+                         AS BIGINT) AS rm
+             FROM (SELECT d, mc, lag(mc) OVER (ORDER BY d) AS mp FROM mk)
+             WHERE mp IS NOT NULL AND mp <> 0),
+      m AS (SELECT event_type, count(*) AS n_days,
+                   CAST(sum(CAST(rm AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(sum(CAST(tr.r AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(rm AS HUGEINT) * tr.r) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(rm AS HUGEINT) * rm) AS HUGEINT) AS sxx
+            FROM tr JOIN mr USING (d) GROUP BY 1)
+      SELECT event_type, n_days,
+             floor((n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / nullif(n_days::DOUBLE * sxx::DOUBLE
+                            - sx::DOUBLE * sx::DOUBLE, 0e0)
+                   * 1e6 + 0.5) / 1e6 AS beta
+      FROM m ORDER BY event_type""",
+    // same moments; mean, sample sigma and the annualized ratio replay the
+    // identical greatest/nullif-guarded tree
+    "ta_sharpe" -> s"""
+      WITH $typeReturnsSql,
+      m AS (SELECT event_type, count(*) AS n_days,
+                   CAST(sum(CAST(r AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sxx
+            FROM tr GROUP BY 1)
+      SELECT event_type, n_days,
+             floor(sx::DOUBLE / n_days::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+               AS mean_ret,
+             floor(sqrt(greatest(
+                     (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     / nullif(n_days::DOUBLE * (n_days::DOUBLE - 1e0), 0e0),
+                     0e0)) / 1e6 * 1e6 + 0.5) / 1e6 AS sd_ret,
+             floor(sx::DOUBLE / n_days::DOUBLE / 1e6
+                   / nullif(sqrt(greatest(
+                       (n_days::DOUBLE * sxx::DOUBLE
+                        - sx::DOUBLE * sx::DOUBLE)
+                       / nullif(n_days::DOUBLE * (n_days::DOUBLE - 1e0),
+                                0e0),
+                       0e0)) / 1e6, 0e0)
+                   * sqrt(252e0) * 1e6 + 0.5) / 1e6 AS sharpe
+      FROM m ORDER BY event_type""",
     "ta_vwap" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                 count(*) AS n,
@@ -645,5 +820,7 @@ object MarketOps {
     "ta_atr" -> taAtr _,
     "ta_stoch" -> taStoch _,
     "ta_obv" -> taObv _,
+    "ta_beta" -> taBeta _,
+    "ta_sharpe" -> taSharpe _,
     "ta_sma_cross" -> taSmaCross _)
 }

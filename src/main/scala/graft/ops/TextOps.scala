@@ -866,6 +866,40 @@ object TextOps {
         expr("n_hapax * 1000 div n_types").as("hapax_pm"))
       .orderBy("source")
 
+  /** TERM BURSTINESS — the Fano factor (variance-to-mean ratio of the
+    * PER-DOCUMENT count, zero-count documents included) for the top-20
+    * corpus terms: ≈1 means Poisson scatter (function words — 'the'
+    * lands everywhere evenly), ≫1 means the term CLUMPS into few
+    * documents (topical/boilerplate mass — Church & Gale's burstiness,
+    * the signal a dedup/quality pipeline reads to separate template
+    * spam from genuinely topical vocabulary next to [[textZipf]]'s
+    * rank-curve view). Exact arithmetic: with N docs, tf = Σc and
+    * Σc² integer, Fano = (E[x²]−μ²)/μ reduces to the ONE integer ratio
+    * (N·Σc² − tf²)/(N·tf) — a single double division on exact int64
+    * operands, 6 dp, identical both engines.
+    *
+    * Scale shape: one tokenize pass into a (token, doc) count (the
+    * corpus-sized work, map-side combined), one token-keyed moment
+    * aggregate, TakeOrdered top-20 (freq desc, token tiebreak); N is a
+    * metadata-scale scalar. */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("token")
+      .agg(sum("c").as("tf"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("sc2"))
+      .orderBy(col("tf").desc, col("token")).limit(20)
+      .select(col("token"), col("tf"), col("df"),
+        roundD((lit(n) * col("sc2") - col("tf") * col("tf"))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          (lit(n) * col("tf"))
+            .cast(org.apache.spark.sql.types.DoubleType), 6).as("fano"))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
   /** ZIPF SLOPE — how natural is the corpus' token frequency curve?
     * Natural language follows freq ∝ rank^(−s) with s ≈ 1; heavily
     * templated/boilerplate or synthetic text bends the curve, so the
@@ -1395,6 +1429,23 @@ object TextOps {
                   * 1000 // count(*) AS hapax_pm
          FROM tc GROUP BY 1 ORDER BY source""",
     // identical top-K head, quantized logs, and final double fit tree
+    // same (token, doc) counts, same integer Fano reduction
+    // (N*sc2 - tf^2) / (N*tf), one double division, 6 dp
+    "text_burstiness" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+        FROM documents),
+      pd AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+      m AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+                   count(*) AS df, CAST(sum(c * c) AS BIGINT) AS sc2
+            FROM pd GROUP BY 1
+            ORDER BY tf DESC, token LIMIT 20),
+      n AS (SELECT count(*) AS nd FROM documents)
+      SELECT token, tf, df,
+             floor((nd * sc2 - tf * tf)::DOUBLE / (nd * tf)::DOUBLE
+                   * 1e6 + 0.5) / 1e6 AS fano
+      FROM m, n ORDER BY tf DESC, token""",
     "text_zipf" -> {
       def qlog2(x: String) =
         s"CAST(floor(log2(($x)::DOUBLE) * 1e6 + 0.5) AS BIGINT)"
@@ -1736,6 +1787,7 @@ object TextOps {
     "text_jsd" -> textJsd _,
     "text_entropy_drift" -> textEntropyDrift _,
     "text_zipf" -> textZipf _,
+    "text_burstiness" -> textBurstiness _,
     "text_ttr" -> textTtr _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,

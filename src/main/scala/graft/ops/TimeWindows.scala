@@ -65,6 +65,33 @@ object TimeWindows {
         col("user_id"), tsStr(col("w.start")).as("session_start"),
         col("cnt"), col("sum_value"))
 
+  /** SESSION DEPTH DISTRIBUTION — how many events a session contains,
+    * bucketed (1 / 2 / 3-5 / 6-10 / 11+): the engagement-shape histogram
+    * read next to [[windowSession]]'s raw list (is traffic drive-by
+    * singles or long cascades?). Reuses the ONE session aggregation
+    * ([[sessionAggOf]] — same 8-hour strict-gap semantics the boundary
+    * spec pins), so the bucket edges can never drift from the session
+    * definition itself. The share is exact integer permille over the
+    * session count; the final window runs over the 5-row bucket
+    * aggregate — the documented dimension-bounded global-window class,
+    * never raw events. */
+  def sessionDepth(spark: SparkSession, dir: String): DataFrame = {
+    val b = sessionAggOf(table(spark, dir, "events"))
+      .select(when(col("cnt") === 1, 1).when(col("cnt") === 2, 2)
+        .when(col("cnt") <= 5, 3).when(col("cnt") <= 10, 4)
+        .otherwise(5).as("bucket_ord"))
+      .groupBy("bucket_ord").agg(count(lit(1)).as("n_sessions"))
+    b.select(col("bucket_ord"),
+        when(col("bucket_ord") === 1, "1").when(col("bucket_ord") === 2, "2")
+          .when(col("bucket_ord") === 3, "3-5")
+          .when(col("bucket_ord") === 4, "6-10")
+          .otherwise("11+").as("depth"),
+        col("n_sessions"))
+      .withColumn("sessions_pm",
+        expr("n_sessions * 1000 div sum(n_sessions) over ()"))
+      .orderBy("bucket_ord")
+  }
+
   /** Hourly OHLCV candles per event type — THE liquidation-stream product
     * query (open/high/low/close + volume per symbol-hour, the shape every
     * downstream dashboard of the reference's feed aggregates; liq-stream
@@ -2111,6 +2138,36 @@ object TimeWindows {
                 count(*) AS cnt
          FROM events, unnest(range(0, 6)) t(k)
          GROUP BY 1 ORDER BY w_start""",
+    // same session CTE as window_session, bucketed; permille over the
+    // total session count via a window on the 5-row bucket aggregate
+    "session_depth" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 8 HOUR OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         s AS (
+           SELECT user_id,
+                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g),
+         d AS (SELECT count(*) AS cnt FROM s GROUP BY user_id, sid),
+         b AS (
+           SELECT CASE WHEN cnt = 1 THEN 1 WHEN cnt = 2 THEN 2
+                       WHEN cnt <= 5 THEN 3 WHEN cnt <= 10 THEN 4
+                       ELSE 5 END AS bucket_ord,
+                  count(*) AS n_sessions
+           FROM d GROUP BY 1)
+         SELECT bucket_ord,
+                CASE bucket_ord WHEN 1 THEN '1' WHEN 2 THEN '2'
+                     WHEN 3 THEN '3-5' WHEN 4 THEN '6-10'
+                     ELSE '11+' END AS depth,
+                n_sessions,
+                n_sessions * 1000
+                  // CAST(sum(n_sessions) OVER () AS BIGINT) AS sessions_pm
+         FROM b ORDER BY bucket_ord""",
     "window_session" ->
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -2175,6 +2232,7 @@ object TimeWindows {
     "win_daily" -> windowTumblingDaily _,
     "window_sliding" -> windowSliding _,
     "window_session" -> windowSession _,
+    "session_depth" -> sessionDepth _,
     "sink_csv_daily" -> sinkCsvDaily _,
     "candles" -> candles _,
     "candles_daily" -> candlesDaily _,

@@ -1153,6 +1153,65 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("alt") < 0.1, s"pre-epoch period-2 gained weekly power: $got")
   }
 
+  test("session_depth: buckets partition the window_session count exactly") {
+    val sessions = TimeWindows.windowSession(spark, dir)
+    val total = sessions.count()
+    val got = TimeWindows.sessionDepth(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // buckets are disjoint + exhaustive over the SAME session definition
+    assert(got.map(_._3).sum == total,
+      s"buckets must partition the session count: ${got.toSeq} vs $total")
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    val labels = got.map(t => t._1 -> t._2).toMap
+    assert(Set(1 -> "1", 2 -> "2", 3 -> "3-5", 4 -> "6-10", 5 -> "11+")
+      .filter(kv => labels.contains(kv._1)).forall(kv => labels(kv._1) == kv._2),
+      s"$labels")
+    // permilles from the emitted counts, never > 1000 in total
+    got.foreach { case (_, _, n, pm) => assert(pm == n * 1000 / total) }
+    // depth-1 sessions dominate nothing structurally — just sanity > 0
+    assert(got.map(_._3).forall(_ > 0L) || got.nonEmpty)
+  }
+
+  test("dq_conformance: a planted violation of each rule is counted once") {
+    import spark.implicits._
+    val base = 1700006400000L
+    def t(i: Int) = new java.sql.Timestamp(base + i * 1000L)
+    val rows = Seq(
+      (1L, t(0), 10L, "click", 5.0, """{"k":1}"""),      // clean
+      (2L, t(1), 11L, "bogus", 5.0, """{"k":1}"""),      // unknown type
+      (3L, t(2), 12L, "view", -1.0, """{"k":1}"""),      // negative value
+      (4L, t(3), 0L, "view", 5.0, """{"k":1}"""),        // user_id 0
+      (5L, t(4), 13L, "view", 5.0, "not-json"),          // malformed props
+      (6L, new java.sql.Timestamp(949363200000L),        // year 2000
+        14L, "view", 5.0, """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = DataQuality.conformanceOf(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "event_type_known" -> ((6L, 1L)), "props_json_object" -> ((6L, 1L)),
+      "ts_in_range" -> ((6L, 1L)), "user_id_positive" -> ((6L, 1L)),
+      "value_nonneg" -> ((6L, 1L))), s"$got")
+  }
+
+  test("text_burstiness: clumped term has Fano >> 1, evenly spread term ~ Poisson") {
+    import spark.implicits._
+    // 10 docs; 'even' once in every doc (variance 0 -> fano 0);
+    // 'clump' 10 times in ONE doc (tf 10, sc2 100, N 10 ->
+    // (10*100 - 100) / (10*10) = 9.0)
+    val docs = (0 until 10).map { i =>
+      val words = if (i == 0) Seq.fill(10)("clump") ++ Seq("even")
+        else Seq("even")
+      (i.toLong, words.mkString(" "), "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("burst").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.textBurstiness(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("even") == ((10L, 10L, 0.0)), s"$got")
+    assert(got("clump") == ((10L, 1L, 9.0)), s"$got")
+  }
+
   test("dq_benford: sub-cent rows leave both the frame and the denominator") {
     import spark.implicits._
     // 0.004 rounds to 0 cents (digit 0 — outside the 1..9 frame, dropped);

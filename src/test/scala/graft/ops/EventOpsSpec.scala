@@ -254,4 +254,61 @@ class EventOpsSpec extends SparkSpec {
     // 2 * mean(pre) = 2 * mean(1..40) = 41.0
     assert(adjA == 41.0, s"adjusted mean must be 2*mean(pre): $adjA")
   }
+
+  test("attr_linear: even split, remainder dropped, trailing touches earn nothing") {
+    import spark.implicits._
+    // u1: view,click,view -> purchase (3 touches, 333 each, 999 total)
+    // u2: click -> purchase (solo, 1000)
+    // u3: view after its purchase (trailing, earns nothing)
+    val ev = Seq(
+      (1L, 10L, "view", ts(10)), (1L, 11L, "click", ts(20)),
+      (1L, 12L, "view", ts(30)), (1L, 13L, "purchase", ts(40)),
+      (2L, 20L, "click", ts(10)), (2L, 21L, "purchase", ts(20)),
+      (3L, 30L, "purchase", ts(10)), (3L, 31L, "view", ts(20)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps.attrLinearOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("view") == ((2L, 666L)), s"$got")   // u1's two views, 333 each
+    assert(got("click") == ((2L, 1333L)), s"$got") // u1 333 + u2 solo 1000
+    assert(got.size == 2, s"u3's trailing view must be absent: $got")
+  }
+
+  test("attr_decay: dyadic ladder by age, per-conversion normalization") {
+    import spark.implicits._
+    def atDay(d: Int) = new Timestamp(1700006400000L + d * 86400000L)
+    // u1 converts on day 10: touches at day 10 (age 0 -> w 1000), day 6
+    // (age 4 -> k=1 -> w 500), day 0 (age 10 -> k=3 -> w 125).
+    // sw = 1625 -> credits 1000000/1625=615, 500000/1625=307, 125000/1625=76
+    val ev = Seq(
+      (1L, 10L, "view", atDay(0)), (1L, 11L, "click", atDay(6)),
+      (1L, 12L, "view", atDay(10)), (1L, 13L, "purchase", atDay(10)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps.attrDecayOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // views: day-10 (615) + day-0 (76) = 691; click: 307
+    assert(got("view") == ((2L, 691L)), s"$got")
+    assert(got("click") == ((1L, 307L)), s"$got")
+    // normalization never exceeds 1000 permille per conversion
+    assert(got.values.map(_._2).sum <= 1000L, s"$got")
+  }
+
+  test("user_stickiness: exact DAU/MAU permille on a hand-built month") {
+    import spark.implicits._
+    def atDay(d: Int, u: Long) =
+      (u, new Timestamp(1700006400000L + d * 86400000L), "click")
+    // 4 active days; user 1 every day, user 2 on two days ->
+    // sum_dau = 4 + 2 = 6, mau = 2, stickiness = 6000 div (4*2) = 750
+    val ev = (Seq(atDay(0, 1L), atDay(1, 1L), atDay(2, 1L), atDay(3, 1L),
+      atDay(1, 2L), atDay(3, 2L)) ++
+      Seq((1L, new Timestamp(1700006400000L + 3 * 86400000L + 3600000L),
+        "click"))) // same user+day dup: distinct() must collapse it
+      .toDF("user_id", "ts", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("stick").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.userStickiness(spark, tmp).collect()
+    assert(got.length == 1, s"${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(2) == 4L && r.getLong(3) == 6L && r.getLong(4) == 2L &&
+      r.getLong(5) == 750L, s"$r")
+  }
 }

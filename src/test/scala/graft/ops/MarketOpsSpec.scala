@@ -210,4 +210,37 @@ class MarketOpsSpec extends SparkSpec {
       .count() == 0L)
     assert(v.count() > 0)
   }
+
+  test("ta_beta / ta_sharpe: match an independent moment evaluation; flat series NULLs") {
+    // A: 100 -> 110 -> 99 (+10%, -10%); B: flat 50 — the market index is
+    // the cent sum 15000, 16000, 14900
+    val ev = Seq(
+      ("A", 1L, at(0, 1), 100.0), ("A", 2L, at(1, 1), 110.0),
+      ("A", 3L, at(2, 1), 99.0),
+      ("B", 4L, at(0, 1), 50.0), ("B", 5L, at(1, 1), 50.0),
+      ("B", 6L, at(2, 1), 50.0))
+      .toDF("event_type", "event_id", "ts", "value")
+    def ppm(c: Long, p: Long) =
+      math.floor((c - p).toDouble / p.toDouble * 1e6 + 0.5).toLong
+    val xs = Seq(ppm(16000, 15000), ppm(14900, 16000)) // market
+    val ysA = Seq(ppm(11000, 10000), ppm(9900, 11000)) // +1e5, -1e5
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = 2.0
+    val (sx, sy) = (xs.sum.toDouble, ysA.sum.toDouble)
+    val sxy = xs.zip(ysA).map(t => t._1 * t._2).sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val wantBetaA = r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    val beta = MarketOps.betaOf(ev).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(beta("A").contains(wantBetaA), s"$beta vs $wantBetaA")
+    // B never moves: covariance 0 -> beta exactly 0
+    assert(beta("B").contains(0.0), s"$beta")
+    val sharpe = MarketOps.sharpeOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // A: mean return 0 -> sharpe exactly 0; B: sd 0 -> NULL, never NaN
+    assert(sharpe("A") == ((0.0, Some(0.0))), s"$sharpe")
+    assert(sharpe("B") == ((0.0, None)), s"$sharpe")
+  }
 }
