@@ -443,6 +443,49 @@ object EventOps {
         .as("welch_df"))
   }
 
+  /** POST-HOC POWER READOUT (minimum detectable effect) — the "could this
+    * experiment even have seen anything?" audit run BEFORE trusting a
+    * null [[abTtest]]: at α=5% two-sided and 80% power, the smallest
+    * absolute/relative lift the observed arm sizes and variances could
+    * detect, MDE = (z₀.₉₇₅+z₀.₈)·√(s²_A/n_A + s²_B/n_B). Same user-grain
+    * hash split and DECIMAL(38,0) cents moments as the t-test (one
+    * aggregate, no second pass); the z quantiles are shared double
+    * LITERALS (exponent-suffixed in the oracle so DuckDB lexes DOUBLE),
+    * and the whole readout is one scalar IEEE tree — NULL (never NaN)
+    * when an arm is empty or constant. */
+  def abPower(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+    val arm = when(conv(substring(md5(concat(col("user_id")
+      .cast(StringType), lit("#ab"))), 1, 8), 16, 10)
+      .cast(LongType) % 2L === 0L, "A").otherwise("B")
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .otherwise(0L)).as("cents"))
+      .select(arm.as("arm"), coalesce(col("cents"), lit(0L)).as("x"))
+    val dec = DecimalType(38, 0)
+    val m = perUser.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "A", col("x").cast(dec))).as("sa"),
+      sum(when(col("arm") === "A", (col("x") * col("x")).cast(dec))).as("qa"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "B", col("x").cast(dec))).as("sb"),
+      sum(when(col("arm") === "B", (col("x") * col("x")).cast(dec))).as("qb"))
+    def d(c: String) = col(c).cast(DoubleType)
+    // va/vb are variances OF THE MEAN (s²/n) — the t-test denominators
+    val va = (d("qa") - d("sa") * d("sa") / d("na")) /
+      (d("na") - 1.0) / d("na")
+    val vb = (d("qb") - d("sb") * d("sb") / d("nb")) /
+      (d("nb") - 1.0) / d("nb")
+    val z = lit(1.959963984540054) + lit(0.8416212335729143)
+    val mdeCents = z * sqrt(va + vb)
+    m.select(col("na").as("users_a"), col("nb").as("users_b"),
+      roundD(mdeCents / 100.0, 6).as("mde_abs"),
+      roundD(mdeCents / nullif(d("sa") / d("na"), lit(0.0)), 6)
+        .as("mde_rel"))
+  }
+
   /** AUDIENCE OVERLAP — the Jaccard between every pair of event types'
     * USER SETS ("do clickers also purchase"): the cross-product planning
     * readout behind funnels and attribution. Dedup to (type, user)
@@ -1191,6 +1234,44 @@ object EventOps {
                       / (1.0 + (1.96 * 1.96) / n::DOUBLE)) * 1e6 + 0.5) / 1e6
                AS wilson_hi
       FROM m ORDER BY day""",
+    // same moments as ab_ttest; z quantiles are exponent-suffixed double
+    // literals; MDE = (z975+z80)*sqrt(va+vb), one scalar tree
+    "ab_power" ->
+      """WITH pu AS (
+           SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '#ab'), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+                  COALESCE(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END), 0) AS x
+           FROM events GROUP BY user_id),
+         m AS (
+           SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+                  sum(CASE WHEN arm = 'A' THEN CAST(x AS DECIMAL(38,0)) END)
+                    AS sa,
+                  sum(CASE WHEN arm = 'A'
+                    THEN CAST(x * x AS DECIMAL(38,0)) END) AS qa,
+                  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb,
+                  sum(CASE WHEN arm = 'B' THEN CAST(x AS DECIMAL(38,0)) END)
+                    AS sb,
+                  sum(CASE WHEN arm = 'B'
+                    THEN CAST(x * x AS DECIMAL(38,0)) END) AS qb
+           FROM pu),
+         v AS (
+           SELECT na, nb, sa::DOUBLE AS sa,
+                  (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na::DOUBLE)
+                    / (na::DOUBLE - 1.0) / na::DOUBLE AS va,
+                  (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb::DOUBLE)
+                    / (nb::DOUBLE - 1.0) / nb::DOUBLE AS vb
+           FROM m)
+         SELECT na AS users_a, nb AS users_b,
+                floor((1.959963984540054e0 + 0.8416212335729143e0)
+                      * sqrt(va + vb) / 100.0 * 1e6 + 0.5) / 1e6 AS mde_abs,
+                floor((1.959963984540054e0 + 0.8416212335729143e0)
+                      * sqrt(va + vb)
+                      / nullif(sa / na::DOUBLE, 0e0) * 1e6 + 0.5) / 1e6
+                  AS mde_rel
+         FROM v""",
     "ab_ttest" ->
       """WITH pu AS (
            SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
@@ -1535,6 +1616,7 @@ object EventOps {
     "attr_decay" -> attrDecay _,
     "user_stickiness" -> userStickiness _,
     "ab_ttest" -> abTtest _,
+    "ab_power" -> abPower _,
     "ab_wilson" -> abWilson _,
     "ab_srm" -> abSrm _,
     "ab_cuped" -> abCuped _,

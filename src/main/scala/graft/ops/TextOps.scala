@@ -866,6 +866,39 @@ object TextOps {
         expr("n_hapax * 1000 div n_types").as("hapax_pm"))
       .orderBy("source")
 
+  private[graft] val oovVocabTop = 1000
+
+  /** OOV RATE per source — the share of token MASS falling outside the
+    * top-[[oovVocabTop]] corpus vocabulary, in integer permille: the
+    * tokenizer-coverage audit a training pipeline runs per source before
+    * mixing (a source full of out-of-vocabulary mass is code, another
+    * language, or junk — and will fragment into long byte-level encodings;
+    * [[tokFertility]] measures that cost after encoding, this predicts it
+    * before). Deterministic vocabulary: (freq desc, token) TakeOrdered —
+    * the [[textZipf]] ranking convention.
+    *
+    * Scale shape: one tokenize pass into a (source, token) count frame
+    * (map-side combined — token mass never re-shuffles per occurrence);
+    * the global vocab derives from THAT frame (|source|·|type| rows, not
+    * the corpus), broadcasts back as a left-anti membership, and the
+    * per-source rollup is a |sources|-key aggregate. All integers. */
+  def tokOov(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val vocab = c.groupBy("token").agg(sum("c").as("g"))
+      .orderBy(col("g").desc, col("token")).limit(oovVocabTop)
+      .select("token")
+    val oov = c.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy("source").agg(sum("c").as("n_oov"))
+    c.groupBy("source").agg(sum("c").as("n_tokens"))
+      .join(oov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_pm", expr("n_oov * 1000 div n_tokens"))
+      .orderBy("source")
+  }
+
   /** TERM BURSTINESS — the Fano factor (variance-to-mean ratio of the
     * PER-DOCUMENT count, zero-count documents included) for the top-20
     * corpus terms: ≈1 means Poisson scatter (function words — 'the'
@@ -1429,6 +1462,23 @@ object TextOps {
                   * 1000 // count(*) AS hapax_pm
          FROM tc GROUP BY 1 ORDER BY source""",
     // identical top-K head, quantized logs, and final double fit tree
+    // same (source, token) counts, same deterministic top-1000 vocab
+    // (freq desc, token), same integer permille
+    "tok_oov" -> s"""
+      WITH toks AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+        FROM documents),
+      c AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+      g AS (SELECT token, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY 1
+            ORDER BY g DESC, token LIMIT $oovVocabTop),
+      s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN token NOT IN (SELECT token FROM g)
+                                 THEN c ELSE 0 END) AS BIGINT) AS n_oov
+            FROM c GROUP BY 1)
+      SELECT source, n_tokens, n_oov,
+             n_oov * 1000 // n_tokens AS oov_pm
+      FROM s ORDER BY source""",
     // same (token, doc) counts, same integer Fano reduction
     // (N*sc2 - tf^2) / (N*tf), one double division, 6 dp
     "text_burstiness" -> """
@@ -1788,6 +1838,7 @@ object TextOps {
     "text_entropy_drift" -> textEntropyDrift _,
     "text_zipf" -> textZipf _,
     "text_burstiness" -> textBurstiness _,
+    "tok_oov" -> tokOov _,
     "text_ttr" -> textTtr _,
     "vocab_build" -> ((sp, d) => vocabBuild(sp, d)),
     "invidx_seg" -> invIndexSeg _,

@@ -1615,6 +1615,82 @@ object StreamAssembly {
       }
   }
 
+  final case class StochBar(hi: Long, lo: Long)
+  final case class StochState(ring: Vector[StochBar],
+      open: Map[Long, AtrDay])
+  final case class StochReport(event_type: String, day: String,
+      close: Double, pct_k: Option[Double])
+
+  /** STREAMING STOCHASTIC %K — the range-position oscillator live, per
+    * (type, UTC day): 100·(close−L7)/(H7−L7) over the trailing 7 days'
+    * hi/lo envelope, each day emitted exactly once at watermark close.
+    * Live twin of the oracle-checked `ta_stoch` ([[atrStream]]'s class —
+    * it even reuses AtrDay's integer-cents day fold; per-row cent
+    * quantization commutes with min/max because floor is monotone, the
+    * documented ta_atr argument). Emits from the first day (the batch
+    * rowsBetween(-6,0) frame has no warm-up filter); a flat 7-day
+    * envelope (H7=L7) is None in both runtimes (batch nullif). State per
+    * key: a ≤6-bar (hi,lo) ring + O(open days); idle-gap policy retains
+    * the ring ([[bollingerStream]]). */
+  def stochStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[StochReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[StochState, StochReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            StochState(Vector.empty, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val c = math.floor(v * 100 + 0.5).toLong
+            val cur = s.open.get(dayKey) match {
+              case None => AtrDay(ordKey, c, c, c)
+              case Some(p) =>
+                val (mk, cl) =
+                  if (ordKey > p.maxKey) (ordKey, c) else (p.maxKey, p.cl)
+                AtrDay(mk, math.max(p.hi, c), math.min(p.lo, c), cl)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val a = s.open(k)
+              val win = s.ring.takeRight(6) :+ StochBar(a.hi, a.lo)
+              val h7 = win.map(_.hi).max
+              val l7 = win.map(_.lo).min
+              s = StochState((s.ring :+ StochBar(a.hi, a.lo)).takeRight(6),
+                s.open - k)
+              val pct =
+                if (h7 == l7) None
+                else Some(math.floor(100.0 * (a.cl - l7).toDouble /
+                  (h7 - l7).toDouble * 1e6 + 0.5) / 1e6)
+              StochReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                a.cl.toDouble / 100.0, pct)
+            }
+          // Idle-gap policy: the (hi,lo) ring survives ([[atrStream]])
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
   final case class MonoHour(n: Long, inversions: Long)
   final case class MonoState(runmax: Long, hasMax: Boolean,
       open: Map[Long, MonoHour])

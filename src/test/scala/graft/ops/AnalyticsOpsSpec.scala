@@ -1212,6 +1212,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("clump") == ((10L, 1L, 9.0)), s"$got")
   }
 
+  test("tok_oov: mass outside the deterministic top-1000 vocab, per source") {
+    import spark.implicits._
+    // 1200 singleton tokens w0000..w1199 (sources a: first 600, b: rest)
+    // plus 'common' x3 in a. Vocab = top-1000 by (freq desc, token asc)
+    // = {common, w0000..w0998} -> OOV mass = w0999..w1199, all in b
+    val docs = ((0 until 1200).map { i =>
+      val src = if (i < 600) "a" else "b"
+      (i.toLong, f"w$i%04d", "en", src, 5L)
+    } :+ (9999L, "common common common", "en", "a", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("oov").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.tokOov(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("a") == ((603L, 0L, 0L)), s"$got")
+    assert(got("b") == ((600L, 201L, 335L)), s"$got")
+  }
+
   test("dq_benford: sub-cent rows leave both the frame and the denominator") {
     import spark.implicits._
     // 0.004 rounds to 0 cents (digit 0 — outside the 1..9 frame, dropped);

@@ -255,6 +255,24 @@ class EventOpsSpec extends SparkSpec {
     assert(adjA == 41.0, s"adjusted mean must be 2*mean(pre): $adjA")
   }
 
+  test("ab_power: MDE is consistent with the t-test's own SE on real data") {
+    val dir = "/root/testdata/sf0.01"
+    val t = EventOps.abTtest(spark, dir).collect().head
+    val p = EventOps.abPower(spark, dir).collect().head
+    assert(p.getLong(0) == t.getLong(0) && p.getLong(1) == t.getLong(1),
+      "arm sizes must match the t-test's (same hash split)")
+    val mde = p.getDouble(2)
+    assert(mde > 0.0, s"$p")
+    // SE = (mean_a - mean_b) / t_stat, so MDE must equal z * SE; both
+    // readouts quantize at 1e-6, so allow only that much slack
+    val se = (t.getDouble(2) - t.getDouble(3)) / t.getDouble(4)
+    val z = 1.959963984540054 + 0.8416212335729143
+    assert(math.abs(mde - z * se) < 1e-4,
+      s"MDE ${mde} inconsistent with t-test SE ${se}")
+    // relative MDE sanity: positive, and tiny for 1e4+ users per arm
+    assert(p.getDouble(3) > 0.0 && p.getDouble(3) < 1.0, s"$p")
+  }
+
   test("attr_linear: even split, remainder dropped, trailing touches earn nothing") {
     import spark.implicits._
     // u1: view,click,view -> purchase (3 touches, 333 each, 999 total)
