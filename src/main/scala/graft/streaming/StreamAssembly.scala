@@ -1691,6 +1691,154 @@ object StreamAssembly {
       }
   }
 
+  final case class CrossState(ring: Vector[Long], ppos: Long,
+      open: Map[Long, BollDay])
+  final case class CrossAlert(event_type: String, day: String,
+      cross_type: String)
+
+  /** STREAMING MA-CROSS DETECTOR — golden/death crosses AS THEY CLOSE:
+    * the 3-day close mean crossing the 7-day one, per (type, UTC day),
+    * each signal emitted exactly once at watermark close. Live twin of
+    * the oracle-checked `ta_sma_cross` — the alert layer the batch query
+    * computes nightly, fired the moment the day's candle is final.
+    * Same integer machinery: cent closes by the packed pick key, means
+    * compared CROSS-MULTIPLIED (sf·ns vs ss·nf — no division ever), and
+    * a cross is a flip of the LAST NONZERO relation, so the warm-up's
+    * equal-windows days (rel = 0 by construction while w3 = w7) and
+    * touch-and-continue through zero can't false-fire — the batch
+    * last(nullif(rel,0), ignoreNulls) frame carried as one long.
+    * State per key: ≤6-close ring + ppos + O(open days); idle-gap
+    * policy retains both ([[bollingerStream]]). */
+  def smaCrossStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[CrossAlert] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CrossState, CrossAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            CrossState(Vector.empty, 0L, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val cur = s.open.get(dayKey) match {
+              case Some(p) if p.maxKey >= ordKey => p
+              case _ => BollDay(ordKey, v)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .flatMap { k =>
+              val c = math.floor(s.open(k).close * 100 + 0.5).toLong
+              val win7 = s.ring.takeRight(6) :+ c
+              val win3 = win7.takeRight(3)
+              val (sf, nf) = (win3.sum, win3.size.toLong)
+              val (ss, ns) = (win7.sum, win7.size.toLong)
+              val rel =
+                if (sf * ns > ss * nf) 1L
+                else if (sf * ns < ss * nf) -1L else 0L
+              val fire = rel != 0L && s.ppos != 0L && s.ppos != rel
+              s = CrossState((s.ring :+ c).takeRight(6),
+                if (rel != 0L) rel else s.ppos, s.open - k)
+              if (fire)
+                Some(CrossAlert(key, java.time.Instant.ofEpochMilli(k)
+                  .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                  if (rel == 1L) "golden" else "death"))
+              else None
+            }
+          // Idle-gap policy: ring + last-position survive ([[atrStream]])
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
+  final case class ObvDay(maxKey: Long, cl: Long, qty: Long)
+  final case class ObvState(prevClose: Long, hasPrev: Boolean, obv: Long,
+      open: Map[Long, ObvDay])
+  final case class ObvReport(event_type: String, day: String, qty: Long,
+      obv: Long)
+
+  /** STREAMING ON-BALANCE VOLUME — the volume-flow confirmation line
+    * live, per (type, UTC day): the day's Σ props.k size signed by the
+    * close-to-close direction, accumulated, emitted at watermark close.
+    * Live twin of the oracle-checked `ta_obv` — ALL-integer exactly like
+    * the batch query (three-way sign on cent closes, long sums, no
+    * doubles anywhere). First day carries sign 0 in both engines. The
+    * running OBV and prev close survive idle gaps (the cumulative line
+    * must not reset — [[atrStream]]'s retention policy). */
+  def obvStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[ObvReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double, Option[Long])]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[ObvState, ObvReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            ObvState(0L, hasPrev = false, 0L, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v, kOpt) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val c = math.floor(v * 100 + 0.5).toLong
+            val q = kOpt.getOrElse(0L)
+            val cur = s.open.get(dayKey) match {
+              case None => ObvDay(ordKey, c, q)
+              case Some(p) =>
+                val (mk, cl) =
+                  if (ordKey > p.maxKey) (ordKey, c) else (p.maxKey, p.cl)
+                ObvDay(mk, cl, p.qty + q)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val a = s.open(k)
+              val sgn =
+                if (!s.hasPrev) 0L
+                else if (a.cl > s.prevClose) 1L
+                else if (a.cl < s.prevClose) -1L else 0L
+              val obv = s.obv + sgn * a.qty
+              s = ObvState(a.cl, hasPrev = true, obv, s.open - k)
+              ObvReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                a.qty, obv)
+            }
+          // Idle-gap policy: prevClose + the cumulative OBV survive
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
   final case class MonoHour(n: Long, inversions: Long)
   final case class MonoState(runmax: Long, hasMax: Boolean,
       open: Map[Long, MonoHour])

@@ -1661,6 +1661,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MA-cross: emitted signals equal ta_sma_cross row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.smaCrossStream(events)
+      .toDF().writeStream.format("memory").queryName("cross_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM cross_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val want = graft.ops.MarketOps.taSmaCross(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == want,
+        s"stream/batch MA-cross diverged: ${got.size} vs ${want.size}; " +
+          s"diff: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+      assert(want.nonEmpty,
+        "corpus produced zero crossings — parity would be vacuous")
+    } finally q.stop()
+  }
+
+  test("streaming OBV: row-exact parity with ta_obv") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value", "props")
+      .as[(String, Long, java.sql.Timestamp, Double, String)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_type", "event_id", "ts", "value", "props")
+    val q = StreamAssembly.obvStream(events)
+      .toDF().writeStream.format("memory").queryName("obv_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM obv_stream WHERE event_type <> 'zz_sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val want = graft.ops.MarketOps.taObv(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want,
+        s"stream/batch OBV diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      assert(got.size > 50, s"parity surface too small: ${got.size}")
+    } finally q.stop()
+  }
+
   test("streaming ordering audit: per-type hour sums equal dq_monotonic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
