@@ -1691,6 +1691,74 @@ object StreamAssembly {
       }
   }
 
+  final case class RvDay(hasPrev: Boolean, prev: Double, n: Long, ssq: Long)
+  final case class RvState(open: Map[Long, RvDay])
+  final case class RvReport(event_type: String, day: String, n_ret: Long,
+      rv: Double)
+
+  /** STREAMING REALIZED VOLATILITY — the intraday risk gauge live, per
+    * (type, UTC day): √Σr² over TICK-to-tick simple returns quantized to
+    * the 1e-6 ppm grid, emitted once at watermark close. Live twin of
+    * the oracle-checked `ta_rv`. The batch twin's lag partitions by
+    * (type, day) — nothing carries across days, so this is the
+    * [[gapStream]] state class (flush-and-forget; the idle timeout may
+    * remove an emptied key, no retention needed). Per-batch full-µs
+    * (ts, id) sort + the cross-batch in-order feed convention replays
+    * the batch lag order; a zero previous tick NULLs the return out of
+    * both count and sum in both runtimes. State per key: one (prev,
+    * n, Σri²) triple per OPEN day — independent of tick volume. */
+  def rvStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[RvReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RvState, RvReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(RvState(Map.empty))
+          var lastMs = 0L
+          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+            .foreach { case (_, _, ts, v) =>
+              val ms = ts.getTime
+              lastMs = math.max(lastMs, ms)
+              val dayKey = math.floorDiv(ms, dayMs) * dayMs
+              val d = s.open.getOrElse(dayKey,
+                RvDay(hasPrev = false, 0.0, 0L, 0L))
+              val next =
+                if (!d.hasPrev || d.prev == 0.0)
+                  RvDay(hasPrev = true, v, d.n, d.ssq)
+                else {
+                  val ri = math.floor((v / d.prev - 1.0) * 1e6 + 0.5).toLong
+                  RvDay(hasPrev = true, v, d.n + 1L, d.ssq + ri * ri)
+                }
+              s = RvState(s.open + (dayKey -> next))
+            }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val d = s.open(k)
+              s = RvState(s.open - k)
+              RvReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                d.n,
+                math.floor(math.sqrt(d.ssq.toDouble) / 1e6 * 1e6 + 0.5) / 1e6)
+            }
+          if (state.hasTimedOut && s.open.isEmpty) state.remove()
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          }
+          out.iterator
+      }
+  }
+
   final case class CrossState(ring: Vector[Long], ppos: Long,
       open: Map[Long, BollDay])
   final case class CrossAlert(event_type: String, day: String,

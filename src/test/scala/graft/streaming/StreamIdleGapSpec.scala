@@ -80,6 +80,78 @@ class StreamIdleGapSpec extends SparkSpec {
       graft.ops.TimeWindows.ewmaOf)
   }
 
+  test("rateStream: the trail and grid carry survive the timeout — gap hours zero-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_type", "ts")
+    def hr(i: Int) = new java.sql.Timestamp(base + i * 3600000L)
+    val q = StreamAssembly.rateStream(events)
+      .toDF().writeStream.format("memory").queryName("idlegap_rate")
+      .outputMode("append").start()
+    try {
+      // key "k": 3 busy hours, then silence
+      mem.addData((0 until 3).flatMap(h =>
+        Seq.fill(4)(("k", hr(h)))) :+ (("wm_pump", hr(0))))
+      q.processAllAvailable()
+      // another key pushes the watermark 90 days out -> timeout fires
+      // for "k" (its open hours flush; emittedUpTo + trail must survive)
+      mem.addData(Seq(("wm_pump", new java.sql.Timestamp(
+        base + 90L * 86400000L))))
+      q.processAllAvailable()
+      // "k" resumes: the recovery emits every silent hour at count 0
+      // (that zero-emission is exactly what the retained emittedUpTo
+      // buys — removal would silently skip the dead stretch)
+      mem.addData(Seq(("k", new java.sql.Timestamp(
+        base + 91L * 86400000L))))
+      // the resume re-armed the timeout to day 91 + 60d, so the closing
+      // pump must pass day 151 for the flush to fire
+      mem.addData(Seq(("wm_pump", new java.sql.Timestamp(
+        base + 160L * 86400000L))))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT hour_ms, cnt, dropped FROM idlegap_rate
+           WHERE event_type = 'k' ORDER BY hour_ms""").collect()
+      val perHour = rows.map(r => (r.getLong(0), r.getLong(1))).toMap
+      // busy hours intact (base is NOT hour-aligned; bucket to its hour)
+      val h0 = base / 3600000L * 3600000L
+      (0 until 3).foreach(h => assert(perHour(h0 + h * 3600000L) == 4L))
+      // the silent stretch is PRESENT as zero-count hours, contiguous
+      val silent = rows.filter(_.getLong(1) == 0L)
+      assert(silent.length == 91 * 24 - 3,
+        s"gap hours must zero-emit across the timeout: ${silent.length}")
+      // and the first zero hour after the busy ones is flagged a drop
+      // (trail avg 4 vs count 0 -> 2*0*3 < 12)
+      assert(silent.head.getBoolean(2), "volume drop must flag")
+    } finally q.stop()
+  }
+
+  test("attrStream: the last-view carry survives the timeout — late conversions attribute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = StreamAssembly.attrStream(events)
+      .toDF().writeStream.format("memory").queryName("idlegap_attr")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((7L, 1L, "view", day(0))))
+      q.processAllAvailable()
+      // watermark pumped 80 days out by another user -> timeout for 7
+      mem.addData(Seq((8L, 2L, "view", day(80))))
+      q.processAllAvailable()
+      // user 7 converts 100 days after the view: the batch twin
+      // attributes at ANY lag, so the carry must still be there
+      mem.addData(Seq((7L, 3L, "purchase", day(100))))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT attr_id, gap_s FROM idlegap_attr WHERE user_id = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 100L * 86400L)),
+        s"late conversion went organic across the idle gap: $got")
+    } finally q.stop()
+  }
+
   test("funnelWindowStream: a lapsed user's return does not re-emit step 1") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
