@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import scala.jdk.CollectionConverters._
 
 /** Regression pins for the r14 idle-gap policy: an EventTimeTimeout only
   * RE-ARMS — carry state (prevClose/rings/funnel progress) survives the
@@ -150,6 +151,48 @@ class StreamIdleGapSpec extends SparkSpec {
       assert(got == Seq((1L, 100L * 86400L)),
         s"late conversion went organic across the idle gap: $got")
     } finally q.stop()
+  }
+
+  test("macdStream: bit-exact parity holds unchanged on the RocksDB provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = StreamAssembly.useRocksDbStateStore(spark)
+    try {
+      // the newest flatMapGroupsWithState twin on the scale provider:
+      // the MacdState rings serialize through RocksDB instead of the
+      // executor-heap map, and the output must not move by one ULP
+      val (before, pump, after) = taRows
+      val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+      val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+      val q = StreamAssembly.macdStream(events).toDF()
+        .writeStream.format("memory").queryName("idlegap_macd_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(before); q.processAllAvailable()
+        mem.addData(pump); q.processAllAvailable()
+        mem.addData(after); q.processAllAvailable()
+        mem.addData(("zz_sentinel", 0L, day(500), 0.0))
+        q.processAllAvailable()
+        val got = spark.sql("SELECT * FROM idlegap_macd_rocks " +
+          "WHERE event_type = 'k'").collect()
+          .map(r => r.toSeq.toList).toSet
+        val want = graft.ops.MarketOps
+          .macdOf((before ++ pump ++ after)
+            .toDF("event_type", "event_id", "ts", "value"))
+          .filter($"event_type" === "k").collect()
+          .map(r => r.toSeq.toList).toSet
+        assert(got == want, s"RocksDB run diverged:\n stream-only: " +
+          s"${(got diff want).take(3)}\n batch-only: ${(want diff got).take(3)}")
+        val sp = q.lastProgress.stateOperators
+        assert(sp.nonEmpty && sp.head.customMetrics.keySet
+          .asScala.exists(_.startsWith("rocksdb")),
+          "state did not run on RocksDB")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("funnelWindowStream: a lapsed user's return does not re-emit step 1") {
