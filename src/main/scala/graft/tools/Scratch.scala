@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Disposable local timing harness — edit freely between A/B runs. */
 object Scratch {
@@ -11,17 +10,20 @@ object Scratch {
       .appName("scratch")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    time("warmup")(graft.ops.GraphOps.betweenness(spark, "/root/testdata/sf0.001").collect())
-    for (rep <- 1 to 4)
-      time(s"betweenness r$rep")(graft.ops.GraphOps.betweenness(spark, dir).collect())
+    val dir = "/root/testdata/sf0.01"
+    // does ta_beta's shared daily-agg subplan reuse at AQE runtime?
+    val df = graft.ops.MarketOps.taBeta(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println("[scratch] ReusedExchange in final plan: " +
+      plan.contains("ReusedExchange"))
+    println("[scratch] scan count: " +
+      "FileScan".r.findAllIn(plan).length)
     spark.stop()
   }
 }
