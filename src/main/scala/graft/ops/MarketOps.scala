@@ -238,6 +238,40 @@ object MarketOps {
       .orderBy("event_type")
   }
 
+  /** CALMAR RATIO per type — annualized return over max drawdown, the
+    * recovery-adjusted performance headline next to [[taSharpe]]'s
+    * volatility-adjusted one. Annualization is LINEAR
+    * ((c_last/c_first − 1)·252/n) by design: a CAGR power would drag
+    * `pow` into the compare, whose libm results the two engines don't
+    * pin — every term here is either exact integer (first/last cent
+    * closes by the integer day index, day count) or the same
+    * single-division IEEE tree as [[drawdownOf]]'s per-day dd. NULL on
+    * a drawdown-free series (nullif), never infinity. One window pass
+    * + one |types|-row aggregate, the drawdown scale shape. */
+  def taCalmar(spark: SparkSession, dir: String): DataFrame =
+    calmarOf(table(spark, dir, "events"))
+
+  private[graft] def calmarOf(events: DataFrame): DataFrame = {
+    val wo = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = dailyCloseOf(events)
+      .withColumn("c", floor(col("close") * 100 + 0.5).cast(LongType))
+      .withColumn("peak", max(col("c")).over(wo))
+      .withColumn("dd", roundD((col("peak") - col("c")).cast(DoubleType) /
+        nullif(col("peak"), lit(0L)).cast(DoubleType), 6))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        min_by(col("c"), col("d")).as("cf"),
+        max_by(col("c"), col("d")).as("cl"),
+        max(col("dd")).as("max_dd"))
+    val ann = (col("cl").cast(DoubleType) / col("cf").cast(DoubleType) -
+      lit(1.0)) * lit(252.0) / col("n_days").cast(DoubleType)
+    base.select(col("event_type"), col("n_days"),
+        roundD(ann, 6).as("ann_ret"), col("max_dd"),
+        roundD(ann / nullif(col("max_dd"), lit(0.0)), 6).as("calmar"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------- Realized volatility
 
   /** PER-DAY REALIZED VOLATILITY from tick-level simple returns —
@@ -623,6 +657,33 @@ object MarketOps {
                        0e0)) / 1e6, 0e0)
                    * sqrt(252e0) * 1e6 + 0.5) / 1e6 AS sharpe
       FROM m ORDER BY event_type""",
+    // same integer first/last/peak machinery, same linear annualization
+    // (deliberately no pow — libm results are not pinned cross-engine)
+    "ta_calmar" -> s"""
+      WITH dc AS ($dailyCloseSql),
+      c AS (SELECT event_type, d,
+                   CAST(floor(close * 100 + 0.5) AS BIGINT) AS c FROM dc),
+      w AS (SELECT event_type, d, c,
+                   max(c) OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS peak
+            FROM c),
+      dd AS (SELECT event_type, d, c,
+                    floor((peak - c)::DOUBLE / nullif(peak, 0)::DOUBLE
+                          * 1e6 + 0.5) / 1e6 AS dd
+             FROM w),
+      m AS (SELECT event_type, count(*) AS n_days,
+                   arg_min(c, d) AS cf, arg_max(c, d) AS cl,
+                   max(dd) AS max_dd
+            FROM dd GROUP BY 1)
+      SELECT event_type, n_days,
+             floor((cl::DOUBLE / cf::DOUBLE - 1.0) * 252.0
+                   / n_days::DOUBLE * 1e6 + 0.5) / 1e6 AS ann_ret,
+             max_dd,
+             floor((cl::DOUBLE / cf::DOUBLE - 1.0) * 252.0
+                   / n_days::DOUBLE / nullif(max_dd, 0e0)
+                   * 1e6 + 0.5) / 1e6 AS calmar
+      FROM m ORDER BY event_type""",
     "ta_vwap" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                 count(*) AS n,
@@ -821,6 +882,7 @@ object MarketOps {
     "ta_stoch" -> taStoch _,
     "ta_obv" -> taObv _,
     "ta_beta" -> taBeta _,
+    "ta_calmar" -> taCalmar _,
     "ta_sharpe" -> taSharpe _,
     "ta_sma_cross" -> taSmaCross _)
 }

@@ -92,6 +92,30 @@ object TimeWindows {
       .orderBy("bucket_ord")
   }
 
+  /** WEEKLY ACTIVITY HEATMAP — event counts on the (day-of-week × hour)
+    * grid with exact permille shares: the ops-dashboard seasonality view
+    * next to [[tsSeasonal]]'s per-weekday value levels (this one reads
+    * VOLUME shape — when does traffic actually arrive?). Weekday is
+    * computed arithmetically from CALENDAR day counts,
+    * pmod(days_since_epoch + 4, 7) with 0 = Sunday (1970-01-01 was a
+    * Thursday) — NOT the engines' dayofweek(), whose numbering
+    * disagrees between Spark (1 = Sunday) and DuckDB (0 = Sunday), and
+    * NOT `unix_micros div day` either: Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors, so pre-1970 rows would land on
+    * different days (the ts_periodicity edge — datediff/DATE
+    * subtraction floor correctly in both engines, as does calendar
+    * hour()). ONE map-side-combined aggregate to ≤168 cells; the share
+    * window runs over that bounded frame. */
+  def winHeatmap(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01")) + 4, lit(7))
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share_pm", expr("cnt * 1000 div sum(cnt) over ()"))
+      .orderBy("dow", "hour")
+
   /** Hourly OHLCV candles per event type — THE liquidation-stream product
     * query (open/high/low/close + volume per symbol-hour, the shape every
     * downstream dashboard of the reference's feed aggregates; liq-stream
@@ -2138,6 +2162,20 @@ object TimeWindows {
                 count(*) AS cnt
          FROM events, unnest(range(0, 6)) t(k)
          GROUP BY 1 ORDER BY w_start""",
+    // same arithmetic weekday from CALENDAR day counts (0=Sunday; DATE
+    // subtraction floors pre-1970 like Spark datediff; the +7 wrap
+    // handles DuckDB's sign-of-dividend %), same calendar hour(), same
+    // integer permille over the <=168-cell frame
+    "win_heatmap" -> """
+      WITH g AS (
+        SELECT CAST(((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 + 7)
+                    % 7 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT dow, hour, cnt,
+             cnt * 1000 // CAST(sum(cnt) OVER () AS BIGINT) AS share_pm
+      FROM g ORDER BY dow, hour""",
     // same session CTE as window_session, bucketed; permille over the
     // total session count via a window on the 5-row bucket aggregate
     "session_depth" ->
@@ -2233,6 +2271,7 @@ object TimeWindows {
     "window_sliding" -> windowSliding _,
     "window_session" -> windowSession _,
     "session_depth" -> sessionDepth _,
+    "win_heatmap" -> winHeatmap _,
     "sink_csv_daily" -> sinkCsvDaily _,
     "candles" -> candles _,
     "candles_daily" -> candlesDaily _,

@@ -1212,6 +1212,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("clump") == ((10L, 1L, 9.0)), s"$got")
   }
 
+  test("win_heatmap: arithmetic weekday (0=Sunday), exact cells and permilles") {
+    import spark.implicits._
+    // epoch day 0 = Thursday 1970-01-01 -> dow (0+4)%7 = 4;
+    // epoch day 3 = Sunday -> dow 0. Pre-1970 day -7 is also Thursday.
+    def t(day: Long, hour: Int) =
+      new java.sql.Timestamp(day * 86400000L + hour * 3600000L)
+    val ev = (Seq.fill(3)((1L, t(0, 0), 10L, "click", 1.0, "{}")) ++
+      Seq((2L, t(3, 23), 11L, "view", 1.0, "{}"),
+        (3L, t(-7, 5), 12L, "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("heat").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = TimeWindows.winHeatmap(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (4L, 0L) -> ((3L, 600L)),   // Thursday 00h: 3 of 5 events
+      (0L, 23L) -> ((1L, 200L)),  // Sunday 23h
+      (4L, 5L) -> ((1L, 200L))),  // pre-epoch Thursday via pmod
+      s"$got")
+  }
+
   test("tok_oov: mass outside the deterministic top-1000 vocab, per source") {
     import spark.implicits._
     // 1200 singleton tokens w0000..w1199 (sources a: first 600, b: rest)

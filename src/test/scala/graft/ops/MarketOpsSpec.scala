@@ -211,6 +211,23 @@ class MarketOpsSpec extends SparkSpec {
     assert(v.count() > 0)
   }
 
+  test("ta_calmar: hand-built drawdown and linear annualization; flat series NULL") {
+    // A: 100 -> 80 -> 120. peak 100,100,120; dd 0, 0.2, 0 -> max_dd 0.2
+    // ann = (12000/10000 - 1) * 252 / 3 = 16.8; calmar = 16.8 / 0.2 = 84
+    val ev = Seq(
+      ("A", 1L, at(0, 1), 100.0), ("A", 2L, at(1, 1), 80.0),
+      ("A", 3L, at(2, 1), 120.0),
+      ("B", 4L, at(0, 1), 50.0), ("B", 5L, at(1, 1), 50.0))
+      .toDF("event_type", "event_id", "ts", "value")
+    val got = MarketOps.calmarOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got("A") == ((3L, 16.8, 0.2, Some(84.0))), s"$got")
+    // no drawdown ever -> NULL calmar (never infinity), zero return
+    assert(got("B") == ((2L, 0.0, 0.0, None)), s"$got")
+  }
+
   test("ta_beta / ta_sharpe: match an independent moment evaluation; flat series NULLs") {
     // A: 100 -> 110 -> 99 (+10%, -10%); B: flat 50 — the market index is
     // the cent sum 15000, 16000, 14900
