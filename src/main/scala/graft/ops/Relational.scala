@@ -1282,7 +1282,19 @@ object Relational {
     * |suppliers| frame — a dimension-bounded window (the dq_volume days-
     * frame argument), never over lineitem. The class cuts compare
     * cum·1000 ≤ total·k in exact BIGINTs (ties on revenue break by
-    * suppkey, mirrored in the oracle). */
+    * suppkey, mirrored in the oracle).
+    *
+    * DIM-TABLE CONTRACT: unlike the other global-window sites (whose
+    * frames are constants — ≤168 heatmap cells, 5 depth buckets, |days|),
+    * this window's bound is the CARDINALITY OF A DIMENSION TABLE
+    * (supplier: ~10k/SF in this lake, ≤ millions in any real one — a
+    * single task handles it). Pointing this op at a FACT-grain key
+    * (order, user, document id) voids the bound and makes the global
+    * running sum a straggler; the scale-out rewrite is the standard
+    * two-pass partial-prefix: per-partition partial sums, a tiny
+    * partition-offset frame, then cum = offset + local prefix — adopt it
+    * before reusing this shape on an unbounded key, don't widen the
+    * window. PlanAudit allowlists exactly this site under that reading. */
   def abcClass(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = table(spark, dir, "lineitem")

@@ -913,11 +913,13 @@ object TextOps {
     *
     * Scale shape: one tokenize pass into a (token, doc) count (the
     * corpus-sized work, map-side combined), one token-keyed moment
-    * aggregate, TakeOrdered top-20 (freq desc, token tiebreak); N is a
-    * metadata-scale scalar. */
+    * aggregate, TakeOrdered top-20 (freq desc, token tiebreak); N rides
+    * a one-row broadcast count frame cross-joined onto the 20 survivors
+    * INSIDE the plan (mirroring the oracle's count CTE) — one lazy,
+    * optimizer-visible plan, no separate construction-time count job. */
   def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val n = docs.count()
+    val nd = docs.agg(count(lit(1)).as("nd"))
     val perDoc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
@@ -925,10 +927,11 @@ object TextOps {
       .agg(sum("c").as("tf"), count(lit(1)).as("df"),
         sum(col("c") * col("c")).as("sc2"))
       .orderBy(col("tf").desc, col("token")).limit(20)
+      .crossJoin(broadcast(nd))
       .select(col("token"), col("tf"), col("df"),
-        roundD((lit(n) * col("sc2") - col("tf") * col("tf"))
+        roundD((col("nd") * col("sc2") - col("tf") * col("tf"))
           .cast(org.apache.spark.sql.types.DoubleType) /
-          (lit(n) * col("tf"))
+          (col("nd") * col("tf"))
             .cast(org.apache.spark.sql.types.DoubleType), 6).as("fano"))
       .orderBy(col("tf").desc, col("token"))
   }
@@ -1003,10 +1006,12 @@ object TextOps {
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .filter(col("a") =!= col("b") &&
         !col("a").isin(stopwords: _*) && !col("b").isin(stopwords: _*))
-    // materialized: pageRankOf consumes the edge frame ~5× (vertices,
-    // degrees, one contribution join per iteration) — without this every
-    // consumer re-runs the corpus tokenize+distinct
-    val edges = materialize(
+    // materialized + cached ([[cachedFrame]]): pageRankOf consumes the
+    // edge frame ~5× (vertices, degrees, one contribution join per
+    // iteration) — without the materialize every consumer re-runs the
+    // corpus tokenize+distinct, and without the cache every CONSTRUCTION
+    // re-pays the tokenize job for an immutable corpus-derived graph
+    val edges = cachedFrame(spark, s"textrankEdges|$dir")(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         .distinct())

@@ -5,10 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Whole-surface plan audit (dev tool): construct every registered query
   * at sf0.001 and flag scale anti-patterns in the executed plan —
   * SortAggregate (var-width aggregation buffers), CartesianProduct and
-  * BroadcastNestedLoopJoin (non-equi candidate generation). PlanSpec locks
-  * the shapes individually for the load-bearing queries; this sweep
-  * catches the NEXT query someone adds without a lock. Known-benign rows
-  * are listed with their reason rather than silenced. */
+  * BroadcastNestedLoopJoin (non-equi candidate generation) — plus
+  * GlobalWindow (a Window node with an EMPTY partitionSpec in the
+  * optimized logical plan: every row flows through one task, the
+  * straggler shape at fact scale; legitimate only over frames already
+  * reduced to a dimension-bounded size, with the bound documented at the
+  * def site). PlanSpec locks the shapes individually for the load-bearing
+  * queries; this sweep catches the NEXT query someone adds without a
+  * lock. Known-benign rows are listed with their reason rather than
+  * silenced. */
 object PlanAudit {
 
   /** (query, pattern) pairs that are understood and accepted. */
@@ -71,6 +76,33 @@ object PlanAudit {
     // frame (512 rows at M=4,K=8,S=16) — the per-vector argmin itself is
     // the packed-long min() in HashAggregate:
     ("vec_pq", "SortAggregate"),
+    // one-row corpus-count frame cross-joined onto the 20 survivors (the
+    // oracle's count CTE, in-plan):
+    ("text_burstiness", "BroadcastNestedLoopJoin"),
+    // ---- GlobalWindow: single-partition windows, each over a frame
+    // ALREADY REDUCED to a documented dimension-bounded size (the window
+    // never sees fact-grain rows; every def site carries the size proof):
+    // running share over the aggregated |suppliers| frame — bound is a
+    // DIM-TABLE cardinality, the documented dim-table contract at the
+    // def site (Relational.abcClass) spells out the two-pass
+    // partial-prefix rewrite required before reuse on a fact-grain key:
+    ("abc_class", "GlobalWindow"),
+    // |sources| rows post-aggregate (the recipe-enforcement frame):
+    ("curate_mix", "GlobalWindow"),
+    // lag over the |days| daily-count frame:
+    ("dq_gaps", "GlobalWindow"),
+    // trailing-7-day stats over the |days| daily-count frame:
+    ("dq_volume", "GlobalWindow"),
+    // row_number over the ≤k-row weighted-sample frame:
+    ("sample_weighted", "GlobalWindow"),
+    // share over the 5-row depth-bucket aggregate:
+    ("session_depth", "GlobalWindow"),
+    // rank fusion over the two ≤20-row retrieval lists:
+    ("sim_rrf", "GlobalWindow"),
+    // return alignment over the |days| daily-close frame:
+    ("ta_beta", "GlobalWindow"),
+    // share over the ≤168-cell (dow × hour) grid:
+    ("win_heatmap", "GlobalWindow"),
   )
 
   /** Sweep every registered query's executed plan for the anti-pattern
@@ -82,8 +114,21 @@ object PlanAudit {
     val patterns = Seq("SortAggregate", "CartesianProduct", "BroadcastNestedLoopJoin")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
-        patterns.filter(p.contains).flatMap { pat =>
+        val qe = fn(spark, dir).queryExecution
+        val p = qe.executedPlan.toString
+        // structural check on the optimized LOGICAL plan (the physical
+        // tree hides inside AdaptiveSparkPlanExec's innerChildren, which
+        // collect() does not traverse); subqueriesAll covers windows
+        // inside scalar/IN subqueries
+        val opt = qe.optimizedPlan
+        val globalWin = (opt +: opt.subqueriesAll).exists(_.collectFirst {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty)
+        val hits =
+          patterns.filter(p.contains) ++
+            (if (globalWin) Seq("GlobalWindow") else Nil)
+        hits.flatMap { pat =>
           if (accepted((name, pat))) { onKnown(s"$name: $pat"); None }
           else Some(s"$name: $pat")
         }
