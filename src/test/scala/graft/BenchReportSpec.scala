@@ -65,4 +65,17 @@ class BenchReportSpec extends AnyFunSuite {
     names.foreach(n => assert(full.contains(s""""$n":1.234""")))
     assert(full.contains("\"failed\":[]"))
   }
+
+  test("full detail json stamps load averages and per-pass times") {
+    val rs = Seq("a" -> 1.0, "b" -> 2.5)
+    val passTimes = Seq(Seq("a" -> 1.2, "b" -> 2.5), Seq("a" -> 1.0, "b" -> 9.9))
+    val full = Bench.fullJson(rs, Nil, "sf0.1", 0.25, 1.75, passTimes)
+    assert(full.contains(""""load_start":0.250"""))
+    assert(full.contains(""""load_end":1.750"""))
+    // pass-major: a weather spike (b's 9.9 in pass 2) is visible even
+    // though the reported min stays 2.5
+    assert(full.contains(""""passes":[{"a":1.200,"b":2.500},{"a":1.000,"b":9.900}]"""))
+    // the reported values stay the per-query mins
+    assert(full.contains(""""queries":{"a":1.000,"b":2.500}"""))
+  }
 }
