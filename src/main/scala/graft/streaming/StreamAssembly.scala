@@ -1265,9 +1265,18 @@ object StreamAssembly {
           // Idle-gap policy: FunnelWinState (three longs) survives the
           // timeout — removal would re-emit a duplicate step-1 row when a
           // lapsed user signs up again, breaking the batch twin's
-          // min-per-user semantics. The timeout only re-arms.
+          // min-per-user semantics. BOUNDED MECHANISM (r14 advice): this
+          // is a USER-keyed stream, so re-arming on the timeout itself
+          // would fire a 60-day timer per retired user forever — instead
+          // the carry parks timer-less once the timeout fires (the state
+          // is pure carry, nothing left to flush) and the user's next
+          // row re-arms it. State-store cardinality remains the lifetime
+          // user population by design (what the batch twin's full-history
+          // scan also pays); it is observable per batch via the built-in
+          // stateOperators.numRowsTotal progress metric.
           state.update(s)
-          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          if (!state.hasTimedOut)
+            state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
           out.iterator
       }
   }
@@ -1907,6 +1916,111 @@ object StreamAssembly {
       }
   }
 
+  final case class CalmarDay(maxKey: Long, close: Double)
+  final case class CalmarState(nDays: Long, cf: Long, peak: Long,
+      maxDd: Option[Double], open: Map[Long, CalmarDay])
+  final case class CalmarReport(event_type: String, day: String,
+      n_days: Long, ann_ret: Double, max_dd: Option[Double],
+      calmar: Option[Double])
+
+  /** STREAMING CALMAR RATIO — the recovery-adjusted performance line
+    * live, per (type, UTC day): each closed day updates O(1) integer
+    * carry state (first close, running peak, running max drawdown — the
+    * [[obvStream]] cumulative-line state class) and emits the running
+    * Calmar row as of that day; the LAST emitted row per type equals the
+    * oracle-checked `ta_calmar` batch answer over the same prefix. Every
+    * arithmetic step mirrors [[graft.ops.MarketOps.calmarOf]] exactly:
+    * cent closes by the packed (µs-in-day, id) order key, per-day
+    * dd = round6((peak−c)/peak) with a NULL (skipped) dd on a zero
+    * peak, linear annualization ((cl/cf − 1)·252/n) on the same IEEE
+    * tree, NULL calmar while the series is drawdown-free. Carry survives
+    * idle gaps ([[atrStream]]'s retention policy — a fund that pauses
+    * trading does not reset its peak). */
+  def calmarStream(events: DataFrame,
+      watermark: String = "2 hours",
+      idleTimeout: String = "60 days"): Dataset[CalmarReport] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val typed = events
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CalmarState, CalmarReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          var s = state.getOption.getOrElse(
+            CalmarState(0L, 0L, 0L, None, Map.empty))
+          var lastMs = 0L
+          rows.foreach { case (_, id, ts, v) =>
+            val ms = ts.getTime
+            lastMs = math.max(lastMs, ms)
+            val us = math.floorDiv(ms, 1000L) * 1000000L + ts.getNanos / 1000L
+            val ordKey = math.floorMod(us, 86400000000L) * 1048576L +
+              math.floorMod(id, 1048576L)
+            val dayKey = math.floorDiv(ms, dayMs) * dayMs
+            val cur = s.open.get(dayKey) match {
+              case Some(p) if p.maxKey >= ordKey => p
+              case _ => CalmarDay(ordKey, v)
+            }
+            s = s.copy(open = s.open + (dayKey -> cur))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = s.open.keys.toSeq.sorted
+            .takeWhile(k => k + dayMs <= wm)
+            .map { k =>
+              val c = math.floor(s.open(k).close * 100 + 0.5).toLong
+              val n = s.nDays + 1
+              val cf = if (s.nDays == 0L) c else s.cf
+              val peak = math.max(s.peak, c)
+              // batch: dd = round6((peak − c)/peak), NULL when peak = 0
+              // (max() then ignores it)
+              val maxDd =
+                if (peak == 0L) s.maxDd
+                else {
+                  val dd = round6((peak - c).toDouble / peak.toDouble)
+                  Some(s.maxDd.fold(dd)(math.max(_, dd)))
+                }
+              s = CalmarState(n, cf, peak, maxDd, s.open - k)
+              val ann = (c.toDouble / cf.toDouble - 1.0) * 252.0 / n.toDouble
+              CalmarReport(key, java.time.Instant.ofEpochMilli(k)
+                .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString,
+                n, round6(ann),
+                maxDd,
+                maxDd.filter(_ != 0.0).map(d => round6(ann / d)))
+            }
+          // Idle-gap policy: first close / peak / max-dd carry survives
+          state.update(s)
+          state.setTimeoutTimestamp(math.max(lastMs, wm), idleTimeout)
+          out.iterator
+      }
+  }
+
+  /** STREAMING WEEKLY ACTIVITY HEATMAP — the (day-of-week × hour) volume
+    * grid live: a plain watermarked `window(ts, 1 day)` count keyed by
+    * the IDENTICAL dow/hour expressions as the oracle-checked
+    * `win_heatmap` batch query (calendar-arithmetic weekday — engine
+    * dayofweek() numbering never enters; [[sessionStream]]'s
+    * shared-definition convention, no custom state code). Each (day,
+    * hour) cell emits exactly once when the watermark closes its day;
+    * summing emitted cells per (dow, hour) reproduces the batch grid's
+    * counts, and the global share_pm re-derives from those sums — a
+    * running global total is deliberately NOT streamed (an all-history
+    * denominator in append mode would re-emit every cell on every
+    * update; the dashboard recomputes shares from its store instead). */
+  def heatmapStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01")) + 4, lit(7))
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("hour"), col("cnt"))
+
   final case class MonoHour(n: Long, inversions: Long)
   final case class MonoState(runmax: Long, hasMax: Boolean,
       open: Map[Long, MonoHour])
@@ -2167,10 +2281,15 @@ object StreamAssembly {
           // Idle-gap policy: the last-view carry (two longs) survives the
           // timeout — the batch twin attributes a purchase to the last
           // view at ANY lag, so forgetting it after 60 idle days would
-          // turn a late conversion organic. The timeout only re-arms.
+          // turn a late conversion organic. Bounded mechanism (r14
+          // advice, the [[funnelWindowStream]] convention): user-keyed,
+          // so the carry parks timer-less after its timeout fires and the
+          // user's next row re-arms — no per-retired-user timer churn;
+          // cardinality observable via stateOperators.numRowsTotal.
           state.update(s)
-          state.setTimeoutTimestamp(
-            math.max(lastMs, state.getCurrentWatermarkMs()), idleTimeout)
+          if (!state.hasTimedOut)
+            state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs()), idleTimeout)
           out.iterator
       }
   }
@@ -2229,10 +2348,14 @@ object StreamAssembly {
           // Idle-gap policy (shared with funnelWindowStream): the
           // three-long FunnelState survives the timeout — removal would
           // re-emit duplicate stage rows when a lapsed user returns,
-          // breaking min-per-user parity with the batch funnel.
+          // breaking min-per-user parity with the batch funnel. Bounded
+          // mechanism ([[funnelWindowStream]]): user-keyed, so the carry
+          // parks timer-less after its timeout fires; the user's next
+          // row re-arms.
           state.update(s)
-          state.setTimeoutTimestamp(
-            math.max(lastTs, state.getCurrentWatermarkMs()), idleTimeout)
+          if (!state.hasTimedOut)
+            state.setTimeoutTimestamp(
+              math.max(lastTs, state.getCurrentWatermarkMs()), idleTimeout)
           out.iterator
       }
   }

@@ -1835,4 +1835,102 @@ class StreamingSpec extends SparkSpec {
         s"closed-form inversion count drifted: $probe")
     } finally q.stop()
   }
+
+  test("streaming Calmar: last running row per type equals ta_calmar") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.calmarStream(events)
+      .toDF().writeStream.format("memory").queryName("calmar_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      mem.addData(("zz_sentinel", 0L,
+        new java.sql.Timestamp(lastTs + 365L * 86400000L), 0.0))
+      q.processAllAvailable()
+      // the stream emits the RUNNING Calmar row per closed day; its last
+      // row per type is the batch answer over the same prefix
+      val got = spark.sql(
+        """SELECT event_type, n_days, ann_ret, max_dd, calmar
+           FROM calmar_stream s
+           WHERE event_type <> 'zz_sentinel'
+             AND day = (SELECT max(day) FROM calmar_stream
+                        WHERE event_type = s.event_type)""")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val want = graft.ops.MarketOps.taCalmar(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      assert(got == want,
+        s"stream/batch Calmar diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      assert(got.size >= 3, s"parity surface too small: ${got.size}")
+      // and the stream surfaced a real per-day trajectory, not one row
+      val trail = spark.sql(
+        "SELECT count(*) FROM calmar_stream WHERE event_type <> 'zz_sentinel'")
+        .head().getLong(0)
+      assert(trail > got.size, s"no per-day trajectory: $trail rows")
+    } finally q.stop()
+  }
+
+  test("streaming heatmap: summed day cells equal the win_heatmap grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.ops.table(spark, dir, "events")
+      .select("event_type", "event_id", "ts", "value")
+      .as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      .toIndexedSeq
+    assert(src.length > 100)
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_type", "event_id", "ts", "value")
+    val q = StreamAssembly.heatmapStream(events)
+      .writeStream.format("memory").queryName("heatmap_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = src.splitAt(src.length / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val lastTs = src.map(_._3.getTime).max
+      val sentinelTs = new java.sql.Timestamp(lastTs + 365L * 86400000L)
+      mem.addData(("zz_sentinel", 0L, sentinelTs, 0.0))
+      q.processAllAvailable()
+      // cells emitted per (day, hour); the batch grid is their sum per
+      // (dow, hour), and share_pm re-derives from the summed counts
+      val sentinelDay = new java.text.SimpleDateFormat("yyyy-MM-dd") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.format(sentinelTs)
+      val cells = spark.sql(
+        s"""SELECT dow, hour, sum(cnt) AS cnt FROM heatmap_stream
+            WHERE day <> '$sentinelDay' GROUP BY dow, hour""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val total = cells.values.sum
+      val got = cells.map { case (k, c) => k -> ((c, c * 1000 / total)) }
+      val want = graft.ops.TimeWindows.winHeatmap(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want,
+        s"stream/batch heatmap diverged: ${got.size} vs ${want.size}; " +
+          s"sample diff: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+      assert(got.size > 20, s"grid too small: ${got.size}")
+    } finally q.stop()
+  }
 }
