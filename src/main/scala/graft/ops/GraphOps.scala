@@ -67,11 +67,15 @@ object GraphOps {
 
   /** The nation-grain trade edge list — the unweighted view of
     * [[tradePairs]] (vertex²-bounded, distinct by the pair grain).
-    * [[cachedFrame]]: three loop consumers (pageRank, PPR, HITS) plus the
-    * one-shot analytics all replay this same immutable staged view every
-    * bench pass — resolve + materialize it once per (session, dir). */
+    * [[cachedRelation]] (LAZY): the returned view is PLAN-LOCKED to scan
+    * the staged `trade_pairs` parquet (StagedFixtureSpec), so it must
+    * not be checkpointed into a LogicalRDD; the memo still removes the
+    * per-construction relation resolution. The loop consumers (pageRank,
+    * PPR, HITS) memoize their materialized copy on this stable instance
+    * via [[derivedFrame]] at their entry, so each pays the one build job
+    * per JVM while this public frame keeps the store scan visible. */
   private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame =
-    cachedFrame(spark, s"tradeEdges|$dir")(
+    cachedRelation(spark, s"tradeEdges|$dir")(
       tradePairs(spark, dir).select("src", "dst"))
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
@@ -87,7 +91,10 @@ object GraphOps {
     * must be a fixed point) and partition-order probes. Returns (id, pr). */
   private[graft] def pageRankOf(edges0: DataFrame): DataFrame = {
     val home = edges0.sparkSession
-    val e0 = materialize(edges0)
+    // entry materialization memoized on the input instance: over the
+    // stable LAZY [[tradeEdges]] relation this builds once per JVM while
+    // the public edge view keeps its store scan plan-visible
+    val e0 = derivedFrame(edges0, "mat")(edges0)
     // loop in a session sized by the measured edge count ([[loopSession]]);
     // the broadcast hint is size-gated with it — in the single-partition
     // loop a broadcast would only add a driver collect per iteration,
@@ -184,7 +191,8 @@ object GraphOps {
     * a vertex unreachable from the source must read exactly 0). */
   private[graft] def pprOf(edges0: DataFrame, source: Long): DataFrame = {
     val home = edges0.sparkSession
-    val e0 = materialize(edges0)
+    val e0 = derivedFrame(edges0, "mat")(edges0) // the [[pageRankOf]] memo
+
     val loopSpark = loopSession(home, rowsOf(e0))
     def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
     val edges = transplant(loopSpark, e0)
@@ -242,7 +250,7 @@ object GraphOps {
     * path) with known answers. Returns (v, n_tri) for every graph vertex,
     * zero-filled. */
   private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
-    val und = materialize(edges
+    val und = derivedFrame(edges, "und")(edges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -286,7 +294,7 @@ object GraphOps {
     * reciprocal; a DAG scores 0). */
   private[graft] def reciprocityOf(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val e = materialize(
+    val e = derivedFrame(edges, "dedup")(
       edges.filter(col("src") =!= col("dst")).distinct())
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
       .withColumn("r", lit(1L))
@@ -656,7 +664,11 @@ object GraphOps {
       val (base, _) = coPurchaseSplit(spark, dir)
       starComponents(base).write.mode("overwrite").parquet(p)
     }
-    val starsBase = cachedFrame(spark, s"ccincrStars|$dir")(
+    // LAZY relation cache: the final plan is PLAN-LOCKED to scan the
+    // stored star set (via labsBase below) — a materialized copy would
+    // hide the store behind a LogicalRDD; the loop input keeps its own
+    // materialized memo (ccincrInput) independently
+    val starsBase = cachedRelation(spark, s"ccincrStars|$dir")(
       spark.read.parquet(starsPath))
     // the DELTA derivation reads only the delta's slice: the batch filter
     // sits under the aggregate, so the scan is pruned to the arriving 10%
@@ -1003,10 +1015,13 @@ object GraphOps {
         .unionByName(e.select(col("dst").as("id"))).distinct()
         .write.mode("overwrite").parquet(s"$path/verts")
     }
-    // cachedFrame over the stored tables: three centrality consumers
-    // re-resolve these same immutable paths every construction otherwise
-    (cachedFrame(spark, s"laneWalksAw|$dir")(spark.read.parquet(s"$p/aw")),
-      cachedFrame(spark, s"laneWalksVerts|$dir")(
+    // LAZY relation cache over the stored tables: the consumers' final
+    // plans are PLAN-LOCKED to scan /aw and /verts (StagedFixtureSpec) —
+    // the memo removes the per-construction relation resolution without
+    // hiding the store behind a LogicalRDD; betweenness memoizes its σ
+    // hub on the stable /aw instance separately
+    (cachedRelation(spark, s"laneWalksAw|$dir")(spark.read.parquet(s"$p/aw")),
+      cachedRelation(spark, s"laneWalksVerts|$dir")(
         spark.read.parquet(s"$p/verts")))
   }
 
@@ -1099,7 +1114,10 @@ object GraphOps {
       .select(col("s").as("ms"), col("t").as("mt"), col("d"))
     val aw2 = aw.select(col("s").as("as2"), col("t").as("at2"),
       col("k").as("ak"), col("paths").as("ap"))
-    val sig = materialize(dmin.join(broadcast(aw2),
+    // σ hub memoized on the walk-power instance: over the stable stored
+    // /aw relation the build runs once per JVM; spec-built live powers
+    // (fresh instances) still materialize per call as before
+    val sig = derivedFrame(aw, "sigma")(dmin.join(broadcast(aw2),
         col("ms") === col("as2") && col("mt") === col("at2") &&
           col("d") === col("ak"))
       .select(col("ms"), col("mt"), col("d"), col("ap").as("sigma")))
@@ -1213,7 +1231,7 @@ object GraphOps {
     * every R vertex a pure uniform authority). Returns (id, hub, auth). */
   private[graft] def hitsOf(edges0: DataFrame): DataFrame = {
     val home = edges0.sparkSession
-    val e0 = materialize(edges0)
+    val e0 = derivedFrame(edges0, "mat")(edges0) // the [[pageRankOf]] memo
     val loopSpark = loopSession(home, rowsOf(e0))
     def hint(d: DataFrame) = if (loopSpark eq home) broadcast(d) else d
     val edges = transplant(loopSpark, e0)

@@ -188,6 +188,31 @@ package object ops {
     }
   }
 
+  /** LAZY sibling of [[cachedFrame]] for the staged-store reads whose
+    * consumer plans are PLAN-LOCKED to the stored artifact's FileScan
+    * (StagedFixtureSpec: `ccincr_stars`, `trade_pairs`, `lane_walks`):
+    * a [[materialize]] here would truncate the lineage to a LogicalRDD
+    * and hide the staged path from every downstream `explain`, which is
+    * exactly the evidence those locks exist to keep honest — the 100 TB
+    * contract is "the query SCANS the store", not "the query replays a
+    * JVM-resident copy". So this memo caches only the driver-side
+    * relation resolution (the [[table]] discipline: file listing +
+    * footer read + analysis, ~60-80 ms per construction), returning a
+    * stable LAZY instance; execution still scans the store each action.
+    * Consumers that need a materialized copy for loop hubs memoize it on
+    * this instance via [[derivedFrame]], keeping both properties: the
+    * public frame plans as a store scan, the loop pays one build per
+    * JVM. Shares [[frameCache]] under a distinct key prefix. */
+  private[graft] def cachedRelation(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = frameCache.synchronized {
+    var m = frameCache.get(spark)
+    if (m == null) {
+      m = scala.collection.mutable.Map.empty[String, DataFrame]
+      frameCache.put(spark, m)
+    }
+    m.getOrElseUpdate(s"lazy|$key", build)
+  }
+
   /** Memo of frames DERIVED from a specific (usually cached) frame
     * instance — vertex sets, degree-joined edge lists, symmetric views,
     * loop-session transplants. Keyed by the SOURCE frame's identity (a
