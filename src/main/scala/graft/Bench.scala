@@ -123,11 +123,28 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.local.dir", scratch.getPath) // shuffle + spill
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing sized by BYTES, not padded to core count
+      // (spark_optimization_guide §2.2/§9): with the default
+      // parallelismFirst=true every post-shuffle stage keeps up to
+      // `cpus` ~1 MB partitions, paying ~5 ms of task scheduling per
+      // slot per stage across the whole 321-query surface (A/B on the
+      // 40 heaviest: exec 34.0 s -> 28.5 s). Partition count stays
+      // scale-adaptive — AQE derives it from measured stage output /
+      // advisoryPartitionSizeInBytes (default 64 MB here; a real
+      // cluster would raise the advisory to 256 MB per guide §9), so
+      // at 100 TB stages still fan out to thousands of partitions.
+      // SPARK_GRAFT_BENCH_CONF ("k=v;k=v") can override any session
+      // conf for A/B runs without editing the harness.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.caseSensitive", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timings: JVM/codegen/file-index startup is not
     // query cost (first query otherwise absorbs ~6s of session bring-up).

@@ -198,6 +198,17 @@ object DataQuality {
           coalesce(col("out_rows"), lit(0L)).as("out_rows"),
           greatest(col("n1"), col("n2")).as("bigger_side"))
     }
+    // SELF-join estimate: lc == rc by construction, and a full join of a
+    // frame with itself on its unique key matches every row — so
+    // Σ c1·c2 = Σ c² and n1 = n2 = Σ c. One keyed count + one reduction
+    // instead of two identical groupBys and a self full-join (guide
+    // §2.4: the join's only job was re-pairing a frame with itself).
+    def estSelf(name: String, d: DataFrame, k: String): DataFrame =
+      d.groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("out_rows"), sum("c").as("n"))
+        .select(lit(name).as("join_key"),
+          coalesce(col("out_rows"), lit(0L)).as("out_rows"),
+          col("n").as("bigger_side"))
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
     val ev = table(spark, dir, "events")
@@ -205,7 +216,7 @@ object DataQuality {
     est("lineitem*orders.orderkey", li, "l_orderkey", ord, "o_orderkey")
       .unionByName(est("orders*customer.custkey", ord, "o_custkey",
         cust, "c_custkey"))
-      .unionByName(est("events*events.user_id", ev, "user_id", ev, "user_id"))
+      .unionByName(estSelf("events*events.user_id", ev, "user_id"))
       .select(col("join_key"), col("out_rows"),
         expr("out_rows * 1000 div bigger_side").as("blowup_permille"))
       .orderBy("join_key")

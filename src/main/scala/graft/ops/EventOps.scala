@@ -109,16 +109,29 @@ object EventOps {
     * ~accuracy/2 rows lets the GK edges drift a rank off the oracle.
     * Built on [[funnel]]'s min-after-min times — same aggregate-join
     * chain, same shuffle ∝ users. */
-  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events").select("user_id", "event_type", "ts")
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyOf(
+      table(spark, dir, "events").select("user_id", "event_type", "ts"))
+
+  /** Split out so the spec can drive hand-built sequences with known
+    * gaps (and lock the carried-t1/t2 two-join plan shape). */
+  private[graft] def funnelLatencyOf(ev: DataFrame): DataFrame = {
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("t1"))
+    // t1/t2 are CARRIED through the next step's aggregate (min of a
+    // per-user constant == the constant) instead of re-joined back on:
+    // the oracle's g1 = s2 ⋈ s1 / g2 = s3 ⋈ s2 frames are row- and
+    // value-identical, but the plan drops two hash joins AND the
+    // duplicated re-execution of the s1/s2 subtrees those joins forced
+    // (guide §2.4: shuffles you can simply not do) — 11 Spark jobs → 7,
+    // and shuffle bytes ∝ users once per step instead of twice.
     val s2 = ev.filter(col("event_type") === "view")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
     val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min("ts").as("t3"))
+      .join(s2.select("user_id", "t2"), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t2").as("t2"))
     def stage(df: DataFrame, from: String, gap: Column, step: Int): DataFrame =
       df.select(gap.as("gap_us"))
         .agg(count(lit(1)).as("n_users"),
@@ -129,9 +142,9 @@ object EventOps {
         .select(lit(step).as("step"), lit(from).as("transition"),
           col("n_users"), col("p50_gap_us"),
           roundD(col("mean0"), 6).as("mean_gap_s"))
-    stage(s2.join(s1, "user_id"), "signup->view",
+    stage(s2, "signup->view",
         unix_micros(col("t2")) - unix_micros(col("t1")), 1)
-      .unionByName(stage(s3.join(s2, "user_id"), "view->purchase",
+      .unionByName(stage(s3, "view->purchase",
         unix_micros(col("t3")) - unix_micros(col("t2")), 2))
       .orderBy("step")
   }

@@ -25,7 +25,12 @@ object Explain {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
         println(s"\n=== $name ===")
-        println(fn(spark, dir).queryExecution.executedPlan.toString)
+        // FormattedMode == df.explain("formatted"): numbered operator
+        // list + per-operator details (PushedFilters/ReadSchema, join
+        // build sides, exchange partitioning) — the r15 plan-evidence
+        // format (plans/r15/<query>_{before,after}.txt)
+        println(fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       }
     spark.stop()
   }

@@ -329,4 +329,40 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 4L && r.getLong(3) == 6L && r.getLong(4) == 2L &&
       r.getLong(5) == 750L, s"$r")
   }
+
+  test("funnel_latency: exact gaps under strict ordering; carried-t1 two-join plan") {
+    import spark.implicits._
+    // u1: signup@10 -> first view@20 (gap 10s) -> first purchase@35
+    //     (gap 15s); a later view@40 must not move t2.
+    // u2: signup@100 -> view@160 (gap 60s); purchase@150 BEFORE the view
+    //     is not strictly after t2 and must not convert.
+    // u3: purchase-only user counts nowhere.
+    val ev = Seq(
+      (1L, "signup", ts(10)), (1L, "view", ts(20)), (1L, "view", ts(40)),
+      (1L, "purchase", ts(35)),
+      (2L, "signup", ts(100)), (2L, "purchase", ts(150)),
+      (2L, "view", ts(160)),
+      (3L, "purchase", ts(5)),
+    ).toDF("user_id", "event_type", "ts")
+    val df = EventOps.funnelLatencyOf(ev)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // step 1: u1 gap 10s, u2 gap 60s -> n=2, median 10s (quantile_disc
+    // lower-of-two), mean 35s; step 2: u1 only -> 15s across the board
+    assert(got == Seq(
+      (1, "signup->view", 2L, 10000000L, 35.0),
+      (2, "view->purchase", 1L, 15000000L, 15.0)), s"$got")
+    // plan lock for the r15 restructure: t1/t2 are carried through the
+    // step aggregates (min of a per-user constant), so the tree holds
+    // exactly THREE join nodes — s2's events⋈s1 (instantiated in both
+    // the step-1 branch and inside s3) and s3's events⋈s2. The
+    // pre-optimization shape re-joined s2⋈s1 and s3⋈s2 on top and
+    // planned SIX join nodes (re-running the s1/s2 subtrees once more
+    // each); AQE's runtime stage reuse then dedupes the shared s2
+    // exchange, so execution pays each step's shuffle once.
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size
+    assert(joins == 3, s"funnel_latency must plan exactly 3 joins, saw $joins")
+  }
 }
