@@ -21,7 +21,7 @@ object Bench {
     * `bench_full.json` in the working directory for the judge to read.
     */
   def report(results: Seq[(String, Double)], failed: Seq[String],
-             sfName: String, budget: Int = 1400): String = {
+             sfName: String, budget: Int = 1400, cpus: Int = 0): String = {
     // Locale.ROOT: a comma-decimal locale would print 0,21 — invalid JSON.
     def fmt(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
@@ -51,7 +51,12 @@ object Bench {
         kept.map("\"" + _ + "\"").mkString(
           s""","nfail":${failed.size},"failed":[""", ",", "]")
       }
-    val tail = s"""$failedJson,"qcount":${results.size},"sf":"$sfName"}"""
+    // "cpus" makes the scaling contract OBSERVABLE in the artifact itself
+    // (r15 verdict item 2): the 8-core and 32-core driver runs are
+    // distinguishable without reading the harness. 0 = unknown, omitted.
+    val cpusJson = if (cpus > 0) s""","cpus":$cpus""" else ""
+    val tail =
+      s"""$failedJson$cpusJson,"qcount":${results.size},"sf":"$sfName"}"""
     val head = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":"""
     // Failed queries are named ONLY in the "failed" array — the queries map
     // carries real durations exclusively, so a consumer that sums it or
@@ -87,7 +92,8 @@ object Bench {
   def fullJson(results: Seq[(String, Double)], failed: Seq[String],
                sfName: String, loadStart: Double = -1.0,
                loadEnd: Double = -1.0,
-               passTimes: Seq[Seq[(String, Double)]] = Nil): String = {
+               passTimes: Seq[Seq[(String, Double)]] = Nil,
+               cpus: Int = 0): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
@@ -98,7 +104,7 @@ object Bench {
       pass.sortBy(_._1).map { case (n, t) => s"\"$n\":${fmt(t)}" }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"sf":"$sfName"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,8 +148,13 @@ object Bench {
       .config("spark.sql.caseSensitive", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Fail LOUDLY on a malformed segment (a bare token or empty entry
+    // from 'a=b;;c=d' would otherwise die as a cryptic MatchError).
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"bad SPARK_GRAFT_BENCH_CONF entry: '$kv'")
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timings: JVM/codegen/file-index startup is not
@@ -192,10 +203,10 @@ object Bench {
     try {
       val full = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(full,
-        (fullJson(results, failed, sfName, loadStart, loadEnd, passTimes) +
-          "\n").getBytes("UTF-8"))
+        (fullJson(results, failed, sfName, loadStart, loadEnd, passTimes,
+          cpus.toInt) + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
-    println(report(results, failed, sfName))
+    println(report(results, failed, sfName, cpus = cpus.toInt))
     spark.stop()
   }
 }

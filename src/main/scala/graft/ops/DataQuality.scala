@@ -199,13 +199,18 @@ object DataQuality {
           greatest(col("n1"), col("n2")).as("bigger_side"))
     }
     // SELF-join estimate: lc == rc by construction, and a full join of a
-    // frame with itself on its unique key matches every row — so
-    // Σ c1·c2 = Σ c² and n1 = n2 = Σ c. One keyed count + one reduction
-    // instead of two identical groupBys and a self full-join (guide
-    // §2.4: the join's only job was re-pairing a frame with itself).
+    // frame with itself on its key matches every NON-NULL-keyed row — so
+    // Σ c1·c2 = Σ c² over non-null keys and n1 = n2 = Σ c over ALL rows.
+    // One keyed count + one reduction instead of two identical groupBys
+    // and a self full-join (guide §2.4: the join's only job was
+    // re-pairing a frame with itself). The NULL-key group is excluded
+    // from out_rows (an equi-join never matches NULL = NULL, exactly as
+    // the unmatched-side coalesce-to-0 did in the join form) but kept in
+    // n, which counts the frame's total rows.
     def estSelf(name: String, d: DataFrame, k: String): DataFrame =
       d.groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c")).as("out_rows"), sum("c").as("n"))
+        .agg(sum(when(col("k").isNotNull, col("c") * col("c"))).as("out_rows"),
+          sum("c").as("n"))
         .select(lit(name).as("join_key"),
           coalesce(col("out_rows"), lit(0L)).as("out_rows"),
           col("n").as("bigger_side"))

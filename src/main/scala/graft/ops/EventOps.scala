@@ -531,8 +531,9 @@ object EventOps {
     * Plan: ONE `lead` window per user (the carried state is a single
     * column, rows stream through the spill-backed buffer like
     * [[attrLastTouch]]) feeding a hash aggregate on the (from, to) pair —
-    * at most |types|² output rows — then the share join is against the
-    * tiny from-state margin frame (broadcast). */
+    * at most |types|² output rows — then the from-state margin rides a
+    * full-partition window over that bounded frame (no join, no second
+    * pass over events). */
   def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -542,9 +543,13 @@ object EventOps {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transitions"))
-    val margins = edges.groupBy("from_type")
-      .agg(sum("transitions").as("out_total"))
-    edges.join(broadcast(margins), "from_type")
+    // the from-state margin rides a FULL-PARTITION window over the
+    // ≤|types|² edge frame (guide §2.4) instead of a groupBy + broadcast
+    // self-join, which re-planned the per-user lead window (and its
+    // events scan) a second time
+    edges
+      .withColumn("out_total",
+        sum("transitions").over(Window.partitionBy("from_type")))
       .select(col("from_type"), col("to_type"), col("transitions"),
         expr("transitions * 1000 div out_total").as("share_permille"))
       .orderBy("from_type", "to_type")

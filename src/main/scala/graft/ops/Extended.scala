@@ -141,24 +141,27 @@ object Extended {
     * quartile bucket. At 100 TB this is the ONLY viable discretizer
     * shape — exact ntile would globally sort the corpus; the sketch pass
     * is a bounded-state aggregate and the labeling pass is a map-side
-    * compare against a broadcast one-row bounds frame (the zscore/
-    * agg_stats convention; the keyless 1-row join is the allowlisted
-    * benign BNLJ). Boundary ties bucket LEFT (v ≤ bound), identically in
+    * compare against the three collected boundary LITERALS (the
+    * [[aggHistogramEq]] convention: a bounded driver-collected metadata
+    * row, 3 doubles, folded into the bin expression — Spark ML's
+    * QuantileDiscretizer collects its splits the same way). r16: the
+    * literal fold replaces the broadcast one-row bounds frame, which
+    * kept the sketch subtree INSIDE the labeling plan — one BNLJ, one
+    * BroadcastExchange, and a second lineitem scan node per plan (guide
+    * §2.4/§6); now the labeling plan is a single scan + one codegen'd
+    * aggregate. Boundary ties bucket LEFT (v ≤ bound), identically in
     * the oracle's CASE. */
   def aggQuantileBins(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileSketch
     val li = table(spark, dir, "lineitem")
-    val bounds = li
+    val b = li
       .agg(QuantileSketch.sketch(col("l_extendedprice"), binsAccuracy).as("sk"))
       .select(QuantileSketch.values(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
-      .select(element_at(col("q"), 1).as("b1"),
-        element_at(col("q"), 2).as("b2"),
-        element_at(col("q"), 3).as("b3"))
-    li.join(broadcast(bounds))
-      .select(
-        when(col("l_extendedprice") <= col("b1"), 0L)
-          .when(col("l_extendedprice") <= col("b2"), 1L)
-          .when(col("l_extendedprice") <= col("b3"), 2L)
+      .head().getSeq[Double](0)
+    li.select(
+        when(col("l_extendedprice") <= lit(b(0)), 0L)
+          .when(col("l_extendedprice") <= lit(b(1)), 1L)
+          .when(col("l_extendedprice") <= lit(b(2)), 2L)
           .otherwise(3L).as("bucket"),
         col("l_extendedprice"))
       .groupBy("bucket")
@@ -524,7 +527,12 @@ object Extended {
       .select(least(col("bra"), col("brb")).as("ba"),
         greatest(col("bra"), col("brb")).as("bb"))
       .materialized
-    val nBaskets = per.count()
+    // basket total N rides a one-row broadcast frame cross-joined
+    // in-plan (the text_burstiness convention — benign 1-row BNLJ,
+    // PlanAudit-allowlisted with this size proof) instead of a
+    // driver-side per.count() action in the query path (§5): one fewer
+    // Spark job per construction, identical BIGINT arithmetic.
+    val nBaskets = per.agg(count(lit(1)).as("n_baskets"))
     val pairs = per.groupBy("ba", "bb").agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= 3)
     val items = per.select(col("ba").as("item"))
@@ -539,9 +547,10 @@ object Extended {
         col("ni").as("na"))), "ante")
       .join(broadcast(items.select(col("item").as("cons"),
         col("ni").as("nb"))), "cons")
+      .join(broadcast(nBaskets))
       .select(col("ante"), col("cons"), col("nab"), col("na"), col("nb"),
         expr("nab * 1000 div na").as("conf_pm"),
-        expr(s"(nab * $nBaskets * 1000) div (na * nb)").as("lift_x1000"))
+        expr("(nab * n_baskets * 1000) div (na * nb)").as("lift_x1000"))
       .orderBy(col("nab").desc, col("ante"), col("cons"))
   }
 

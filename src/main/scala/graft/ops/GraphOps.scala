@@ -673,15 +673,19 @@ object GraphOps {
     // the DELTA derivation reads only the delta's slice: the batch filter
     // sits under the aggregate, so the scan is pruned to the arriving 10%
     // (on a date-partitioned 100 TB history: to the day's partition) —
-    // the base table is never re-scanned, matching the doc's cost model
-    val delta = cachedFrame(spark, s"ccincrDelta|$dir")(
+    // the base table is never re-scanned, matching the doc's cost model.
+    // NOT memoized (r15 verdict item 3): under this op's own cost model
+    // the delta aggregation IS the recurring per-refresh work, so every
+    // construction must pay it — a cross-pass memo would make the
+    // min-across-passes bench number exclude real daily cost.
+    val delta =
       table(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 7)
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n"),
           min("l_partkey").as("a"), max("l_partkey").as("b"))
         .filter(col("n") === 2 && col("a") =!= col("b"))
-        .select("a", "b").distinct())
+        .select("a", "b").distinct()
     // both labelings read straight off their star sets — every vertex of
     // an edge set appears in its stars (non-roots once as hi, roots as
     // lo), so no separate vertex frame or fetch join is needed
@@ -690,11 +694,14 @@ object GraphOps {
       .unionByName(stars.select(col("lo").as("part"),
         col("lo").as(as)).distinct())
     val labsBase = labels(starsBase, "comp_before")
-    // the union input is itself cached so [[starComponents]]' entry memo
-    // keys on a stable instance — the measured recurring cost is the
-    // |V_base| + |Δ| re-convergence alone, as the doc's cost model states
+    // the union input is materialized PER CONSTRUCTION (not memoized —
+    // r15 verdict item 3): it embeds the fresh delta aggregate, so every
+    // pass re-derives union + canonicalization along with the
+    // re-convergence — the honest per-refresh cost under the doc's model.
+    // materialize (one job) is kept so [[starComponents]]' multi-consumer
+    // rounds don't re-run the delta subtree per round.
     val starsFull = starComponents(
-      cachedFrame(spark, s"ccincrInput|$dir")(
+      materialize(
         starsBase.select(col("lo").as("a"), col("hi").as("b"))
           .unionByName(delta)))
     labels(starsFull, "comp_after").join(labsBase, Seq("part"), "left")
@@ -922,14 +929,14 @@ object GraphOps {
       val relaxed = edges.join(hint(dist), col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       // a relax round references dist TWICE (carry-forward union + the
-      // relaxation join), so the downsized-session lazy chain checkpoints
-      // every SECOND hop (tree ≤ 4× the last checkpoint); cluster scale
-      // keeps the per-round checkpoint ([[roundMat]] rationale)
-      val next0 = dist.unionByName(relaxed)
-        .groupBy("id").agg(min("dist").as("dist"))
-      val next =
-        if ((loopSpark eq home) || h % 2 == 0 || h == hops) materialize(next0)
-        else next0
+      // relaxation join), so every hop checkpoints — r15 batched every
+      // second hop here and graph_sssp regressed 0.82×; the r16 A/B
+      // (FixedCost min-of-3, 5 runs per variant) read per-round at
+      // median 1.13 s vs batched 1.24 s: the doubled round tree costs
+      // more Catalyst time than the skipped checkpoint job saves, so
+      // the per-round checkpoint is back (verdict item 4)
+      val next = materialize(dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
       if (distOwned) dist.unpersist(): Unit
       distOwned = true
       dist = next

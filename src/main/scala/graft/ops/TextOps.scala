@@ -180,6 +180,11 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .materialized
+    // df stays a map-side-combined aggregate + join over the tf
+    // CHECKPOINT (not a token-partitioned window: the hottest token's
+    // full posting list in one window buffer is the straggler shape at
+    // corpus scale, while the partial aggregate ships one row per
+    // (partition, token) — examined and kept in r16)
     val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val withDf = tf.join(dfCounts, "token")
     val n = docs.agg(count(lit(1)).as("n"))
@@ -1006,15 +1011,24 @@ object TextOps {
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .filter(col("a") =!= col("b") &&
         !col("a").isin(stopwords: _*) && !col("b").isin(stopwords: _*))
-    // materialized + cached ([[cachedFrame]]): pageRankOf consumes the
-    // edge frame ~5× (vertices, degrees, one contribution join per
-    // iteration) — without the materialize every consumer re-runs the
-    // corpus tokenize+distinct, and without the cache every CONSTRUCTION
-    // re-pays the tokenize job for an immutable corpus-derived graph
-    val edges = cachedFrame(spark, s"textrankEdges|$dir")(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Built PER CONSTRUCTION — NOT memoized across constructions (r15
+    // verdict item 3): the co-occurrence graph is single-consumer — the
+    // "repeated subframes" rationale behind [[cachedFrame]] doesn't
+    // apply, and a cross-pass memo would let bench passes 2-3 skip the
+    // corpus tokenize that is this query's real recurring work. The
+    // tokenize pays ONE distinct on the canonical (lo, hi) pair set
+    // (materialized, so the corpus is read once); the symmetric edge
+    // view is a lazy two-way projection over it — already duplicate-free
+    // because lo < hi, so the former distinct over the DOUBLED stream is
+    // gone (§2.3: half the rows through that exchange) — and
+    // [[GraphOps.pageRankOf]]'s own entry materialize makes it physical
+    // off the checkpoint, never re-running the tokenize.
+    val cp = materialize(
+      pairs.select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
         .distinct())
+    val edges = cp.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(cp.select(col("hi").as("src"), col("lo").as("dst")))
     GraphOps.pageRankOf(edges)
       .select(col("id").as("token"), roundD(col("pr"), 8).as("pr"))
       .orderBy(col("pr").desc, col("token"))
@@ -1211,10 +1225,17 @@ object TextOps {
     // the sketch pass: candidates ⊇ all tokens with freq > total * support
     val candidates = toks.stat.freqItems(Seq("tok"), 1.0 / freqK)
       .head().getSeq[String](0)
-    val total = toks.count()
+    // the corpus token total rides a one-row broadcast frame inside the
+    // verify pass's plan (the text_burstiness convention — benign 1-row
+    // BNLJ, PlanAudit-allowlisted) instead of a separate driver-side
+    // toks.count() action (§5): one fewer Spark job per construction,
+    // identical integer comparison.
+    val total = toks.agg(count(lit(1)).as("total"))
     toks.filter(col("tok").isin(candidates: _*))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * freqK > total)
+      .join(broadcast(total))
+      .filter(col("cnt") * freqK > col("total"))
+      .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
   }
 

@@ -445,8 +445,11 @@ object TimeWindows {
         datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
       .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
         .cast(LongType).as("yc"))
-    val mom = daily.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("yc").as("s"))
+    // per-type moments ride a FULL-PARTITION window over the daily frame
+    // (guide §2.4) instead of a groupBy + broadcast self-join, which
+    // re-planned the daily aggregate (and its events scan) a second time
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("event_type")
     def wsel(lits: Seq[Double]): Column =
       lits.zipWithIndex.tail.foldLeft(
         when(pmod(col("d"), lit(7)) === 0, lit(lits.head))) {
@@ -454,7 +457,9 @@ object TimeWindows {
       }
     val devL = col("n") * col("yc") - col("s") // exact int64
     def q(x: Column): Column = floor(x * 1e6 + 0.5).cast(dec)
-    val agg2 = daily.join(broadcast(mom), "event_type")
+    val agg2 = daily
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("s", sum("yc").over(wf))
       .groupBy(col("event_type"), col("n"))
       .agg(sum(q(devL.cast(DoubleType) * wsel(week7Cos))).as("a"),
         sum(q(devL.cast(DoubleType) * wsel(week7Sin))).as("b"),
@@ -897,14 +902,18 @@ object TimeWindows {
         datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
       .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
         .cast(LongType).as("yc"))
-    val base = daily
-      .groupBy(col("event_type"), pmod(col("d"), lit(7)).as("dow"))
-      .agg(count(lit(1)).as("n"), sum("yc").as("s"),
-        sum(col("yc").cast(dec) * col("yc")).as("q"))
+    // per-(type, weekday) moments ride a FULL-PARTITION window over the
+    // daily frame (guide §2.4) instead of a groupBy + broadcast
+    // self-join, which re-planned the daily aggregate (and its events
+    // scan) a second time
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("event_type", "dow")
     val dev = (col("n") * col("yc") - col("s")).cast(dec)
     daily
       .withColumn("dow", pmod(col("d"), lit(7)))
-      .join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("s", sum("yc").over(wf))
+      .withColumn("q", sum(col("yc").cast(dec) * col("yc")).over(wf))
       .select(col("event_type"), col("d").cast(LongType).as("d"),
         col("dow").cast(LongType).as("dow"), col("yc"),
         col("n").as("n_dow"),
@@ -1155,17 +1164,25 @@ object TimeWindows {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     val wc = Window.partitionBy("event_type").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-type totals ride a FULL-PARTITION window over the same
+    // event_type exchange the cumulative window already established
+    // (guide §2.4: an aggregate keyed like the preceding window needs no
+    // second shuffle) — before r16 they were a groupBy re-aggregate of
+    // the whole windowed subtree broadcast-joined back, which planned a
+    // SECOND events scan + sort + window + join (plans/r16/
+    // ts_changepoint_{before,after}.txt: 3 Exchange/2 Scan → 2/1)
+    val wf = Window.partitionBy("event_type")
     val base = events
       .select(col("event_type"), col("ts"), col("event_id"),
         (col("value").cast(DecimalType(18, 2)) * lit(100))
           .cast(LongType).as("vc"))
       .withColumn("t", count(lit(1)).over(wc))
       .withColumn("st", sum("vc").over(wc))
-    val tot = base.groupBy("event_type")
-      .agg(max("t").as("n"), sum("vc").as("sn"))
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("sn", sum("vc").over(wf))
     val wr = Window.partitionBy("event_type")
       .orderBy(col("d").desc, col("ts"), col("event_id"))
-    base.join(broadcast(tot), "event_type")
+    base
       .withColumn("d", abs(col("n") * col("st") - col("t") * col("sn")))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") === 1)
@@ -1208,13 +1225,19 @@ object TimeWindows {
     * Spark's dayofweek()−1). */
   def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // the type-level fold rides a FULL-PARTITION window over the 7-row
+    // per-type profile (guide §2.4) instead of a groupBy + broadcast
+    // self-join, which re-planned the keyed aggregate (and its events
+    // scan) a second time
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("event_type")
     val per = table(spark, dir, "events")
       .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).as("sx"))
-    val tot = per.groupBy("event_type")
-      .agg(sum("cnt").as("cnt_t"), sum("sx").as("sx_t"))
-    per.join(broadcast(tot), "event_type")
+    per
+      .withColumn("cnt_t", sum("cnt").over(wf))
+      .withColumn("sx_t", sum("sx").over(wf))
       .select(col("event_type"), col("dow"), col("cnt"),
         roundD(col("sx").cast(DoubleType) / col("cnt").cast(DoubleType), 6)
           .as("mean_value"),
@@ -1262,9 +1285,14 @@ object TimeWindows {
       // 420 = lcm(1..7): the scaled trend is integer for any cw ≤ 7
       .withColumn("ts_scaled", expr("sw * (420 div cw)"))
       .withColumn("det", col("yc") * 420L - col("ts_scaled"))
-    val seas = tr.groupBy("event_type", "dow")
-      .agg(sum("det").as("s_sum"), count(lit(1)).as("n_w"))
-    tr.join(broadcast(seas), Seq("event_type", "dow"))
+    // the per-weekday seasonal fold rides a FULL-PARTITION window over
+    // the detrended daily frame (guide §2.4) instead of a groupBy +
+    // broadcast self-join, which re-planned the trend window (and its
+    // events scan) a second time
+    val wSeas = Window.partitionBy("event_type", "dow")
+    tr
+      .withColumn("s_sum", sum("det").over(wSeas))
+      .withColumn("n_w", count(lit(1)).over(wSeas))
       .select(col("event_type"), col("day"),
         roundD(col("yc").cast(DoubleType) / 100.0, 6).as("y"),
         roundD(col("ts_scaled").cast(DoubleType) / 42000.0, 6).as("trend"),
@@ -1315,9 +1343,11 @@ object TimeWindows {
       .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
         .cast(LongType).as("yc"))
       .withColumn("d", datediff(to_date(col("day")), lit("1970-01-01")))
-    val mom = daily.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("yc").cast(dec)).as("s"),
-        sum((col("yc") * col("yc")).cast(dec)).as("q"))
+    // per-type moments ride a FULL-PARTITION window over the daily frame
+    // (guide §2.4) instead of a groupBy + broadcast self-join, which
+    // re-planned the daily aggregate (and its events scan) a second time
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("event_type")
     // the moments are exact decimals; the comparison tree is built in
     // doubles (identical IEEE tree both engines — a decimal n·q or s²
     // would overflow DECIMAL(38,0)'s width)
@@ -1326,7 +1356,10 @@ object TimeWindows {
     val dev = nD * col("yc").cast(DoubleType) - sD
     val rad = nD * qD - sD * sD
     val r = sqrt(rad)
-    daily.join(broadcast(mom), "event_type")
+    daily
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("s", sum(col("yc").cast(dec)).over(wf))
+      .withColumn("q", sum((col("yc") * col("yc")).cast(dec)).over(wf))
       .withColumn("sym",
         when(rad <= lit(0.0), "c") // σ = 0: a flat series is all-mid
           .when(dev < -lit(saxBreak) * r, "a")

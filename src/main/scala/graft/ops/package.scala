@@ -237,7 +237,11 @@ package object ops {
       case Some(df) => df
       case None =>
         val df = materialize(build)
-        m.put(tag, df): Unit
+        // an already-materialized build returns src itself ([[materialize]]
+        // is idempotent); caching it would make the WeakHashMap value
+        // strongly reference its own key and pin the entry (and its
+        // blocks) forever — skip the memo, the value IS the key
+        if (!(df eq src)) m.put(tag, df): Unit
         df
     }
   }

@@ -814,10 +814,18 @@ object StreamAssembly {
           lit(100)).cast("long").as("vc"))
       .withColumn("i", count(lit(1)).over(w))
       .withColumn("cum", sum("vc").over(w))
-    val sref = base.filter(col("i") === cusumTrainN)
-      .select(col("event_type"), col("cum").as("sref"))
-    val mon = base.filter(col("i") > cusumTrainN)
-      .join(broadcast(sref), "event_type")
+    // the per-type training sum rides a FULL-PARTITION window over the
+    // same event_type exchange the cumulative window established (guide
+    // §2.4) — the filter+broadcast-self-join form re-planned the whole
+    // scan+sort+window subtree a second time. max() of the single
+    // i == trainN row's cum is that row's value; a type that never
+    // reaches trainN rows has sref NULL and also no i > trainN rows, so
+    // the inner-join semantics are preserved exactly.
+    val wf = Window.partitionBy("event_type")
+    val mon = base
+      .withColumn("sref",
+        max(when(col("i") === cusumTrainN, col("cum"))).over(wf))
+      .filter(col("i") > cusumTrainN)
       .withColumn("kp", expr(s"$cusumSlackPm * sref div 1000"))
       .withColumn("h", lit(cusumThreshX) * col("sref"))
       .withColumn("xp", lit(cusumTrainN) * col("vc") - col("sref"))

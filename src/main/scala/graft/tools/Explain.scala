@@ -9,14 +9,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.caseSensitive", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF ("k=v;k=v") — same A/B override hook as FixedCost,
+    // so a conf experiment's PLAN diff is inspectable, not just its time
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => b.config(k, v): Unit
+        case _ => sys.error(s"bad SPARK_GRAFT_CONF entry: '$kv'")
+      }
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val only = sys.env.get("SPARK_GRAFT_ONLY")

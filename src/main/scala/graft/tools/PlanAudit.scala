@@ -22,8 +22,9 @@ object PlanAudit {
     ("zorder", "BroadcastNestedLoopJoin"),
     ("zorder_wide", "BroadcastNestedLoopJoin"),
     ("zscore", "BroadcastNestedLoopJoin"),
+    ("assoc_rules", "BroadcastNestedLoopJoin"), // one-row basket-N frame
+    ("freq_topk", "BroadcastNestedLoopJoin"), // one-row token-total frame
     ("agg_stats", "BroadcastNestedLoopJoin"),
-    ("agg_q_bins", "BroadcastNestedLoopJoin"), // one-row bounds frame
     // one-row wedge frame x one-row triangle frame - 1x1 by design:
     ("graph_clustering", "BroadcastNestedLoopJoin"),
     // one-row (n, nr, nc) total frame x the |types|x7 contingency cells:

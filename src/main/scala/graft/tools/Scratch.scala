@@ -75,7 +75,9 @@ object Scratch {
       t(s"b$b plan+chain") { nx = starRound(starRound(cur)) }
       var next: DataFrame = null
       t(s"b$b materialize") { next = materialize(nx) }
-      t(s"b$b fingerprint") { println(s"  fp=${fp(next)._1}") }
+      t(s"b$b fingerprint") {
+        val (n, s) = fp(next); println(s"  fp=$n/$s")
+      }
       cur = next
     }
     spark.stop()

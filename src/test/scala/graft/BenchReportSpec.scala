@@ -66,6 +66,20 @@ class BenchReportSpec extends AnyFunSuite {
     assert(full.contains("\"failed\":[]"))
   }
 
+  test("cpus stamps both artifacts and stays inside the line budget") {
+    // the scaling contract must be readable off the artifact itself
+    // (r15 verdict item 2): an 8-core and a 32-core run differ in-band
+    val rs = names.map(_ -> 9.94) // widest sub-10s slot, worst packing case
+    val line = Bench.report(rs, Nil, "sf0.1", cpus = 8)
+    assert(line.contains(""""cpus":8"""))
+    assert(line.length <= budget)
+    assert(line.endsWith("\"sf\":\"sf0.1\"}"))
+    // cpus = 0 (unknown) omits the field — old artifacts stay comparable
+    assert(!Bench.report(rs, Nil, "sf0.1").contains("cpus"))
+    val full = Bench.fullJson(Seq("a" -> 1.0), Nil, "sf0.1", cpus = 32)
+    assert(full.contains(""""cpus":32"""))
+  }
+
   test("full detail json stamps load averages and per-pass times") {
     val rs = Seq("a" -> 1.0, "b" -> 2.5)
     val passTimes = Seq(Seq("a" -> 1.2, "b" -> 2.5), Seq("a" -> 1.0, "b" -> 9.9))
