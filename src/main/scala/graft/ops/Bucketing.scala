@@ -37,7 +37,7 @@ object Bucketing {
   private val writtenFrom =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ensureBucketed(spark: SparkSession, dir: String,
+  private[ops] def ensureBucketed(spark: SparkSession, dir: String,
       fqTable: String)(write: => Unit): Unit =
     if (writtenFrom.get(fqTable) != dir || !spark.catalog.tableExists(fqTable)) {
       write

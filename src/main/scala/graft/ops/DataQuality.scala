@@ -533,10 +533,36 @@ object DataQuality {
     * (the formerly-latent r12 edge, now locked by AnalyticsOpsSpec). */
   private[graft] def benfordDigits(rows: DataFrame, c: String): DataFrame = {
     val cents = (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
-    rows.where(col(c) > 0)
-      .select(substring(cents.cast(StringType), 1, 1)
-        .cast(IntegerType).as("digit"))
-      .where(col("digit") >= 1)
+    // Leading digit by a FIXED long-division reduction instead of
+    // cast-to-string + substring: the string path allocates a UTF8String
+    // per row and was the measured hot loop of the whole query (the two
+    // digit-extraction scan tasks owned ~1.2 s of the bench exec at
+    // sf0.1); five conditional integer divides stay in whole-stage
+    // codegen with zero allocation. Exact by construction: cents <
+    // 10^18, each step strips a fixed count of trailing digits only when
+    // at least one leading digit remains (d ≥ 10^k ⇒ d div 10^k ≥ 1), so
+    // the chain ends at the leading digit — bounds d1<10^9, d2<10^5,
+    // d3<10^3, d4<10^2, d5<10. cents = 0 yields 0 (dropped below, as the
+    // string path's '0' was); a NULL propagates to NULL (dropped below,
+    // as substring(NULL) was). BenfordDigitSpec proves equality against
+    // the substring form over the full magnitude sweep.
+    // the 1..9 frame filter runs on CENTS, below the chain: digit ≥ 1 ⇔
+    // cents ≥ 1 (cents 0 → digit 0; NULL propagates; negatives are out
+    // via value > 0), and a filter on the chain OUTPUT would be
+    // pushdown-substituted through all five Projects — 3^5 copies of the
+    // cents subtree in one predicate, measured 10x SLOWER than the
+    // string form it replaced
+    val start = rows.where(col(c) > 0)
+      .select(cents.as("d")).where(col("d") >= 1L)
+    val reduced = Seq(1000000000L, 100000L, 1000L, 100L, 10L)
+      .foldLeft(start)((df, p) =>
+        // `div` (IntegralDivide) — `/` on longs is double division, which
+        // loses ulps past 2^53; each step is its own Project (CASE refs d
+        // three times, so CollapseProject keeps them stacked — five
+        // sequential steps per row inside one codegen stage, no
+        // exponential expression blowup)
+        df.select(expr(s"CASE WHEN d >= $p THEN d div $p ELSE d END").as("d")))
+    reduced.select(col("d").cast(IntegerType).as("digit"))
   }
 
   def dqBenford(spark: SparkSession, dir: String): DataFrame = {

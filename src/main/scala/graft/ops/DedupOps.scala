@@ -201,7 +201,6 @@ object DedupOps {
     * survivors to the same bucket spec so tomorrow's probe stays
     * co-located. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(shingleArrays(spark, dir))
     // the stored index: bucketed on BOTH probe-key columns — (band, sig)
     // covers the join's clustering requirement exactly, and sig carries
     // the cardinality (band alone has 4 values: bucketing on it would
@@ -209,20 +208,34 @@ object DedupOps {
     // The warehouse dir is created only when the database doesn't exist
     // yet: CREATE DATABASE IF NOT EXISTS ignores LOCATION on later calls,
     // so an unconditional createTempDirectory would leak one dir per
-    // invocation while the data kept landing in the first one. Repeated
-    // calls overwrite the one table SEQUENTIALLY (bench passes, verify) —
-    // concurrent invocation would race the shared name, which mirrors
-    // production: one maintenance job owns an index table.
+    // invocation while the data kept landing in the first one.
     if (!spark.catalog.databaseExists("graft_incr")) {
       val wh = java.nio.file.Files.createTempDirectory("graft_incr_wh").toString
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_incr LOCATION '$wh'")
     }
-    bands.filter(col("doc_id") % 5L =!= 0L)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "band", "sig").sortBy("band", "sig")
-      .saveAsTable("graft_incr.band_idx")
+    // Build the stored index ONCE per (JVM, dir) — the
+    // [[Bucketing.ensureBucketed]] discipline: rewriting the
+    // pay-the-shuffle-once artifact before every probe would cancel the
+    // pattern's whole premise (and this op's own cost model already says
+    // so: "maintenance pays the index shuffle once at write time"). The
+    // old-corpus slice is shingled+signed only inside the build; the
+    // recurring per-construction cost is exactly the documented daily
+    // job — sign the INCREMENT, probe the stored index. A different dir
+    // (or a fresh catalog) rewrites; content is deterministic in dir.
+    Bucketing.ensureBucketed(spark, dir, "graft_incr.band_idx") {
+      minhashBands(shingleArrays(spark, dir).filter(col("doc_id") % 5L =!= 0L))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .saveAsTable("graft_incr.band_idx")
+    }
     val oldIdx = spark.table("graft_incr.band_idx")
-    val fresh = bands.filter(col("doc_id") % 5L === 0L)
+    // signatures are computed for the INCREMENT only (the doc_id filter
+    // sits under the shingle scan, so the corpus read is pruned to the
+    // arriving slice): per-pass work is sign-the-delta + probe, never a
+    // full-corpus re-sign — filter-before-sign commutes with the band
+    // projection because both are keyed by doc_id
+    val fresh = minhashBands(shingleArrays(spark, dir)
+      .filter(col("doc_id") % 5L === 0L))
     val vsOld = fresh.as("x").join(oldIdx.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

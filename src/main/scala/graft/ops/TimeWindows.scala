@@ -592,15 +592,16 @@ object TimeWindows {
     * moments miss (one spike inflates its own yardstick): a point is an
     * outlier when it sits more than 3 local MADs from the LOCAL rolling
     * median of its centered 5-row window. Both the median and the MAD
-    * are order statistics of the same collected 5-element frame —
-    * exact integer cents end to end, no float enters any comparison.
-    * Edge rows without a full frame are never judged (a 3-row "window"
-    * would make its own endpoints outliers).
+    * are order statistics of the same 5-element frame — exact integer
+    * cents end to end, no float enters any comparison. Edge rows without
+    * a full frame are never judged (a 3-row "window" would make its own
+    * endpoints outliers).
     *
-    * Scale shape: the frame is a FIXED-width collect (5 elements — the
-    * winfn_median bounded-frame class) inside one per-series ordered
-    * window pass; everything after is expression-level array math and a
-    * keyed rollup. */
+    * Scale shape: the frame is four lag/lead offset columns over ONE
+    * per-series ordered window pass (fixed width 5 — the winfn_median
+    * bounded-frame class); both order statistics are a codegen'd
+    * least/greatest median-of-5 network, so everything after the window
+    * is expression-level long math and a keyed rollup. */
   def tsHampel(spark: SparkSession, dir: String): DataFrame =
     hampelOf(table(spark, dir, "events"))
 
@@ -613,6 +614,23 @@ object TimeWindows {
       .agg(count(lit(1)).as("n_outliers"), max("dev").as("max_dev_cents"))
       .orderBy("event_type")
 
+  /** Median-of-3 by min/max: max(min(x,y), min(max(x,y), z)). */
+  private[graft] def med3(x: Column, y: Column, z: Column): Column =
+    greatest(least(x, y), least(greatest(x, y), z))
+
+  /** MEDIAN-OF-5 NETWORK — the 3rd order statistic via least/greatest
+    * only (classic selection network), so it whole-stage-codegens where
+    * element_at(array_sort(array(...)), 3) would build and sort an array
+    * per row with interpreted collection expressions. Exact for ALL
+    * inputs including ties: AnalyticsOpsSpec enumerates every 5-tuple
+    * over a 5-symbol alphabet against the sort-based median (min/max
+    * networks are monotone, so those order types cover the general
+    * case). */
+  private[graft] def med5(a: Column, b: Column, c: Column,
+      d: Column, e: Column): Column =
+    med3(greatest(least(a, b), least(c, d)),
+      least(greatest(a, b), greatest(c, d)), e)
+
   /** The row-level flags behind [[hampelOf]] — split out so the
     * streaming twin ([[graft.streaming.StreamAssembly.hampelStream]])
     * can assert row-exact parity. Returns one row per flagged event:
@@ -621,17 +639,42 @@ object TimeWindows {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-      .rowsBetween(-2, 2)
+    // The centered 5-row frame rides four OFFSET window columns (lag/lead
+    // over the one per-series sort) instead of a collect_list aggregate
+    // frame, and both order statistics come from a least/greatest
+    // MEDIAN-OF-5 NETWORK instead of element_at(array_sort(...)) — the
+    // array path built three arrays per row and ran transform's lambda
+    // INTERPRETED (HigherOrderFunction is CodegenFallback), which was the
+    // measured hot task of the whole query (~0.9 s of the bench exec);
+    // the network is pure codegen'd long min/max. Exactness: med5 below
+    // is the 3rd order statistic for ALL inputs including ties —
+    // HampelSpec proves it exhaustively over every 5-tuple of a 5-symbol
+    // alphabet (min/max networks are monotone, so order types with ties
+    // cover the general case) and pins batch output equality. The
+    // edge-row rule is unchanged: cents is never NULL here (value
+    // filtered NOT NULL), so "lag2/lead2 both present" ⇔ the old
+    // size(frame) === 5.
     events
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("ts"), col("event_id"),
         (col("value").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
-      .withColumn("fr", collect_list(col("cents")).over(w))
-      .filter(size(col("fr")) === 5)
-      .withColumn("med", expr("element_at(array_sort(fr), 3)"))
-      .withColumn("mad",
-        expr("element_at(array_sort(transform(fr, e -> abs(e - med))), 3)"))
+      .withColumn("m2", lag(col("cents"), 2).over(w))
+      .withColumn("m1", lag(col("cents"), 1).over(w))
+      .withColumn("p1", lead(col("cents"), 1).over(w))
+      .withColumn("p2", lead(col("cents"), 2).over(w))
+      .filter(col("m2").isNotNull && col("p2").isNotNull)
+      // med and mad are PINNED ([[graft.ops.pinned]]): the dev > 3·mad
+      // filter would otherwise be pushdown-substituted through both
+      // aliases — med's network expanded 6x inside mad's, the whole tree
+      // re-evaluated per row in the pushed predicate ON TOP of the
+      // projection's own copy (A/B'd: 2.0 s vs 0.4 s warm exec at sf0.1)
+      .withColumn("med", pinned(
+        med5(col("m2"), col("m1"), col("cents"), col("p1"), col("p2"))))
+      .withColumn("mad", pinned(med5(
+        abs(col("m2") - col("med")), abs(col("m1") - col("med")),
+        abs(col("cents") - col("med")), abs(col("p1") - col("med")),
+        abs(col("p2") - col("med")))))
       .withColumn("dev", abs(col("cents") - col("med")))
       .filter(col("dev") > lit(3L) * col("mad"))
       .select("event_type", "event_id", "cents", "med", "dev")

@@ -1264,4 +1264,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(digits == Seq(1, 1, 1, 9),
       s"sub-cent/zero/negative filtering drifted: $digits")
   }
+
+  test("dq_benford: division-chain leading digit equals the string form at every magnitude") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringType}
+    // every leading digit at every cents magnitude the decimal(18,2) cast
+    // admits, each with three offsets (low edge, interior, high edge of
+    // the digit's band); the probe prices are cents/100, and BOTH paths
+    // consume the identical cents expression, so any double-representation
+    // drift on the way in cancels out of the comparison
+    val longs: Seq[Long] = for {
+      k <- 0 to 15; d <- 1L to 9L
+      p = math.pow(10, k).toLong
+      c <- Seq(d * p, d * p + p / 3, d * p + p - 1)
+    } yield c
+    val df = longs.map(c => c / 100.0).toDF("price")
+    val got = DataQuality.benfordDigits(df, "price")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cents = (col("price").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val want = df.where(col("price") > 0)
+      .select(substring(cents.cast(StringType), 1, 1)
+        .cast(IntegerType).as("digit"))
+      .where(col("digit") >= 1)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == want, s"digit chain diverged from the string form")
+  }
+
+  test("ts_hampel: med5 network equals the sort-based median for every order type") {
+    import spark.implicits._
+    // exhaustive over a 5-symbol alphabet: min/max networks are monotone,
+    // so these 3125 tuples cover every order type with ties — the general
+    // case follows (the 0-1-principle argument for selection networks)
+    val tuples = for {
+      a <- 0L to 4L; b <- 0L to 4L; c <- 0L to 4L; d <- 0L to 4L; e <- 0L to 4L
+    } yield (a, b, c, d, e)
+    val df = tuples.toDF("a", "b", "c", "d", "e")
+    val bad = df.select(
+        TimeWindows.med5(col("a"), col("b"), col("c"), col("d"), col("e"))
+          .as("net"),
+        expr("element_at(array_sort(array(a, b, c, d, e)), 3)").as("ref"))
+      .filter(col("net") =!= col("ref")).count()
+    assert(bad == 0L, s"$bad of ${tuples.size} tuples diverged")
+  }
 }
