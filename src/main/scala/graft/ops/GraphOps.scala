@@ -575,27 +575,25 @@ object GraphOps {
         .filter(col("lo") =!= col("hi"))
         .distinct()
     }
-    // checkpoint/fingerprint grain: one round at cluster scale (the
-    // published per-round materialization), TWO lazily chained rounds in
-    // the downsized loop session — a stable star set is a fixed point of
-    // the round function, so comparing fingerprints across a 2-round
-    // batch still detects convergence exactly (at most one extra batch
-    // runs after stabilization), and each batch pays ONE checkpoint
-    // action + ONE fingerprint probe instead of two of each. The batch
-    // tree references `cur` 4× (each round symmetrizes) — bounded.
-    val batch = if (loopSpark eq home) 1 else 2
+    // checkpoint/fingerprint grain: ONE round everywhere. r15 batched TWO
+    // lazily chained rounds per checkpoint in the downsized session to
+    // save one action+probe per pair, but each round symmetrizes its
+    // input (2 references), so the batched tree carries 4 copies of the
+    // previous checkpoint through Catalyst — and the r16 A/B showed the
+    // doubled analyze/optimize work costs MORE than the single-task
+    // checkpoint job it saves (graph_cc min-of-3 construction 2.79 s
+    // batched vs 1.43 s per-round; kcore and the sssp A/B agree). Per
+    // round: one checkpoint action + one fingerprint probe, tree depth
+    // constant.
     while (!converged && rounds < maxRounds) {
-      var nx = starRound(cur)
-      var n = 1
-      while (n < batch && rounds + n < maxRounds) { nx = starRound(nx); n += 1 }
-      val next = materialize(nx)
+      val next = materialize(starRound(cur))
       val nextFp = fingerprint(next)
       converged = nextFp == curFp && next.exceptAll(cur).isEmpty
       if (curOwned) cur.unpersist(): Unit
       curOwned = true
       cur = next
       curFp = nextFp
-      rounds += n
+      rounds += 1
     }
     require(converged,
       s"starComponents: edge set still contracting after $maxRounds rounds" +
@@ -1338,14 +1336,13 @@ object GraphOps {
         .withColumn("dw", count(lit(1)).over(Window.partitionBy("w")))
         .filter(col("dv") >= k && col("dw") >= k && col("v") < col("w"))
         .select(col("v").as("a"), col("w").as("b"))
-      // a prune round references its input TWICE (the symmetric union),
-      // so the downsized-session lazy chain checkpoints every SECOND
-      // round (tree ≤ 4× the last checkpoint — bounded); cluster scale
-      // keeps the per-round checkpoint ([[roundMat]] rationale)
-      val next =
-        if ((loopSpark eq home) || round % 2 == 0 || round == rounds)
-          materialize(next0)
-        else next0
+      // EVERY round checkpoints: a prune round references its input twice
+      // (the symmetric union), so r15's skip-every-other-round lazy chain
+      // pushed a 4x tree through Catalyst on the chained rounds — and the
+      // r16 A/B showed that analyze/optimize cost exceeds the single-task
+      // checkpoint job it saved (kcore min-of-3 construction 1.59 s
+      // chained vs 1.10 s per-round; the graph_cc and sssp A/Bs agree)
+      val next = materialize(next0)
       e = next
       frames += ((round, next))
     }
