@@ -93,7 +93,8 @@ object Bench {
                sfName: String, loadStart: Double = -1.0,
                loadEnd: Double = -1.0,
                passTimes: Seq[Seq[(String, Double)]] = Nil,
-               cpus: Int = 0): String = {
+               cpus: Int = 0,
+               constr: Seq[(String, Double)] = Nil): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
@@ -104,7 +105,19 @@ object Bench {
       pass.sortBy(_._1).map { case (n, t) => s"\"$n\":${fmt(t)}" }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries":$qs,"passes":$passesJson,"failed":$failedJson,"sf":"$sfName"}"""
+    // "constr" (ADDITIVE, r15 verdict item 2's observability mandate):
+    // per-query CONSTRUCTION seconds (DataFrame build incl. any eager
+    // materializes, min across the same passes), so a flat 8-vs-32-core
+    // ratio is attributable in-band — construction is driver-side Catalyst
+    // work that no core count parallelizes, while (total - constr) is the
+    // action. The timed total is unchanged: construction + action are the
+    // same spans they always were, only stamped separately here.
+    val constrJson =
+      if (constr.isEmpty) ""
+      else constr.sortBy(_._1)
+        .map { case (n, t) => s"\"$n\":${fmt(t)}" }
+        .mkString(""","constr":{""", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries":$qs$constrJson,"passes":$passesJson,"failed":$failedJson,"sf":"$sfName"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -181,30 +194,41 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = 3
     val loadStart = loadAvg()
-    val timed: Seq[Seq[(Double, Boolean)]] = (1 to passes).map { _ =>
+    // each query's span is (construction, action) — the construction
+    // stamp (tc) is observability only (bench_full's "constr" map, r15
+    // verdict item 2); the reported duration stays the full span
+    val timed: Seq[Seq[(Double, Double, Boolean)]] = (1 to passes).map { _ =>
       names.map { case (_, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val r = try {
+          val df = fn(spark, sfDir)
+          val tc = System.nanoTime()
+          df.count()
+          ((tc - t0) / 1e9, true)
+        } catch { case _: Throwable => (0.0, false) }
+        ((System.nanoTime() - t0) / 1e9, r._1, r._2)
       }
     }
     val loadEnd = loadAvg()
     val runs = names.zipWithIndex.map { case ((name, _), i) =>
       val perPass = timed.map(_(i))
-      (name, perPass.map(_._1).min, perPass.forall(_._2))
+      (name, perPass.map(_._1).min, perPass.forall(_._3))
+    }
+    val constr = names.zipWithIndex.collect {
+      case ((name, _), i) if timed.map(_(i)).forall(_._3) =>
+        (name, timed.map(_(i)._2).min)
     }
     val failed = runs.collect { case (n, _, false) => n }
     val results = runs.map { case (n, t, ok) => n -> (if (ok) t else -1.0) }
     val sfName = new java.io.File(sfDir).getName
     val passTimes = timed.map { pass =>
-      names.zip(pass).collect { case ((n, _), (t, true)) => (n, t) }
+      names.zip(pass).collect { case ((n, _), (t, _, true)) => (n, t) }
     }
     try {
       val full = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(full,
         (fullJson(results, failed, sfName, loadStart, loadEnd, passTimes,
-          cpus.toInt) + "\n").getBytes("UTF-8"))
+          cpus.toInt, constr) + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     println(report(results, failed, sfName, cpus = cpus.toInt))
     spark.stop()

@@ -80,6 +80,19 @@ class BenchReportSpec extends AnyFunSuite {
     assert(full.contains(""""cpus":32"""))
   }
 
+  test("full detail json stamps per-query construction time when provided") {
+    // r15 verdict item 2: a flat 8-vs-32-core ratio must be attributable
+    // in-band — "constr" is the driver-side construction span (Catalyst +
+    // eager materializes), (total - constr) the action. ADDITIVE: absent
+    // when not provided, so old artifacts parse identically.
+    val rs = Seq("a" -> 1.0, "b" -> 2.5)
+    val full = Bench.fullJson(rs, Nil, "sf0.1",
+      constr = Seq("b" -> 1.75, "a" -> 0.25))
+    assert(full.contains(""""constr":{"a":0.250,"b":1.750}"""))
+    assert(full.contains(""""queries":{"a":1.000,"b":2.500}"""))
+    assert(!Bench.fullJson(rs, Nil, "sf0.1").contains("constr"))
+  }
+
   test("full detail json stamps load averages and per-pass times") {
     val rs = Seq("a" -> 1.0, "b" -> 2.5)
     val passTimes = Seq(Seq("a" -> 1.2, "b" -> 2.5), Seq("a" -> 1.0, "b" -> 9.9))
