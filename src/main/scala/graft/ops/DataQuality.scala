@@ -544,7 +544,7 @@ object DataQuality {
     // the chain ends at the leading digit — bounds d1<10^9, d2<10^5,
     // d3<10^3, d4<10^2, d5<10. cents = 0 yields 0 (dropped below, as the
     // string path's '0' was); a NULL propagates to NULL (dropped below,
-    // as substring(NULL) was). BenfordDigitSpec proves equality against
+    // as substring(NULL) was). AnalyticsOpsSpec proves equality against
     // the substring form over the full magnitude sweep.
     // the 1..9 frame filter runs on CENTS, below the chain: digit ≥ 1 ⇔
     // cents ≥ 1 (cents 0 → digit 0; NULL propagates; negatives are out
